@@ -1,0 +1,117 @@
+"""Ontology, gazetteers and relation vocabulary.
+
+Mirrors the reference's fixed code→name ontology (``config.yaml:54-114``):
+ten *essential* entity types (DIS, BFL, EQM, SUR, SYM, TES, ORG, DRU, OGN,
+OBJ) participate in ensemble voting; everything else is dropped by the
+``if etype not in types: continue`` guard (``EnsemblePredict_all.py:264-266``).
+
+The reference's dictionaries directory is stripped from the snapshot
+(``.MISSING_LARGE_BLOBS``), so this engine ships two deterministic synthetic
+gazetteers:
+
+* ``MEDICAL_GAZETTEER`` — Chinese medical surface forms for the flagship
+  web-page pipeline (the ``input_hint`` corpus), with controlled
+  prefix/suffix overlap (e.g. 心力衰竭 / 慢性心力衰竭) to exercise
+  longest-match and boundary-merge rules.
+* ``WEBTEXT_GAZETTEER`` — multi-word query-engine terms matching the
+  driver's ``documents.parquet`` vocabulary, used by the SQL-oracled
+  document KG queries.
+"""
+
+from __future__ import annotations
+
+# Essential entity types (config.yaml:54-64). Voting only counts these.
+ESSENTIAL_TYPES: dict[str, str] = {
+    "DIS": "疾病",
+    "BFL": "体液",
+    "EQM": "设备",
+    "SUR": "手术",
+    "SYM": "症状",
+    "TES": "检查",
+    "ORG": "器官",
+    "DRU": "药品",
+    "OGN": "微生物",
+    "OBJ": "物体",
+}
+
+# Relation vocabulary = the reference's paragraph keys (structurize_files.py:
+# 608-628 keyword→field pairs; pre_labeling.py taboo relations 313-376).
+RELATIONS: tuple[str, ...] = (
+    "indications",
+    "contraindiction",
+    "clinical",
+    "treatment",
+    "complication",
+    "TABOO",
+)
+
+# -- Chinese medical gazetteer (flagship pages corpus) ------------------------
+# Controlled overlap pairs: 心力衰竭/慢性心力衰竭, 糖尿病/2型糖尿病,
+# 胃炎/慢性胃炎, 阑尾切除术/腹腔镜阑尾切除术 exercise longest-match.
+MEDICAL_GAZETTEER: dict[str, str] = {
+    # diseases
+    "心力衰竭": "DIS", "慢性心力衰竭": "DIS", "糖尿病": "DIS", "2型糖尿病": "DIS",
+    "高血压": "DIS", "胃炎": "DIS", "慢性胃炎": "DIS", "肺炎": "DIS",
+    "冠心病": "DIS", "心肌梗死": "DIS", "脑梗死": "DIS", "肝硬化": "DIS",
+    "肾功能不全": "DIS", "支气管哮喘": "DIS", "消化性溃疡": "DIS", "心律失常": "DIS",
+    "贫血": "DIS", "甲状腺功能亢进": "DIS", "急性胰腺炎": "DIS", "胆囊结石": "DIS",
+    # symptoms
+    "发热": "SYM", "咳嗽": "SYM", "胸痛": "SYM", "呼吸困难": "SYM",
+    "腹痛": "SYM", "恶心": "SYM", "呕吐": "SYM", "头晕": "SYM",
+    "乏力": "SYM", "水肿": "SYM", "心悸": "SYM", "黄疸": "SYM",
+    # drugs
+    "阿司匹林": "DRU", "美托洛尔": "DRU", "二甲双胍": "DRU", "胰岛素": "DRU",
+    "呋塞米": "DRU", "阿莫西林": "DRU", "奥美拉唑": "DRU", "硝酸甘油": "DRU",
+    "地高辛": "DRU", "华法林": "DRU", "泼尼松": "DRU", "布洛芬": "DRU",
+    # surgeries
+    "阑尾切除术": "SUR", "腹腔镜阑尾切除术": "SUR", "冠状动脉搭桥术": "SUR",
+    "胆囊切除术": "SUR", "胃大部切除术": "SUR", "心脏瓣膜置换术": "SUR",
+    # tests
+    "心电图": "TES", "血常规": "TES", "肝功能检查": "TES", "胸部CT": "TES",
+    "血糖测定": "TES", "冠状动脉造影": "TES", "胃镜检查": "TES", "尿常规": "TES",
+    # organs
+    "心脏": "ORG", "肝脏": "ORG", "肾脏": "ORG", "胃": "ORG",
+    "肺": "ORG", "胰腺": "ORG", "胆囊": "ORG",
+    # body fluids
+    "血液": "BFL", "尿液": "BFL", "胸腔积液": "BFL",
+    # equipment
+    "呼吸机": "EQM", "心脏起搏器": "EQM", "血液透析机": "EQM",
+    # organisms
+    "肺炎链球菌": "OGN", "幽门螺杆菌": "OGN", "大肠杆菌": "OGN",
+}
+
+# Head-entity pool: pages are "about" one of these (disease/drug/surgery
+# pages, mirroring the reference's c/d/m corpora head entities).
+HEAD_ENTITY_TYPES: tuple[str, ...] = ("DIS", "DRU", "SUR")
+
+# -- Webtext gazetteer (driver documents.parquet vocabulary) ------------------
+# Multi-word terms listed BEFORE their single-word suffixes; matching is
+# longest-match-first (dictionary sorted by length desc, utils.py:61-62).
+WEBTEXT_GAZETTEER: dict[str, str] = {
+    "hash join": "OPR",
+    "merge join": "OPR",
+    "sort merge": "OPR",
+    "table scan": "OPR",
+    "index scan": "OPR",
+    "window agg": "OPR",
+    "join": "OPR",
+    "scan": "OPR",
+    "filter": "OPR",
+    "agg": "OPR",
+    "sort": "OPR",
+    "window": "OPR",
+    "merge": "OPR",
+    "spark": "SYS",
+    "table": "OBJ",
+    "column": "OBJ",
+    "row": "OBJ",
+    "partition": "OBJ",
+    "customer": "ENT",
+    "order": "ENT",
+    "part": "ENT",
+}
+
+# English stopwords for the language-ID / quality-score stages.
+EN_STOPWORDS: frozenset[str] = frozenset(
+    {"the", "a", "an", "and", "of", "to", "in", "is", "it", "on", "for"}
+)

@@ -1,0 +1,145 @@
+"""Entity canonicalization + graph materialization (nodes / edges).
+
+The reference normalizes surfaces by stripping bracketed aliases and
+whitespace (``structurize_files.py:769-799``, O8) and assigns ids by
+enumeration (``head_id='h{:08d}'`` per group index,
+``clean_and_save.py:1174-1180``) — order-dependent and unusable under
+parallelism.  Here every id is a deterministic content hash of the
+normalized ``(surface, type)`` key (SURVEY §4 Ordering).
+
+**Skew design (north_rule):** hot entities (common drugs/diseases recur
+across a large share of pages) would hot-spot a naive
+``groupby(key).map_groups``.  Both aggregations therefore run **two-phase**:
+
+1. *partial* — inside ``map_batches``, combine per batch to ≤ 1 row per key
+   per batch (the classic combiner; a key appearing in 1e6 rows leaves each
+   batch as a single partial row, so the shuffle moves O(#batches) not
+   O(#rows) for hot keys);
+2. *final* — a small ``groupby`` over the partials with associative
+   aggregates (Sum / Max).
+
+This removes the need for explicit key salting for count/max aggregates
+while remaining deterministic; the partial rows are the "salted" shards.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import stable_id
+
+_BRACKET_RE = re.compile(r"[\(\[（【].*?[\)\]）】]")
+
+NODE_SCHEMA = pa.schema(
+    [
+        ("node_id", pa.string()),
+        ("canonical_name", pa.string()),
+        ("type", pa.string()),
+        ("n_mentions", pa.int64()),
+        ("prob_max", pa.float64()),
+    ]
+)
+
+EDGE_SCHEMA = pa.schema(
+    [
+        ("subj_id", pa.string()),
+        ("pred", pa.string()),
+        ("obj_id", pa.string()),
+        ("weight", pa.float64()),
+        ("n_evidence", pa.int64()),
+    ]
+)
+
+
+def normalize_surface(s: str) -> str:
+    """O8 normalizer: drop bracketed aliases, trim, casefold."""
+    return _BRACKET_RE.sub("", s).strip().casefold()
+
+
+def node_id(surface: str, etype: str) -> str:
+    """Deterministic node id = md5(normalized surface, type)."""
+    return stable_id(normalize_surface(surface), etype, prefix="n")
+
+
+def _normalize_series(s: pd.Series) -> pd.Series:
+    return (
+        s.str.replace(_BRACKET_RE, "", regex=True).str.strip().str.casefold()
+    )
+
+
+def _ids_for(norm: pd.Series, etype: pd.Series) -> pd.Series:
+    return pd.Series(
+        [stable_id(n, t, prefix="n") for n, t in zip(norm, etype)],
+        index=norm.index,
+        dtype="object",
+    )
+
+
+def partial_nodes_batch(batch: pa.Table) -> pa.Table:
+    """Triple batch → partial node rows (both endpoints), combined per key."""
+    df = batch.to_pandas()
+    ends = pd.concat(
+        [
+            df[["subj", "subj_type", "prob"]].rename(
+                columns={"subj": "surface", "subj_type": "type"}
+            ),
+            df[["obj", "obj_type", "prob"]].rename(
+                columns={"obj": "surface", "obj_type": "type"}
+            ),
+        ],
+        ignore_index=True,
+    )
+    ends["canonical_name"] = _normalize_series(ends["surface"].astype(str))
+    part = (
+        ends.groupby(["canonical_name", "type"], sort=False)
+        .agg(n_mentions=("surface", "size"), prob_max=("prob", "max"))
+        .reset_index()
+    )
+    part["node_id"] = _ids_for(part["canonical_name"], part["type"])
+    part = part[["node_id", "canonical_name", "type", "n_mentions", "prob_max"]]
+    return pa.Table.from_pandas(part, schema=NODE_SCHEMA, preserve_index=False)
+
+
+def partial_edges_batch(batch: pa.Table) -> pa.Table:
+    """Triple batch → partial edge rows, combined per (subj, pred, obj)."""
+    df = batch.to_pandas()
+    df = df.assign(
+        _sn=_normalize_series(df["subj"].astype(str)),
+        _on=_normalize_series(df["obj"].astype(str)),
+    )
+    df["subj_id"] = _ids_for(df["_sn"], df["subj_type"])
+    df["obj_id"] = _ids_for(df["_on"], df["obj_type"])
+    part = (
+        df.groupby(["subj_id", "pred", "obj_id"], sort=False)
+        .agg(weight=("prob", "max"), n_evidence=("prob", "size"))
+        .reset_index()
+    )
+    return pa.Table.from_pandas(part, schema=EDGE_SCHEMA, preserve_index=False)
+
+
+def finalize_nodes(partials):
+    """ray.data partial-node Dataset → final node Dataset (small groupby)."""
+    from ray.data.aggregate import Max, Sum
+
+    return (
+        partials.groupby(["node_id", "canonical_name", "type"])
+        .aggregate(
+            Sum("n_mentions", alias_name="n_mentions"),
+            Max("prob_max", alias_name="prob_max"),
+        )
+    )
+
+
+def finalize_edges(partials):
+    """partial-edge Dataset → final edge Dataset, sorted by subject
+    (north_rule: edge table sorted by subj)."""
+    from ray.data.aggregate import Max, Sum
+
+    agg = partials.groupby(["subj_id", "pred", "obj_id"]).aggregate(
+        Max("weight", alias_name="weight"),
+        Sum("n_evidence", alias_name="n_evidence"),
+    )
+    return agg.sort("subj_id")

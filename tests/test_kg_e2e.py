@@ -1,0 +1,109 @@
+"""End-to-end golden test: Ray pipeline ≡ single-process oracle.
+
+BASELINE.json gate: triple P/R ≥ 0.95 vs the reference semantics (encoded
+in the oracle) — on the synthetic corpus the match must be exact — plus
+byte-identical extracted text per url.
+"""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from medical_knowledge_graph_ray.pipelines.oracle import (
+    oracle_edges,
+    oracle_nodes,
+    oracle_triples,
+)
+
+N_PAGES = 120
+
+
+def _triple_key(df: pd.DataFrame) -> set:
+    return {
+        (r.subj, r.pred, r.obj, r.obj_type, r.url, r.sent_ord, round(r.prob, 9))
+        for r in df.itertuples()
+    }
+
+
+@pytest.fixture(scope="module")
+def kg_run(ray_session, tmp_path_factory):
+    from medical_knowledge_graph_ray.pipelines.kg import run_kg
+    from medical_knowledge_graph_ray.sources.pages import generate_pages
+
+    root = tmp_path_factory.mktemp("kg")
+    corpus = str(root / "pages")
+    out = str(root / "out")
+    generate_pages(N_PAGES, corpus)
+    manifests = run_kg(corpus, out, ner_concurrency=2)
+    return corpus, out, manifests
+
+
+def test_triples_match_oracle_exactly(kg_run):
+    _, out, _ = kg_run
+    got = pd.read_parquet(os.path.join(out, "triples"))
+    want = oracle_triples(N_PAGES)
+    got_k, want_k = _triple_key(got), _triple_key(want)
+    # exact match on the synthetic corpus (gate is P/R >= 0.95)
+    missing, extra = want_k - got_k, got_k - want_k
+    assert not missing and not extra, (
+        f"precision={1 - len(extra) / max(1, len(got_k)):.4f} "
+        f"recall={1 - len(missing) / max(1, len(want_k)):.4f} "
+        f"missing={list(missing)[:3]} extra={list(extra)[:3]}"
+    )
+
+
+def test_nodes_match_oracle(kg_run):
+    _, out, _ = kg_run
+    got = (
+        pd.read_parquet(os.path.join(out, "nodes"))
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle_nodes(oracle_triples(N_PAGES))
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["node_id", "canonical_name", "type", "n_mentions"]],
+        want[["node_id", "canonical_name", "type", "n_mentions"]],
+    )
+    assert (got["prob_max"] - want["prob_max"]).abs().max() < 1e-9
+
+
+def test_edges_match_oracle_and_sorted(kg_run):
+    _, out, _ = kg_run
+    got = pd.read_parquet(os.path.join(out, "edges"))
+    want = oracle_edges(oracle_triples(N_PAGES))
+    # north_rule: edge table sorted by subject
+    assert list(got["subj_id"]) == sorted(got["subj_id"])
+    g = got.sort_values(["subj_id", "pred", "obj_id"]).reset_index(drop=True)
+    w = want.sort_values(["subj_id", "pred", "obj_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[["subj_id", "pred", "obj_id", "n_evidence"]],
+        w[["subj_id", "pred", "obj_id", "n_evidence"]],
+    )
+
+
+def test_manifests_lineage(kg_run):
+    _, out, manifests = kg_run
+    for stage in ("triples", "nodes", "edges"):
+        mpath = os.path.join(out, stage, "_MANIFEST.json")
+        assert os.path.exists(mpath)
+        with open(mpath) as f:
+            m = json.load(f)
+        assert m["rows"] == sum(p["rows"] for p in m["partitions"])
+        assert m["rows"] > 0
+
+
+def test_resume_skips_completed_stage(kg_run):
+    corpus, out, first = kg_run
+    from medical_knowledge_graph_ray.pipelines.kg import run_kg
+
+    tri_manifest = os.path.join(out, "triples", "_MANIFEST.json")
+    before = os.path.getmtime(tri_manifest)
+    second = run_kg(corpus, out, ner_concurrency=2)
+    assert os.path.getmtime(tri_manifest) == before  # stage skipped
+    assert second["triples"]["rows"] == first["triples"]["rows"]

@@ -1,0 +1,127 @@
+"""Ensemble NER semantics unit tests (no Ray needed)."""
+
+import numpy as np
+import pyarrow as pa
+
+from medical_knowledge_graph_ray.functions.spans import fill_spans, runs
+from medical_knowledge_graph_ray.stages.ner import (
+    EnsembleNER,
+    GazetteerMatcher,
+    MENTION_SCHEMA,
+)
+from medical_knowledge_graph_ray.stages.triples import strip_boundaries
+from medical_knowledge_graph_ray.state.artifacts import (
+    MODEL_NAMES,
+    eval_matrix,
+    member_covers,
+    model_weights,
+)
+
+
+def test_runs_merges_adjacent_same_type():
+    # union semantics: adjacent same-type chars = one entity (post_processing)
+    tids = np.array([0, 1, 1, 2, 2, 0, 1], dtype=np.int16)
+    assert runs(tids) == [(1, 3, 1), (3, 5, 2), (6, 7, 1)]
+
+
+def test_fill_spans_roundtrip():
+    tids, probs = fill_spans(10, [(2, 5, 3, 0.9), (7, 9, 1, 0.7)])
+    assert runs(tids) == [(2, 5, 3), (7, 9, 1)]
+    assert probs[3] == 0.9 and probs[0] == 0.5
+
+
+def test_gazetteer_longest_match_wins():
+    m = GazetteerMatcher({"心力衰竭": "DIS", "慢性心力衰竭": "DIS", "发热": "SYM"})
+    found = m.find("患者慢性心力衰竭伴发热")
+    assert found == [(2, 8, "慢性心力衰竭"), (9, 11, "发热")]
+
+
+def test_matcher_offsets_exclusive_end():
+    m = GazetteerMatcher({"咳嗽": "SYM"})
+    [(s, e, surf)] = m.find("有咳嗽史")
+    assert (s, e) == (1, 3) and "有咳嗽史"[s:e] == surf
+
+
+def test_member_coverage_deterministic_and_distinct():
+    from medical_knowledge_graph_ray.ontology import MEDICAL_GAZETTEER
+
+    terms = sorted(MEDICAL_GAZETTEER)
+    cov = {m: [t for t in terms if member_covers(m, t)] for m in MODEL_NAMES}
+    assert cov == {m: [t for t in terms if member_covers(m, t)] for m in MODEL_NAMES}
+    # over the full gazetteer, coverage ordering a > c holds
+    assert len(cov["a"]) > len(cov["c"])
+    # and the member term sets genuinely differ (real ensemble variance)
+    assert set(cov["a"]) != set(cov["b"]) != set(cov["c"])
+
+
+def test_weights_normalize_per_type():
+    w = model_weights()
+    for t in ("DIS", "SYM", "DRU"):
+        assert abs(sum(w[m][t] for m in MODEL_NAMES) - 1.0) < 1e-9
+
+
+def test_ensemble_strong_requires_two_members():
+    ner = EnsembleNER({"发热": "SYM"})
+    rows = ner._sentence_mentions("患者出现发热症状")
+    strong = [r for r in rows if r[0] == "ensemble_strong"]
+    n_members = sum(member_covers(m, "发热") for m in MODEL_NAMES)
+    if n_members >= 2:
+        assert len(strong) == 1
+        (_, ent, ety, s, e, *_ps, k) = strong[0]
+        assert (ent, ety) == ("发热", "SYM") and k == n_members
+    else:
+        assert strong == []
+
+
+def test_ensemble_confidence_formula():
+    gaz = {"发热": "SYM"}
+    ner = EnsembleNER(gaz)
+    rows = ner._sentence_mentions("出现发热")
+    strong = [r for r in rows if r[0] == "ensemble_strong"]
+    if not strong:
+        return
+    (_m, _e, ety, s, e, p1, _p2, _p3, _p4, k) = strong[0]
+    ev = eval_matrix()
+    support = [m for m in MODEL_NAMES if member_covers(m, "发热")]
+    from medical_knowledge_graph_ray.state.artifacts import member_prob
+
+    x3 = max(member_prob(m, "发热") for m in support)  # uniform char prob in span
+    cmax = max(ev[m][ety][0] for m in support)
+    expect = x3 * (cmax + (1 - cmax) * k / (2 * len(MODEL_NAMES)))
+    assert abs(p1 - expect) < 1e-12
+
+
+def test_dictionary_mentions_always_present():
+    ner = EnsembleNER({"罕见病X": "DIS"})  # term no member covers reliably
+    rows = ner._sentence_mentions("确诊罕见病X一例")
+    assert any(r[0] == "dictionary" and r[1] == "罕见病X" for r in rows)
+
+
+def test_ner_batch_schema():
+    ner = EnsembleNER()
+    batch = pa.table(
+        {
+            "url": ["u1"],
+            "sent_ord": pa.array([0], pa.int32()),
+            "sentence": ["患者出现发热和咳嗽"],
+            "head_entity": ["糖尿病"],
+            "head_type": ["DIS"],
+            "paragraph": ["clinical"],
+        }
+    )
+    out = ner(batch)
+    assert out.schema.equals(MENTION_SCHEMA)
+    assert out.num_rows > 0
+    for s, e, ent, sent in zip(
+        out["start"].to_pylist(),
+        out["end"].to_pylist(),
+        out["ent_name"].to_pylist(),
+        out["sentence"].to_pylist(),
+    ):
+        assert sent[s:e].startswith(ent[: e - s])
+
+
+def test_strip_boundaries_fixpoint():
+    assert strip_boundaries("、发热。", 3, 7) == ("发热", 4, 6)
+    assert strip_boundaries("发热", 0, 2) == ("发热", 0, 2)
+    assert strip_boundaries("。。", 0, 2)[0] == ""
