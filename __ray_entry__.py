@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in the library) may call ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship KG pipeline on the deterministic sf0.001 synthetic
+  page corpus (input_hint shape); returns the edge Dataset.
+* ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the large-scale training-data operators).
+* ``oracle_sql()`` — DuckDB equivalents for every SQL-expressible query
+  (same column names; order-insensitive compare).  Non-SQL-expressible
+  entries (minhash/simhash/LSH, the pages-corpus flagship) are rows-only.
 """
 
 from __future__ import annotations
@@ -20,25 +19,107 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the sf0.001-scale synthetic page corpus."""
+    from medical_knowledge_graph_ray.pipelines.kg import (
+        corpus_for_sf,
+        pages_dataset,
+        triples_dataset,
+    )
+    from medical_knowledge_graph_ray.stages.canonicalize import (
+        finalize_edges,
+        partial_edges_batch,
+    )
+
+    corpus = corpus_for_sf("/root/testdata/sf0.001")
+    triples = triples_dataset(pages_dataset(corpus))
+    edges = finalize_edges(
+        triples.map_batches(partial_edges_batch, batch_format="pyarrow")
+    )
+    return edges
+
+
+def _kg_edges_pages(sf_dir: str):
+    from medical_knowledge_graph_ray.pipelines.kg import (
+        corpus_for_sf,
+        pages_dataset,
+        triples_dataset,
+    )
+    from medical_knowledge_graph_ray.stages.canonicalize import (
+        finalize_edges,
+        partial_edges_batch,
+    )
+
+    corpus = corpus_for_sf(sf_dir)
+    triples = triples_dataset(pages_dataset(corpus))
+    return finalize_edges(
+        triples.map_batches(partial_edges_batch, batch_format="pyarrow")
+    )
+
+
+def _kg_triples_pages(sf_dir: str):
+    from medical_knowledge_graph_ray.pipelines.kg import (
+        corpus_for_sf,
+        pages_dataset,
+        triples_dataset,
+    )
+
+    return triples_dataset(pages_dataset(corpus_for_sf(sf_dir)))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from medical_knowledge_graph_ray.pipelines import docs, docs_kg, events, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship KG over input_hint-shaped pages (rows-only check; parity
+        # is enforced by the in-repo oracle e2e test)
+        "kg_triples_pages": _kg_triples_pages,
+        "kg_edges_pages": _kg_edges_pages,
+        # KG over the driver documents table (SQL-oracled)
+        "kg_doc_mentions": docs_kg.doc_mentions,
+        "kg_doc_edges": docs_kg.doc_edges,
+        "kg_doc_nodes": docs_kg.doc_nodes,
+        # relational operator families
+        "q1_pricing": relational.q1_pricing,
+        "q3_top_orders": relational.q3_top_orders,
+        "q5_region_revenue": relational.q5_region_revenue,
+        # event-stream-shaped operators
+        "events_tumbling": events.events_tumbling,
+        "events_argmax": events.events_argmax,
+        "events_sessionize": events.events_sessionize,
+        # text analysis
+        "docs_stats": docs.docs_stats,
+        "docs_langid": docs.docs_langid,
+        "docs_fingerprint": docs.docs_fingerprint,
+        "docs_quality": docs.docs_quality,
+        # dedup family
+        "dedup_exact": docs.dedup_exact,
+        "minhash_pairs": docs.docs_minhash_pairs,
+        "simhash_fingerprints": docs.docs_simhash,
+        "ngram_jaccard_pairs": docs.docs_ngram_jaccard,
+        # similarity search
+        "knn_cosine": docs.knn_cosine_q0,
+        "embed_norms": docs.embed_norms,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from medical_knowledge_graph_ray.pipelines import docs, docs_kg, events, relational
+
+    return {
+        "kg_doc_mentions": docs_kg.mentions_sql(),
+        "kg_doc_edges": docs_kg.edges_sql(),
+        "kg_doc_nodes": docs_kg.nodes_sql(),
+        "q1_pricing": relational.Q1_SQL,
+        "q3_top_orders": relational.Q3_SQL,
+        "q5_region_revenue": relational.Q5_SQL,
+        "events_tumbling": events.TUMBLING_SQL,
+        "events_argmax": events.ARGMAX_SQL,
+        "events_sessionize": events.SESSIONIZE_SQL,
+        "docs_stats": docs.STATS_SQL,
+        "docs_langid": docs.LANGID_SQL,
+        "docs_fingerprint": docs.FINGERPRINT_SQL,
+        "docs_quality": docs.QUALITY_SQL,
+        "dedup_exact": docs.DEDUP_EXACT_SQL,
+        "knn_cosine": docs.KNN_SQL,
+        "embed_norms": docs.EMBED_NORMS_SQL,
+    }

@@ -1,0 +1,144 @@
+"""Benchmark harness.
+
+Plain run: executes the headline flagship KG pipeline + the operator
+pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line.
+
+``--scaling``: runs the headline pipeline twice in fresh processes
+(num_cpus=8 then 32) on the same input and reports both throughputs plus
+the scaling efficiency (north_rule two-cluster-size evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _consume(result) -> int:
+    """Execute a lazy result and return its row count."""
+    import pandas as pd
+
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    return result.count()
+
+
+def run_queries() -> tuple[dict[str, float], dict[str, int]]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as em
+
+    names = [
+        "kg_doc_mentions", "kg_doc_edges",
+        "q1_pricing", "q3_top_orders", "q5_region_revenue",
+        "events_tumbling", "events_argmax", "events_sessionize",
+        "docs_stats", "docs_quality", "dedup_exact",
+        "minhash_pairs", "knn_cosine", "embed_norms",
+    ]
+    qs = em.queries()
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        rows[name] = _consume(qs[name](SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times, rows
+
+
+def run_flagship() -> dict:
+    """Headline: pages corpus → triples/nodes/edges Parquet (fresh run)."""
+    from medical_knowledge_graph_ray.pipelines.kg import PAGES_PER_SF, corpus_for_sf, run_kg
+
+    corpus = corpus_for_sf(SF_DIR)  # cached; generation excluded from timing
+    sf_name = os.path.basename(os.path.normpath(SF_DIR))
+    n_pages = PAGES_PER_SF.get(sf_name, 500)
+
+    out_root = f"/tmp/mkg_bench_out/{sf_name}"
+    shutil.rmtree(out_root, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifests = run_kg(corpus, out_root, resume=False)
+    wall = time.perf_counter() - t0
+    n_triples = manifests["triples"]["rows"]
+    return {
+        "kg_flagship_sec": round(wall, 3),
+        "n_pages": n_pages,
+        "n_triples": n_triples,
+        "docs_per_sec": round(n_pages / wall, 1),
+        "triples_per_sec": round(n_triples / wall, 1),
+    }
+
+
+def main_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
+
+    # warm the OS page cache (untimed)
+    for t in ("lineitem", "documents", "events", "embeddings", "orders", "customer"):
+        with open(f"{SF_DIR}/{t}.parquet", "rb") as f:
+            f.read()
+
+    flagship = run_flagship()
+    qtimes, _rows = run_queries()
+
+    out = {
+        "metric": "kg_flagship_sec",
+        "value": flagship["kg_flagship_sec"],
+        "unit": "sec",
+        "queries": {**qtimes, "kg_flagship": flagship["kg_flagship_sec"]},
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "docs_per_sec": flagship["docs_per_sec"],
+        "triples_per_sec": flagship["triples_per_sec"],
+        "n_triples": flagship["n_triples"],
+    }
+    ray.shutdown()
+    return out
+
+
+def scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "sf": r_lo["sf"],
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "triples_per_sec_lo": r_lo["triples_per_sec"],
+        "triples_per_sec_hi": r_hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling()))
+    else:
+        print(json.dumps(main_bench()))

@@ -1,0 +1,207 @@
+"""Document-table pipelines: text stats, language-ID, fingerprints,
+quality, exact dedup, near-dup, similarity search.  SQL oracles alongside.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..ontology import EN_STOPWORDS
+from ..stages.dedup import (
+    fingerprint_cluster_partial,
+    minhash_dedup_pairs,
+    ngram_jaccard_group,
+    simhash_batch,
+)
+from ..stages.text_stats import (
+    doc_stats_batch,
+    fingerprint_batch,
+    lang_id_batch,
+    quality_score_batch,
+)
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def docs_stats(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_stats_batch, batch_format="pandas"
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))
+
+STATS_SQL = f"""
+SELECT doc_id, n_tokens, n_chars_actual, n_stopwords,
+       CAST(n_stopwords AS DOUBLE)/n_tokens AS stopword_ratio,
+       CAST(n_chars_actual - (n_tokens - 1) AS DOUBLE)/n_tokens AS avg_token_len
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars_actual,
+         len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL}))) AS n_stopwords
+  FROM documents
+)
+"""
+
+
+def docs_langid(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        lang_id_batch, batch_format="pandas"
+    )
+
+
+LANGID_SQL = f"""
+SELECT doc_id, lang AS lang_declared, stopword_ratio,
+       CASE WHEN stopword_ratio >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred
+FROM (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stopword_ratio
+  FROM documents
+)
+"""
+
+
+def docs_fingerprint(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pandas"
+    )
+
+
+FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def docs_quality(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pandas"
+    )
+
+
+QUALITY_SQL = """
+SELECT doc_id, n_tokens, n_distinct,
+       (LEAST(n_tokens, 200)/200.0) * (CAST(n_distinct AS DOUBLE)/n_tokens) AS quality
+FROM (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM documents
+)
+"""
+
+
+def dedup_exact(sf_dir: str):
+    """md5 cluster table: two-phase (batch combiner → per-fp final agg)."""
+    from ray.data.aggregate import Min, Sum
+
+    fps = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_cluster_partial, batch_format="pandas"
+    )
+    return fps.groupby("fp").aggregate(
+        Min("canonical_id", alias_name="canonical_id"),
+        Sum("cluster_size", alias_name="cluster_size"),
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS cluster_size
+FROM documents GROUP BY md5(text)
+"""
+
+
+def docs_minhash_pairs(sf_dir: str, threshold: float = 0.5):
+    return minhash_dedup_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold)
+
+
+def docs_simhash(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pandas"
+    )
+
+
+def docs_ngram_jaccard(sf_dir: str, threshold: float = 0.3):
+    """Exact n-gram Jaccard pairs within same-source candidate groups."""
+    docs = _docs(sf_dir, ["doc_id", "source", "text"])
+    return docs.groupby("source").map_groups(
+        lambda g: ngram_jaccard_group(g, threshold), batch_format="pandas"
+    )
+
+
+# -- embeddings ---------------------------------------------------------------
+
+def _embeddings(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vec(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t["vec_id"].to_pylist().index(0)
+    return t["embedding"].to_pylist()[idx]
+
+
+def knn_cosine_q0(sf_dir: str, k: int = 10):
+    """Top-k cosine neighbors of vec_id 0 (brute-force baseline)."""
+    from ..stages.similarity import knn_cosine
+
+    return knn_cosine(_embeddings(sf_dir), _query_vec(sf_dir), k)
+
+
+KNN_SQL = """
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+FROM embeddings
+ORDER BY sim DESC, vec_id
+LIMIT 10
+"""
+
+
+def embed_norms(sf_dir: str):
+    """Per-label vector-count and average L2 norm (6-dp-stable)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        norm_u = np.rint(np.round(np.linalg.norm(mat, axis=1), 6) * 1_000_000).astype(
+            "int64"
+        )
+        return (
+            pd.DataFrame({"label": b["label"], "norm_u": norm_u})
+            .groupby("label", sort=False)
+            .agg(n_vecs=("norm_u", "size"), norm_u=("norm_u", "sum"))
+            .reset_index()
+        )
+
+    agg = (
+        _embeddings(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("label")
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"), Sum("norm_u", alias_name="norm_u"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "label": df["label"],
+                "n_vecs": df["n_vecs"],
+                "avg_norm": df["norm_u"] / 1_000_000.0 / df["n_vecs"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+EMBED_NORMS_SQL = """
+SELECT label, COUNT(*) AS n_vecs,
+       SUM(CAST(round(round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x*x))), 6) * 1000000) AS BIGINT))/1000000.0/COUNT(*) AS avg_norm
+FROM embeddings GROUP BY label
+"""

@@ -1,0 +1,68 @@
+"""Event-table pipelines: tumbling windows, per-key argmax, sessions.
+
+Each returns a lazy Dataset; SQL oracles alongside (DuckDB-ready).
+"""
+
+from __future__ import annotations
+
+from ..stages.windows import (
+    argmax_finalize,
+    argmax_partial_batch,
+    sessionize_group,
+    tumbling_finalize,
+    tumbling_partial_batch,
+)
+
+
+def _events(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def events_tumbling(sf_dir: str):
+    ev = _events(sf_dir, ["event_type", "ts", "value"])
+    partials = ev.map_batches(tumbling_partial_batch, batch_format="pandas")
+    return tumbling_finalize(partials)
+
+
+TUMBLING_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start, COUNT(*) AS n,
+       SUM(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def events_argmax(sf_dir: str):
+    ev = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    partials = ev.map_batches(argmax_partial_batch, batch_format="pandas")
+    return argmax_finalize(partials)
+
+
+ARGMAX_SQL = """
+SELECT user_id, event_id, ts, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) = 1
+"""
+
+
+def events_sessionize(sf_dir: str):
+    ev = _events(sf_dir, ["user_id", "event_id", "ts"])
+    return ev.groupby("user_id").map_groups(sessionize_group, batch_format="pandas")
+
+
+SESSIONIZE_SQL = """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_ord
+  FROM x
+)
+SELECT user_id, CAST(session_ord AS BIGINT) AS session_ord,
+       COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_ord
+"""

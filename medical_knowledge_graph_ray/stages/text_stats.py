@@ -1,0 +1,114 @@
+"""Text-analysis operators over a document table: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+These are the large-scale training-data-pipeline operators the engine adds
+beyond the reference's own set (driver brief), expressed as vectorized
+``map_batches`` transforms.  Tokenization is single-space split (matching
+``string_split(text, ' ')`` in the DuckDB oracle); all derived doubles come
+from a single division of exactly-computed integers so Ray and SQL agree
+bit-for-bit.
+
+Reference analogues: prefix/suffix histograms + census (A2/A3,
+``utils.py:108-116``), sentence-length gating (``pre_labeling.py:86-87``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+
+from ..ontology import EN_STOPWORDS
+
+LANG_STOPWORD_THRESHOLD = 0.05
+
+
+def doc_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """documents batch → (doc_id, n_tokens, n_chars_actual, n_stopwords,
+    stopword_ratio, avg_token_len).  Vectorized pandas str ops."""
+    text = batch["text"].astype(str)
+    tokens = text.str.split(" ")
+    n_tokens = tokens.str.len().astype("int64")
+    n_chars = text.str.len().astype("int64")
+    n_stop = tokens.map(lambda ts: sum(t in EN_STOPWORDS for t in ts)).astype("int64")
+    # single-space-joined text: sum(len(tok)) == n_chars - (n_tokens - 1)
+    sum_tok_len = n_chars - (n_tokens - 1)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": n_tokens,
+            "n_chars_actual": n_chars,
+            "n_stopwords": n_stop,
+            "stopword_ratio": n_stop / n_tokens,
+            "avg_token_len": sum_tok_len / n_tokens,
+        }
+    )
+
+
+def lang_id_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Stopword-ratio language heuristic: 'en' iff the English-stopword
+    token share ≥ threshold (documented, SQL-expressible contract)."""
+    stats = doc_stats_batch(batch)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "lang_declared": batch["lang"],
+            "stopword_ratio": stats["stopword_ratio"],
+            "lang_pred": (stats["stopword_ratio"] >= LANG_STOPWORD_THRESHOLD).map(
+                {True: "en", False: "other"}
+            ),
+        }
+    )
+
+
+def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """md5 content fingerprint per document (exact-dedup key; the md5 is
+    the cross-engine-stable replacement for Python's salted hash)."""
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "fp": [
+                hashlib.md5(t.encode("utf-8")).hexdigest()
+                for t in batch["text"].astype(str)
+            ],
+        }
+    )
+
+
+def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Composite quality score in [0,1]: rewards mid-length docs and real
+    word diversity (training-data filtering heuristic).
+
+    score = min(n_tokens, 200)/200 * distinct_token_ratio
+    """
+    text = batch["text"].astype(str)
+    tokens = text.str.split(" ")
+    n_tokens = tokens.str.len().astype("int64")
+    n_distinct = tokens.map(lambda ts: len(set(ts))).astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": n_tokens,
+            "n_distinct": n_distinct,
+            "quality": n_tokens.clip(upper=200) / 200 * (n_distinct / n_tokens),
+        }
+    )
+
+
+def token_explode_batch(batch: pd.DataFrame) -> pa.Table:
+    """Explode documents into (doc_id, pos, token) rows — the base for
+    token-frequency aggregates (A5 distinct-surface analogue)."""
+    doc_ids, poss, toks = [], [], []
+    for did, text in zip(batch["doc_id"], batch["text"].astype(str)):
+        for i, t in enumerate(text.split(" ")):
+            doc_ids.append(did)
+            poss.append(i)
+            toks.append(t)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "pos": pa.array(poss, pa.int32()),
+            "token": pa.array(toks, pa.string()),
+        }
+    )

@@ -1,0 +1,116 @@
+"""Unit tests for dedup / similarity / window operator internals (no Ray)."""
+
+import numpy as np
+import pandas as pd
+
+from medical_knowledge_graph_ray.stages.dedup import (
+    _shingle_ids,
+    minhash_signature,
+    ngram_jaccard_group,
+    simhash64,
+)
+from medical_knowledge_graph_ray.stages.windows import (
+    argmax_partial_batch,
+    sessionize_group,
+    tumbling_partial_batch,
+)
+
+
+def _doc(words):
+    return " ".join(words)
+
+
+def test_minhash_estimates_jaccard():
+    base = [f"w{i}" for i in range(120)]
+    a = _doc(base)
+    b = _doc(base[:100] + [f"x{i}" for i in range(20)])  # ~0.7 shingle overlap
+    sa, sb = minhash_signature(a), minhash_signature(b)
+    est = (sa == sb).mean()
+    ids_a = set(_shingle_ids(a).tolist())
+    ids_b = set(_shingle_ids(b).tolist())
+    true = len(ids_a & ids_b) / len(ids_a | ids_b)
+    assert abs(est - true) < 0.2
+    assert (minhash_signature(a) == sa).all()  # deterministic
+
+
+def test_minhash_identical_docs_agree_fully():
+    s1 = minhash_signature(_doc([f"t{i}" for i in range(50)]))
+    s2 = minhash_signature(_doc([f"t{i}" for i in range(50)]))
+    assert (s1 == s2).all()
+
+
+def test_simhash_similar_docs_close():
+    base = [f"w{i}" for i in range(100)]
+    a = simhash64(_doc(base))
+    b = simhash64(_doc(base[:95] + ["q1", "q2", "q3", "q4", "q5"]))
+    c = simhash64(_doc([f"z{i}" for i in range(100)]))
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_ngram_jaccard_exact():
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a b c d e", "a b c d x"],
+        }
+    )
+    out = ngram_jaccard_group(df, threshold=0.0)
+    # shingles(1): {abc,bcd,cde}; shingles(2): {abc,bcd,cdx} → J = 2/4
+    assert len(out) == 1
+    assert out.iloc[0]["jaccard"] == 0.5
+
+
+def test_argmax_partial_tiebreak():
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "event_id": [10, 5, 7, 1],
+            "value": [3.0, 3.0, 1.0, 9.9],
+        }
+    )
+    out = argmax_partial_batch(df)
+    row = out[out["user_id"] == 1].iloc[0]
+    assert row["event_id"] == 5  # max value, min event_id on tie
+    assert len(out) == 2
+
+
+def test_sessionize_gap():
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 01:00", "2024-01-01 01:20"]
+    )
+    df = pd.DataFrame({"user_id": [7] * 4, "event_id": [1, 2, 3, 4], "ts": ts})
+    out = sessionize_group(df)
+    assert list(out["session_ord"]) == [0, 1]
+    assert list(out["n_events"]) == [2, 2]
+
+
+def test_tumbling_partial_exact_cents():
+    ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:10"])
+    df = pd.DataFrame(
+        {"event_type": ["a", "a", "a"], "ts": ts, "value": [1.11, 2.22, 5.0]}
+    )
+    out = tumbling_partial_batch(df)
+    first = out[out["window_start"] == pd.Timestamp("2024-01-01 00:00")].iloc[0]
+    assert first["n"] == 2 and first["sum_value_c"] == 333
+
+
+def test_knn_brute_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.similarity import knn_cosine
+
+    rng = np.random.RandomState(7)
+    mat = rng.standard_normal((200, 16))
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(200), "embedding": list(mat)})
+    )
+    q = mat[0]
+    got = knn_cosine(ds, q, k=5).to_pandas()
+    sims = np.round(
+        (mat @ (q / np.linalg.norm(q))) / np.linalg.norm(mat, axis=1), 6
+    )
+    order = np.lexsort((np.arange(200), -sims))[:5]
+    assert list(got["vec_id"]) == list(order)
+    assert got.iloc[0]["vec_id"] == 0 and got.iloc[0]["sim"] == 1.0
