@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pandas as pd
 
+from ..functions.arrow import arrow_out
 from ..ontology import EN_STOPWORDS
 from ..stages.dedup import (
     fingerprint_cluster_partial,
@@ -94,16 +95,21 @@ FROM (
 
 
 def dedup_exact(sf_dir: str):
-    """md5 cluster table: two-phase (batch combiner → per-fp final agg)."""
-    from ray.data.aggregate import Min, Sum
+    """md5 cluster table: two-phase (batch combiner → coarse-bucket final)."""
+    from ..stages.shuffle import bucketed_group_map
 
     fps = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        fingerprint_cluster_partial, batch_format="pandas"
+        arrow_out(fingerprint_cluster_partial), batch_format="pandas"
     )
-    return fps.groupby("fp").aggregate(
-        Min("canonical_id", alias_name="canonical_id"),
-        Sum("cluster_size", alias_name="cluster_size"),
-    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("fp", sort=False)
+            .agg(canonical_id=("canonical_id", "min"), cluster_size=("cluster_size", "sum"))
+            .reset_index()
+        )
+
+    return bucketed_group_map(fps, ["fp"], combine, num_buckets=32)
 
 
 DEDUP_EXACT_SQL = """
@@ -182,7 +188,7 @@ def embed_norms(sf_dir: str):
 
     agg = (
         _embeddings(sf_dir)
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(arrow_out(partial), batch_format="pandas")
         .groupby("label")
         .aggregate(Sum("n_vecs", alias_name="n_vecs"), Sum("norm_u", alias_name="norm_u"))
     )

@@ -22,6 +22,7 @@ import re
 
 import pandas as pd
 
+from ..functions.arrow import arrow_out
 from ..ontology import WEBTEXT_GAZETTEER
 
 MULTI_TERMS: list[str] = sorted(
@@ -80,7 +81,7 @@ def doc_mentions(sf_dir: str):
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
     )
-    return docs.map_batches(doc_mentions_batch, batch_format="pandas")
+    return docs.map_batches(arrow_out(doc_mentions_batch), batch_format="pandas")
 
 
 def doc_edges(sf_dir: str):
@@ -97,7 +98,7 @@ def doc_edges(sf_dir: str):
         )
 
     return (
-        mentions.map_batches(partial, batch_format="pandas")
+        mentions.map_batches(arrow_out(partial), batch_format="pandas")
         .groupby(["source", "term", "ent_type"])
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),
@@ -121,7 +122,7 @@ def doc_nodes(sf_dir: str):
         )
 
     return (
-        mentions.map_batches(partial, batch_format="pandas")
+        mentions.map_batches(arrow_out(partial), batch_format="pandas")
         .groupby(["term", "ent_type"])
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),

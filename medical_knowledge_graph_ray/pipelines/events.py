@@ -5,6 +5,7 @@ Each returns a lazy Dataset; SQL oracles alongside (DuckDB-ready).
 
 from __future__ import annotations
 
+from ..functions.arrow import arrow_out
 from ..stages.windows import (
     argmax_finalize,
     argmax_partial_batch,
@@ -22,7 +23,7 @@ def _events(sf_dir: str, columns=None):
 
 def events_tumbling(sf_dir: str):
     ev = _events(sf_dir, ["event_type", "ts", "value"])
-    partials = ev.map_batches(tumbling_partial_batch, batch_format="pandas")
+    partials = ev.map_batches(arrow_out(tumbling_partial_batch), batch_format="pandas")
     return tumbling_finalize(partials)
 
 
@@ -35,7 +36,7 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 
 def events_argmax(sf_dir: str):
     ev = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
-    partials = ev.map_batches(argmax_partial_batch, batch_format="pandas")
+    partials = ev.map_batches(arrow_out(argmax_partial_batch), batch_format="pandas")
     return argmax_finalize(partials)
 
 
@@ -47,7 +48,10 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) =
 
 def events_sessionize(sf_dir: str):
     ev = _events(sf_dir, ["user_id", "event_id", "ts"])
-    return ev.groupby("user_id").map_groups(sessionize_group, batch_format="pandas")
+    from ..stages.shuffle import bucketed_group_map
+    from ..stages.windows import sessionize_bucket
+
+    return bucketed_group_map(ev, ["user_id"], sessionize_bucket)
 
 
 SESSIONIZE_SQL = """

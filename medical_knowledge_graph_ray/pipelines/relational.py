@@ -17,8 +17,9 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..functions.arrow import arrow_out
 
 Q1_CUTOFF = "2001-09-01"
 Q3_SEGMENT = "BUILDING"
@@ -78,7 +79,7 @@ def q1_pricing(sf_dir: str):
     from ray.data.aggregate import Sum
 
     agg = (
-        li.map_batches(partial, batch_format="pandas")
+        li.map_batches(arrow_out(partial), batch_format="pandas")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("qty_c", alias_name="qty_c"),
@@ -159,10 +160,17 @@ def q3_top_orders(sf_dir: str, k: int = 10):
     )
 
     class PartialRevenue:
+        """Broadcast side fetched lazily from the object store on first
+        batch (inside the task) — never materialized into the pickled
+        closure, so the dict ships once per worker, not once per task."""
+
         def __init__(self, ref):
-            self.odate = ray.get(ref)
+            self.ref = ref
+            self.odate = None
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.odate is None:
+                self.odate = ray.get(self.ref)
             b = b[b["l_orderkey"].isin(self.odate)]
             if not len(b):
                 return pd.DataFrame({"l_orderkey": pd.array([], "int64"),
@@ -176,13 +184,18 @@ def q3_top_orders(sf_dir: str, k: int = 10):
                 .reset_index()
             )
 
-    from ray.data.aggregate import Sum
+    from ..stages.shuffle import bucketed_group_map
 
-    agg = (
-        li.map_batches(PartialRevenue(odate_ref), batch_format="pandas")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    partials = li.map_batches(
+        arrow_out(PartialRevenue(odate_ref)), batch_format="pandas"
     )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("l_orderkey", sort=False).agg(rev_c=("rev_c", "sum")).reset_index()
+        )
+
+    agg = bucketed_group_map(partials, ["l_orderkey"], combine, num_buckets=32)
     top = agg.sort(["rev_c", "l_orderkey"], descending=[True, False]).limit(k)
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -249,10 +262,14 @@ def q5_region_revenue(sf_dir: str):
 
     class Partial:
         def __init__(self, on, nk):
-            self.order_nation = ray.get(on)
-            self.nation_name = ray.get(nk)
+            self.on_ref, self.nk_ref = on, nk
+            self.order_nation = None
+            self.nation_name = None
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.order_nation is None:
+                self.order_nation = ray.get(self.on_ref)
+                self.nation_name = ray.get(self.nk_ref)
             nk = b["l_orderkey"].map(self.order_nation)
             mask = nk.notna()
             if not mask.any():
@@ -272,7 +289,7 @@ def q5_region_revenue(sf_dir: str):
     from ray.data.aggregate import Sum
 
     agg = (
-        li.map_batches(Partial(on_ref, nk_ref), batch_format="pandas")
+        li.map_batches(arrow_out(Partial(on_ref, nk_ref)), batch_format="pandas")
         .groupby("n_name")
         .aggregate(Sum("rev_c", alias_name="rev_c"))
     )

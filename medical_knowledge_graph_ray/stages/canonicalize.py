@@ -121,25 +121,34 @@ def partial_edges_batch(batch: pa.Table) -> pa.Table:
 
 
 def finalize_nodes(partials):
-    """ray.data partial-node Dataset → final node Dataset (small groupby)."""
-    from ray.data.aggregate import Max, Sum
+    """partial-node Dataset → final node Dataset.
 
-    return (
-        partials.groupby(["node_id", "canonical_name", "type"])
-        .aggregate(
-            Sum("n_mentions", alias_name="n_mentions"),
-            Max("prob_max", alias_name="prob_max"),
+    Coarse-bucket shuffle + one vectorized pandas groupby per bucket
+    (stages/shuffle.py) — hot entities arrive pre-combined (≤ 1 row per
+    key per upstream batch), so no key can dominate a bucket."""
+    from .shuffle import bucketed_group_map
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["node_id", "canonical_name", "type"], sort=False)
+            .agg(n_mentions=("n_mentions", "sum"), prob_max=("prob_max", "max"))
+            .reset_index()
         )
-    )
+
+    return bucketed_group_map(partials, ["node_id"], combine, num_buckets=32)
 
 
 def finalize_edges(partials):
     """partial-edge Dataset → final edge Dataset, sorted by subject
     (north_rule: edge table sorted by subj)."""
-    from ray.data.aggregate import Max, Sum
+    from .shuffle import bucketed_group_map
 
-    agg = partials.groupby(["subj_id", "pred", "obj_id"]).aggregate(
-        Max("weight", alias_name="weight"),
-        Sum("n_evidence", alias_name="n_evidence"),
-    )
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["subj_id", "pred", "obj_id"], sort=False)
+            .agg(weight=("weight", "max"), n_evidence=("n_evidence", "sum"))
+            .reset_index()
+        )
+
+    agg = bucketed_group_map(partials, ["subj_id", "pred", "obj_id"], combine, num_buckets=32)
     return agg.sort("subj_id")

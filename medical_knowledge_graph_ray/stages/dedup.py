@@ -30,20 +30,41 @@ import pandas as pd
 _MERSENNE = (1 << 61) - 1
 
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9], np.uint64)
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """Per-token stable 64-bit md5 hashes, memoized per worker (token
+    vocabularies repeat heavily; the cache is bounded below)."""
+    cache = _TOKEN_HASH_CACHE
+    if len(cache) > 1_000_000:
+        cache.clear()
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            cache[t] = h
+        out[i] = h
+    return out
+
+
 def _shingle_ids(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingles → stable 64-bit ids (md5-derived)."""
+    """Word n-gram shingles → stable 64-bit ids.
+
+    Vectorized: per-token md5 (memoized) combined across the n-gram window
+    with multiply-xor mixing (wraparound uint64) — no per-shingle string
+    allocation or md5 call.
+    """
     toks = text.split(" ")
-    if len(toks) < n:
-        grams = [" ".join(toks)]
-    else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    return np.array(
-        [
-            int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
-            for g in set(grams)
-        ],
-        dtype=np.uint64,
-    )
+    h = _token_hashes(toks)
+    if len(h) < n:
+        ids = np.bitwise_xor.reduce(h * _MIX[: max(len(h), 1)][: len(h)]) if len(h) else np.uint64(0)
+        return np.unique(np.array([ids], dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        ids = (h[: -n + 1] * _MIX[0]) ^ (h[1 : -n + 2] * _MIX[1]) ^ (h[2:] * _MIX[2])
+    return np.unique(ids)
 
 
 def _minhash_params(k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -78,22 +99,28 @@ def minhash_bands_batch(batch: pd.DataFrame) -> pd.DataFrame:
     signature slice.  The full signature travels along for the estimate
     stage (64×8 bytes/doc — cheap vs re-reading text).
     """
-    out_band, out_hash, out_doc, out_sig = [], [], [], []
-    for did, text in zip(batch["doc_id"], batch["text"].astype(str)):
-        sig = minhash_signature(text)
-        sig_bytes = sig.tobytes()
-        for band in range(N_BANDS):
-            sl = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
-            out_band.append(band)
-            out_hash.append(hashlib.md5(sl.tobytes()).hexdigest()[:16])
-            out_doc.append(did)
-            out_sig.append(sig_bytes)
+    texts = batch["text"].astype(str).tolist()
+    n_docs = len(texts)
+    if n_docs == 0:
+        return pd.DataFrame(
+            {"band_id": pd.array([], "int32"), "band_hash": pd.array([], "uint64"),
+             "doc_id": pd.array([], "int64"), "signature": []}
+        )
+    sigs = np.stack([minhash_signature(t) for t in texts])  # (n, 64)
+    # vectorized band hashing: mix each 4-wide slice with prime weights
+    weights = (_MIX[0] * np.arange(1, ROWS_PER_BAND + 1, dtype=np.uint64)) | np.uint64(1)
+    with np.errstate(over="ignore"):
+        band_hash = (sigs.reshape(n_docs, N_BANDS, ROWS_PER_BAND) * weights).sum(
+            axis=2, dtype=np.uint64
+        )
+    doc_ids = batch["doc_id"].to_numpy()
+    sig_bytes = [s.tobytes() for s in sigs]
     return pd.DataFrame(
         {
-            "band_id": pd.array(out_band, dtype="int32"),
-            "band_hash": out_hash,
-            "doc_id": pd.array(out_doc, dtype="int64"),
-            "signature": out_sig,
+            "band_id": pd.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n_docs)),
+            "band_hash": pd.array(band_hash.reshape(-1), dtype="uint64"),
+            "doc_id": pd.array(np.repeat(doc_ids, N_BANDS), dtype="int64"),
+            "signature": [sig_bytes[i] for i in np.repeat(np.arange(n_docs), N_BANDS)],
         }
     )
 
@@ -127,25 +154,50 @@ def minhash_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def lsh_bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+    """Coarse-bucket pair emitter: detect colliding (band_id, band_hash)
+    keys vectorized (value_counts), run the O(m²) pair logic only inside
+    true collision buckets (rare by LSH design)."""
+    key = bucket["band_hash"].to_numpy(dtype="uint64") ^ (
+        bucket["band_id"].to_numpy(dtype="uint64") * np.uint64(0x9E3779B97F4A7C15)
+    )
+    bucket = bucket.assign(_k=key)
+    sizes = bucket["_k"].value_counts()
+    hot = sizes.index[sizes >= 2]
+    frames = [
+        minhash_bucket_pairs(sub)
+        for _, sub in bucket[bucket["_k"].isin(hot)].groupby("_k", sort=False)
+    ]
+    if not frames:
+        return minhash_bucket_pairs(bucket.iloc[:0])
+    return pd.concat(frames, ignore_index=True)
+
+
 def minhash_dedup_pairs(docs, threshold: float = 0.7):
     """documents Dataset → near-duplicate candidate pairs Dataset.
 
-    pipeline: bands explode → bucket groupby → in-bucket pairs →
-    global pair dedup (a pair can surface from several bands).
+    pipeline: bands explode → coarse-bucket shuffle on the band key →
+    in-bucket collision pairs → coarse-bucket pair dedup (a pair can
+    surface from several bands; keep one row).
     """
-    bands = docs.map_batches(minhash_bands_batch, batch_format="pandas")
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        minhash_bucket_pairs, batch_format="pandas"
+    from ..functions.arrow import arrow_out
+    from .shuffle import bucketed_group_map
+
+    bands = docs.map_batches(arrow_out(minhash_bands_batch), batch_format="pandas")
+    pairs = bucketed_group_map(
+        bands, ["band_id", "band_hash"], lsh_bucket_pairs, num_buckets=64
     )
 
     def _thresh(b: pd.DataFrame) -> pd.DataFrame:
         return b[b["est_jaccard"] >= threshold]
 
-    pairs = pairs.map_batches(_thresh, batch_format="pandas")
-    dedup = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    pairs = pairs.map_batches(arrow_out(_thresh), batch_format="pandas")
+    return bucketed_group_map(
+        pairs,
+        ["doc_a", "doc_b"],
+        lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
+        num_buckets=16,
     )
-    return dedup
 
 
 def fingerprint_cluster_partial(batch: pd.DataFrame) -> pd.DataFrame:

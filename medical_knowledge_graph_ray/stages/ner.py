@@ -193,32 +193,196 @@ class EnsembleNER:
             )
         return out
 
-    # -- per-batch ------------------------------------------------------------
+    # -- vectorized batch path ------------------------------------------------
+    #
+    # Semantically identical to _sentence_mentions (asserted by
+    # tests/test_ner.py::test_batch_equals_per_sentence) but the whole batch
+    # is processed as ONE concatenated string per regex pass:
+    # * finditer runs once per member per batch (C regex engine, no
+    #   per-sentence call overhead); the "\x00" joiner can never occur in a
+    #   gazetteer term, so no match spans two sentences;
+    # * the union/vote/confidence char math runs on batch-wide numpy arrays
+    #   (cumulative sums give per-span member support and char-prob means
+    #   without any per-span slicing).
+    def _eval_factors(self) -> tuple[np.ndarray, np.ndarray]:
+        """(per-model precision[model, tid, metric],
+        ensemble factor[support_mask, tid, metric]) lookup tables."""
+        n_t = len(TYPE_LIST) + 1
+        per_model = np.zeros((len(self.members), n_t, 4))
+        for mi, m in enumerate(self.members):
+            for t, ety in enumerate(TYPE_LIST):
+                per_model[mi, t + 1] = self.eval[m.name][ety]
+        n_masks = 1 << len(self.members)
+        ens = np.zeros((n_masks, n_t, 4))
+        for mask in range(n_masks):
+            names = [m.name for mi, m in enumerate(self.members) if mask >> mi & 1]
+            k = len(names)
+            if k < 2:
+                continue
+            for t, ety in enumerate(TYPE_LIST):
+                for metric in range(4):
+                    cmax = max(self.eval[n][ety][metric] for n in names)
+                    ens[mask, t + 1, metric] = cmax + (1.0 - cmax) * k / (
+                        2 * self.num_models
+                    )
+        return per_model, ens
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sents = batch.column("sentence").to_pylist()
-        carry = {
-            name: batch.column(name).to_pylist()
-            for name in ("url", "sent_ord", "head_entity", "head_type", "paragraph")
-        }
-        cols: dict[str, list] = {name: [] for name in MENTION_SCHEMA.names}
-        for i, sentence in enumerate(sents):
-            for (model, ent, ety, s, e, p1, p2, p3, p4, k) in self._sentence_mentions(
-                sentence
-            ):
-                cols["url"].append(carry["url"][i])
-                cols["sent_ord"].append(carry["sent_ord"][i])
-                cols["sentence"].append(sentence)
-                cols["head_entity"].append(carry["head_entity"][i])
-                cols["head_type"].append(carry["head_type"][i])
-                cols["paragraph"].append(carry["paragraph"][i])
-                cols["model"].append(model)
-                cols["ent_name"].append(ent)
-                cols["ent_type"].append(ety)
-                cols["start"].append(s)
-                cols["end"].append(e)
-                cols["prob_strict"].append(p1)
-                cols["prob_partial"].append(p2)
-                cols["prob_exact"].append(p3)
-                cols["prob_type"].append(p4)
-                cols["n_models"].append(k)
-        return pa.table(cols, schema=MENTION_SCHEMA)
+        sents: list[str] = batch.column("sentence").to_pylist()
+        n = len(sents)
+        if n == 0:
+            return pa.table({k: [] for k in MENTION_SCHEMA.names}, schema=MENTION_SCHEMA)
+        if not hasattr(self, "_pm_fact"):
+            self._pm_fact, self._ens_fact = self._eval_factors()
+
+        lens = np.fromiter((len(s) for s in sents), dtype=np.int64, count=n)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens + 1, out=starts[1:])  # +1 for the "\x00" joiner
+        mega = "\x00".join(sents)
+        L = len(mega) + 1
+
+        # per-member match arrays + char arrays over the mega string
+        member_tids = np.zeros((len(self.members), L), dtype=np.int16)
+        prob_combined = np.full(L, BASE_CHAR_PROB)
+        rows_model, rows_gs, rows_ge, rows_tid, rows_p = [], [], [], [], []
+        for mi, m in enumerate(self.members):
+            found = m.matcher._re.finditer(mega) if m.matcher._re else ()
+            gs_l, ge_l, tid_l, p_l = [], [], [], []
+            types, probs, jits = m.matcher.types, m.prob, m.jitter
+            for match in found:
+                surf = match.group(0)
+                s = match.start()
+                e = match.end() - jits[surf]
+                gs_l.append(s)
+                ge_l.append(e)
+                tid_l.append(_TID[types[surf]])
+                p_l.append(probs[surf])
+            gs = np.asarray(gs_l, dtype=np.int64)
+            ge = np.asarray(ge_l, dtype=np.int64)
+            tid = np.asarray(tid_l, dtype=np.int16)
+            pr = np.asarray(p_l)
+            tids = member_tids[mi]
+            for s, e, t, p in zip(gs_l, ge_l, tid_l, p_l):
+                tids[s:e] = t
+                cp = prob_combined[s:e]
+                np.maximum(cp, p, out=cp)
+            rows_model.append(mi)
+            rows_gs.append(gs)
+            rows_ge.append(ge)
+            rows_tid.append(tid)
+            rows_p.append(pr)
+
+        # union (V2): member 0 base, fill O chars in member order
+        union = member_tids[0].copy()
+        for mi in range(1, len(self.members)):
+            fill = (union == 0) & (member_tids[mi] != 0)
+            union[fill] = member_tids[mi][fill]
+
+        # strong (V3) on the union runs, fully vectorized
+        u_runs = runs(union)
+        ens_gs = ens_ge = ens_tid = ens_x3 = ens_mask = None
+        if u_runs:
+            r = np.asarray(u_runs, dtype=np.int64)
+            rs, re_, rt = r[:, 0], r[:, 1], r[:, 2]
+            nz_cum = np.zeros((len(self.members), L + 1), dtype=np.int64)
+            np.cumsum(member_tids != 0, axis=1, out=nz_cum[:, 1:])
+            support = (nz_cum[:, re_] - nz_cum[:, rs]) > 0  # (n_members, n_runs)
+            mask_id = np.zeros(len(rs), dtype=np.int64)
+            for mi in range(len(self.members)):
+                mask_id |= support[mi].astype(np.int64) << mi
+            k_support = support.sum(axis=0)
+            keep = k_support >= 2
+            if keep.any():
+                pc_cum = np.zeros(L + 1)
+                np.cumsum(prob_combined, out=pc_cum[1:])
+                ens_gs, ens_ge = rs[keep], re_[keep]
+                ens_tid = rt[keep].astype(np.int16)
+                ens_x3 = (pc_cum[ens_ge] - pc_cum[ens_gs]) / (ens_ge - ens_gs)
+                ens_mask = mask_id[keep]
+                ens_k = k_support[keep]
+
+        # dictionary pass
+        d_gs_l, d_ge_l, d_tid_l = [], [], []
+        if self.dictionary._re is not None:
+            for match in self.dictionary._re.finditer(mega):
+                d_gs_l.append(match.start())
+                d_ge_l.append(match.end())
+                d_tid_l.append(_TID[self.dictionary.types[match.group(0)]])
+        d_gs = np.asarray(d_gs_l, dtype=np.int64)
+        d_ge = np.asarray(d_ge_l, dtype=np.int64)
+        d_tid = np.asarray(d_tid_l, dtype=np.int16)
+
+        # assemble output columns
+        model_names = [m.name for m in self.members]
+        parts = []  # (model_label, gs, ge, tid, probs(4,n), n_models)
+        for mi, gs, ge, tid, pr in zip(
+            rows_model, rows_gs, rows_ge, rows_tid, rows_p
+        ):
+            fact = self._pm_fact[mi, tid]  # (n, 4)
+            parts.append(
+                (model_names[mi], gs, ge, tid, (pr[:, None] * fact).T,
+                 np.ones(len(gs), dtype=np.int8))
+            )
+        if ens_gs is not None:
+            fact = self._ens_fact[ens_mask, ens_tid]  # (n, 4)
+            parts.append(
+                ("ensemble_strong", ens_gs, ens_ge, ens_tid,
+                 (ens_x3[:, None] * fact).T, ens_k.astype(np.int8))
+            )
+        if len(d_gs):
+            dp = np.asarray(DICT_PROBS)
+            parts.append(
+                ("dictionary", d_gs, d_ge, d_tid,
+                 np.repeat(dp[:, None], len(d_gs), axis=1),
+                 np.ones(len(d_gs), dtype=np.int8))
+            )
+
+        all_model = np.concatenate(
+            [np.full(len(p[1]), i, dtype=np.int32) for i, p in enumerate(parts)]
+        ) if parts else np.zeros(0, dtype=np.int32)
+        label_pool = [p[0] for p in parts]
+        all_gs = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0, np.int64)
+        all_ge = np.concatenate([p[2] for p in parts]) if parts else np.zeros(0, np.int64)
+        all_tid = np.concatenate([p[3] for p in parts]) if parts else np.zeros(0, np.int16)
+        all_probs = (
+            np.concatenate([p[4] for p in parts], axis=1)
+            if parts
+            else np.zeros((4, 0))
+        )
+        all_k = np.concatenate([p[5] for p in parts]) if parts else np.zeros(0, np.int8)
+
+        sent_idx = np.searchsorted(starts, all_gs, side="right") - 1
+        local_s = (all_gs - starts[sent_idx]).astype(np.int32)
+        local_e = (all_ge - starts[sent_idx]).astype(np.int32)
+        ent_names = [mega[s:e] for s, e in zip(all_gs.tolist(), all_ge.tolist())]
+        type_pool = ["?"] + list(TYPE_LIST)
+
+        idx_arr = pa.array(sent_idx, pa.int64())
+        take = lambda col: pa.compute.take(batch.column(col), idx_arr)  # noqa: E731
+        sent_arr = pa.compute.take(pa.array(sents, pa.string()), idx_arr)
+        return pa.table(
+            {
+                "url": take("url"),
+                "sent_ord": take("sent_ord"),
+                "sentence": sent_arr,
+                "head_entity": take("head_entity"),
+                "head_type": take("head_type"),
+                "paragraph": take("paragraph"),
+                "model": pa.DictionaryArray.from_arrays(
+                    pa.array(all_model), pa.array(label_pool, pa.string())
+                ).cast(pa.string()),
+                "ent_name": pa.array(ent_names, pa.string()),
+                "ent_type": pa.DictionaryArray.from_arrays(
+                    pa.array(all_tid.astype(np.int32)),
+                    pa.array(type_pool, pa.string()),
+                ).cast(pa.string()),
+                "start": pa.array(local_s, pa.int32()),
+                "end": pa.array(local_e, pa.int32()),
+                "prob_strict": pa.array(all_probs[0], pa.float64()),
+                "prob_partial": pa.array(all_probs[1], pa.float64()),
+                "prob_exact": pa.array(all_probs[2], pa.float64()),
+                "prob_type": pa.array(all_probs[3], pa.float64()),
+                "n_models": pa.array(all_k, pa.int8()),
+            },
+            schema=MENTION_SCHEMA,
+        )

@@ -39,10 +39,13 @@ class BruteForceTopK:
         sims = (mat @ self.q) / np.where(norms == 0, 1.0, norms)
         sims = np.round(sims, 6)
         order = np.lexsort((batch["vec_id"].to_numpy(), -sims))[: self.k]
-        return pd.DataFrame(
+        # Arrow out: this partial feeds a global sort (see functions/arrow.py)
+        import pyarrow as pa
+
+        return pa.table(
             {
-                "vec_id": batch["vec_id"].to_numpy()[order],
-                "sim": sims[order],
+                "vec_id": pa.array(batch["vec_id"].to_numpy()[order]),
+                "sim": pa.array(sims[order], pa.float64()),
             }
         )
 

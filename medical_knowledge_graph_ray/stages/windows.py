@@ -45,19 +45,23 @@ def tumbling_partial_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def tumbling_finalize(partials):
-    """partials Dataset → final (event_type, window_start, n, sum_value)."""
-    from ray.data.aggregate import Sum
+    """partials Dataset → final (event_type, window_start, n, sum_value).
 
-    agg = partials.groupby(["event_type", "window_start"]).aggregate(
-        Sum("n", alias_name="n"), Sum("sum_value_c", alias_name="sum_value_c")
-    )
+    Final combine via the coarse-bucket shuffle (stages/shuffle.py): all
+    rows of a (event_type, window) key land in one bucket; the in-bucket
+    combine is one vectorized pandas groupby."""
+    from .shuffle import bucketed_group_map
 
-    def _scale(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["sum_value"] = df["sum_value_c"] / 100.0
-        return df[["event_type", "window_start", "n", "sum_value"]]
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["event_type", "window_start"], sort=False)
+            .agg(n=("n", "sum"), sum_value_c=("sum_value_c", "sum"))
+            .reset_index()
+        )
+        out["sum_value"] = out["sum_value_c"] / 100.0
+        return out[["event_type", "window_start", "n", "sum_value"]]
 
-    return agg.map_batches(_scale, batch_format="pandas")
+    return bucketed_group_map(partials, ["event_type", "window_start"], combine)
 
 
 ARGMAX_TIEBREAK = ["value", "event_id"]  # max value, then min event_id
@@ -77,12 +81,13 @@ def argmax_partial_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def argmax_finalize(partials):
-    """partials → one row per user_id (final argmax, same tiebreak)."""
+    """partials → one row per user_id (final argmax, same tiebreak).
 
-    def _best(group: pd.DataFrame) -> pd.DataFrame:
-        return argmax_partial_batch(group)
+    Coarse-bucket shuffle: the per-bucket combine is the same vectorized
+    sort + drop_duplicates as the batch combiner — no per-user Python."""
+    from .shuffle import bucketed_group_map
 
-    return partials.groupby("user_id").map_groups(_best, batch_format="pandas")
+    return bucketed_group_map(partials, ["user_id"], argmax_partial_batch)
 
 
 SESSION_GAP_MIN = 30
@@ -105,6 +110,30 @@ def sessionize_group(group: pd.DataFrame) -> pd.DataFrame:
         .groupby("session_ord", sort=True)
         .agg(
             user_id=("user_id", "first"),
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
+        .reset_index()
+    )
+    return out[["user_id", "session_ord", "n_events", "session_start", "session_end"]]
+
+
+def sessionize_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized multi-user sessionization over one coarse bucket: one
+    global sort by (user, ts, event_id), boundary masks, then a single
+    grouped aggregate — identical semantics to :func:`sessionize_group`
+    per user, no per-user Python."""
+    g = bucket.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    new_user = g["user_id"].ne(g["user_id"].shift())
+    gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+    new_sess = new_user | gap
+    sess_global = new_sess.cumsum()
+    first = sess_global.groupby(g["user_id"].to_numpy()).transform("min")
+    out = (
+        g.assign(session_ord=(sess_global - first).astype("int64"))
+        .groupby(["user_id", "session_ord"], sort=False)
+        .agg(
             n_events=("event_id", "size"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),

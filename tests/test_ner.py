@@ -125,3 +125,41 @@ def test_strip_boundaries_fixpoint():
     assert strip_boundaries("、发热。", 3, 7) == ("发热", 4, 6)
     assert strip_boundaries("发热", 0, 2) == ("发热", 0, 2)
     assert strip_boundaries("。。", 0, 2)[0] == ""
+
+
+def test_batch_equals_per_sentence():
+    """The vectorized batch path must agree with the straight-line
+    per-sentence oracle path on every mention."""
+    ner = EnsembleNER()
+    sents = [
+        "患者出现发热和咳嗽",
+        "可使用阿司匹林治疗",
+        "见上",
+        "慢性心力衰竭患者慎用",
+        "主要表现为胸痛、呼吸困难及水肿",
+        "首选二甲双胍联合胰岛素",
+    ]
+    batch = pa.table(
+        {
+            "url": [f"u{i}" for i in range(len(sents))],
+            "sent_ord": pa.array(range(len(sents)), pa.int32()),
+            "sentence": sents,
+            "head_entity": ["糖尿病"] * len(sents),
+            "head_type": ["DIS"] * len(sents),
+            "paragraph": ["clinical"] * len(sents),
+        }
+    )
+    got = ner(batch).to_pandas()
+    want_rows = []
+    for i, s in enumerate(sents):
+        for (model, ent, ety, st, en, p1, p2, p3, p4, k) in ner._sentence_mentions(s):
+            want_rows.append((f"u{i}", i, model, ent, ety, st, en,
+                              round(p1, 12), round(p2, 12), round(p3, 12),
+                              round(p4, 12), k))
+    got_rows = [
+        (r.url, r.sent_ord, r.model, r.ent_name, r.ent_type, r.start, r.end,
+         round(r.prob_strict, 12), round(r.prob_partial, 12),
+         round(r.prob_exact, 12), round(r.prob_type, 12), r.n_models)
+        for r in got.itertuples()
+    ]
+    assert sorted(got_rows) == sorted(want_rows)
