@@ -115,3 +115,32 @@ WEBTEXT_GAZETTEER: dict[str, str] = {
 EN_STOPWORDS: frozenset[str] = frozenset(
     {"the", "a", "an", "and", "of", "to", "in", "is", "it", "on", "for"}
 )
+
+# -- suffix dictionary (analogue of dictionaries/2022_suffix.json, consumed
+# at generation.py:247-253 / clean_and_save.py:249-253): suffix word → the
+# entity type a merged token becomes.
+SUFFIX_DICT: dict[str, str] = {
+    "检查": "TES", "造影": "TES", "测定": "TES",
+    "切除术": "SUR", "置换术": "SUR", "搭桥术": "SUR",
+    "痛": "SYM", "肿大": "SYM",
+    "炎": "DIS", "衰竭": "DIS",
+    "仪": "EQM", "机": "EQM",
+}
+
+# -- taboo relation keyword lists (pre_labeling.py:326-353): priority order
+# caution < notrecommended < prohibited — a later list overrides earlier
+# matches.  调整用量 is remapped to 慎用人群 in the final table
+# (pre_labeling.py:376).
+TABOO_CAUTION: tuple[str, ...] = ("致", "易发", "指导", "减量", "调整", "较小", "减少", "酌", "注意", "低剂")
+TABOO_NOTRECOMMENDED: tuple[str, ...] = ("不宜", "慎")
+TABOO_PROHIBITED: tuple[str, ...] = ("禁用", "禁止", "忌")
+TABOO_GROUPS: tuple[str, ...] = (
+    "孕妇", "哺乳", "儿童", "老人", "妊娠", "新生儿", "婴儿", "幼儿", "小儿"
+)
+
+# -- tokenizer tag alphabet: essential type codes + n(oun-ish run),
+# m(number), x(punctuation).  Fuzzy merge patterns iterate over ALL_TAGS
+# minus EXL_TAGS as the allowed middle tag (clean_and_save.py:179-186).
+NONENTITY_TAGS: tuple[str, ...] = ("n", "m", "x")
+ALL_TAGS: tuple[str, ...] = tuple(ESSENTIAL_TYPES) + NONENTITY_TAGS
+EXL_TAGS: tuple[str, ...] = ("x",)  # punctuation can't sit inside a merge

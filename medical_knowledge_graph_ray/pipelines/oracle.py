@@ -16,16 +16,25 @@ import pandas as pd
 
 from ..sources.pages import pages_table
 from ..stages.canonicalize import node_id, normalize_surface
+from ..stages.cleansing import classify_taboo, confidence_rules_df, taboo_group
 from ..stages.extract import extract_html
 from ..stages.ner import EnsembleNER
+from ..stages.rules_stage import RulesMerge
 from ..stages.sentences import split_document
 from ..stages.triples import strip_boundaries
 
+_MENTION_COLS = [
+    "url", "sent_ord", "sentence", "head_entity", "head_type", "paragraph",
+    "model", "ent_name", "ent_type", "start", "end",
+    "prob_strict", "prob_partial", "prob_exact", "prob_type", "n_models",
+]
+
 
 def oracle_triples(n_pages: int) -> pd.DataFrame:
-    """pages[0..n) → triple DataFrame, sequentially."""
+    """pages[0..n) → triple DataFrame, sequentially (one loop, no Ray)."""
     pages = pages_table(n_pages)
     ner = EnsembleNER()
+    rules = RulesMerge()
     rows = []
     for url, html, lang in zip(
         pages["url"].to_pylist(),
@@ -39,28 +48,60 @@ def oracle_triples(n_pages: int) -> pd.DataFrame:
             split_document(text)
         ):
             mentions = []
-            for (model, ent, ety, s, e, p1, _p2, _p3, _p4, _k) in ner._sentence_mentions(
+            for (model, ent, ety, s, e, p1, p2, p3, p4, k) in ner._sentence_mentions(
                 sentence
             ):
                 ent2, s2, e2 = strip_boundaries(ent, s, e)
                 if len(ent2) >= 2:
-                    mentions.append((model, ent2, ety, s2, e2, p1))
+                    mentions.append(
+                        (url, sent_ord, sentence, head, head_type, paragraph,
+                         model, ent2, ety, s2, e2, p1, p2, p3, p4, k)
+                    )
+            mdf = pd.DataFrame(mentions, columns=_MENTION_COLS)
+            # E4/E5 rule merging — same augment path as the Ray stage
+            sent_row = pd.DataFrame(
+                [
+                    {
+                        "url": url, "sent_ord": sent_ord, "sentence": sentence,
+                        "head_entity": head, "head_type": head_type,
+                        "paragraph": paragraph,
+                    }
+                ]
+            )
+            new = rules.augment(sent_row, mdf)
+            if len(new):
+                mdf = pd.concat([mdf, new], ignore_index=True)
             # D2 max-prob dedup, deterministic tiebreak on model name
-            best: dict[tuple, tuple] = {}
-            for m in sorted(mentions, key=lambda r: (-r[5], r[0])):
-                key = (m[1], m[2], m[3])
-                if key not in best:
-                    best[key] = m
-            for model, ent, ety, s, e, p in best.values():
+            mdf = mdf.sort_values(
+                ["prob_strict", "model"], ascending=[False, True], kind="mergesort"
+            ).drop_duplicates(["ent_name", "ent_type", "start"], keep="first")
+            # O15 confidence cleansing
+            mdf = confidence_rules_df(mdf)
+            for r in mdf.itertuples():
                 rows.append(
-                    (head, head_type, paragraph, ent, ety, p, url, sent_ord)
+                    (head, head_type, paragraph, r.ent_name, r.ent_type,
+                     r.prob_strict, url, sent_ord)
                 )
-    return pd.DataFrame(
+                if paragraph == "TABOO" and r.ent_type == "DRU":
+                    rel = classify_taboo(sentence)
+                    grp = taboo_group(sentence)
+                    if rel and grp:
+                        rows.append(
+                            (r.ent_name, "DRU", rel, grp, "GRP",
+                             r.prob_strict, url, sent_ord)
+                        )
+    df = pd.DataFrame(
         rows,
         columns=[
             "subj", "subj_type", "pred", "obj", "obj_type", "prob", "url", "sent_ord",
         ],
     )
+    # explicit taboo triples dedup per sentence (mirror emit_triples_batch)
+    taboo_mask = df["obj_type"] == "GRP"
+    taboo_dedup = df[taboo_mask].drop_duplicates(
+        ["url", "sent_ord", "subj", "pred", "obj"]
+    )
+    return pd.concat([df[~taboo_mask], taboo_dedup], ignore_index=True)
 
 
 def oracle_nodes(triples: pd.DataFrame) -> pd.DataFrame:

@@ -45,60 +45,48 @@ HEAD_POOL: list[str] = sorted(
 # hot head entities: ~20% of pages concentrate on these three
 HOT_HEADS: tuple[str, ...] = ("糖尿病", "高血压", "阿司匹林")
 
-# relation → (object-type pool, sentence templates). {0},{1},{2} are entity
-# slots filled from the pool; templates exercise 、-joined runs, bracketed
-# aliases, boundary punctuation and entity-free noise.
-_TEMPLATES: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
+CORPUS_VERSION = 2  # bump to invalidate cached corpora under /tmp
+
+# relation → sentence templates with per-slot entity types; templates
+# exercise 、-joined runs, bracketed aliases, boundary punctuation,
+# entity-free noise, suffix merges (ORG+造影/肿大, E3) and adjacent-entity
+# merges (ORG SUR, E1/E2).
+_TEMPLATES: dict[str, tuple[tuple[str, tuple[str, ...]], ...]] = {
     "clinical": (
-        ("SYM", "ORG", "BFL"),
-        (
-            "患者出现{0}和{1}",
-            "主要表现为{0}、{1}及{2}",
-            "查体可见{0}",
-            "病程中常伴有{0}",
-            "严重时出现{0}，需密切观察",
-        ),
+        ("患者出现{0}和{1}", ("SYM", "SYM")),
+        ("主要表现为{0}、{1}及{2}", ("SYM", "SYM", "SYM")),
+        ("查体可见{0}", ("SYM",)),
+        ("病程中常伴有{0}", ("BFL",)),
+        ("严重时出现{0}，需密切观察", ("SYM",)),
+        ("{0}肿大提示病情进展", ("ORG",)),  # E3: ORG + 肿大 → SYM
     ),
     "indications": (
-        ("DIS", "SYM"),
-        (
-            "适用于{0}的治疗",
-            "用于{0}合并{1}者",
-            "对{0}及{1}均有效",
-        ),
+        ("适用于{0}的治疗", ("DIS",)),
+        ("用于{0}合并{1}者", ("DIS", "SYM")),
+        ("对{0}及{1}均有效", ("DIS", "DIS")),
     ),
     "contraindiction": (
-        ("DIS", "SYM"),
-        (
-            "对{0}过敏者禁用",
-            "{0}患者慎用",
-            "合并{0}者不宜使用",
-        ),
+        ("对{0}过敏者禁用", ("DIS",)),
+        ("{0}患者慎用", ("DIS",)),
+        ("合并{0}者不宜使用", ("SYM",)),
     ),
     "treatment": (
-        ("DRU", "SUR", "TES"),
-        (
-            "可使用{0}治疗",
-            "首选{0}联合{1}",
-            "建议行{0}明确诊断",
-            "必要时行{0}",
-            "{0}(常用)可缓解症状",
-        ),
+        ("可使用{0}治疗", ("DRU",)),
+        ("首选{0}联合{1}", ("DRU", "DRU")),
+        ("建议行{0}明确诊断", ("TES",)),
+        ("必要时行{0}", ("SUR",)),
+        ("{0}(常用)可缓解症状", ("DRU",)),
+        ("行{0}造影评估病变", ("ORG",)),  # E3: ORG + 造影 → TES
+        ("{0}{1}是常规术式", ("ORG", "SUR")),  # E1: [ORG, SUR] merge
     ),
     "complication": (
-        ("DIS", "SYM"),
-        (
-            "可并发{0}或{1}",
-            "晚期可出现{0}",
-        ),
+        ("可并发{0}或{1}", ("DIS", "DIS")),
+        ("晚期可出现{0}", ("SYM",)),
     ),
     "TABOO": (
-        ("DRU",),
-        (
-            "孕妇禁用{0}",
-            "儿童慎用{0}",
-            "老人使用{0}需减量",
-        ),
+        ("孕妇禁用{0}", ("DRU",)),
+        ("儿童慎用{0}", ("DRU",)),
+        ("老人使用{0}需减量", ("DRU",)),
     ),
 }
 
@@ -127,13 +115,11 @@ def _page_content(idx: int) -> tuple[str, str, str, list[str]]:
     rels = rng.sample(RELATIONS, k=n_sections)
     blocks: list[str] = [head]
     for rel in rels:
-        type_pool, templates = _TEMPLATES[rel]
-        terms = [t for tp in type_pool for t in _BY_TYPE[tp]]
+        templates = _TEMPLATES[rel]
         sents = []
         for _ in range(rng.randint(1, 4)):
-            tmpl = rng.choice(templates)
-            n_slots = tmpl.count("{")
-            ents = rng.sample(terms, k=n_slots)
+            tmpl, slot_types = rng.choice(templates)
+            ents = [rng.choice(_BY_TYPE[tp]) for tp in slot_types]
             sents.append(tmpl.format(*ents))
         if rng.random() < 0.15:
             sents.append(rng.choice(_NOISE_SENTENCES))
@@ -202,13 +188,19 @@ def generate_pages(n_pages: int, out_dir: str, *, overwrite: bool = False) -> st
     import ray.data as rd
 
     marker = os.path.join(out_dir, "_SUCCESS")
+    stamp = f"n_pages={n_pages}\nseed={SEED}\nversion={CORPUS_VERSION}\n"
     if os.path.exists(marker) and not overwrite:
-        return out_dir
+        with open(marker) as f:
+            if f.read() == stamp:
+                return out_dir
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)  # stale corpus version
     ds = rd.range(n_pages, override_num_blocks=max(1, n_pages // 4096))
     ds = ds.map_batches(pages_batch, batch_format="pyarrow", batch_size=2048)
     ds.write_parquet(out_dir)
     with open(marker, "w") as f:
-        f.write(f"n_pages={n_pages}\nseed={SEED}\n")
+        f.write(stamp)
     return out_dir
 
 

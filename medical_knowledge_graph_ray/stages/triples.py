@@ -91,8 +91,17 @@ def dedup_mentions_batch(batch: pa.Table) -> pa.Table:
 
 
 def emit_triples_batch(batch: pa.Table) -> pa.Table:
-    """Deduped mention rows → triple rows (subj = head entity, pred =
-    paragraph/relation, obj = mention surface)."""
+    """Deduped mention rows → triple rows.
+
+    * implicit triples: (head entity, paragraph/relation, mention) — the
+      reference's core triple model (SURVEY §0);
+    * explicit taboo triples (O16, ``pre_labeling.py:313-376``): for DRU
+      mentions in TABOO sentences that also name a population group, emit
+      (drug, 禁用人群/慎用人群, group) with obj_type GRP, deduplicated per
+      sentence.
+    """
+    from .cleansing import classify_taboo, taboo_group
+
     df = batch.to_pandas()
     out = pd.DataFrame(
         {
@@ -106,4 +115,21 @@ def emit_triples_batch(batch: pa.Table) -> pa.Table:
             "sent_ord": df["sent_ord"],
         }
     )
+    taboo = df[(df["paragraph"] == "TABOO") & (df["ent_type"] == "DRU")]
+    if len(taboo):
+        rows = []
+        for r in taboo.itertuples():
+            rel = classify_taboo(r.sentence)
+            grp = taboo_group(r.sentence)
+            if rel and grp:
+                rows.append(
+                    (r.ent_name, "DRU", rel, grp, "GRP", r.prob_strict,
+                     r.url, r.sent_ord)
+                )
+        if rows:
+            explicit = pd.DataFrame(rows, columns=list(TRIPLE_SCHEMA.names))
+            explicit = explicit.drop_duplicates(
+                ["url", "sent_ord", "subj", "pred", "obj"]
+            )
+            out = pd.concat([out, explicit], ignore_index=True)
     return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
