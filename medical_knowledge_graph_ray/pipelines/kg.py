@@ -43,8 +43,11 @@ from ..stages.triples import (
 from ..state.manifests import read_stage, stage_complete, write_stage
 
 # corpus size per scale-factor dir name (deterministic synthetic corpus;
-# sf0.001 ≈ driver smoke, sf0.01 ≈ correctness, sf0.1 ≈ bench)
-PAGES_PER_SF = {"sf0.001": 500, "sf0.01": 5_000, "sf0.1": 50_000}
+# sf0.001 ≈ driver smoke, sf0.01 ≈ correctness, sf0.1 ≈ bench).  The bench
+# corpus is sized so per-batch compute dominates the fixed per-run costs
+# (~11 s: 3 execution startups + actor-pool spin-up + checkpoint write) —
+# at 50 k pages those constants capped two-scale efficiency at ~0.5.
+PAGES_PER_SF = {"sf0.001": 500, "sf0.01": 20_000, "sf0.1": 200_000}
 
 
 def _default_concurrency() -> int:
@@ -168,27 +171,25 @@ def run_kg(
         with open(os.path.join(tri_dir, "_MANIFEST.json")) as f:
             manifests["triples"] = json.load(f)
 
-    # nodes and edges are independent scans of the (small) triples
-    # checkpoint — drive both executions concurrently so their fixed
-    # per-execution costs overlap (the streaming executor multiplexes).
-    from concurrent.futures import ThreadPoolExecutor
-
-    # plan construction (path resolution, imports) on the main thread —
-    # concurrent first-imports inside worker threads race; only the
-    # blocking executions run in the pool
+    # nodes and edges are independent scans of the triples checkpoint;
+    # measured: overlapping the two executions CONTENDS (29 s overlapped
+    # vs ~6 s + ~11 s sequential at 200 k pages — both want the full CPU
+    # set), so run them back-to-back.  Large combine batches maximize
+    # batch-local dedup before the key shuffle.
     nodes = finalize_nodes(
-        read_stage(tri_dir).map_batches(partial_nodes_batch, batch_format="pyarrow")
+        read_stage(tri_dir).map_batches(
+            partial_nodes_batch, batch_format="pyarrow", batch_size=65536
+        )
+    )
+    manifests["nodes"] = write_stage(
+        nodes, os.path.join(out_root, "nodes"), "nodes", fp
     )
     edges = finalize_edges(
-        read_stage(tri_dir).map_batches(partial_edges_batch, batch_format="pyarrow")
+        read_stage(tri_dir).map_batches(
+            partial_edges_batch, batch_format="pyarrow", batch_size=65536
+        )
     )
-    with ThreadPoolExecutor(2) as pool:
-        f_nodes = pool.submit(
-            write_stage, nodes, os.path.join(out_root, "nodes"), "nodes", fp
-        )
-        f_edges = pool.submit(
-            write_stage, edges, os.path.join(out_root, "edges"), "edges", fp
-        )
-        manifests["nodes"] = f_nodes.result()
-        manifests["edges"] = f_edges.result()
+    manifests["edges"] = write_stage(
+        edges, os.path.join(out_root, "edges"), "edges", fp
+    )
     return manifests

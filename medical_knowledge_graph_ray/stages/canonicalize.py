@@ -70,12 +70,24 @@ def _normalize_series(s: pd.Series) -> pd.Series:
     )
 
 
+# per-worker id memo: canonical keys are low-cardinality (gazetteer +
+# rule-merged variants), so md5 runs once per distinct key per worker
+# instead of once per row (2 md5 calls × millions of rows otherwise)
+_ID_CACHE: dict[tuple[str, str], str] = {}
+
+
 def _ids_for(norm: pd.Series, etype: pd.Series) -> pd.Series:
-    return pd.Series(
-        [stable_id(n, t, prefix="n") for n, t in zip(norm, etype)],
-        index=norm.index,
-        dtype="object",
-    )
+    cache = _ID_CACHE
+    if len(cache) > 2_000_000:
+        cache.clear()
+    out = []
+    for key in zip(norm, etype):
+        nid = cache.get(key)
+        if nid is None:
+            nid = stable_id(key[0], key[1], prefix="n")
+            cache[key] = nid
+        out.append(nid)
+    return pd.Series(out, index=norm.index, dtype="object")
 
 
 def partial_nodes_batch(batch: pa.Table) -> pa.Table:

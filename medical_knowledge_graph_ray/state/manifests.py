@@ -51,7 +51,21 @@ def write_stage(ds, out_dir: str, stage: str, fingerprint: str = "") -> dict:
     tmp = out_dir.rstrip("/") + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    ds.write_parquet(tmp)
+    # Concurrent write_parquet calls race on fsspec's http module import
+    # (ray's _is_http_filesystem catches ModuleNotFoundError but a thread
+    # importing a partially-initialized module gets a bare ImportError;
+    # failed imports are never cached, so every call re-races).  The race
+    # hits before any data is written — retry with backoff is safe.
+    import time as _time
+
+    for attempt in range(3):
+        try:
+            ds.write_parquet(tmp)
+            break
+        except ImportError:
+            if attempt == 2:
+                raise
+            _time.sleep(0.2 * (attempt + 1))
 
     partitions = []
     total_rows = 0
