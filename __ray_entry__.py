@@ -66,6 +66,39 @@ def _kg_triples_pages(sf_dir: str):
     return triples_dataset(pages_dataset(corpus_for_sf(sf_dir)))
 
 
+def _kg_bio_export(sf_dir: str):
+    """Char-level BIO training rows (url, sent_ord, split, bio) from the
+    pages corpus — the reference's NER-training export path (S4/O10/R6)."""
+    import pyarrow.compute as pc
+
+    from medical_knowledge_graph_ray.pipelines.kg import (
+        _default_concurrency,
+        corpus_for_sf,
+        pages_dataset,
+    )
+    from medical_knowledge_graph_ray.stages.bio import bio_export_batch
+    from medical_knowledge_graph_ray.stages.extract import extract_text_batch
+    from medical_knowledge_graph_ray.stages.ner import EnsembleNER
+    from medical_knowledge_graph_ray.stages.sentences import split_batch
+    from medical_knowledge_graph_ray.stages.triples import (
+        clean_mentions_batch,
+        dedup_mentions_batch,
+    )
+
+    pages = pages_dataset(corpus_for_sf(sf_dir))
+    text = pages.map_batches(extract_text_batch, batch_format="pyarrow")
+    sents = text.select_columns(["url", "text"]).map_batches(
+        split_batch, batch_format="pyarrow"
+    )
+    mentions = sents.map_batches(
+        EnsembleNER, batch_format="pyarrow", batch_size=512,
+        concurrency=_default_concurrency(), num_cpus=1,
+    )
+    cleaned = mentions.map_batches(clean_mentions_batch, batch_format="pyarrow")
+    deduped = cleaned.map_batches(dedup_mentions_batch, batch_format="pyarrow")
+    return deduped.map_batches(bio_export_batch, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from medical_knowledge_graph_ray.pipelines import docs, docs_kg, events, relational
 
@@ -99,6 +132,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": docs.knn_cosine_q0,
         "embed_norms": docs.embed_norms,
+        # token census + content-stable split + large-large shuffle join
+        "token_histogram": docs.token_histogram,
+        "docs_split": docs.docs_split,
+        "orders_lineitem_join": relational.orders_lineitem_join,
+        # multimodal plumbing (stubbed decode; rows-only)
+        "media_features": lambda sf_dir: __import__(
+            "medical_knowledge_graph_ray.stages.multimodal",
+            fromlist=["media_features"],
+        ).media_features(256),
+        # BIO training-data export over the pages corpus (rows-only)
+        "kg_bio_export": _kg_bio_export,
     }
 
 
@@ -122,4 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": docs.DEDUP_EXACT_SQL,
         "knn_cosine": docs.KNN_SQL,
         "embed_norms": docs.EMBED_NORMS_SQL,
+        "token_histogram": docs.TOKEN_HISTOGRAM_SQL,
+        "docs_split": docs.DOCS_SPLIT_SQL,
+        "orders_lineitem_join": relational.ORDERS_LINEITEM_JOIN_SQL,
     }

@@ -211,3 +211,74 @@ SELECT label, COUNT(*) AS n_vecs,
            x -> x*x))), 6) * 1000000) AS BIGINT))/1000000.0/COUNT(*) AS avg_norm
 FROM embeddings GROUP BY label
 """
+
+
+# -- token histogram (A2/A5 prefix/census analogue) ---------------------------
+
+def token_histogram(sf_dir: str):
+    """token → (n_docs, n_occ) over documents: fused explode+combiner →
+    coarse-bucket final (the A5 distinct-surface census, distributed).
+
+    Explode and partial-count run in ONE batch function so a document's
+    tokens can never be split across combiner batches — per-batch
+    ``nunique(doc_id)`` then sums to the exact distinct-doc count."""
+    from ..stages.shuffle import bucketed_group_map
+    from ..stages.text_stats import token_explode_batch
+
+    def explode_and_count(b: pd.DataFrame) -> pd.DataFrame:
+        toks = token_explode_batch(b).to_pandas()
+        return (
+            toks.groupby("token", sort=False)
+            .agg(n_docs=("doc_id", "nunique"), n_occ=("doc_id", "size"))
+            .reset_index()
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        arrow_out(explode_and_count), batch_format="pandas"
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("token", sort=False)
+            .agg(n_docs=("n_docs", "sum"), n_occ=("n_occ", "sum"))
+            .reset_index()
+        )
+
+    return bucketed_group_map(partials, ["token"], combine, num_buckets=32)
+
+
+TOKEN_HISTOGRAM_SQL = """
+SELECT token, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+"""
+
+
+# -- deterministic train/val/test split (R6, content-stable) ------------------
+
+def docs_split(sf_dir: str):
+    """doc_id → split by md5 hash-mod (1/80 val, 1/90 test, rest train) —
+    the content-stable replacement for the reference's positional
+    i%80/i%90 split (generation.py:446-455)."""
+    from ..functions.hashing import md5_int
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        hs = [md5_int(f"split|{d}", bits=32) for d in b["doc_id"]]
+        split = [
+            "val" if h % 80 == 0 else ("test" if h % 90 == 0 else "train")
+            for h in hs
+        ]
+        return pd.DataFrame({"doc_id": b["doc_id"], "split": split})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(assign, batch_format="pandas")
+
+
+DOCS_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN h % 80 = 0 THEN 'val'
+            WHEN h % 90 = 0 THEN 'test'
+            ELSE 'train' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS h
+      FROM documents)
+"""

@@ -315,3 +315,54 @@ WHERE r_name = '{Q5_REGION}'
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+# -- large-large partitioned hash join (J2) -----------------------------------
+
+def orders_lineitem_join(sf_dir: str):
+    """Revenue by order priority via a REAL two-sided shuffle join
+    (stages/joins.py hash_join) — no broadcast side, exercising J2."""
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import bucketed_group_map
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"l_orderkey": "o_orderkey"})
+        b["rev_c"] = np.rint(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()) * 10_000
+        ).astype("int64")
+        return b[["o_orderkey", "rev_c"]]
+
+    li_keyed = li.map_batches(arrow_out(keyed), batch_format="pandas")
+    joined = hash_join(orders, li_keyed, on=["o_orderkey"], how="inner")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("o_orderpriority", sort=False)
+            .agg(rev_c=("rev_c", "sum"), n_items=("rev_c", "size"))
+            .reset_index()
+        )
+
+    partials = joined.map_batches(arrow_out(partial), batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("o_orderpriority", sort=False)
+            .agg(rev_c=("rev_c", "sum"), n_items=("n_items", "sum"))
+            .reset_index()
+        )
+        out["revenue"] = out["rev_c"] / 10_000.0
+        return out[["o_orderpriority", "revenue", "n_items"]]
+
+    return bucketed_group_map(partials, ["o_orderpriority"], combine, num_buckets=4)
+
+
+ORDERS_LINEITEM_JOIN_SQL = """
+SELECT o_orderpriority,
+       SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""

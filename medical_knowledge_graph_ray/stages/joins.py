@@ -1,0 +1,87 @@
+"""Distributed joins (J-family, SURVEY §2.4).
+
+The engine's join ladder, in preference order:
+
+1. **Broadcast-hash join** (J4/J5): small side shipped once via
+   ``ray.put`` and fetched lazily per worker — used throughout
+   ``pipelines/relational.py``.  No shuffle.
+2. **Semi/anti join by broadcast key set** (J6): ``isin`` masks inside
+   ``map_batches``.
+3. **Partitioned hash join** (J2, this module): both sides large — add a
+   deterministic coarse bucket from the key columns to each side, tag the
+   side, union, group by bucket, and merge the two sides pairwise inside
+   each bucket with a vectorized pandas merge.  All rows of a key land in
+   exactly one bucket on both sides, so the per-bucket merge is exact.
+
+Skew note: one hot key cannot overload a bucket beyond its own row count;
+for extreme key skew, pre-aggregate the probe side per (key, batch) first
+(the engine's standard combiner shape) or salt the build side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..functions.arrow import arrow_out
+from .shuffle import BUCKET_COL, add_bucket
+
+_SIDE_COL = "_join_side"
+
+
+def hash_join(
+    left,
+    right,
+    on: list[str],
+    *,
+    how: str = "inner",
+    num_buckets: int = 32,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+):
+    """Partitioned hash join of two Datasets on equality keys.
+
+    Both sides are bucketed by the same deterministic key hash and
+    unioned; each bucket's pandas merge sees every row of its keys from
+    both sides.  ``how`` ∈ {inner, left}.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type: {how}")
+
+    # capture each side's columns/dtypes at plan time: the unioned bucket
+    # frame null-fills the other side's columns (ints → float64 in
+    # pandas), so each side is re-selected and cast back before the merge
+    l_names = left.schema().names
+    r_names = right.schema().names
+    l_pd = left.limit(1).to_pandas().dtypes.to_dict()
+    r_pd = right.limit(1).to_pandas().dtypes.to_dict()
+
+    def _tag(side: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = add_bucket(b, on, num_buckets)
+            b[_SIDE_COL] = side
+            return b
+
+        fn.__name__ = f"tag_side_{side}"
+        return fn
+
+    l_tagged = left.map_batches(arrow_out(_tag(0)), batch_format="pandas")
+    r_tagged = right.map_batches(arrow_out(_tag(1)), batch_format="pandas")
+    both = l_tagged.union(r_tagged)
+
+    def _restore(frame: pd.DataFrame, names: list[str], dtypes: dict) -> pd.DataFrame:
+        out = frame[[c for c in names if c in frame.columns]].copy()
+        for c in out.columns:
+            if c in dtypes and out[c].dtype != dtypes[c]:
+                out[c] = out[c].astype(dtypes[c])
+        return out
+
+    def _merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        lmask = bucket[_SIDE_COL] == 0
+        l = _restore(bucket[lmask], l_names, l_pd)
+        r = _restore(bucket[~lmask], r_names, r_pd)
+        if not len(l):
+            return l.merge(r.iloc[:0], on=on, how=how, suffixes=suffixes)
+        return l.merge(r, on=on, how=how, suffixes=suffixes)
+
+    return both.groupby(BUCKET_COL).map_groups(
+        arrow_out(_merge), batch_format="pandas"
+    )
