@@ -99,6 +99,13 @@ def _kg_bio_export(sf_dir: str):
     return deduped.map_batches(bio_export_batch, batch_format="pyarrow")
 
 
+def _knn_lsh(sf_dir: str):
+    from medical_knowledge_graph_ray.pipelines.docs import _embeddings, _query_vec
+    from medical_knowledge_graph_ray.stages.similarity import knn_cosine_lsh
+
+    return knn_cosine_lsh(_embeddings(sf_dir), _query_vec(sf_dir), k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from medical_knowledge_graph_ray.pipelines import docs, docs_kg, events, relational
 
@@ -143,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).media_features(256),
         # BIO training-data export over the pages corpus (rows-only)
         "kg_bio_export": _kg_bio_export,
+        # LSH-bucketed ANN (scale path; recall<1 by design → rows-only)
+        "knn_cosine_lsh": _knn_lsh,
     }
 
 

@@ -193,6 +193,50 @@ class EnsembleNER:
             )
         return out
 
+    # -- V1: weighted-vote ensemble (EnsemblePredict_all.py:250-288) ----------
+    #
+    # Computed by the reference alongside union/strong but NOT exported to
+    # the final mention table (only members + ensemble_strong are,
+    # ``:508``); exposed here as a selectable strategy for parity.
+    def vote_spans(
+        self, sentence: str
+    ) -> list[tuple[str, str, int, int, float]]:
+        """Per-char weighted vote: sum member weights per predicted type,
+        accept the argmax where the score ≥ 0.2; char prob = min over
+        non-O member probs (the reference's min-fusion; its appended
+        score-probs are dead code truncated by the zip at ``:254``).
+        Returns [(surface, type, start, end, prob_min)]."""
+        from ..state.artifacts import model_weights
+
+        if not hasattr(self, "_vote_w"):
+            w = model_weights(self.eval)
+            self._vote_w = np.zeros((len(self.members), len(TYPE_LIST) + 1))
+            for mi, m in enumerate(self.members):
+                for t, ety in enumerate(TYPE_LIST):
+                    self._vote_w[mi, t + 1] = w[m.name][ety]
+        L = len(sentence)
+        scores = np.zeros((len(TYPE_LIST) + 1, L))
+        prob_min = None  # starts from member "a"'s path probs (reference :252)
+        for mi, m in enumerate(self.members):
+            tids, probs = fill_spans(L, m.spans(sentence), BASE_CHAR_PROB)
+            nz = tids != 0
+            np.add.at(scores, (tids[nz], np.flatnonzero(nz)), self._vote_w[mi, tids[nz]])
+            if prob_min is None:
+                prob_min = probs.copy()
+            else:
+                np.minimum(prob_min, np.where(nz, probs, np.inf), out=prob_min)
+        if prob_min is None:
+            prob_min = np.full(L, BASE_CHAR_PROB)
+        best = scores.argmax(axis=0)
+        accept = scores[best, np.arange(L)] >= 0.2
+        voted = np.where(accept, best, 0).astype(np.int16)
+        out = []
+        for s, e, tid in runs(voted):
+            out.append(
+                (sentence[s:e], TYPE_LIST[tid - 1], s, e, float(prob_min[s:e].min()))
+            )
+        return out
+
     # -- vectorized batch path ------------------------------------------------
     #
     # Semantically identical to _sentence_mentions (asserted by

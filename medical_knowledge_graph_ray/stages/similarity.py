@@ -61,7 +61,10 @@ def knn_cosine(embeddings, query: np.ndarray, k: int = 10):
 
 # -- LSH (random hyperplanes) -------------------------------------------------
 
-N_PLANES = 16
+# bucket-count knob: 2^N_PLANES buckets. Sized for corpus density — too
+# many planes → singleton buckets and zero recall; production would raise
+# this with corpus size and multi-probe neighboring buckets.
+N_PLANES = 6
 
 
 def _planes(dim: int) -> np.ndarray:

@@ -163,3 +163,24 @@ def test_batch_equals_per_sentence():
         for r in got.itertuples()
     ]
     assert sorted(got_rows) == sorted(want_rows)
+
+
+def test_vote_spans_weighted_threshold():
+    """V1 weighted vote: accepted iff summed member weights >= 0.2."""
+    ner = EnsembleNER({"发热": "SYM"})
+    spans = ner.vote_spans("患者发热明显")
+    supporters = [m for m in MODEL_NAMES if member_covers(m, "发热")]
+    w = model_weights()
+    score = sum(w[m]["SYM"] for m in supporters)
+    if score >= 0.2:
+        assert spans and spans[0][:4] == ("发热", "SYM", 2, 4)
+        from medical_knowledge_graph_ray.state.artifacts import member_prob
+
+        # min-fusion seeded from member "a"'s path probs (reference :252):
+        # if "a" doesn't cover the term its base 0.5 participates in the min
+        cands = [member_prob(m, "发热") for m in supporters]
+        if "a" not in supporters:
+            cands.append(0.5)
+        assert spans[0][4] == min(cands)
+    else:
+        assert spans == []
