@@ -1,0 +1,106 @@
+"""CLI entry points — the engine's analogue of the reference's script
+surface (``python structurize_files.py`` → ``python -m
+medical_knowledge_graph_ray run`` etc.).
+
+Owns its Ray session (library code never calls ray.init — see
+``__ray_entry__`` contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="medical_knowledge_graph_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    gen = sub.add_parser("gen-corpus", help="generate the synthetic page corpus")
+    gen.add_argument("--pages", type=int, required=True)
+    gen.add_argument("--out", required=True)
+    gen.add_argument("--num-files", type=int, default=None)
+
+    run = sub.add_parser("run", help="flagship KG pipeline: corpus → triples/nodes/edges")
+    run.add_argument("--corpus", required=True)
+    run.add_argument("--out", required=True)
+    run.add_argument("--no-resume", action="store_true")
+    run.add_argument("--n-shards", type=int, default=8)
+
+    bio = sub.add_parser("export-bio", help="BIO training-data export")
+    bio.add_argument("--corpus", required=True)
+    bio.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    _init_ray(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "gen-corpus":
+            from .sources.pages import generate_pages
+
+            out = generate_pages(args.pages, args.out, num_files=args.num_files)
+            print(json.dumps({"corpus": out, "pages": args.pages}))
+        elif args.cmd == "run":
+            from .pipelines.kg import run_kg
+
+            m = run_kg(
+                args.corpus,
+                args.out,
+                resume=not args.no_resume,
+                n_shards=args.n_shards,
+            )
+            print(
+                json.dumps(
+                    {k: {"rows": v["rows"]} for k, v in m.items()} | {"out": args.out}
+                )
+            )
+        elif args.cmd == "export-bio":
+            from .pipelines.kg import pages_dataset, _default_concurrency
+            from .stages.bio import write_bio_corpus
+            from .stages.extract import extract_text_batch
+            from .stages.ner import EnsembleNER
+            from .stages.sentences import split_batch
+            from .stages.triples import clean_mentions_batch, dedup_mentions_batch
+
+            pages = pages_dataset(args.corpus)
+            text = pages.map_batches(extract_text_batch, batch_format="pyarrow")
+            sents = text.select_columns(["url", "text"]).map_batches(
+                split_batch, batch_format="pyarrow"
+            )
+            mentions = sents.map_batches(
+                EnsembleNER, batch_format="pyarrow", batch_size=512,
+                concurrency=_default_concurrency(), num_cpus=1,
+            )
+            deduped = mentions.map_batches(
+                clean_mentions_batch, batch_format="pyarrow"
+            ).map_batches(dedup_mentions_batch, batch_format="pyarrow")
+            write_bio_corpus(deduped, args.out)
+            print(json.dumps({"out": args.out}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -151,25 +151,158 @@ def run_kg(
     *,
     ner_concurrency=None,
     resume: bool = True,
+    n_shards: int = 8,
 ) -> dict:
-    """Full run with checkpoints: triples → nodes + edges Parquet.
+    """Full run with checkpoints: url-hash-sharded triples → nodes + edges.
 
     Returns {"triples": manifest, "nodes": manifest, "edges": manifest}.
-    Resumable: a completed triples checkpoint is reused (fingerprinted by
-    the corpus dir), and each output table is written atomically.
+
+    **Partition-level resumability (north_rule):** triples are partitioned
+    into ``n_shards`` deterministic url-hash buckets, each landing in
+    ``triples/shard_NNNN/`` with its own lineage manifest.  A rerun skips
+    complete shards: the input is re-scanned but every page whose bucket
+    is already done is filtered out right after the read, so only the
+    missing shards pay extraction/NER/rules compute.  All incomplete
+    shards run in ONE streaming execution (one actor pool, one fixed
+    cost) and split at the sink via ``partition_cols`` — per-shard
+    executions would pay pool startup per shard (~2.6 s each, measured).
+
+    Tradeoff vs input-file-group shards: resume re-reads the (cheap,
+    column-pruned) input once; choose file-group sharding instead when
+    input re-read dominates compute.
     """
-    fp = f"corpus={os.path.abspath(corpus_dir)}"
+    import json
+    import shutil
+
+    from ..functions.hashing import stable_bucket
+
+    fp_base = f"corpus={os.path.abspath(corpus_dir)}|shards={n_shards}"
     tri_dir = os.path.join(out_root, "triples")
+    os.makedirs(tri_dir, exist_ok=True)
     manifests: dict[str, dict] = {}
 
-    if not (resume and stage_complete(tri_dir, fp)):
-        tri = triples_dataset(pages_dataset(corpus_dir), ner_concurrency=ner_concurrency)
-        manifests["triples"] = write_stage(tri, tri_dir, "triples", fp)
-    else:
-        import json
+    def _sdir(i: int) -> str:
+        return os.path.join(tri_dir, f"shard_{i:04d}")
 
-        with open(os.path.join(tri_dir, "_MANIFEST.json")) as f:
-            manifests["triples"] = json.load(f)
+    def _fp(i: int) -> str:
+        return f"{fp_base}|shard={i}"
+
+    incomplete = [
+        i for i in range(n_shards) if not (resume and stage_complete(_sdir(i), _fp(i)))
+    ]
+    if incomplete:
+        pages = pages_dataset(corpus_dir)
+        todo = frozenset(incomplete)
+        if len(incomplete) < n_shards:
+            import pyarrow as pa
+
+            def keep_incomplete(t: pa.Table) -> pa.Table:
+                mask = [
+                    stable_bucket(u, n_shards) in todo
+                    for u in t.column("url").to_pylist()
+                ]
+                return t.filter(pa.array(mask))
+
+            pages = pages.map_batches(keep_incomplete, batch_format="pyarrow")
+        tri = triples_dataset(
+            pages, ner_concurrency=ner_concurrency, ner_batch_size=2048
+        )
+
+        tmp = tri_dir + ".partial"
+        shutil.rmtree(tmp, ignore_errors=True)
+        for i in incomplete:
+            os.makedirs(os.path.join(tmp, f"shard_id={i:04d}"), exist_ok=True)
+
+        def shard_write(t):
+            """Task-side sink: split the block by url-hash shard and write
+            each slice as its own parquet file (Ray's partition_cols
+            datasink was measured ~45 s at 8 CPUs for the same data — a
+            direct pyarrow write is essentially free).  Emits one lineage
+            row per written file."""
+            import hashlib as _hl
+
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as _pq
+
+            urls = t.column("url").to_pylist()
+            cache: dict[str, int] = {}
+            shard = np.empty(len(urls), dtype=np.int32)
+            for j, u in enumerate(urls):
+                b = cache.get(u)
+                if b is None:
+                    b = stable_bucket(u, n_shards)
+                    cache[u] = b
+                shard[j] = b
+            rows = []
+            for i in np.unique(shard).tolist():
+                part = t.filter(pa.array(shard == i))
+                fname = (
+                    "part-"
+                    + _hl.md5(
+                        f"{part.num_rows}|{part.column('url')[0]}|{part.column('sent_ord')[0]}".encode()
+                    ).hexdigest()[:16]
+                    + ".parquet"
+                )
+                fpath = os.path.join(tmp, f"shard_id={i:04d}", fname)
+                _pq.write_table(part, fpath)
+                rows.append((i, fname, part.num_rows, os.path.getsize(fpath)))
+            return pa.table(
+                {
+                    "shard": pa.array([r[0] for r in rows], pa.int32()),
+                    "file": pa.array([r[1] for r in rows], pa.string()),
+                    "rows": pa.array([r[2] for r in rows], pa.int64()),
+                    "bytes": pa.array([r[3] for r in rows], pa.int64()),
+                }
+            )
+
+        tri.map_batches(shard_write, batch_format="pyarrow").count()
+        import pyarrow.parquet as pq
+
+        for i in incomplete:
+            src = os.path.join(tmp, f"shard_id={i:04d}")
+            dst = _sdir(i)
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.exists(src):
+                os.replace(src, dst)
+            else:
+                os.makedirs(dst, exist_ok=True)  # empty shard
+            partitions, total = [], 0
+            for name in sorted(os.listdir(dst)):
+                if not name.endswith(".parquet"):
+                    continue
+                meta = pq.read_metadata(os.path.join(dst, name))
+                partitions.append(
+                    {"file": name, "rows": meta.num_rows,
+                     "bytes": os.path.getsize(os.path.join(dst, name)),
+                     "row_groups": meta.num_row_groups}
+                )
+                total += meta.num_rows
+            with open(os.path.join(dst, "_MANIFEST.json"), "w") as f:
+                json.dump(
+                    {
+                        "stage": f"triples/shard_{i:04d}",
+                        "fingerprint": _fp(i),
+                        "rows": total,
+                        "num_partitions": len(partitions),
+                        "partitions": partitions,
+                        "input": {"corpus": os.path.abspath(corpus_dir),
+                                  "url_hash_bucket": i, "n_shards": n_shards},
+                    },
+                    f, indent=1,
+                )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    shard_manifests = []
+    for i in range(n_shards):
+        with open(os.path.join(_sdir(i), "_MANIFEST.json")) as f:
+            shard_manifests.append(json.load(f))
+    manifests["triples"] = {
+        "stage": "triples",
+        "rows": sum(m["rows"] for m in shard_manifests),
+        "num_partitions": sum(m["num_partitions"] for m in shard_manifests),
+        "shards": shard_manifests,
+    }
 
     # nodes and edges are independent scans of the triples checkpoint;
     # measured: overlapping the two executions CONTENDS (29 s overlapped
@@ -182,7 +315,7 @@ def run_kg(
         )
     )
     manifests["nodes"] = write_stage(
-        nodes, os.path.join(out_root, "nodes"), "nodes", fp
+        nodes, os.path.join(out_root, "nodes"), "nodes", fp_base
     )
     edges = finalize_edges(
         read_stage(tri_dir).map_batches(
@@ -190,6 +323,6 @@ def run_kg(
         )
     )
     manifests["edges"] = write_stage(
-        edges, os.path.join(out_root, "edges"), "edges", fp
+        edges, os.path.join(out_root, "edges"), "edges", fp_base
     )
     return manifests

@@ -70,7 +70,10 @@ def oracle_triples(n_pages: int) -> pd.DataFrame:
             )
             new = rules.augment(sent_row, mdf)
             if len(new):
-                mdf = pd.concat([mdf, new], ignore_index=True)
+                new = new[_MENTION_COLS]
+                mdf = (
+                    new if not len(mdf) else pd.concat([mdf, new], ignore_index=True)
+                )
             # D2 max-prob dedup, deterministic tiebreak on model name
             mdf = mdf.sort_values(
                 ["prob_strict", "model"], ascending=[False, True], kind="mergesort"

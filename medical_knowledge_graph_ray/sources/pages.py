@@ -177,7 +177,9 @@ def pages_batch(batch: dict) -> pa.Table:
     )
 
 
-def generate_pages(n_pages: int, out_dir: str, *, overwrite: bool = False) -> str:
+def generate_pages(
+    n_pages: int, out_dir: str, *, overwrite: bool = False, num_files: int | None = None
+) -> str:
     """Materialize the synthetic corpus as partitioned Parquet (idempotent).
 
     Uses Ray Data so generation itself scales out; a ``_SUCCESS`` marker
@@ -188,7 +190,10 @@ def generate_pages(n_pages: int, out_dir: str, *, overwrite: bool = False) -> st
     import ray.data as rd
 
     marker = os.path.join(out_dir, "_SUCCESS")
-    stamp = f"n_pages={n_pages}\nseed={SEED}\nversion={CORPUS_VERSION}\n"
+    stamp = (
+        f"n_pages={n_pages}\nseed={SEED}\nversion={CORPUS_VERSION}\n"
+        f"files={num_files or 'auto'}\n"
+    )
     if os.path.exists(marker) and not overwrite:
         with open(marker) as f:
             if f.read() == stamp:
@@ -196,8 +201,14 @@ def generate_pages(n_pages: int, out_dir: str, *, overwrite: bool = False) -> st
         import shutil
 
         shutil.rmtree(out_dir, ignore_errors=True)  # stale corpus version
-    ds = rd.range(n_pages, override_num_blocks=max(1, n_pages // 4096))
-    ds = ds.map_batches(pages_batch, batch_format="pyarrow", batch_size=2048)
+    blocks = num_files if num_files else max(1, n_pages // 4096)
+    ds = rd.range(n_pages, override_num_blocks=blocks)
+    # batch == block so map_batches can't fuse blocks (one output file each)
+    ds = ds.map_batches(
+        pages_batch,
+        batch_format="pyarrow",
+        batch_size=min(2048, max(1, -(-n_pages // blocks))),
+    )
     ds.write_parquet(out_dir)
     with open(marker, "w") as f:
         f.write(stamp)

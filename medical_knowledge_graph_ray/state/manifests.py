@@ -99,12 +99,16 @@ def write_stage(ds, out_dir: str, stage: str, fingerprint: str = "") -> dict:
 
 
 def read_stage(out_dir: str, columns: list[str] | None = None):
-    """Re-open a checkpointed stage as a Dataset (resume path)."""
+    """Re-open a checkpointed stage as a Dataset (resume path).
+
+    Walks shard subdirectories (``shard_NNNN/``) as well as flat stage
+    directories.
+    """
     import ray.data as rd
 
-    files = [
-        os.path.join(out_dir, n)
-        for n in sorted(os.listdir(out_dir))
-        if n.endswith(".parquet")
-    ]
+    files = []
+    for root, _dirs, names in sorted(os.walk(out_dir)):
+        for n in sorted(names):
+            if n.endswith(".parquet"):
+                files.append(os.path.join(root, n))
     return rd.read_parquet(files, columns=columns)

@@ -35,8 +35,8 @@ def kg_run(ray_session, tmp_path_factory):
     root = tmp_path_factory.mktemp("kg")
     corpus = str(root / "pages")
     out = str(root / "out")
-    generate_pages(N_PAGES, corpus)
-    manifests = run_kg(corpus, out, ner_concurrency=2)
+    generate_pages(N_PAGES, corpus, num_files=3)
+    manifests = run_kg(corpus, out, ner_concurrency=2, n_shards=4)
     return corpus, out, manifests
 
 
@@ -89,21 +89,52 @@ def test_edges_match_oracle_and_sorted(kg_run):
 
 def test_manifests_lineage(kg_run):
     _, out, manifests = kg_run
-    for stage in ("triples", "nodes", "edges"):
+    for stage in ("nodes", "edges"):
         mpath = os.path.join(out, stage, "_MANIFEST.json")
         assert os.path.exists(mpath)
         with open(mpath) as f:
             m = json.load(f)
         assert m["rows"] == sum(p["rows"] for p in m["partitions"])
         assert m["rows"] > 0
+    # triples: per-shard manifests with input-file lineage
+    tri = manifests["triples"]
+    assert tri["rows"] == sum(s["rows"] for s in tri["shards"]) > 0
+    for shard in tri["shards"]:
+        assert shard["rows"] == sum(p["rows"] for p in shard["partitions"])
 
 
-def test_resume_skips_completed_stage(kg_run):
+def test_resume_skips_completed_shards(kg_run):
     corpus, out, first = kg_run
     from medical_knowledge_graph_ray.pipelines.kg import run_kg
 
-    tri_manifest = os.path.join(out, "triples", "_MANIFEST.json")
-    before = os.path.getmtime(tri_manifest)
-    second = run_kg(corpus, out, ner_concurrency=2)
-    assert os.path.getmtime(tri_manifest) == before  # stage skipped
+    shard0 = os.path.join(out, "triples", "shard_0000", "_MANIFEST.json")
+    before = os.path.getmtime(shard0)
+    second = run_kg(corpus, out, ner_concurrency=2, n_shards=4)
+    assert os.path.getmtime(shard0) == before  # shard skipped
+    assert second["triples"]["rows"] == first["triples"]["rows"]
+
+
+def test_partition_level_resume_recomputes_only_missing(kg_run):
+    corpus, out, first = kg_run
+    import shutil
+
+    from medical_knowledge_graph_ray.pipelines.kg import run_kg
+
+    tri_dir = os.path.join(out, "triples")
+    shards = sorted(d for d in os.listdir(tri_dir) if d.startswith("shard_"))
+    if len(shards) < 2:
+        import pytest
+
+        pytest.skip("corpus produced a single shard")
+    # destroy one shard; rerun must rebuild exactly it and leave the rest
+    victim, survivor = shards[0], shards[1]
+    shutil.rmtree(os.path.join(tri_dir, victim))
+    survivor_mtime = os.path.getmtime(
+        os.path.join(tri_dir, survivor, "_MANIFEST.json")
+    )
+    second = run_kg(corpus, out, ner_concurrency=2, n_shards=4)
+    assert os.path.exists(os.path.join(tri_dir, victim, "_MANIFEST.json"))
+    assert os.path.getmtime(
+        os.path.join(tri_dir, survivor, "_MANIFEST.json")
+    ) == survivor_mtime
     assert second["triples"]["rows"] == first["triples"]["rows"]
