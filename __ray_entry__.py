@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": events.events_tumbling,
         "events_argmax": events.events_argmax,
         "events_sessionize": events.events_sessionize,
+        "events_sliding": events.events_sliding,
         # text analysis
         "docs_stats": docs.docs_stats,
         "docs_langid": docs.docs_langid,
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling": events.TUMBLING_SQL,
         "events_argmax": events.ARGMAX_SQL,
         "events_sessionize": events.SESSIONIZE_SQL,
+        "events_sliding": events.SLIDING_SQL,
         "docs_stats": docs.STATS_SQL,
         "docs_langid": docs.LANGID_SQL,
         "docs_fingerprint": docs.FINGERPRINT_SQL,
