@@ -180,4 +180,6 @@ def oracle_sql() -> dict[str, str]:
         "token_histogram": docs.TOKEN_HISTOGRAM_SQL,
         "docs_split": docs.DOCS_SPLIT_SQL,
         "orders_lineitem_join": relational.ORDERS_LINEITEM_JOIN_SQL,
+        "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
+        "simhash_fingerprints": docs.SIMHASH_SQL,
     }

@@ -282,3 +282,48 @@ FROM (SELECT doc_id,
              ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS h
       FROM documents)
 """
+
+
+# -- SQL oracles for the near-dup family --------------------------------------
+# (minhash stays rows-only: its universal hashing relies on uint64
+# wraparound multiplication, which SQL integer arithmetic cannot express)
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), tri AS (
+  SELECT DISTINCT doc_id, source,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ix
+  FROM tri a JOIN tri b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.3
+"""
+
+_SIMHASH_BITS = " + ".join(
+    f"CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN CAST({1 << b} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END"
+    for b in range(64)
+)
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+)
+SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM hashed GROUP BY doc_id
+"""
