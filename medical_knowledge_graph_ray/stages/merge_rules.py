@@ -74,9 +74,14 @@ def _combine_encoded(
     seg: list[Token], sentence: str, encoded: list[tuple[str, str]]
 ) -> list[Token]:
     """E1 core over pre-encoded patterns; the tag string is rebuilt only
-    after a successful merge."""
+    after a successful merge.  A pattern whose end tags aren't even
+    present in the sentence is skipped with two set probes instead of a
+    substring scan (~60 patterns/pass, most impossible)."""
     tags = _tag_string(seg)
+    present = set(tags)
     for pat, result_tag in encoded:
+        if pat[0] not in present or pat[-1] not in present:
+            continue
         pos = tags.find(pat)
         if pos < 0:
             continue
@@ -89,6 +94,7 @@ def _combine_encoded(
             [combined, result_tag, start, start + len(combined)]
         ]
         tags = _tag_string(seg)
+        present = set(tags)
     return seg
 
 
