@@ -99,6 +99,13 @@ def _kg_bio_export(sf_dir: str):
     return deduped.map_batches(bio_export_batch, batch_format="pyarrow")
 
 
+def _kg_extract_audit(sf_dir: str):
+    from medical_knowledge_graph_ray.pipelines.kg import corpus_for_sf
+    from medical_knowledge_graph_ray.stages.audit import extraction_audit
+
+    return extraction_audit(corpus_for_sf(sf_dir))
+
+
 def _knn_lsh(sf_dir: str):
     from medical_knowledge_graph_ray.pipelines.docs import _embeddings, _query_vec
     from medical_knowledge_graph_ray.stages.similarity import knn_cosine_lsh
@@ -153,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bio_export": _kg_bio_export,
         # LSH-bucketed ANN (scale path; recall<1 by design → rows-only)
         "knn_cosine_lsh": _knn_lsh,
+        # explicit dead-letter accounting over the pages corpus (rows-only)
+        "kg_extract_audit": _kg_extract_audit,
     }
 
 

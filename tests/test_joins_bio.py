@@ -103,3 +103,27 @@ def test_media_feature_plumbing(ray_session):
     ds = media_features(48, concurrency=2)
     df = ds.to_pandas()
     assert len(df) == 48 and set(df["kind"]) == {"image", "audio", "video"}
+
+
+def test_extraction_audit_statuses(ray_session):
+    import pyarrow as pa
+
+    from medical_knowledge_graph_ray.sources.pages import pages_table
+    from medical_knowledge_graph_ray.stages.audit import audit_batch
+
+    t = pages_table(60)
+    out = audit_batch(t).to_pandas()
+    assert len(out) == 60
+    assert (out["status"] == "ok").sum() > 0
+    assert (out["status"] == "non_target_lang").sum() >= 0
+    # corrupted rows are classified, never dropped
+    bad = pa.table(
+        {
+            "url": ["u1", "u2", "u3"],
+            "html": [b"", b"<html><body><script>x</script></body></html>",
+                     "<html><body><p>见上</p></body></html>".encode("utf-8")],
+            "lang": ["zh", "zh", "zh"],
+        }
+    )
+    audited = audit_batch(bad).to_pandas()
+    assert list(audited["status"]) == ["empty_html", "no_blocks", "no_sentences"]
