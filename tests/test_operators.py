@@ -114,3 +114,59 @@ def test_knn_brute_matches_numpy(ray_session):
     order = np.lexsort((np.arange(200), -sims))[:5]
     assert list(got["vec_id"]) == list(order)
     assert got.iloc[0]["vec_id"] == 0 and got.iloc[0]["sim"] == 1.0
+
+
+def test_doc_mentions_sequential_priority():
+    """Priority-ordered sequential matching: multi-word terms mask the text
+    longest-first, so 'sort merge' consumes before 'merge join' can, and
+    singles never count inside masked spans."""
+    import pandas as pd
+
+    from medical_knowledge_graph_ray.pipelines.docs_kg import doc_mentions_batch
+
+    b = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "source": ["s", "s"],
+            "text": ["sort merge join the table scan", "join join hash join"],
+        }
+    )
+    out = doc_mentions_batch(b).to_pandas() if hasattr(
+        doc_mentions_batch(b), "to_pandas"
+    ) else doc_mentions_batch(b)
+    m1 = {r.term: r.n_occ for r in out[out.doc_id == 1].itertuples()}
+    # equal-length tie broken lexicographically: 'merge join' < 'sort merge'
+    # so it masks first, leaving 'sort' alone; 'the' is not a term
+    assert m1 == {"merge join": 1, "sort": 1, "table scan": 1}
+    m2 = {r.term: r.n_occ for r in out[out.doc_id == 2].itertuples()}
+    assert m2.get("hash join") == 1 and m2.get("join") == 2
+
+
+def test_confidence_rules_batch_split_invariant():
+    """O15 must be row-local: applying it to a table equals applying it to
+    any partition of the table (the Ray batch-splitting invariant)."""
+    import pandas as pd
+
+    from medical_knowledge_graph_ray.stages.cleansing import confidence_rules_df
+
+    rows = pd.DataFrame(
+        {
+            "model": ["a", "b", "dictionary", "rules"],
+            "ent_name": ["发热", "心力衰竭或", "触及肿块闻及", "阻塞性"],
+            "ent_type": ["SYM", "DIS", "SYM", "DIS"],
+            "start": [0, 5, 2, 9],
+            "end": [2, 10, 8, 12],
+            "prob_strict": [0.9, 0.9, 0.8, 0.8],
+            "prob_partial": [0.9, 0.9, 0.8, 0.8],
+            "prob_exact": [0.9, 0.9, 0.8, 0.8],
+            "prob_type": [0.9, 0.9, 0.8, 0.8],
+        }
+    )
+    whole = confidence_rules_df(rows).sort_values(
+        ["ent_name", "start", "model"]
+    ).reset_index(drop=True)
+    parts = pd.concat(
+        [confidence_rules_df(rows.iloc[:2]), confidence_rules_df(rows.iloc[2:])],
+        ignore_index=True,
+    ).sort_values(["ent_name", "start", "model"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(whole, parts)
