@@ -145,6 +145,23 @@ def triples_dataset(pages, *, ner_concurrency=None, ner_batch_size: int = 512):
     )
 
 
+def _corpus_fingerprint(corpus_dir: str) -> str:
+    """Content-aware corpus identity: abspath + sorted (file, size) digest
+    (+ the generator stamp when present).  Path-only fingerprints returned
+    stale checkpoints after a corpus was regenerated in place."""
+    import hashlib
+
+    parts = [os.path.abspath(corpus_dir)]
+    for name in sorted(os.listdir(corpus_dir)):
+        p = os.path.join(corpus_dir, name)
+        if name.endswith(".parquet"):
+            parts.append(f"{name}:{os.path.getsize(p)}")
+        elif name == "_SUCCESS":
+            with open(p) as fh:
+                parts.append(fh.read())
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
 def run_kg(
     corpus_dir: str,
     out_root: str,
@@ -170,13 +187,19 @@ def run_kg(
     Tradeoff vs input-file-group shards: resume re-reads the (cheap,
     column-pruned) input once; choose file-group sharding instead when
     input re-read dominates compute.
+
+    MULTI-NODE REQUIREMENT: ``out_root`` (and the corpus) must live on
+    storage visible to every worker (shared FS / object store) — the
+    task-side shard writer writes from worker processes and the driver
+    assembles manifests from the same paths.  True of any distributed
+    file sink; single-node /tmp is only valid in this sandbox.
     """
     import json
     import shutil
 
     from ..functions.hashing import stable_bucket
 
-    fp_base = f"corpus={os.path.abspath(corpus_dir)}|shards={n_shards}"
+    fp_base = f"corpus={_corpus_fingerprint(corpus_dir)}|shards={n_shards}"
     tri_dir = os.path.join(out_root, "triples")
     os.makedirs(tri_dir, exist_ok=True)
     manifests: dict[str, dict] = {}
@@ -315,7 +338,7 @@ def run_kg(
         )
     )
     manifests["nodes"] = write_stage(
-        nodes, os.path.join(out_root, "nodes"), "nodes", fp_base
+        nodes, os.path.join(out_root, "nodes"), "nodes", fp_base, force=not resume
     )
     edges = finalize_edges(
         read_stage(tri_dir).map_batches(
@@ -323,6 +346,6 @@ def run_kg(
         )
     )
     manifests["edges"] = write_stage(
-        edges, os.path.join(out_root, "edges"), "edges", fp_base
+        edges, os.path.join(out_root, "edges"), "edges", fp_base, force=not resume
     )
     return manifests

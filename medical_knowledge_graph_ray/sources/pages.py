@@ -198,9 +198,12 @@ def generate_pages(
         with open(marker) as f:
             if f.read() == stamp:
                 return out_dir
-        import shutil
+    # stale version, overwrite, or a partial write from a crashed run
+    # (files but no marker) — always start from an empty directory so a
+    # rerun can never append a duplicate set of part files
+    import shutil
 
-        shutil.rmtree(out_dir, ignore_errors=True)  # stale corpus version
+    shutil.rmtree(out_dir, ignore_errors=True)
     blocks = num_files if num_files else max(1, n_pages // 4096)
     ds = rd.range(n_pages, override_num_blocks=blocks)
     # batch == block so map_batches can't fuse blocks (one output file each)

@@ -104,7 +104,9 @@ def bio_export_batch(batch: pa.Table) -> pa.Table:
 def write_bio_corpus(mentions_ds, out_dir: str) -> None:
     """S4: write split-partitioned BIO Parquet (url-keyed, resumable) —
     one directory per split so training jobs read only their slice."""
-    encoded = mentions_ds.map_batches(bio_export_batch, batch_format="pyarrow")
+    encoded = mentions_ds.map_batches(
+        bio_export_batch, batch_format="pyarrow"
+    ).materialize()  # one execution; the BIO table is small vs its inputs
     for split in ("train", "val", "test"):
         part = encoded.filter(expr=f"split == '{split}'")
         part.write_parquet(f"{out_dir}/{split}")

@@ -48,6 +48,8 @@ ELIMINATION = (
     "常", "其", "使用", "多于", "仅",
 )
 _SPLITTERS = "，,；;:：。"
+import re as _re
+_SPLIT_RE = _re.compile(f"[{_SPLITTERS}]")
 
 
 def confidence_rules_df(df: pd.DataFrame) -> pd.DataFrame:
@@ -83,7 +85,7 @@ def confidence_rules_df(df: pd.DataFrame) -> pd.DataFrame:
     for row_idx, orig in zip(np.flatnonzero(m4), orig4):
         row = df.iloc[row_idx]
         surface = str(row["ent_name"])
-        pieces = pd.Series([surface]).str.split(f"[{_SPLITTERS}]", regex=True)[0]
+        pieces = _SPLIT_RE.split(surface)
         head = int(row["start"])
         for order, piece in enumerate(pieces, start=1):
             piece_start = head

@@ -60,8 +60,9 @@ def _shingle_ids(text: str, n: int = 3) -> np.ndarray:
     toks = text.split(" ")
     h = _token_hashes(toks)
     if len(h) < n:
-        ids = np.bitwise_xor.reduce(h * _MIX[: max(len(h), 1)][: len(h)]) if len(h) else np.uint64(0)
-        return np.unique(np.array([ids], dtype=np.uint64))
+        # no full n-gram exists: empty shingle set (matches the SQL oracle,
+        # whose QUALIFY lead(tok, n-1) IS NOT NULL yields zero trigrams)
+        return np.empty(0, dtype=np.uint64)
     with np.errstate(over="ignore"):
         ids = (h[: -n + 1] * _MIX[0]) ^ (h[1 : -n + 2] * _MIX[1]) ^ (h[2:] * _MIX[2])
     return np.unique(ids)
@@ -106,6 +107,15 @@ def minhash_bands_batch(batch: pd.DataFrame) -> pd.DataFrame:
             {"band_id": pd.array([], "int32"), "band_hash": pd.array([], "uint64"),
              "doc_id": pd.array([], "int64"), "signature": []}
         )
+    shingle_counts = [len(_shingle_ids(t)) for t in texts]
+    keep = [i for i, c in enumerate(shingle_counts) if c > 0]
+    if not keep:
+        return pd.DataFrame(
+            {"band_id": pd.array([], "int32"), "band_hash": pd.array([], "uint64"),
+             "doc_id": pd.array([], "int64"), "signature": []}
+        )
+    texts = [texts[i] for i in keep]
+    n_docs = len(texts)
     sigs = np.stack([minhash_signature(t) for t in texts])  # (n, 64)
     # vectorized band hashing: mix each 4-wide slice with prime weights
     weights = (_MIX[0] * np.arange(1, ROWS_PER_BAND + 1, dtype=np.uint64)) | np.uint64(1)
@@ -113,7 +123,7 @@ def minhash_bands_batch(batch: pd.DataFrame) -> pd.DataFrame:
         band_hash = (sigs.reshape(n_docs, N_BANDS, ROWS_PER_BAND) * weights).sum(
             axis=2, dtype=np.uint64
         )
-    doc_ids = batch["doc_id"].to_numpy()
+    doc_ids = batch["doc_id"].to_numpy()[keep]
     sig_bytes = [s.tobytes() for s in sigs]
     return pd.DataFrame(
         {

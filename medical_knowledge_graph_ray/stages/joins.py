@@ -46,13 +46,31 @@ def hash_join(
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type: {how}")
 
-    # capture each side's columns/dtypes at plan time: the unioned bucket
-    # frame null-fills the other side's columns (ints → float64 in
-    # pandas), so each side is re-selected and cast back before the merge
-    l_names = left.schema().names
-    r_names = right.schema().names
-    l_pd = left.limit(1).to_pandas().dtypes.to_dict()
-    r_pd = right.limit(1).to_pandas().dtypes.to_dict()
+    # capture each side's columns/dtypes at plan time from the Arrow
+    # schema (schema() is metadata-only — limit(1).to_pandas() would spin
+    # up a partial execution of each input pipeline just to learn dtypes).
+    # The unioned bucket frame null-fills the other side's columns (ints →
+    # float64 in pandas), so each side is re-selected and cast back before
+    # the merge.
+    import pyarrow as pa
+
+    def _pd_dtypes(schema) -> tuple[list[str], dict]:
+        arrow = pa.schema(list(zip(schema.names, schema.types)))
+        dt = arrow.empty_table().to_pandas().dtypes.to_dict()
+        return schema.names, dt
+
+    l_names, l_pd = _pd_dtypes(left.schema())
+    r_names, r_pd = _pd_dtypes(right.schema())
+    if how == "left":
+        # unmatched left rows null-fill right columns: use pandas nullable
+        # dtypes on the right so every bucket emits ONE Arrow schema
+        # (int64-with-nulls) instead of int64/float64 depending on matches
+        _nullable = {"int64": "Int64", "int32": "Int32", "float64": "Float64",
+                     "bool": "boolean"}
+        r_pd = {
+            c: _nullable.get(str(d), d) if c not in on else d
+            for c, d in r_pd.items()
+        }
 
     def _tag(side: int):
         def fn(b: pd.DataFrame) -> pd.DataFrame:

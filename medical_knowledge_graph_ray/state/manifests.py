@@ -36,15 +36,17 @@ def stage_complete(out_dir: str, fingerprint: str | None = None) -> bool:
         return False
 
 
-def write_stage(ds, out_dir: str, stage: str, fingerprint: str = "") -> dict:
+def write_stage(
+    ds, out_dir: str, stage: str, fingerprint: str = "", *, force: bool = False
+) -> dict:
     """Write ``ds`` as a checkpointed Parquet stage with lineage manifest.
 
     Returns the manifest dict.  Idempotent: a complete checkpoint with the
-    same fingerprint is left untouched.
+    same fingerprint is left untouched unless ``force`` is set.
     """
     import pyarrow.parquet as pq
 
-    if stage_complete(out_dir, fingerprint or None):
+    if not force and stage_complete(out_dir, fingerprint or None):
         with open(os.path.join(out_dir, MANIFEST)) as f:
             return json.load(f)
 
