@@ -16,6 +16,13 @@ The engine's join ladder, in preference order:
 Skew note: one hot key cannot overload a bucket beyond its own row count;
 for extreme key skew, pre-aggregate the probe side per (key, batch) first
 (the engine's standard combiner shape) or salt the build side.
+
+This Ray version also ships a native ``Dataset.join`` (hash-partitioned;
+measured 4.6 s vs 5.6 s for this module's explicit join on a 600 k-row
+orders⋈lineitem at 32 CPUs).  The explicit version stays the default
+because its bucket count, skew handling and per-bucket merge semantics
+are inspectable and tunable; swap in the native join where those knobs
+don't matter.
 """
 
 from __future__ import annotations
