@@ -47,7 +47,7 @@ from ..state.manifests import read_stage, stage_complete, write_stage
 # corpus is sized so per-batch compute dominates the fixed per-run costs
 # (~11 s: 3 execution startups + actor-pool spin-up + checkpoint write) —
 # at 50 k pages those constants capped two-scale efficiency at ~0.5.
-PAGES_PER_SF = {"sf0.001": 500, "sf0.01": 20_000, "sf0.1": 200_000}
+PAGES_PER_SF = {"sf0.001": 500, "sf0.01": 20_000, "sf0.1": 400_000}
 
 
 def _default_concurrency() -> int:
@@ -111,18 +111,25 @@ class MentionStage:
         import pandas as pd
         import pyarrow as pa
 
-        from ..stages.cleansing import confidence_rules_batch
+        from ..stages.cleansing import confidence_rules_df
+        from ..stages.triples import (
+            TRIPLE_SCHEMA,
+            clean_mentions_df,
+            dedup_mentions_df,
+            emit_triples_df,
+        )
 
+        # ONE arrow→pandas conversion after NER, ONE pandas→arrow at the
+        # end — the intermediate stages chain on the same DataFrame
         m = self.ner(batch)
-        m = clean_mentions_batch(m)
-        mdf = m.to_pandas()
+        mdf = clean_mentions_df(m.to_pandas())
         new = self.rules.augment(batch.to_pandas(), mdf)
         if len(new):
             mdf = pd.concat([mdf, new], ignore_index=True)
-        m = pa.Table.from_pandas(mdf, schema=m.schema, preserve_index=False)
-        m = dedup_mentions_batch(m)
-        m = confidence_rules_batch(m)
-        return emit_triples_batch(m)
+        mdf = dedup_mentions_df(mdf)
+        mdf = confidence_rules_df(mdf)
+        out = emit_triples_df(mdf)
+        return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
 
 
 def triples_dataset(pages, *, ner_concurrency=None, ner_batch_size: int = 512):

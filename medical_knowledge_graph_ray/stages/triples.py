@@ -53,10 +53,9 @@ def strip_boundaries(surface: str, start: int, end: int) -> tuple[str, int, int]
     return surface, start, end
 
 
-def clean_mentions_batch(batch: pa.Table) -> pa.Table:
+def clean_mentions_df(df: pd.DataFrame) -> pd.DataFrame:
     """O14 boundary strip + drop len<2 survivors (vector mask first: rows
     with clean boundaries pass through untouched)."""
-    df = batch.to_pandas()
     ent = df["ent_name"].astype(str)
     dirty = ent.str.len().eq(0)
     first = ent.str[0].fillna("")
@@ -74,20 +73,33 @@ def clean_mentions_batch(batch: pa.Table) -> pa.Table:
         df.loc[idx, "start"] = [f[1] for f in fixed]
         df.loc[idx, "end"] = [f[2] for f in fixed]
     keep = df["ent_name"].str.len() >= 2
-    df = df[keep & ~dirty]
-    return pa.Table.from_pandas(df, schema=batch.schema, preserve_index=False)
+    return df[keep & ~dirty]
 
 
-def dedup_mentions_batch(batch: pa.Table) -> pa.Table:
+def clean_mentions_batch(batch: pa.Table) -> pa.Table:
+    """Arrow wrapper around :func:`clean_mentions_df`."""
+    return pa.Table.from_pandas(
+        clean_mentions_df(batch.to_pandas()), schema=batch.schema,
+        preserve_index=False,
+    )
+
+
+def dedup_mentions_df(df: pd.DataFrame) -> pd.DataFrame:
     """D2 max-prob dedup per (url, sent_ord, ent_name, ent_type, start) —
     batch-local (see module docstring).  Deterministic tiebreak on model
     name so results are order-independent."""
-    df = batch.to_pandas()
     df = df.sort_values(
         ["prob_strict", "model"], ascending=[False, True], kind="mergesort"
     ).drop_duplicates(DEDUP_KEY, keep="first")
-    df = df.sort_values(["url", "sent_ord", "start"], kind="mergesort")
-    return pa.Table.from_pandas(df, schema=batch.schema, preserve_index=False)
+    return df.sort_values(["url", "sent_ord", "start"], kind="mergesort")
+
+
+def dedup_mentions_batch(batch: pa.Table) -> pa.Table:
+    """Arrow wrapper around :func:`dedup_mentions_df`."""
+    return pa.Table.from_pandas(
+        dedup_mentions_df(batch.to_pandas()), schema=batch.schema,
+        preserve_index=False,
+    )
 
 
 def emit_triples_batch(batch: pa.Table) -> pa.Table:
@@ -100,9 +112,16 @@ def emit_triples_batch(batch: pa.Table) -> pa.Table:
       (drug, 禁用人群/慎用人群, group) with obj_type GRP, deduplicated per
       sentence.
     """
+    return pa.Table.from_pandas(
+        emit_triples_df(batch.to_pandas()), schema=TRIPLE_SCHEMA,
+        preserve_index=False,
+    )
+
+
+def emit_triples_df(df: pd.DataFrame) -> pd.DataFrame:
+    """pandas core of :func:`emit_triples_batch`."""
     from .cleansing import classify_taboo, taboo_group
 
-    df = batch.to_pandas()
     out = pd.DataFrame(
         {
             "subj": df["head_entity"],
@@ -132,4 +151,4 @@ def emit_triples_batch(batch: pa.Table) -> pa.Table:
                 ["url", "sent_ord", "subj", "pred", "obj"]
             )
             out = pd.concat([out, explicit], ignore_index=True)
-    return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
+    return out
