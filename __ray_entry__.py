@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": docs.knn_cosine_q0,
         "embed_norms": docs.embed_norms,
+        "embed_neardup_pairs": docs.embed_neardup_pairs,
         # token census + content-stable split + large-large shuffle join
         "token_histogram": docs.token_histogram,
         "docs_split": docs.docs_split,
@@ -186,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": docs.DEDUP_EXACT_SQL,
         "knn_cosine": docs.KNN_SQL,
         "embed_norms": docs.EMBED_NORMS_SQL,
+        "embed_neardup_pairs": docs.EMBED_NEARDUP_SQL,
         "token_histogram": docs.TOKEN_HISTOGRAM_SQL,
         "docs_split": docs.DOCS_SPLIT_SQL,
         "orders_lineitem_join": relational.ORDERS_LINEITEM_JOIN_SQL,

@@ -327,3 +327,69 @@ WITH toks AS (
 )
 SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM hashed GROUP BY doc_id
 """
+
+
+# -- embedding-cosine near-duplicate pairs ------------------------------------
+
+NEARDUP_COS_THRESHOLD = 0.4  # testdata embeddings are weakly clustered (max pairwise cos ≈ 0.51)
+
+
+def embed_neardup_pairs(sf_dir: str, threshold: float = NEARDUP_COS_THRESHOLD):
+    """All vector pairs with cosine ≥ threshold (embedding-based near-dup).
+
+    Block-nested-loop with a broadcast side: each batch of rows computes a
+    vectorized matmul against the (small, broadcast) full matrix and emits
+    only pairs (a < b) above threshold.  At corpus scale the broadcast
+    side becomes the LSH-bucketed variant (``stages/similarity.py``) —
+    this exact form is the correctness baseline the bucketed path is
+    measured against.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+    norms = np.linalg.norm(mat, axis=1)
+    ref = ray.put((all_ids, mat / np.where(norms == 0, 1.0, norms)[:, None]))
+
+    class PairFinder:
+        def __init__(self):
+            self.side = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            if self.side is None:
+                self.side = ray.get(ref)
+            ids_b, unit_b = self.side
+            m = np.stack([np.asarray(v, np.float64) for v in b["embedding"]])
+            n = np.linalg.norm(m, axis=1)
+            sims = (m / np.where(n == 0, 1.0, n)[:, None]) @ unit_b.T
+            sims = np.round(sims, 6)
+            ids_a = b["vec_id"].to_numpy()
+            ai, bi = np.nonzero(
+                (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
+            )
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.array(ids_a[ai], dtype="int64"),
+                    "vec_b": pd.array(ids_b[bi], dtype="int64"),
+                    "cos_sim": pd.array(sims[ai, bi], dtype="float64"),
+                }
+            )
+
+    return _embeddings(sf_dir).map_batches(
+        arrow_out(PairFinder()), batch_format="pandas", batch_size=1024
+    )
+
+
+EMBED_NEARDUP_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= {NEARDUP_COS_THRESHOLD}
+"""
