@@ -106,6 +106,13 @@ def _kg_extract_audit(sf_dir: str):
     return extraction_audit(corpus_for_sf(sf_dir))
 
 
+def _knn_ivf(sf_dir: str):
+    from medical_knowledge_graph_ray.pipelines.docs import _embeddings, _query_vec
+    from medical_knowledge_graph_ray.stages.similarity import knn_cosine_ivf
+
+    return knn_cosine_ivf(_embeddings(sf_dir), _query_vec(sf_dir), k=10)
+
+
 def _knn_lsh(sf_dir: str):
     from medical_knowledge_graph_ray.pipelines.docs import _embeddings, _query_vec
     from medical_knowledge_graph_ray.stages.similarity import knn_cosine_lsh
@@ -159,8 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).media_features(256),
         # BIO training-data export over the pages corpus (rows-only)
         "kg_bio_export": _kg_bio_export,
-        # LSH-bucketed ANN (scale path; recall<1 by design → rows-only)
+        # LSH-bucketed + IVF ANN (scale paths; recall<1 by design → rows-only)
         "knn_cosine_lsh": _knn_lsh,
+        "knn_cosine_ivf": _knn_ivf,
         # explicit dead-letter accounting over the pages corpus (rows-only)
         "kg_extract_audit": _kg_extract_audit,
     }

@@ -97,3 +97,69 @@ def knn_cosine_lsh(embeddings, query: np.ndarray, k: int = 10):
 
     candidates = embeddings.map_batches(_sig_and_keep, batch_format="pandas")
     return knn_cosine(candidates, query, k)
+
+
+# -- IVF (inverted-file) variant ---------------------------------------------
+
+IVF_CENTROIDS = 16
+IVF_ITERS = 8
+
+
+def train_ivf_centroids(sample: np.ndarray, n_centroids: int = IVF_CENTROIDS) -> np.ndarray:
+    """Deterministic spherical k-means on a (small) training sample.
+
+    Seeded init + fixed Lloyd iterations — same centroids on every run at
+    any parallelism.  The sample is driver-side (a bounded `limit()` of
+    the corpus); at real scale the sample IS the broadcast side while
+    assignment streams."""
+    rng = np.random.RandomState(777)
+    unit = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    centroids = unit[rng.choice(len(unit), size=n_centroids, replace=False)]
+    for _ in range(IVF_ITERS):
+        assign = (unit @ centroids.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = unit[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                centroids[c] = v / np.linalg.norm(v)
+    return centroids
+
+
+def knn_cosine_ivf(
+    embeddings,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    train_limit: int = 4096,
+):
+    """IVF scale path: train centroids on a bounded sample, probe only the
+    query's ``nprobe`` nearest cells, brute-force inside them.
+
+    Replaces the all-rows scan with a ~nprobe/n_centroids fraction of the
+    corpus; recall < 1 by design (measured against `knn_cosine`, the
+    exact baseline)."""
+    import ray
+
+    sample = embeddings.limit(train_limit).to_pandas()
+    mat = _to_matrix(sample["embedding"])
+    centroids = train_ivf_centroids(mat)
+    q = np.asarray(query, np.float64)
+    qc = (centroids @ (q / np.linalg.norm(q))).argsort()[::-1][:nprobe]
+    probe = frozenset(int(c) for c in qc)
+    cent_ref = ray.put(centroids)
+
+    class CellFilter:
+        def __init__(self):
+            self.centroids = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.centroids is None:
+                self.centroids = ray.get(cent_ref)
+            m = _to_matrix(b["embedding"])
+            unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+            assign = (unit @ self.centroids.T).argmax(axis=1)
+            return b[np.isin(assign, list(probe))]
+
+    candidates = embeddings.map_batches(CellFilter(), batch_format="pandas")
+    return knn_cosine(candidates, query, k)

@@ -170,3 +170,29 @@ def test_confidence_rules_batch_split_invariant():
         ignore_index=True,
     ).sort_values(["ent_name", "start", "model"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(whole, parts)
+
+
+def test_ivf_knn_recall(ray_session):
+    """IVF with nprobe=4/16 cells must recover most of the exact top-10."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.similarity import (
+        knn_cosine,
+        knn_cosine_ivf,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    # clustered data so IVF cells are meaningful
+    centers = rng.standard_normal((8, 32)) * 4
+    mat = np.vstack([c + rng.standard_normal((60, 32)) for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(len(mat)), "embedding": list(mat)})
+    ds = rd.from_pandas(df)
+    q = mat[5]
+    exact = set(knn_cosine(rd.from_pandas(df), q, k=10).to_pandas()["vec_id"])
+    approx = set(knn_cosine_ivf(ds, q, k=10, nprobe=4).to_pandas()["vec_id"])
+    assert len(exact & approx) >= 8  # high recall on clustered data
+    # determinism
+    c1 = train_ivf_centroids(mat)
+    c2 = train_ivf_centroids(mat)
+    assert (c1 == c2).all()
