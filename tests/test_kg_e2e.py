@@ -138,3 +138,24 @@ def test_partition_level_resume_recomputes_only_missing(kg_run):
         os.path.join(tri_dir, survivor, "_MANIFEST.json")
     ) == survivor_mtime
     assert second["triples"]["rows"] == first["triples"]["rows"]
+
+
+def test_corpus_regeneration_invalidates_checkpoints(ray_session, tmp_path_factory):
+    """Content-aware fingerprints: regenerating the corpus in place must
+    recompute every shard (a path-only fingerprint returned stale data)."""
+    from medical_knowledge_graph_ray.pipelines.kg import run_kg
+    from medical_knowledge_graph_ray.sources.pages import generate_pages
+
+    root = tmp_path_factory.mktemp("stale")
+    corpus, out = str(root / "pages"), str(root / "out")
+    generate_pages(40, corpus, num_files=1)
+    first = run_kg(corpus, out, ner_concurrency=2, n_shards=2)
+    # regenerate with different content (different page count) in place
+    generate_pages(60, corpus, num_files=1, overwrite=True)
+    second = run_kg(corpus, out, ner_concurrency=2, n_shards=2)
+    assert second["triples"]["rows"] != first["triples"]["rows"]
+    # and the outputs reflect the NEW corpus
+    import pandas as pd
+
+    tri = pd.read_parquet(f"{out}/triples")
+    assert tri["url"].nunique() > 35  # 60-page corpus minus en pages
