@@ -130,28 +130,51 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-# -- Q3: shipping priority (broadcast-hash join chain + top-k) ----------------
+# -- Q3: shipping priority (partitioned hash join + top-k) --------------------
 
 def q3_top_orders(sf_dir: str, k: int = 10):
-    """customer ⋈ orders ⋈ lineitem with both dimension sides broadcast:
-    the only exchange is the per-orderkey aggregate of partials (J4/J5
-    broadcast-dict pattern; no shuffle join)."""
-    cust = _read(
-        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
-        filter=pc.field("c_mktsegment") == Q3_SEGMENT,
-    ).to_pandas()
-    custkeys = set(cust["c_custkey"].tolist())
+    """customer ⋈ orders ⋈ lineitem with NO driver-side materialization of
+    a fact table (reference J2 "large-large", clean_and_save.py:1039-1040).
+
+    Only the BUILDING custkey *set* is broadcast (a filtered dimension-key
+    set — the one side small enough to ship at scale); the date-filtered
+    orders stream is semi-joined against it inside map_batches, then hash-
+    joined (stages/joins.py, two-sided bucketed exchange) against lineitem
+    revenue partials that were pre-aggregated per orderkey per batch, so
+    the exchange carries ~distinct-orderkey rows, not raw lineitems."""
+    import pyarrow as pa
+    import ray
+
+    from ..stages.joins import hash_join
+
+    custkeys_ref = ray.put(
+        set(
+            _read(
+                sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+                filter=pc.field("c_mktsegment") == Q3_SEGMENT,
+            )
+            .select_columns(["c_custkey"])
+            .to_pandas()["c_custkey"]
+            .tolist()
+        )
+    )
+
+    class SemiJoinCust:
+        """Broadcast key set fetched lazily per worker (J6 anti/semi shape)."""
+
+        def __init__(self, ref):
+            self.ref = ref
+            self.keys = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.keys is None:
+                self.keys = ray.get(self.ref)
+            return b.loc[b["o_custkey"].isin(self.keys), ["o_orderkey", "o_orderdate"]]
 
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=pc.field("o_orderdate") < pc.scalar(np.datetime64(Q3_DATE, "us")),
-    ).to_pandas()
-    orders = orders[orders["o_custkey"].isin(custkeys)]
-    odate = dict(zip(orders["o_orderkey"], orders["o_orderdate"]))
-
-    import ray
-
-    odate_ref = ray.put(odate)
+    ).map_batches(arrow_out(SemiJoinCust(custkeys_ref)), batch_format="pandas")
 
     li = _read(
         sf_dir, "lineitem",
@@ -159,52 +182,43 @@ def q3_top_orders(sf_dir: str, k: int = 10):
         filter=pc.field("l_shipdate") > pc.scalar(np.datetime64(Q3_DATE, "us")),
     )
 
-    class PartialRevenue:
-        """Broadcast side fetched lazily from the object store on first
-        batch (inside the task) — never materialized into the pickled
-        closure, so the dict ships once per worker, not once per task."""
-
-        def __init__(self, ref):
-            self.ref = ref
-            self.odate = None
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            if self.odate is None:
-                self.odate = ray.get(self.ref)
-            b = b[b["l_orderkey"].isin(self.odate)]
-            if not len(b):
-                return pd.DataFrame({"l_orderkey": pd.array([], "int64"),
-                                     "rev_c": pd.array([], "int64")})
-            rev_c = np.rint(
-                b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()) * 10_000
-            ).astype("int64")
-            return (
-                pd.DataFrame({"l_orderkey": b["l_orderkey"], "rev_c": rev_c})
-                .groupby("l_orderkey", sort=False).agg(rev_c=("rev_c", "sum"))
-                .reset_index()
-            )
-
-    from ..stages.shuffle import bucketed_group_map
-
-    partials = li.map_batches(
-        arrow_out(PartialRevenue(odate_ref)), batch_format="pandas"
-    )
-
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
+    def partial_revenue(b: pd.DataFrame) -> pd.DataFrame:
+        rev_c = np.rint(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()) * 10_000
+        ).astype("int64")
         return (
-            g.groupby("l_orderkey", sort=False).agg(rev_c=("rev_c", "sum")).reset_index()
+            pd.DataFrame({"o_orderkey": b["l_orderkey"], "rev_c": rev_c})
+            .groupby("o_orderkey", sort=False).agg(rev_c=("rev_c", "sum"))
+            .reset_index()
         )
 
-    agg = bucketed_group_map(partials, ["l_orderkey"], combine, num_buckets=32)
-    top = agg.sort(["rev_c", "l_orderkey"], descending=[True, False]).limit(k)
+    partials = li.map_batches(arrow_out(partial_revenue), batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # exact inside the join bucket: all partials of an orderkey land in
+        # this bucket, so this is the FINAL per-orderkey sum (no 2nd shuffle)
+        return (
+            g.groupby(["o_orderkey", "o_orderdate"], sort=False)
+            .agg(rev_c=("rev_c", "sum"))
+            .reset_index()
+        )
+
+    agg = hash_join(
+        orders, partials, on=["o_orderkey"], how="inner", num_buckets=16,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("rev_c", pa.int64())]),
+        bucket_post=combine,
+    )
+    top = agg.sort(["rev_c", "o_orderkey"], descending=[True, False]).limit(k)
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        od = ray.get(odate_ref)
         return pd.DataFrame(
             {
-                "l_orderkey": df["l_orderkey"],
+                "l_orderkey": df["o_orderkey"],
                 "revenue": df["rev_c"] / 10_000.0,
-                "o_orderdate": df["l_orderkey"].map(od),
+                "o_orderdate": df["o_orderdate"],
             }
         )
 
@@ -229,15 +243,68 @@ LIMIT 10
 # -- Q5-ish: region revenue (broadcast join chain through 4 dimensions) ------
 
 def q5_region_revenue(sf_dir: str):
+    """Region revenue with the fact tables kept DISTRIBUTED.
+
+    Dimension chain region ⋈ nation ⋈ customer collapses to a broadcast
+    ``custkey → nationkey`` array pair: customer is scanned DISTRIBUTED
+    (column-pruned read + region-nation filter in map_batches) and only
+    the surviving key pairs — the same size class as q3's custkey set, a
+    per-region dimension-key artifact that any broadcast join must hold
+    anyway — are collected and ``ray.put`` once.  Orders then resolves its
+    nation map-side (np.searchsorted, no exchange), and the ONE
+    large-large join left — orders ⋈ per-batch-pre-aggregated lineitem
+    revenue — runs through stages/joins.py's bucketed hash join with the
+    per-nation partial aggregate fused into the join buckets.  No fact
+    table (orders/lineitem) is ever materialized on the driver."""
+    import pyarrow as pa
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
     region = _read(sf_dir, "region").to_pandas()
     nation = _read(sf_dir, "nation").to_pandas()
     rkeys = set(region.loc[region["r_name"] == Q5_REGION, "r_regionkey"])
     nat = nation[nation["n_regionkey"].isin(rkeys)]
     nation_by_key = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nkeys = set(nation_by_key)
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust[cust["c_nationkey"].isin(nation_by_key)]
-    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    def filter_cust(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["c_nationkey"].isin(nkeys), ["c_custkey", "c_nationkey"]]
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        .map_batches(arrow_out(filter_cust), batch_format="pandas")
+        .to_pandas()
+        .sort_values("c_custkey")
+    )
+    cust_ref = ray.put(
+        (cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy())
+    )
+
+    class OrderNation:
+        """Map-side custkey→nationkey resolution via the broadcast sorted
+        key array (fetched lazily once per worker)."""
+
+        def __init__(self, ref):
+            self.ref = ref
+            self.keys = None
+            self.nats = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.keys is None:
+                self.keys, self.nats = ray.get(self.ref)
+            ck = b["o_custkey"].to_numpy()
+            pos = np.searchsorted(self.keys, ck)
+            pos_c = np.clip(pos, 0, len(self.keys) - 1)
+            hit = self.keys[pos_c] == ck
+            return pd.DataFrame(
+                {
+                    "o_orderkey": b["o_orderkey"].to_numpy()[hit],
+                    "c_nationkey": self.nats[pos_c[hit]],
+                }
+            )
 
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
@@ -245,54 +312,43 @@ def q5_region_revenue(sf_dir: str):
             (pc.field("o_orderdate") >= pc.scalar(np.datetime64(Q5_FROM, "us")))
             & (pc.field("o_orderdate") < pc.scalar(np.datetime64(Q5_TO, "us")))
         ),
-    ).to_pandas()
-    orders = orders[orders["o_custkey"].isin(cust_nation)]
-    order_nation = {
-        ok: cust_nation[ck] for ok, ck in zip(orders["o_orderkey"], orders["o_custkey"])
-    }
-
-    import ray
-
-    on_ref = ray.put(order_nation)
-    nk_ref = ray.put(nation_by_key)
+    ).map_batches(arrow_out(OrderNation(cust_ref)), batch_format="pandas")
 
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
-    class Partial:
-        def __init__(self, on, nk):
-            self.on_ref, self.nk_ref = on, nk
-            self.order_nation = None
-            self.nation_name = None
+    def partial_revenue(b: pd.DataFrame) -> pd.DataFrame:
+        rev_c = np.rint(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()) * 10_000
+        ).astype("int64")
+        return (
+            pd.DataFrame({"o_orderkey": b["l_orderkey"], "rev_c": rev_c})
+            .groupby("o_orderkey", sort=False).agg(rev_c=("rev_c", "sum"))
+            .reset_index()
+        )
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            if self.order_nation is None:
-                self.order_nation = ray.get(self.on_ref)
-                self.nation_name = ray.get(self.nk_ref)
-            nk = b["l_orderkey"].map(self.order_nation)
-            mask = nk.notna()
-            if not mask.any():
-                return pd.DataFrame({"n_name": pd.array([], "str"),
-                                     "rev_c": pd.array([], "int64")})
-            b = b[mask]
-            names = nk[mask].astype("int64").map(self.nation_name)
-            rev_c = np.rint(
-                b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()) * 10_000
-            ).astype("int64")
-            return (
-                pd.DataFrame({"n_name": names.to_numpy(), "rev_c": rev_c})
-                .groupby("n_name", sort=False).agg(rev_c=("rev_c", "sum"))
-                .reset_index()
-            )
+    partials = li.map_batches(arrow_out(partial_revenue), batch_format="pandas")
 
-    from ray.data.aggregate import Sum
+    def by_nation(b: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket PARTIAL per-nation sum fused into the join (nation keys
+        # span buckets, so a tiny final groupby below finishes the sum);
+        # nation_by_key is a few dozen entries — closure-shipped, not ray.put
+        out = (
+            b.groupby("c_nationkey", sort=False).agg(rev_c=("rev_c", "sum"))
+            .reset_index()
+        )
+        out["n_name"] = out["c_nationkey"].map(nation_by_key)
+        return out[["n_name", "rev_c"]]
 
-    agg = (
-        li.map_batches(arrow_out(Partial(on_ref, nk_ref)), batch_format="pandas")
-        .groupby("n_name")
-        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    joined = hash_join(
+        orders, partials, on=["o_orderkey"], how="inner", num_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()), ("c_nationkey", pa.int32())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("rev_c", pa.int64())]),
+        bucket_post=by_nation,
     )
+
+    agg = joined.groupby("n_name").aggregate(Sum("rev_c", alias_name="rev_c"))
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -43,31 +43,46 @@ def hash_join(
     how: str = "inner",
     num_buckets: int = 32,
     suffixes: tuple[str, str] = ("_l", "_r"),
+    left_schema=None,
+    right_schema=None,
+    bucket_post=None,
 ):
     """Partitioned hash join of two Datasets on equality keys.
 
     Both sides are bucketed by the same deterministic key hash and
     unioned; each bucket's pandas merge sees every row of its keys from
     both sides.  ``how`` ∈ {inner, left}.
+
+    ``left_schema`` / ``right_schema``: optional ``pyarrow.Schema`` for each
+    side.  When omitted the join introspects ``ds.schema()`` — which
+    PARTIALLY EXECUTES a lazy plan (and fully executes any upstream
+    shuffle), then the union re-executes it.  Pass explicit schemas
+    whenever a side is anything more expensive than a read: a chained
+    join left uninspected was measured to double total wall time.
+
+    ``bucket_post``: optional ``DataFrame -> DataFrame`` applied to each
+    bucket's merged frame.  Because every row of a key lands in exactly
+    one bucket on both sides, a per-join-key aggregate placed here is
+    exact and FUSES with the join — no second exchange (the reference's
+    join→groupby chains, clean_and_save.py:1039-1083, all have this
+    shape).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type: {how}")
 
     # capture each side's columns/dtypes at plan time from the Arrow
-    # schema (schema() is metadata-only — limit(1).to_pandas() would spin
-    # up a partial execution of each input pipeline just to learn dtypes).
-    # The unioned bucket frame null-fills the other side's columns (ints →
-    # float64 in pandas), so each side is re-selected and cast back before
-    # the merge.
+    # schema.  The unioned bucket frame null-fills the other side's
+    # columns (ints → float64 in pandas), so each side is re-selected and
+    # cast back before the merge.
     import pyarrow as pa
 
     def _pd_dtypes(schema) -> tuple[list[str], dict]:
         arrow = pa.schema(list(zip(schema.names, schema.types)))
         dt = arrow.empty_table().to_pandas().dtypes.to_dict()
-        return schema.names, dt
+        return list(schema.names), dt
 
-    l_names, l_pd = _pd_dtypes(left.schema())
-    r_names, r_pd = _pd_dtypes(right.schema())
+    l_names, l_pd = _pd_dtypes(left_schema if left_schema is not None else left.schema())
+    r_names, r_pd = _pd_dtypes(right_schema if right_schema is not None else right.schema())
     if how == "left":
         # unmatched left rows null-fill right columns: use pandas nullable
         # dtypes on the right so every bucket emits ONE Arrow schema
@@ -104,8 +119,10 @@ def hash_join(
         l = _restore(bucket[lmask], l_names, l_pd)
         r = _restore(bucket[~lmask], r_names, r_pd)
         if not len(l):
-            return l.merge(r.iloc[:0], on=on, how=how, suffixes=suffixes)
-        return l.merge(r, on=on, how=how, suffixes=suffixes)
+            out = l.merge(r.iloc[:0], on=on, how=how, suffixes=suffixes)
+        else:
+            out = l.merge(r, on=on, how=how, suffixes=suffixes)
+        return bucket_post(out) if bucket_post is not None else out
 
     return both.groupby(BUCKET_COL).map_groups(
         arrow_out(_merge), batch_format="pandas"
