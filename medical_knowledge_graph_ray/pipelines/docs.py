@@ -145,11 +145,16 @@ def _embeddings(sf_dir: str):
 
 
 def _query_vec(sf_dir: str):
+    """One query vector — predicate pushed into the read (row-group prune +
+    filter), never a full-table scan."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    idx = t["vec_id"].to_pylist().index(0)
-    return t["embedding"].to_pylist()[idx]
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    return t["embedding"].to_pylist()[0]
 
 
 def knn_cosine_q0(sf_dir: str, k: int = 10):
@@ -337,13 +342,23 @@ NEARDUP_COS_THRESHOLD = 0.4  # testdata embeddings are weakly clustered (max pai
 def embed_neardup_pairs(sf_dir: str, threshold: float = NEARDUP_COS_THRESHOLD):
     """All vector pairs with cosine ≥ threshold (embedding-based near-dup).
 
-    Block-nested-loop with a broadcast side: each batch of rows computes a
-    vectorized matmul against the (small, broadcast) full matrix and emits
-    only pairs (a < b) above threshold.  At corpus scale the broadcast
-    side becomes the LSH-bucketed variant (``stages/similarity.py``) —
-    this exact form is the correctness baseline the bucketed path is
-    measured against.
-    """
+    SHIPPED form: the exact distributed chunk-pair self-join
+    (``stages/similarity.py:neardup_pairs_chunked``) — bounded worker
+    memory, no driver-side table read, no full-matrix broadcast, 100%
+    recall by construction (see its docstring for why LSH/IVF bucketing
+    cannot meet the recall bar at this threshold on this data)."""
+    from ..stages.similarity import neardup_pairs_chunked
+
+    return neardup_pairs_chunked(
+        _embeddings(sf_dir).select_columns(["vec_id", "embedding"]), threshold
+    )
+
+
+def embed_neardup_pairs_broadcast(sf_dir: str, threshold: float = NEARDUP_COS_THRESHOLD):
+    """Test-only baseline: broadcast the full unit matrix and scan batches
+    against it.  O(N) worker memory + driver-side full read — the shape
+    the shipped chunk-pair join is asserted exactly equal to in
+    ``tests/test_operators.py``.  NOT a ``queries()`` entry."""
     import numpy as np
     import pyarrow.parquet as pq
     import ray

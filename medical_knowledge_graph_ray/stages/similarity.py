@@ -1,13 +1,14 @@
 """Similarity search over an embedding column (list<float>).
 
-* **Brute-force cosine top-k** (baseline): the query matrix is tiny and
-  broadcast (plain closure capture — Ray ships it once per task
-  serialization, or ``ray.put`` for many queries); each batch computes a
-  vectorized numpy matmul and emits only its batch-local top-k partials,
-  so the final exchange sorts k·#batches rows, never the corpus.
+* **Brute-force cosine top-k** (baseline): the query vector is tiny and
+  closure-captured (Ray ships it with the task spec once per task
+  serialization); each batch computes a vectorized numpy matmul and emits
+  only its batch-local top-k partials, so the final exchange sorts
+  k·#batches rows, never the corpus.
 * **LSH-bucketed variant** (scale path): deterministic random-hyperplane
   signatures bucket vectors; queries probe only their own bucket(s) —
   the all-to-all disappears at the cost of recall (documented).
+* **Chunk-pair self-join** (exact near-dup): see ``neardup_pairs_chunked``.
 """
 
 from __future__ import annotations
@@ -73,7 +74,8 @@ def _planes(dim: int) -> np.ndarray:
 
 
 def lsh_signature_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """Add a 16-bit hyperplane-sign bucket id per vector."""
+    """Add an N_PLANES-bit hyperplane-sign bucket id per vector
+    (N_PLANES=6 → 64 buckets)."""
     mat = _to_matrix(batch["embedding"])
     planes = _planes(mat.shape[1])
     bits = (mat @ planes.T) > 0
@@ -97,6 +99,106 @@ def knn_cosine_lsh(embeddings, query: np.ndarray, k: int = 10):
 
     candidates = embeddings.map_batches(_sig_and_keep, batch_format="pandas")
     return knn_cosine(candidates, query, k)
+
+
+# -- exact all-pairs near-dup as a distributed chunk-pair self-join -----------
+
+_CHUNK_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def neardup_pairs_chunked(embeddings, threshold: float, *, n_chunks: int = 8):
+    """All vector pairs with cosine ≥ threshold — EXACT, distributed.
+
+    Why not LSH/IVF here: at low thresholds (this dataset's near-dups sit
+    at cos 0.40-0.51 against a 0.29 p99 background) no sign-hyperplane or
+    centroid bucketing separates pairs from background — measured IVF
+    top-4 multi-assignment recovers only 98% of true pairs while touching
+    ~all-pairs candidate volume.  Exact pruning bounds don't help either:
+    cos ≥ t implies |proj_r(a) − proj_r(b)| ≤ √(2−2t) ≈ 1.10 for t=0.4 —
+    wider than the projection range, so a projection-band prefilter (the
+    exactness-preserving sub-quadratic trick for t ≥ ~0.8) prunes nothing.
+
+    Shape: each vector is hash-assigned to one of C chunks and REPLICATED
+    to the C pair-groups (min(c,k), max(c,k)) its chunk participates in;
+    one bucketed shuffle co-locates each pair-group, which brute-forces
+    its two chunks with one vectorized matmul.  Every (a, b) pair lives in
+    exactly ONE pair-group, so no pair dedup pass is needed.
+
+    Scale accounting: worker memory O(N/C · d), exchange volume O(N · C · d),
+    compute O(N²d/2) total (inherent for exact all-pairs) spread over
+    C(C+1)/2 independent tasks.  Choose C ≈ √(N·d·8 / worker_mem); the
+    driver never holds a vector and no task holds more than two chunks.
+    """
+    from ..functions.arrow import arrow_out
+    from .shuffle import bucketed_group_map
+
+    C = n_chunks
+
+    def replicate(b: pd.DataFrame) -> pd.DataFrame:
+        mat = _to_matrix(b["embedding"])
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        ids = b["vec_id"].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            chunk = ((ids.astype(np.uint64) * _CHUNK_MIX) >> np.uint64(33)) % np.uint64(C)
+        chunk = chunk.astype(np.int64)
+        other = np.arange(C, dtype=np.int64)
+        lo = np.minimum(chunk[:, None], other[None, :])
+        hi = np.maximum(chunk[:, None], other[None, :])
+        pk = (lo * C + hi).reshape(-1)
+        rep = np.repeat(np.arange(len(ids)), C)
+        return pd.DataFrame(
+            {
+                "pk": pd.array(pk, "int32"),
+                "chunk": pd.array(np.repeat(chunk, C), "int32"),
+                "vec_id": pd.array(ids[rep], "int64"),
+                "unit": [unit[i].tobytes() for i in rep],
+            }
+        )
+
+    def pair_group(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_s = [], [], []
+        for pk, sub in g.groupby("pk", sort=False):
+            a_chunk, b_chunk = divmod(int(pk), C)
+            sub = sub.drop_duplicates("vec_id")
+            ga = sub[sub["chunk"] == a_chunk]
+            ids_a = ga["vec_id"].to_numpy()
+            mat_a = np.stack([np.frombuffer(v, np.float64) for v in ga["unit"]]) \
+                if len(ga) else np.empty((0, 1))
+            if a_chunk == b_chunk:
+                if len(ga) < 2:
+                    continue
+                sims = np.round(mat_a @ mat_a.T, 6)
+                ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+                pa, pb, ps = ids_a[ii], ids_a[jj], sims[ii, jj]
+            else:
+                gb = sub[sub["chunk"] == b_chunk]
+                if not len(ga) or not len(gb):
+                    continue
+                ids_b = gb["vec_id"].to_numpy()
+                mat_b = np.stack([np.frombuffer(v, np.float64) for v in gb["unit"]])
+                sims = np.round(mat_a @ mat_b.T, 6)
+                ii, jj = np.nonzero(sims >= threshold)
+                pa, pb, ps = ids_a[ii], ids_b[jj], sims[ii, jj]
+            swap = pa > pb
+            out_a.append(np.where(swap, pb, pa))
+            out_b.append(np.where(swap, pa, pb))
+            out_s.append(ps)
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_a": pd.array([], "int64"), "vec_b": pd.array([], "int64"),
+                 "cos_sim": pd.array([], "float64")}
+            )
+        return pd.DataFrame(
+            {
+                "vec_a": pd.array(np.concatenate(out_a), "int64"),
+                "vec_b": pd.array(np.concatenate(out_b), "int64"),
+                "cos_sim": pd.array(np.concatenate(out_s), "float64"),
+            }
+        )
+
+    rows = embeddings.map_batches(arrow_out(replicate), batch_format="pandas")
+    return bucketed_group_map(rows, ["pk"], pair_group, num_buckets=32)
 
 
 # -- IVF (inverted-file) variant ---------------------------------------------
@@ -141,7 +243,23 @@ def knn_cosine_ivf(
     exact baseline)."""
     import ray
 
-    sample = embeddings.limit(train_limit).to_pandas()
+    # Deterministic training sample regardless of block arrival order
+    # (preserve_order=False makes `limit(n)` order-dependent): stride-hash
+    # on vec_id — stride from the Parquet metadata row count (no scan) —
+    # then a driver-side sort of the ≈train_limit survivors.
+    n_total = embeddings.count()
+    stride = max(1, n_total // train_limit)
+    def _stride_sample(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["vec_id"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            keep = ((ids * _CHUNK_MIX) >> np.uint64(33)) % np.uint64(stride) == 0
+        return b[keep]
+
+    sample = (
+        embeddings.map_batches(_stride_sample, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
     mat = _to_matrix(sample["embedding"])
     centroids = train_ivf_centroids(mat)
     q = np.asarray(query, np.float64)
