@@ -106,6 +106,12 @@ def _kg_extract_audit(sf_dir: str):
     return extraction_audit(corpus_for_sf(sf_dir))
 
 
+def _ner_eval(sf_dir: str):
+    from medical_knowledge_graph_ray.pipelines.kg import ner_eval_pages
+
+    return ner_eval_pages(sf_dir)
+
+
 def _knn_ivf(sf_dir: str):
     from medical_knowledge_graph_ray.pipelines.docs import _embeddings, _query_vec
     from medical_knowledge_graph_ray.stages.similarity import knn_cosine_ivf
@@ -171,6 +177,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_ivf": _knn_ivf,
         # explicit dead-letter accounting over the pages corpus (rows-only)
         "kg_extract_audit": _kg_extract_audit,
+        # MUC-style NER evaluation (strict/exact/partial/ent_type P&R per
+        # model per type — the reference's quality gate; gold+preds are
+        # engine-computed so this is rows-only, golden-tested in
+        # tests/test_muc_eval.py)
+        "ner_eval": _ner_eval,
     }
 
 

@@ -152,6 +152,40 @@ def triples_dataset(pages, *, ner_concurrency=None, ner_batch_size: int = 512):
     )
 
 
+def sentences_dataset(corpus_dir: str):
+    """pages → (url, sent_ord, sentence, …) rows (the shared prefix of the
+    flagship, BIO-export and evaluation pipelines)."""
+    pages = pages_dataset(corpus_dir)
+    text = pages.map_batches(extract_text_batch, batch_format="pyarrow")
+    return text.select_columns(["url", "text"]).map_batches(
+        split_batch, batch_format="pyarrow"
+    )
+
+
+def ner_eval_pages(sf_dir: str):
+    """MUC-style evaluation table over the sf-scaled page corpus: every
+    ensemble member + ensemble_strong scored against the gazetteer gold
+    span set — the reference's quality gate as a first-class distributed
+    operator (``multi_ner_prediction.py:75-84, 595-606``)."""
+    from ..stages.muc_eval import ner_eval_dataset
+
+    sents = sentences_dataset(corpus_for_sf(sf_dir))
+    return ner_eval_dataset(sents).sort(["model", "ent_type", "schema"])
+
+
+def derived_eval_artifacts(sf_dir: str):
+    """(eval_matrix, vote_weights) COMPUTED from the labeled corpus — the
+    ``eval_dic.json`` / ``model_weights.json`` production path
+    (``multi_ner_prediction.py:139-159, 609-610``), replacing the
+    hash-fabricated stand-ins.  The evaluated table is tiny
+    (#models × types × schemas); collecting it driver-side is the
+    broadcast-artifact pattern, not a materialization."""
+    from ..stages.muc_eval import eval_matrix_from, weights_from_eval
+
+    eval_df = ner_eval_pages(sf_dir).to_pandas()
+    return eval_matrix_from(eval_df), weights_from_eval(eval_df)
+
+
 def _corpus_fingerprint(corpus_dir: str) -> str:
     """Content-aware corpus identity: abspath + sorted (file, size) digest
     (+ the generator stamp when present).  Path-only fingerprints returned
@@ -267,13 +301,17 @@ def run_kg(
             rows = []
             for i in np.unique(shard).tolist():
                 part = t.filter(pa.array(shard == i))
-                fname = (
-                    "part-"
-                    + _hl.md5(
-                        f"{part.num_rows}|{part.column('url')[0]}|{part.column('sent_ord')[0]}".encode()
-                    ).hexdigest()[:16]
-                    + ".parquet"
-                )
+                # block-unique name: digest of EVERY (url, sent_ord) in the
+                # slice — retries of the same block stay idempotent, but two
+                # distinct blocks can never collide (first-row + row-count
+                # collided in principle, silently dropping rows)
+                h = _hl.md5()
+                for u, so in zip(
+                    part.column("url").to_pylist(),
+                    part.column("sent_ord").to_pylist(),
+                ):
+                    h.update(f"{u}|{so};".encode())
+                fname = "part-" + h.hexdigest()[:16] + ".parquet"
                 fpath = os.path.join(tmp, f"shard_id={i:04d}", fname)
                 _pq.write_table(part, fpath)
                 rows.append((i, fname, part.num_rows, os.path.getsize(fpath)))
@@ -322,6 +360,19 @@ def run_kg(
                     f, indent=1,
                 )
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # prune stale shard dirs from an earlier run with a LARGER n_shards:
+    # read_stage walks every shard_* directory, so leftovers would be
+    # silently double-counted into nodes/edges while the triples manifest
+    # only sums shards 0..n-1
+    for name in sorted(os.listdir(tri_dir)):
+        if name.startswith("shard_"):
+            try:
+                idx = int(name.split("_", 1)[1])
+            except ValueError:
+                continue
+            if idx >= n_shards:
+                shutil.rmtree(os.path.join(tri_dir, name), ignore_errors=True)
 
     shard_manifests = []
     for i in range(n_shards):

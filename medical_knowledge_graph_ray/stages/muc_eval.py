@@ -1,0 +1,295 @@
+"""MUC-style NER evaluation (strict / exact / partial / ent_type P&R).
+
+The reference's actual quality gate: a vendored copy of the public
+NER-Evaluation package (Batista's SemEval'13-style re-implementation of
+the MUC-5 scoring categories) drives per-(model, entity-type) precision
+matrices that feed the ensemble vote weights — invoked at
+``multi_ner_prediction.py:75-84`` (per-model eval files) and
+``:595-606`` (``eval_dic.json``: per-type ``[strict, partial, exact,
+ent_type]`` precisions per model), consumed by
+``EnsemblePredict_all.py:453-462``.  The vendored evaluator itself
+(``ner/ner_evaluation/ner_eval.py``) is missing from the snapshot
+(SURVEY §0), so the semantics here follow the published package:
+
+Per sentence, each *predicted* entity is matched against the gold set:
+
+========  ==========================  ======================================
+scenario  condition                   schema outcomes
+========  ==========================  ======================================
+I         span == gold span, same     correct in all four schemas
+          type
+IV        span == gold span, type     exact/partial correct;
+          differs                     strict/ent_type incorrect
+V         spans overlap, same type    ent_type correct; partial *partial*;
+                                      strict/exact incorrect
+VI        spans overlap, type         partial *partial*; the rest incorrect
+          differs
+II        no gold overlap             spurious in all schemas
+III       (gold never matched)        missed in all schemas
+========  ==========================  ======================================
+
+``precision = correct / actual`` and ``recall = correct / possible``
+(with ``correct + 0.5·partial`` for the partial and ent_type schemas),
+where ``actual = correct+incorrect+partial+spurious`` and
+``possible = correct+incorrect+partial+missed``.
+
+Engine conventions (documented divergences from the published package):
+spans are ``[start, end)`` exclusive and overlap means true interval
+intersection (``s1 < e2 and s2 < e1``) — the package's ``range(start,
+end)``-set intersection makes zero/one-token entities unable to overlap,
+a known quirk we do not reproduce.
+
+Distributed shape: per-sentence scoring is row-local; a ``map_batches``
+combiner emits per-(model, ent_type, schema) COUNT partials, one tiny
+``groupby`` sums them, and a finalize step derives P/R — the category
+counts are associative, so the result is exact at any parallelism.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+SCHEMAS = ("strict", "exact", "partial", "ent_type")
+CATEGORIES = ("correct", "incorrect", "partial", "missed", "spurious")
+
+Span = tuple[str, int, int]  # (ent_type, start, end) — [start, end)
+
+
+def muc_counts(
+    gold: list[Span], pred: list[Span]
+) -> dict[str, dict[str, int]]:
+    """Category counts for one sentence, all four schemas."""
+    ev = {s: dict.fromkeys(CATEGORIES, 0) for s in SCHEMAS}
+    gold_used = [False] * len(gold)
+    gold_set = {g: i for i, g in enumerate(gold)}
+
+    for p in pred:
+        ptype, ps, pe = p
+        gi = gold_set.get(p)
+        if gi is not None:  # scenario I: exact span + type
+            gold_used[gi] = True
+            for s in SCHEMAS:
+                ev[s]["correct"] += 1
+            continue
+        matched = False
+        for i, (gtype, gs, ge) in enumerate(gold):
+            if gs == ps and ge == pe and gtype != ptype:  # scenario IV
+                ev["strict"]["incorrect"] += 1
+                ev["ent_type"]["incorrect"] += 1
+                ev["partial"]["correct"] += 1
+                ev["exact"]["correct"] += 1
+                gold_used[i] = True
+                matched = True
+                break
+            if gs < pe and ps < ge:  # true interval overlap
+                ev["strict"]["incorrect"] += 1
+                ev["exact"]["incorrect"] += 1
+                ev["partial"]["partial"] += 1
+                if gtype == ptype:  # scenario V
+                    ev["ent_type"]["correct"] += 1
+                else:  # scenario VI
+                    ev["ent_type"]["incorrect"] += 1
+                gold_used[i] = True
+                matched = True
+                break
+        if not matched:  # scenario II
+            for s in SCHEMAS:
+                ev[s]["spurious"] += 1
+
+    for used in gold_used:
+        if not used:  # scenario III
+            for s in SCHEMAS:
+                ev[s]["missed"] += 1
+    return ev
+
+
+def precision_recall(counts: dict[str, int], schema: str) -> tuple[float, float]:
+    """(precision, recall) from one schema's category counts."""
+    actual = counts["correct"] + counts["incorrect"] + counts["partial"] + counts["spurious"]
+    possible = counts["correct"] + counts["incorrect"] + counts["partial"] + counts["missed"]
+    num = counts["correct"] + (
+        0.5 * counts["partial"] if schema in ("partial", "ent_type") else 0.0
+    )
+    return (num / actual if actual else 0.0, num / possible if possible else 0.0)
+
+
+def _restrict(spans: list[Span], ent_type: str) -> list[Span]:
+    return [sp for sp in spans if sp[0] == ent_type]
+
+
+def sentence_count_rows(
+    gold: list[Span],
+    preds_by_model: dict[str, list[Span]],
+    types: tuple[str, ...],
+) -> list[tuple[str, str, str, int, int, int, int, int]]:
+    """One sentence → count-partial rows
+    ``(model, ent_type, schema, correct, incorrect, partial, missed,
+    spurious)`` — ``ent_type='all'`` rows carry the overall (untyped)
+    evaluation, per-type rows the type-restricted one (the package's
+    ``results`` vs ``results_per_tag`` split)."""
+    rows = []
+    for model, pred in preds_by_model.items():
+        groups = [("all", gold, pred)]
+        for t in types:
+            groups.append((t, _restrict(gold, t), _restrict(pred, t)))
+        for label, g, p in groups:
+            if not g and not p:
+                continue
+            ev = muc_counts(g, p)
+            for schema in SCHEMAS:
+                c = ev[schema]
+                rows.append(
+                    (model, label, schema, c["correct"], c["incorrect"],
+                     c["partial"], c["missed"], c["spurious"])
+                )
+    return rows
+
+
+COUNT_COLS = ["correct", "incorrect", "partial", "missed", "spurious"]
+
+
+def finalize_eval(df: pd.DataFrame) -> pd.DataFrame:
+    """Summed count rows → (model, ent_type, schema, counts…, precision,
+    recall), 6-dp rounded for cross-engine float stability."""
+    prec, rec = [], []
+    for r in df.itertuples():
+        c = {k: getattr(r, k) for k in COUNT_COLS}
+        p, q = precision_recall(c, r.schema)
+        prec.append(round(p, 6))
+        rec.append(round(q, 6))
+    out = df.copy()
+    out["precision"] = prec
+    out["recall"] = rec
+    return out
+
+
+def eval_matrix_from(eval_df: pd.DataFrame) -> dict[str, dict[str, list[float]]]:
+    """Evaluated table → ``{model: {etype: [strict, partial, exact,
+    ent_type] precision}}`` — the computed ``eval_dic.json`` analogue
+    (``multi_ner_prediction.py:595-606``), replacing the hash-fabricated
+    ``state/artifacts.eval_matrix`` when a labeled dataset exists."""
+    order = {"strict": 0, "partial": 1, "exact": 2, "ent_type": 3}
+    out: dict[str, dict[str, list[float]]] = {}
+    typed = eval_df[eval_df["ent_type"] != "all"]
+    for r in typed.itertuples():
+        out.setdefault(r.model, {}).setdefault(r.ent_type, [0.0] * 4)[
+            order[r.schema]
+        ] = float(r.precision)
+    return out
+
+
+def weights_from_eval(eval_df: pd.DataFrame) -> dict[str, dict[str, float]]:
+    """Per-type strict-precision-normalized vote weights computed from a
+    REAL evaluation (``gen_weights``, ``multi_ner_prediction.py:139-159``):
+    ``w_m(t) = strict_m(t) / Σ_m strict_m(t)``.  Only base members vote —
+    the reference's gen_weights skips ensemble/augmented result files
+    (``:141-147``)."""
+    strict = eval_df[
+        (eval_df["schema"] == "strict")
+        & (eval_df["ent_type"] != "all")
+        & (eval_df["model"] != "ensemble_strong")
+    ]
+    out: dict[str, dict[str, float]] = {}
+    for t, sub in strict.groupby("ent_type"):
+        total = sub["precision"].sum()
+        for r in sub.itertuples():
+            out.setdefault(r.model, {})[t] = (
+                float(r.precision / total) if total else 0.0
+            )
+    return out
+
+
+class MucEvalStage:
+    """Actor-pool ``map_batches`` combiner: sentence rows → per-(model,
+    ent_type, schema) count partials.
+
+    Gold is the full-gazetteer longest-match span set (ground truth by
+    corpus construction — every planted entity is a gazetteer surface);
+    predictions are each ensemble member's (perturbed) spans plus the
+    shipped ensemble_strong strategy, mirroring the reference's
+    ``simplified_models + ["ensemble_strong"]`` evaluation loop
+    (``multi_ner_prediction.py:588-606``)."""
+
+    def __init__(self, gazetteer: dict[str, str] | None = None):
+        from ..ontology import MEDICAL_GAZETTEER
+        from .ner import TYPE_LIST, EnsembleNER
+
+        self.ner = EnsembleNER(gazetteer or MEDICAL_GAZETTEER)
+        self.types = TYPE_LIST
+
+    def _sentence_spans(self, sentence: str) -> tuple[list[Span], dict[str, list[Span]]]:
+        from .ner import TYPE_LIST
+
+        dic = self.ner.dictionary
+        gold = [
+            (dic.types[surf], s, e) for s, e, surf in dic.find(sentence)
+        ]
+        preds: dict[str, list[Span]] = {}
+        member_spans = {}
+        for m in self.ner.members:
+            spans = m.spans(sentence)
+            member_spans[m.name] = spans
+            preds[m.name] = [(TYPE_LIST[tid - 1], s, e) for s, e, tid, _p in spans]
+
+        # ensemble_strong spans via the same union+vote path as the NER stage
+        import numpy as np
+
+        from ..functions.spans import fill_spans, runs
+
+        L = len(sentence)
+        tids_by_member = {
+            name: fill_spans(L, spans, 0.5)[0] for name, spans in member_spans.items()
+        }
+        union = tids_by_member[self.ner.members[0].name].copy()
+        for m in self.ner.members[1:]:
+            fill = (union == 0) & (tids_by_member[m.name] != 0)
+            union[fill] = tids_by_member[m.name][fill]
+        strong = []
+        for s, e, tid in runs(union):
+            k = sum(
+                1
+                for m in self.ner.members
+                if bool((tids_by_member[m.name][s:e] != 0).any())
+            )
+            if k >= 2:
+                strong.append((TYPE_LIST[tid - 1], s, e))
+        preds["ensemble_strong"] = strong
+        return gold, preds
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows: list[tuple] = []
+        for sentence in batch["sentence"]:
+            gold, preds = self._sentence_spans(sentence)
+            rows.extend(sentence_count_rows(gold, preds, self.types))
+        df = pd.DataFrame(
+            rows, columns=["model", "ent_type", "schema", *COUNT_COLS]
+        )
+        # batch-local combine before the exchange
+        return (
+            df.groupby(["model", "ent_type", "schema"], sort=False)[COUNT_COLS]
+            .sum()
+            .reset_index()
+        )
+
+
+def ner_eval_dataset(sentences, *, concurrency=None, batch_size: int = 512):
+    """sentence rows → evaluated (model, ent_type, schema, counts, P, R).
+
+    Two-phase: actor-pool count partials → tiny fixed-cardinality groupby
+    (#models × (#types+1) × 4 schemas) → finalize."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrow import arrow_out
+    from ..pipelines.kg import _default_concurrency
+
+    partials = sentences.map_batches(
+        MucEvalStage,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency or _default_concurrency(),
+        num_cpus=1,
+    )
+    agg = partials.groupby(["model", "ent_type", "schema"]).aggregate(
+        *[Sum(c, alias_name=c) for c in COUNT_COLS]
+    )
+    return agg.map_batches(arrow_out(finalize_eval), batch_format="pandas")

@@ -125,11 +125,22 @@ class EnsembleNER:
     per-batch work only.
     """
 
-    def __init__(self, gazetteer: dict[str, str] | None = None):
+    def __init__(
+        self,
+        gazetteer: dict[str, str] | None = None,
+        eval_override: dict[str, dict[str, list[float]]] | None = None,
+    ):
         gaz = gazetteer or MEDICAL_GAZETTEER
         self.members = [_Member(m, gaz) for m in MODEL_NAMES]
         self.dictionary = GazetteerMatcher(gaz)
-        self.eval = eval_matrix()
+        # eval_override: a REAL eval matrix computed from a labeled dataset
+        # (stages/muc_eval.py:eval_matrix_from); the default hash-fabricated
+        # matrix stands in for the snapshot's missing eval_dic.json
+        self.eval = eval_override or eval_matrix()
+        for m in MODEL_NAMES:  # every (member, type) cell must exist
+            ev = self.eval.setdefault(m, {})
+            for t in TYPE_LIST:
+                ev.setdefault(t, [0.0, 0.0, 0.0, 0.0])
         self.num_models = len(self.members)
 
     # -- per-sentence ensemble ------------------------------------------------
