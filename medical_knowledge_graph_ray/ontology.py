@@ -34,6 +34,55 @@ ESSENTIAL_TYPES: dict[str, str] = {
     "OBJ": "物体",
 }
 
+# Non-essential entity types (config.yaml:65-78 RE_nonessential): NER
+# models predict them, but the `if etype not in types: continue` guard
+# (EnsemblePredict_all.py:264-266) keeps them out of voting / the KG —
+# they exist solely for the TRAINING-DATA path, where spans of the six
+# OVERLAY_TYPES override seg tags on exact boundary match (E6,
+# generation.py:216-238).
+NONESSENTIAL_TYPES: dict[str, str] = {
+    "DEG": "程度词",
+    "FW": "频率词",
+    "DUR": "时间段",
+    "TP": "时间点",
+    "TES_N": "检查",  # the reference re-keys TES in its non-essential map
+    "CL": "条件词",
+    "PSB": "可能性词",
+    "PT": "既往信息词",
+    "AT": "否认词",
+    "O": "非关键词",
+    "NBP": "待处理",
+    "BRS": "血亲情况",
+    "SPS": "配偶状况",
+}
+
+# the subset E6 overlays onto seg tokens (generation.py:217)
+OVERLAY_TYPES: tuple[str, ...] = ("FW", "DEG", "AT", "DUR", "PSB", "PT")
+
+# jieba 2-letter userdict flags for the overlay types (config.yaml:80-97
+# jieba_inverted): the tokenizer tags these words lowercase; E6 upgrades
+# them to the uppercase NER type on exact boundary match.
+NONESSENTIAL_JIEBA: dict[str, str] = {
+    "FW": "fw", "DEG": "dg", "DUR": "dr", "AT": "at", "PT": "pt", "PSB": "pb",
+}
+
+# deterministic stand-in for the models' non-essential predictions (the
+# .pkl models are missing from the snapshot, SURVEY §0)
+NONESSENTIAL_GAZETTEER: dict[str, str] = {
+    "反复": "FW", "偶尔": "FW", "经常": "FW", "频繁": "FW",
+    "明显": "DEG", "轻度": "DEG", "重度": "DEG", "严重": "DEG",
+    "无": "AT", "未见": "AT", "否认": "AT",
+    "长期": "DUR", "数天": "DUR", "数周": "DUR",
+    "可能": "PSB", "疑似": "PSB",
+    "既往": "PT", "病史": "PT",
+}
+
+# E7 problematic-entity removal (generation.py:349-350): tokens ending in
+# these words are tagged 'rm' and excluded from training data.
+NONTEST_WORDS: tuple[str, ...] = (
+    "快速", "化学", "基因", "病理", "其他", "未知", "游离", "运动",
+)
+
 # Relation vocabulary = the reference's paragraph keys (structurize_files.py:
 # 608-628 keyword→field pairs; pre_labeling.py taboo relations 313-376).
 RELATIONS: tuple[str, ...] = (
@@ -78,6 +127,9 @@ MEDICAL_GAZETTEER: dict[str, str] = {
     "呼吸机": "EQM", "心脏起搏器": "EQM", "血液透析机": "EQM",
     # organisms
     "肺炎链球菌": "OGN", "幽门螺杆菌": "OGN", "大肠杆菌": "OGN",
+    # objects — 耐药基因 ends with a NONTEST word, exercising the E7
+    # problematic-entity removal in the training-data path
+    "耐药基因": "OBJ",
 }
 
 # Head-entity pool: pages are "about" one of these (disease/drug/surgery

@@ -45,7 +45,7 @@ HEAD_POOL: list[str] = sorted(
 # hot head entities: ~20% of pages concentrate on these three
 HOT_HEADS: tuple[str, ...] = ("糖尿病", "高血压", "阿司匹林")
 
-CORPUS_VERSION = 2  # bump to invalidate cached corpora under /tmp
+CORPUS_VERSION = 3  # bump to invalidate cached corpora under /tmp
 
 # relation → sentence templates with per-slot entity types; templates
 # exercise 、-joined runs, bracketed aliases, boundary punctuation,
@@ -59,6 +59,12 @@ _TEMPLATES: dict[str, tuple[tuple[str, tuple[str, ...]], ...]] = {
         ("病程中常伴有{0}", ("BFL",)),
         ("严重时出现{0}，需密切观察", ("SYM",)),
         ("{0}肿大提示病情进展", ("ORG",)),  # E3: ORG + 肿大 → SYM
+        # non-essential words exercising the E6 overlay (FW/DEG/AT/PT/PSB)
+        ("患者反复出现{0}", ("SYM",)),
+        ("无明显{0}，未见{1}", ("SYM", "SYM")),
+        ("既往有{0}病史", ("DIS",)),
+        ("疑似{0}，可能进展", ("DIS",)),
+        ("样本中检出{0}", ("OBJ",)),  # 耐药基因 → E7 rm in training data
     ),
     "indications": (
         ("适用于{0}的治疗", ("DIS",)),
@@ -72,6 +78,7 @@ _TEMPLATES: dict[str, tuple[tuple[str, tuple[str, ...]], ...]] = {
     ),
     "treatment": (
         ("可使用{0}治疗", ("DRU",)),
+        ("长期服用{0}需监测", ("DRU",)),  # DUR word for the E6 overlay
         ("首选{0}联合{1}", ("DRU", "DRU")),
         ("建议行{0}明确诊断", ("TES",)),
         ("必要时行{0}", ("SUR",)),

@@ -21,6 +21,72 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import md5_int
+from ..ontology import (
+    NONESSENTIAL_GAZETTEER,
+    NONESSENTIAL_JIEBA,
+    NONTEST_WORDS,
+    OVERLAY_TYPES,
+)
+
+_E6_VETO = ("、", "；", "，", ";")
+
+
+def overlay_nonessential(
+    seg: list[list], ner_spans: list[tuple[str, str, int, int]]
+) -> list[list]:
+    """E6 nonessential-tag overlay (``generation.py:216-238``): NER spans
+    of the FW/DEG/AT/DUR/PSB/PT types replace a seg token's tag when the
+    boundaries match EXACTLY; spans whose surface contains 、；，; are
+    skipped.  Mutates and returns ``seg`` (tokens are [word, tag, s, e])."""
+    if not ner_spans:
+        return seg
+    bounds = {(t[2], t[3]): i for i, t in enumerate(seg)}
+    for surf, ety, s, e in ner_spans:
+        if ety not in OVERLAY_TYPES:
+            continue
+        if any(v in surf for v in _E6_VETO):
+            continue
+        i = bounds.get((s, e))
+        if i is not None:
+            seg[i][1] = ety
+    return seg
+
+
+def problematic_removal(seg: list[list]) -> list[list]:
+    """E7 problematic-entity removal (``generation.py:347-414``):
+
+    * a token whose word ends with any NONTEST word → tag ``'rm'``;
+    * else a token containing 、/； (len ≥ 2) splits into pieces keeping
+      the original tag, the splitter chars becoming ``'rm'`` tokens —
+      UNLESS any non-empty piece is ≤ 2 chars (the reference's
+      ``min(splitted_test) <= 2 → continue`` guard keeps short runs
+      intact).  Offsets are recomputed; pure (returns a new list)."""
+    out: list[list] = []
+    for word, tag, s, e in seg:
+        if any(word.endswith(nt) for nt in NONTEST_WORDS):
+            out.append([word, "rm", s, e])
+            continue
+        splitter = next((c for c in ("、", "；") if c in word), None)
+        if splitter is not None and len(word) >= 2:
+            pieces = word.split(splitter)
+            lens = [len(p) for p in pieces if p]
+            if lens and min(lens) <= 2:
+                out.append([word, tag, s, e])
+                continue
+            pos = s
+            for i, piece in enumerate(pieces):
+                if piece == "":
+                    out.append([splitter, "rm", pos, pos + 1])
+                    pos += 1
+                    continue
+                out.append([piece, tag, pos, pos + len(piece)])
+                pos += len(piece)
+                if i != len(pieces) - 1 and len(pieces[i + 1]) > 0:
+                    out.append([splitter, "rm", pos, pos + 1])
+                    pos += 1
+            continue
+        out.append([word, tag, s, e])
+    return out
 
 
 def bio_encode(sentence: str, spans: list[tuple[int, int, str]]) -> str:
@@ -70,11 +136,74 @@ def split_of(url: str, sent_ord: int) -> str:
     return "train"
 
 
+_TRAINING_STATE: dict = {}
+
+
+def _training_state():
+    """Process-cached tokenizer + non-essential matcher for the training
+    path (Ray reuses worker processes, so this builds once per worker —
+    kept OUT of an actor pool because the BIO export runs downstream of
+    the EnsembleNER pool and two pools deadlock the streaming executor).
+
+    The tokenizer's lexicon adds the non-essential words with their
+    lowercase jieba flags (config.yaml jieba_inverted) — the userdict
+    analogue; the E6 overlay then upgrades exact-boundary matches to the
+    uppercase NER type.  The NONESSENTIAL matcher stands in for the
+    missing models' non-essential predictions (SURVEY §0)."""
+    if not _TRAINING_STATE:
+        from ..ontology import MEDICAL_GAZETTEER
+        from .ner import GazetteerMatcher
+        from .tokenize import Tokenizer
+
+        lex = {
+            **{w: NONESSENTIAL_JIEBA[t] for w, t in NONESSENTIAL_GAZETTEER.items()
+               if t in NONESSENTIAL_JIEBA},
+            **MEDICAL_GAZETTEER,
+        }
+        _TRAINING_STATE["tokenizer"] = Tokenizer(lex)
+        _TRAINING_STATE["ne_matcher"] = GazetteerMatcher(NONESSENTIAL_GAZETTEER)
+    return _TRAINING_STATE["tokenizer"], _TRAINING_STATE["ne_matcher"]
+
+
+def training_spans(sentence: str, essential: list[tuple[int, int, str]]):
+    """One sentence's final training spans: essential mention spans (E7
+    nontest-suffix entities dropped) + non-essential seg tokens after the
+    E6 overlay and E7 removal."""
+    tokenizer, ne_matcher = _training_state()
+    taken: list[tuple[int, int, str]] = []
+    occupied = [False] * len(sentence)
+    for s, e, ety in essential:
+        if any(occupied[s:e]):
+            continue
+        if any(sentence[s:e].endswith(nt) for nt in NONTEST_WORDS):  # E7 'rm'
+            continue
+        for i in range(s, min(e, len(sentence))):
+            occupied[i] = True
+        taken.append((s, e, ety))
+
+    seg = tokenizer.tokenize(sentence)
+    ner_spans = [
+        (surf, NONESSENTIAL_GAZETTEER[surf], s, e)
+        for s, e, surf in ne_matcher.find(sentence)
+    ]
+    seg = overlay_nonessential(seg, ner_spans)
+    seg = problematic_removal(seg)
+    for word, tag, s, e in seg:
+        if tag in OVERLAY_TYPES and not any(occupied[s:e]):
+            for i in range(s, min(e, len(sentence))):
+                occupied[i] = True
+            taken.append((s, e, tag))
+    taken.sort()
+    return taken
+
+
 def bio_export_batch(batch: pa.Table) -> pa.Table:
     """Deduped mention batch → one BIO block row per sentence with its
     split assignment: (url, sent_ord, split, bio).  Dictionary + ensemble
-    mentions define the spans (training labels), mirroring the reference's
-    dict+model pre-labeling."""
+    mentions define the essential spans (the reference's dict+model
+    pre-labeling); the E6 nonessential overlay and E7 problematic-entity
+    removal then shape the final training tags (``generation.py:216-238,
+    347-414``)."""
     df = batch.to_pandas()
     rows = []
     for (url, ordn), grp in df.groupby(["url", "sent_ord"], sort=False):
@@ -86,14 +215,7 @@ def bio_export_batch(batch: pa.Table) -> pa.Table:
         ]
         # earlier (longer-first) spans win on overlap: sort by start, -len
         spans.sort(key=lambda x: (x[0], -(x[1] - x[0])))
-        taken: list[tuple[int, int, str]] = []
-        occupied = [False] * len(sentence)
-        for s, e, ety in spans:
-            if any(occupied[s:e]):
-                continue
-            for i in range(s, min(e, len(sentence))):
-                occupied[i] = True
-            taken.append((s, e, ety))
+        taken = training_spans(sentence, spans)
         rows.append(
             (url, int(ordn), split_of(url, int(ordn)), bio_encode(sentence, taken))
         )

@@ -127,3 +127,81 @@ def test_extraction_audit_statuses(ray_session):
     )
     audited = audit_batch(bad).to_pandas()
     assert list(audited["status"]) == ["empty_html", "no_blocks", "no_sentences"]
+
+
+def test_overlay_nonessential_exact_boundary_only():
+    """E6 (generation.py:216-238): overlay fires only on exact [s,e) match
+    and skips surfaces containing 、；，;."""
+    from medical_knowledge_graph_ray.stages.bio import overlay_nonessential
+
+    seg = [["反复", "fw", 0, 2], ["出现", "n", 2, 4], ["发热", "SYM", 4, 6]]
+    out = overlay_nonessential(
+        list(map(list, seg)),
+        [("反复", "FW", 0, 2),      # exact → upgraded
+         ("出现", "DEG", 1, 4),     # boundary mismatch → ignored
+         ("反、复", "FW", 4, 6)],   # veto char → ignored
+    )
+    assert out[0][1] == "FW"
+    assert out[1][1] == "n"
+    assert out[2][1] == "SYM"
+
+
+def test_problematic_removal_rm_and_split():
+    """E7 (generation.py:347-414): nontest suffix → 'rm'; 、-tokens split
+    with 'rm' splitters unless any piece is ≤ 2 chars."""
+    from medical_knowledge_graph_ray.stages.bio import problematic_removal
+
+    seg = [
+        ["耐药基因", "OBJ", 0, 4],        # endswith 基因 → rm
+        ["咳嗽咳痰、发热发冷", "SYM", 4, 13],  # pieces 4+4 → split
+        ["咳嗽、热", "SYM", 13, 17],       # piece 热 ≤ 2 → kept intact
+    ]
+    out = problematic_removal(seg)
+    assert out[0] == ["耐药基因", "rm", 0, 4]
+    assert out[1] == ["咳嗽咳痰", "SYM", 4, 8]
+    assert out[2] == ["、", "rm", 8, 9]
+    assert out[3] == ["发热发冷", "SYM", 9, 13]
+    assert out[4] == ["咳嗽、热", "SYM", 13, 17]
+    # offsets still partition the original range
+    assert out[1][2] == 4 and out[3][3] == 13
+
+
+def test_problematic_removal_edge_splitters():
+    from medical_knowledge_graph_ray.stages.bio import problematic_removal
+
+    # leading splitter: empty first piece becomes an rm splitter token
+    out = problematic_removal([["、咳嗽咳痰", "SYM", 0, 5]])
+    assert out[0] == ["、", "rm", 0, 1]
+    assert out[1] == ["咳嗽咳痰", "SYM", 1, 5]
+    # trailing splitter
+    out = problematic_removal([["咳嗽咳痰、", "SYM", 0, 5]])
+    assert out[0] == ["咳嗽咳痰", "SYM", 0, 4]
+    assert out[1] == ["、", "rm", 4, 5]
+
+
+def test_training_spans_emits_nonessential_and_drops_nontest():
+    from medical_knowledge_graph_ray.stages.bio import training_spans
+
+    sent = "患者反复出现发热，样本中检出耐药基因"
+    ess = [(6, 8, "SYM"), (14, 18, "OBJ")]  # 发热, 耐药基因
+    spans = training_spans(sent, ess)
+    assert (6, 8, "SYM") in spans
+    assert (2, 4, "FW") in spans            # E6 overlay of 反复
+    assert all(ety != "OBJ" for _s, _e, ety in spans)  # E7 dropped 耐药基因
+
+
+def test_bio_export_includes_nonessential_tags(ray_session):
+    """kg_bio_export rows must now include non-essential B- tags (E6)."""
+    import __ray_entry__ as E
+
+    df = E.queries()["kg_bio_export"]("/root/testdata/sf0.001").to_pandas()
+    blob = "\n".join(df["bio"])
+    assert "B-FW" in blob or "B-DEG" in blob or "B-AT" in blob
+    assert "B-DUR" in blob or "B-PT" in blob or "B-PSB" in blob or "B-FW" in blob
+    # E7: 耐药基因 never appears as a labeled OBJ entity in training data
+    for block in df["bio"]:
+        sent, spans = __import__(
+            "medical_knowledge_graph_ray.stages.bio", fromlist=["bio_decode"]
+        ).bio_decode(block)
+        for s, e, ety in spans:
+            assert not (sent[s:e] == "耐药基因" and ety == "OBJ")
