@@ -45,7 +45,28 @@ HEAD_POOL: list[str] = sorted(
 # hot head entities: ~20% of pages concentrate on these three
 HOT_HEADS: tuple[str, ...] = ("糖尿病", "高血压", "阿司匹林")
 
-CORPUS_VERSION = 3  # bump to invalidate cached corpora under /tmp
+CORPUS_VERSION = 4  # bump to invalidate cached corpora under /tmp
+
+# title-line decorations (O2): ~30% of pages wrap their head entity in a
+# chapter heading / enumeration / prose title the extractor cascade must
+# strip; the head entity is then NOT the raw title line.
+_CN_NUM = ("一", "二", "三", "四", "五", "六", "七", "八", "九", "十")
+
+
+def _decorate_title(rng: random.Random, head: str) -> str:
+    r = rng.random()
+    if r < 0.70:
+        return head
+    cn = rng.choice(_CN_NUM)
+    if r < 0.80:
+        return f"第{cn}章{head}"
+    if r < 0.85:
+        return f"第{cn}节{head}"
+    if r < 0.92:
+        return f"{cn}、{head}"
+    if r < 0.97:
+        return f"{cn}){head}"
+    return f"关于{head}的诊疗指南"  # dictionary-scan fallback arm
 
 # relation → sentence templates with per-slot entity types; templates
 # exercise 、-joined runs, bracketed aliases, boundary punctuation,
@@ -120,7 +141,7 @@ def _page_content(idx: int) -> tuple[str, str, str, list[str]]:
     )
     n_sections = rng.randint(2, 4)
     rels = rng.sample(RELATIONS, k=n_sections)
-    blocks: list[str] = [head]
+    blocks: list[str] = [_decorate_title(rng, head)]
     for rel in rels:
         templates = _TEMPLATES[rel]
         sents = []

@@ -28,6 +28,55 @@ from ..ontology import MEDICAL_GAZETTEER
 _SENT_SPLIT_RE = re.compile(r"[。?？!！\t ;；]")
 _HEADING_RE = re.compile(r"^【(.+)】$")
 
+# -- O2 title-extractor cascade (get_disease2 structurize_files.py:39-67;
+# get_treatment2 :302-326) ----------------------------------------------------
+_CHAPTER_RE = re.compile(r"^第.{1,3}部分|^第.{1,3}章.*|^第.{1,3}节|^第.{1,3}篇.*")
+_CN_NUMS = "一二三四五六七八九十"
+_ENUM_DUN_RE = re.compile(".*[" + _CN_NUMS + "]、")
+_ENUM_PAREN_RE = re.compile(".*[" + _CN_NUMS + r"][)）]")
+
+# exclusion-list veto (the reference's `exclusions`, applied at the end of
+# both extractors): structural headings that are never head entities
+HEAD_EXCLUSIONS: frozenset[str] = frozenset(
+    {"概述", "前言", "目录", "附录", "参考文献", "诊疗流程"}
+)
+
+# dictionary-scan fallback list, longest-first so embedded shorter surfaces
+# can't shadow the full entity (the reference iterates its length-desc
+# sorted `dis` list, utils.py:61-62)
+_HEAD_SCAN: tuple[str, ...] = tuple(
+    sorted(MEDICAL_GAZETTEER, key=lambda t: (-len(t), t))
+)
+
+
+def extract_head(title: str) -> str | None:
+    """Title line → head entity via the reference's regex cascade:
+
+    1. chapter heading ``第…篇/章/节/部分`` → text after the marker;
+    2. ``一、``-style enumeration → text after the first ``、``;
+    3. ``一)``-style enumeration → text after the first ``)``;
+    4. fallback: first gazetteer surface (longest-first) contained in the
+       title;
+    then the exclusion-list veto.  ``None`` when nothing survives."""
+    head: str | None = None
+    if _CHAPTER_RE.match(title):
+        for marker in ("篇", "章", "节", "部分"):
+            if marker in title:
+                head = title.split(marker, 1)[1].strip()
+                break
+    elif _ENUM_DUN_RE.match(title):
+        head = title.split("、", 1)[1].strip()
+    elif _ENUM_PAREN_RE.match(title):
+        head = re.split(r"[)）]", title, maxsplit=1)[1].strip()
+    else:
+        for term in _HEAD_SCAN:
+            if term in title:
+                head = term
+                break
+    if head in HEAD_EXCLUSIONS:
+        return None
+    return head or None
+
 MIN_SENT_LEN = 4  # keep len >= 4, i.e. drop len <= 3 fragments
 
 SENTENCE_SCHEMA = pa.schema(
@@ -51,7 +100,13 @@ def split_document(text: str) -> list[tuple[str, str, str, str]]:
     lines = text.split("\n")
     if not lines:
         return []
-    head = lines[0].strip()
+    title = lines[0].strip()
+    # O2 cascade; a page must have SOME head in this per-page data model,
+    # so a title the cascade rejects (or vetoes) falls back to the raw
+    # line — the reference's book model instead just doesn't open a new
+    # section (change(), structurize_files.py:69-79), a luxury a
+    # page-per-row pipeline doesn't have (documented divergence)
+    head = extract_head(title) or title
     head_type = MEDICAL_GAZETTEER.get(head, "DIS")
     paragraph = "clinical"  # default section, overwritten by first heading
     out: list[tuple[str, str, str, str]] = []

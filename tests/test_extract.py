@@ -49,3 +49,53 @@ def test_split_document_semicolon_and_space():
     text = "胃炎\n【clinical】\n患者出现腹痛；伴有恶心 病程中常伴有乏力。"
     sents = [r[0] for r in split_document(text)]
     assert sents == ["患者出现腹痛", "伴有恶心", "病程中常伴有乏力"]
+
+
+def test_extract_head_cascade_arms():
+    """O2 cascade (structurize_files.py:39-67, 302-326): every arm."""
+    from medical_knowledge_graph_ray.stages.sentences import extract_head
+
+    assert extract_head("第三章糖尿病") == "糖尿病"
+    assert extract_head("第十节高血压") == "高血压"
+    assert extract_head("第一部分肺炎") == "肺炎"
+    assert extract_head("三、慢性胃炎") == "慢性胃炎"
+    assert extract_head("七)心律失常") == "心律失常"
+    assert extract_head("关于阿司匹林的诊疗指南") == "阿司匹林"  # dict scan
+    # longest-first scan: the full overlapping surface wins
+    assert extract_head("关于慢性心力衰竭的指南") == "慢性心力衰竭"
+    # exclusion veto
+    assert extract_head("一、概述") is None
+    assert extract_head("第一章概述") is None
+    # nothing matches
+    assert extract_head("Stub 42") is None
+
+
+def test_split_document_head_not_line_one():
+    from medical_knowledge_graph_ray.stages.sentences import split_document
+
+    text = "第二章糖尿病\n【clinical】\n患者出现发热和头痛。"
+    rows = split_document(text)
+    assert rows and rows[0][1] == "糖尿病" and rows[0][2] == "DIS"
+    # veto falls back to the raw title line (per-page model needs a head)
+    rows = split_document("一、概述\n【clinical】\n患者出现发热和头痛。")
+    assert rows and rows[0][1] == "一、概述"
+
+
+def test_corpus_contains_decorated_titles():
+    from medical_knowledge_graph_ray.sources.pages import pages_table
+    from medical_knowledge_graph_ray.stages.sentences import extract_head
+
+    t = pages_table(300)
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    decorated = plain = 0
+    for text, lang in zip(texts, langs):
+        if lang != "zh":
+            continue
+        title = text.split("\n", 1)[0]
+        if title.startswith("第") or "、" in title or ")" in title or title.startswith("关于"):
+            decorated += 1
+            assert extract_head(title) is not None
+        else:
+            plain += 1
+    assert decorated > 20 and plain > 100
