@@ -239,3 +239,70 @@ def test_neardup_chunked_synthetic_planted_pairs(ray_session):
     planted = set(zip(range(40), range(1000, 1040)))
     found = set(zip(out["vec_a"], out["vec_b"]))
     assert planted <= found
+
+
+def test_gazetteer_kernel_equals_sweep_reference():
+    """The O(corpus) n-gram-probe kernel must reproduce the sequential
+    mask-then-match sweep EXACTLY, including priority shadowing and
+    overlap edge cases."""
+    from medical_knowledge_graph_ray.pipelines.docs_kg import (
+        doc_mentions_batch,
+        doc_mentions_batch_sweep,
+    )
+
+    rng = np.random.RandomState(7)
+    vocab = ["hash", "join", "merge", "sort", "scan", "table", "index",
+             "window", "agg", "filter", "spark", "row", "column", "partition",
+             "customer", "order", "part", "on", "the", "data", "x1", "q"]
+    texts = []
+    for _ in range(200):
+        n = rng.randint(3, 40)
+        texts.append(" ".join(rng.choice(vocab, size=n)))
+    # adversarial: overlapping multi terms, double spaces, punctuation
+    texts += [
+        "merge join sort merge join",     # chained overlaps
+        "hash join sort merge",
+        "hash  join",                     # double space: no multi match
+        "table scan, index scan.",
+        "sort merge join",                # 'sort merge' wins over 'merge join'
+        "",
+    ]
+    batch = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64),
+         "source": ["s"] * len(texts), "text": texts}
+    )
+    key = ["doc_id", "term"]
+    got = doc_mentions_batch(batch).sort_values(key).reset_index(drop=True)
+    want = doc_mentions_batch_sweep(batch).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[key + ["ent_type", "n_occ"]], want[key + ["ent_type", "n_occ"]]
+    )
+
+
+def test_gazetteer_kernel_scales_with_corpus_not_terms():
+    """10× the gazetteer must not blow up the kernel (the sweep kernel is
+    linear in #terms; the probe kernel is ~flat)."""
+    import time
+
+    from medical_knowledge_graph_ray.pipelines.docs_kg import (
+        _GazetteerKernel,
+        WEBTEXT_GAZETTEER,
+    )
+
+    big = dict(WEBTEXT_GAZETTEER)
+    for i in range(10 * len(WEBTEXT_GAZETTEER)):
+        big[f"zzterm{i} qq{i}"] = "OPR"
+        big[f"zzsingle{i}"] = "OBJ"
+    rng = np.random.RandomState(1)
+    vocab = ["hash", "join", "sort", "merge", "table", "scan", "data", "the"]
+    texts = [" ".join(rng.choice(vocab, size=200)) for _ in range(200)]
+
+    k_small = _GazetteerKernel(WEBTEXT_GAZETTEER)
+    k_big = _GazetteerKernel(big)
+    k_small.counts(texts)  # warm
+    t0 = time.perf_counter(); r_small = k_small.counts(texts); t_small = time.perf_counter() - t0
+    t0 = time.perf_counter(); r_big = k_big.counts(texts); t_big = time.perf_counter() - t0
+    assert r_small == r_big  # extra terms never occur in the text
+    # generous bound: 21× the terms must stay within 4× the time (the old
+    # sweep kernel would be ~21×)
+    assert t_big < 4 * t_small + 0.05, (t_small, t_big)
