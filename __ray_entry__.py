@@ -165,6 +165,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_histogram": docs.token_histogram,
         "docs_split": docs.docs_split,
         "orders_lineitem_join": relational.orders_lineitem_join,
+        # R5 deterministic sampling / A1 first-non-null / D4 set difference
+        "docs_sample": docs.docs_sample,
+        "docs_first_nonnull": docs.docs_first_nonnull,
+        "gazetteer_unseen": docs_kg.gazetteer_unseen,
         # multimodal plumbing (stubbed decode; rows-only)
         "media_features": lambda sf_dir: __import__(
             "medical_knowledge_graph_ray.stages.multimodal",
@@ -210,6 +214,9 @@ def oracle_sql() -> dict[str, str]:
         "token_histogram": docs.TOKEN_HISTOGRAM_SQL,
         "docs_split": docs.DOCS_SPLIT_SQL,
         "orders_lineitem_join": relational.ORDERS_LINEITEM_JOIN_SQL,
+        "docs_sample": docs.DOCS_SAMPLE_SQL,
+        "docs_first_nonnull": docs.DOCS_FIRST_NONNULL_SQL,
+        "gazetteer_unseen": docs_kg.unseen_sql(),
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
     }

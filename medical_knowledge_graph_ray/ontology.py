@@ -161,6 +161,10 @@ WEBTEXT_GAZETTEER: dict[str, str] = {
     "customer": "ENT",
     "order": "ENT",
     "part": "ENT",
+    # absent from the driver corpus by construction — the D4 unseen-term
+    # set difference (generation.py:195-200) has something to find
+    "checkpoint": "OPR",
+    "vacuum": "OPR",
 }
 
 # English stopwords for the language-ID / quality-score stages.

@@ -179,7 +179,14 @@ def embed_norms(sf_dir: str):
     import numpy as np
     from ray.data.aggregate import Sum
 
+    _EMPTY_PARTIAL = pd.DataFrame(
+        {"label": pd.array([], "int32"), "n_vecs": pd.array([], "int64"),
+         "norm_u": pd.array([], "int64")}
+    )
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):  # typed empty — a column-less frame poisons
+            return _EMPTY_PARTIAL  # downstream schema unification
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
         norm_u = np.rint(np.round(np.linalg.norm(mat, axis=1), 6) * 1_000_000).astype(
             "int64"
@@ -286,6 +293,79 @@ SELECT doc_id,
 FROM (SELECT doc_id,
              ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS h
       FROM documents)
+"""
+
+
+# -- R5 deterministic sampling ------------------------------------------------
+
+def docs_sample(sf_dir: str):
+    """Content-stable 1-in-20 sample (R5): the order-independent
+    replacement for the reference's positional ``np.random.choice``
+    (``multi_source_ner.py:854-858``) — same stable-hash idiom as the R6
+    split, so the sample is identical at any parallelism."""
+    from ..functions.hashing import md5_int
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        mask = [
+            md5_int(f"sample|{d}", bits=32) % 20 == 0 for d in b["doc_id"]
+        ]
+        return b.loc[mask, ["doc_id", "source", "n_chars"]]
+
+    return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        keep, batch_format="pandas"
+    )
+
+
+DOCS_SAMPLE_SQL = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 20 = 0
+"""
+
+
+# -- A1 first-non-null group-merge --------------------------------------------
+
+def docs_first_nonnull(sf_dir: str):
+    """A1 (``structurize_files.py:662-681``): per source, per value column
+    INDEPENDENTLY, the first non-null value in doc_id order.  Nulls are
+    synthesized deterministically (n_chars hidden unless divisible by
+    2 / by 3) so different rows donate different columns, which is the
+    semantics that distinguishes first-non-null from plain first."""
+    from ..stages.shuffle import first_non_null_agg
+
+    def nullify(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_chars"]
+        return pd.DataFrame(
+            {
+                "source": b["source"],
+                "doc_id": b["doc_id"],
+                "first_even": n.where(n % 2 == 0).astype("Int64"),
+                "first_mod3": n.where(n % 3 == 0).astype("Int64"),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        arrow_out(nullify), batch_format="pandas"
+    )
+    agg = first_non_null_agg(
+        ds, ["source"], "doc_id", ["first_even", "first_mod3"]
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        for c in ("first_even", "first_mod3"):
+            out[c] = out[c].astype("int64")  # every source has both parities
+        return out
+
+    return agg.map_batches(arrow_out(finalize), batch_format="pandas")
+
+
+DOCS_FIRST_NONNULL_SQL = """
+SELECT source,
+       FIRST(CASE WHEN n_chars % 2 = 0 THEN n_chars END ORDER BY doc_id)
+         FILTER (WHERE n_chars % 2 = 0) AS first_even,
+       FIRST(CASE WHEN n_chars % 3 = 0 THEN n_chars END ORDER BY doc_id)
+         FILTER (WHERE n_chars % 3 = 0) AS first_mod3
+FROM documents GROUP BY source
 """
 
 

@@ -239,6 +239,54 @@ def doc_nodes(sf_dir: str):
     )
 
 
+# -- D4 set difference: unseen gazetteer terms --------------------------------
+
+def gazetteer_unseen(sf_dir: str):
+    """D4 unseen-dictionary set difference (``generation.py:195-200``):
+    single-word gazetteer terms that never occur as a token anywhere in
+    the corpus.  Distributed shape: per-batch ``tokens ∩ terms`` partials
+    (bounded by gazetteer size) → bucketed distinct → the difference
+    against the (small, broadcast-scale) term list; the corpus is never
+    collected, only the seen-term set is."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    term_set = set(SINGLE_TERMS)
+
+    def seen_partial(b: pd.DataFrame) -> pd.DataFrame:
+        seen: set[str] = set()
+        for text in b["text"].astype(str):
+            seen.update(term_set.intersection(text.split(" ")))
+        return pd.DataFrame({"term": sorted(seen)})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    partials = docs.map_batches(arrow_out(seen_partial), batch_format="pandas")
+    seen_ds = bucketed_group_map(
+        partials, ["term"],
+        lambda g: g.drop_duplicates("term"),
+        num_buckets=4,
+    )
+    seen = set(seen_ds.to_pandas()["term"])  # ≤ |gazetteer| rows
+    unseen = sorted(term_set - seen)
+    return pd.DataFrame(
+        {"term": pd.array(unseen, "str"),
+         "ent_type": pd.array([WEBTEXT_GAZETTEER[t] for t in unseen], "str")}
+    )
+
+
+def unseen_sql() -> str:
+    values = ", ".join(
+        f"('{t}', '{WEBTEXT_GAZETTEER[t]}')" for t in sorted(SINGLE_TERMS)
+    )
+    return (
+        f"SELECT term, ent_type FROM (VALUES {values}) AS g(term, ent_type) "
+        "WHERE term NOT IN "
+        "(SELECT DISTINCT unnest(string_split(text, ' ')) FROM documents)"
+    )
+
+
 # -- DuckDB oracle SQL (generated from the same gazetteer) -------------------
 
 def _masked_text_expr() -> str:

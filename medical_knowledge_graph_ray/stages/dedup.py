@@ -226,16 +226,23 @@ def fingerprint_cluster_partial(batch: pd.DataFrame) -> pd.DataFrame:
 
 # -- SimHash ------------------------------------------------------------------
 
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (md5-derived bit vectors)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in set(text.split(" ")):
-        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    fp = np.uint64(0)
-    for i in np.flatnonzero(acc > 0):
-        fp |= np.uint64(1) << np.uint64(i)
+    """64-bit SimHash over word tokens (md5-derived bit vectors).
+
+    Vectorized through the memoized per-token hashes (`_token_hashes`) +
+    one (n_tokens, 64) bit unpack and column sum — bit-exact with the
+    original per-token Python loop (and the SQL oracle) but ~an order of
+    magnitude faster on repeat-heavy corpora."""
+    toks = list(set(text.split(" ")))
+    if not toks:
+        return 0
+    h = _token_hashes(toks)  # (n,) uint64, md5[:8] big-endian
+    bits = ((h[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    fp = ((acc > 0).astype(np.uint64) << _BIT_SHIFTS).sum(dtype=np.uint64)
     return int(fp)
 
 

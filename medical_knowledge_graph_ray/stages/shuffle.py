@@ -40,6 +40,61 @@ def add_bucket(batch: pd.DataFrame, keys: list[str], num_buckets: int) -> pd.Dat
     return batch
 
 
+def first_non_null_agg(
+    ds,
+    keys: list[str],
+    order_col: str,
+    value_cols: list[str],
+    *,
+    num_buckets: int = 32,
+):
+    """A1 group-merge (``structurize_files.py:662-681``): per group, per
+    value column INDEPENDENTLY, the first non-null value — "first" defined
+    by ``order_col`` (the reference used row order, which is
+    parallelism-hostile; a content-stable order column makes the result
+    identical at any parallelism).
+
+    Two-phase: each batch melts to one partial row per (group, column)
+    carrying the batch-local minimal-order non-null value; the bucketed
+    final keeps the global minimum and pivots back to wide."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for col in value_cols:
+            nn = b[b[col].notna()]
+            if not len(nn):
+                continue
+            idx = nn.groupby(keys, sort=False)[order_col].idxmin()
+            sub = nn.loc[idx, keys + [order_col, col]].rename(
+                columns={order_col: "_ord", col: "_val"}
+            )
+            sub["_col"] = col
+            frames.append(sub)
+        if not frames:
+            return pd.DataFrame(
+                {**{k: pd.array([], "str") for k in keys},
+                 "_ord": pd.array([], "int64"), "_val": pd.array([], "float64"),
+                 "_col": pd.array([], "str")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby(keys + ["_col"], sort=False)["_ord"].idxmin()
+        wide = (
+            g.loc[idx]
+            .pivot(index=keys, columns="_col", values="_val")
+            .reset_index()
+        )
+        wide.columns.name = None
+        for col in value_cols:  # groups where a column was all-null
+            if col not in wide.columns:
+                wide[col] = pd.NA
+        return wide[keys + value_cols]
+
+    partials = ds.map_batches(arrow_out(partial), batch_format="pandas")
+    return bucketed_group_map(partials, keys, combine, num_buckets=num_buckets)
+
+
 def bucketed_group_map(
     ds,
     keys: list[str],

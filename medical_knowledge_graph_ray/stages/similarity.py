@@ -35,6 +35,12 @@ class BruteForceTopK:
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        if not len(batch):
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
         mat = _to_matrix(batch["embedding"])
         norms = np.linalg.norm(mat, axis=1)
         sims = (mat @ self.q) / np.where(norms == 0, 1.0, norms)
@@ -76,6 +82,10 @@ def _planes(dim: int) -> np.ndarray:
 def lsh_signature_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Add an N_PLANES-bit hyperplane-sign bucket id per vector
     (N_PLANES=6 → 64 buckets)."""
+    if not len(batch):
+        return pd.DataFrame(
+            {"vec_id": pd.array([], "int64"), "bucket": pd.array([], "int64")}
+        )
     mat = _to_matrix(batch["embedding"])
     planes = _planes(mat.shape[1])
     bits = (mat @ planes.T) > 0
@@ -90,6 +100,8 @@ def knn_cosine_lsh(embeddings, query: np.ndarray, k: int = 10):
     q = np.asarray(query, dtype=np.float64)
 
     def _sig_and_keep(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
         mat = _to_matrix(batch["embedding"])
         planes = _planes(mat.shape[1])
         qb = int(((q @ planes.T) > 0) @ (1 << np.arange(N_PLANES, dtype=np.int64)))
@@ -135,6 +147,11 @@ def neardup_pairs_chunked(embeddings, threshold: float, *, n_chunks: int = 8):
     C = n_chunks
 
     def replicate(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"pk": pd.array([], "int32"), "chunk": pd.array([], "int32"),
+                 "vec_id": pd.array([], "int64"), "unit": []}
+            )
         mat = _to_matrix(b["embedding"])
         norms = np.linalg.norm(mat, axis=1)
         unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
@@ -272,6 +289,8 @@ def knn_cosine_ivf(
             self.centroids = None
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                return b
             if self.centroids is None:
                 self.centroids = ray.get(cent_ref)
             m = _to_matrix(b["embedding"])
