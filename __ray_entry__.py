@@ -106,6 +106,15 @@ def _kg_extract_audit(sf_dir: str):
     return extraction_audit(corpus_for_sf(sf_dir))
 
 
+def _kg_source_info(sf_dir: str):
+    from medical_knowledge_graph_ray.pipelines.kg import (
+        corpus_for_sf,
+        source_info_dataset,
+    )
+
+    return source_info_dataset(corpus_for_sf(sf_dir))
+
+
 def _ner_eval(sf_dir: str):
     from medical_knowledge_graph_ray.pipelines.kg import ner_eval_pages
 
@@ -186,6 +195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # engine-computed so this is rows-only, golden-tested in
         # tests/test_muc_eval.py)
         "ner_eval": _ner_eval,
+        # sentence-lineage table sorted by content-stable key (rows-only;
+        # clean_and_save.py:561-597 source_info analogue)
+        "kg_source_info": _kg_source_info,
     }
 
 

@@ -162,6 +162,35 @@ def sentences_dataset(corpus_dir: str):
     )
 
 
+def source_info_dataset(corpus_dir: str):
+    """Materialized sentence-lineage table (``source_info``,
+    ``clean_and_save.py:561-597``): one row per sentence with its head
+    entity, section/paragraph and provenance, globally sorted by the
+    content-stable key — the R1 ``sort_values("ind")`` analogue.  The
+    reference's integer ``ind`` becomes (url, sent_ord); ``corpus``
+    becomes the page language (the c/m/d/kd source label has no analogue
+    in a single web-page table)."""
+    sents = sentences_dataset(corpus_dir)
+    return sents.sort(["url", "sent_ord"])
+
+
+def write_source_info(corpus_dir: str, out_root: str, *, resume: bool = True) -> dict:
+    """Write source_info alongside nodes/edges (checkpoint + manifest).
+
+    Runs its own extract+split pass — the CHEAP prefix of the pipeline
+    (no NER/rules), so re-scanning beats threading sentence rows through
+    the triple checkpoint, which only retains sentences that produced
+    triples."""
+    fp = f"corpus={_corpus_fingerprint(corpus_dir)}|source_info"
+    return write_stage(
+        source_info_dataset(corpus_dir),
+        os.path.join(out_root, "source_info"),
+        "source_info",
+        fp,
+        force=not resume,
+    )
+
+
 def ner_eval_pages(sf_dir: str):
     """MUC-style evaluation table over the sf-scaled page corpus: every
     ensemble member + ensemble_strong scored against the gazetteer gold
@@ -405,5 +434,8 @@ def run_kg(
     )
     manifests["edges"] = write_stage(
         edges, os.path.join(out_root, "edges"), "edges", fp_base, force=not resume
+    )
+    manifests["source_info"] = write_source_info(
+        corpus_dir, out_root, resume=resume
     )
     return manifests

@@ -159,3 +159,30 @@ def test_corpus_regeneration_invalidates_checkpoints(ray_session, tmp_path_facto
 
     tri = pd.read_parquet(f"{out}/triples")
     assert tri["url"].nunique() > 35  # 60-page corpus minus en pages
+
+
+def test_source_info_lineage_table(ray_session, tmp_path):
+    """source_info (clean_and_save.py:561-597): one row per sentence,
+    sorted by (url, sent_ord), written alongside nodes/edges."""
+    import pandas as pd
+
+    from medical_knowledge_graph_ray.pipelines.kg import (
+        run_kg,
+        sentences_dataset,
+    )
+    from medical_knowledge_graph_ray.sources.pages import generate_pages
+
+    corpus = generate_pages(120, str(tmp_path / "pages"))
+    m = run_kg(corpus, str(tmp_path / "out"), n_shards=2)
+    assert "source_info" in m and m["source_info"]["rows"] > 0
+    si = pd.read_parquet(tmp_path / "out" / "source_info")
+    assert list(si.columns) == [
+        "url", "sent_ord", "sentence", "head_entity", "head_type", "paragraph"
+    ]
+    # sorted by content-stable key
+    key = list(zip(si["url"], si["sent_ord"]))
+    assert key == sorted(key)
+    # covers every sentence, including triple-less ones
+    n_sents = sentences_dataset(corpus).count()
+    assert len(si) == n_sents
+    assert not si.duplicated(["url", "sent_ord"]).any()
