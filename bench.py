@@ -41,6 +41,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "events_tumbling", "events_argmax", "events_sessionize",
         "docs_stats", "docs_quality", "dedup_exact",
         "minhash_pairs", "knn_cosine", "embed_norms",
+        "embed_neardup_pairs", "ner_eval",
     ]
     qs = em.queries()
     times: dict[str, float] = {}
@@ -83,11 +84,19 @@ def main_bench() -> dict:
             address="local", num_cpus=NUM_CPUS, include_dashboard=False,
             logging_level="ERROR",
         )
+    import logging
+
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.preserve_order = False
+    # Ray 2.49's sort-based aggregate emits an internal column-less
+    # sentinel block for empty reduce partitions, tripping a cosmetic
+    # "different schema" warning even when every user block is typed
+    # (ours are — see the typed-empty-partial tests); keep the bench log
+    # to real errors.
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     # warm the OS page cache (untimed)
     for t in ("lineitem", "documents", "events", "embeddings", "orders", "customer"):

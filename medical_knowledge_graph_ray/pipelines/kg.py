@@ -163,9 +163,9 @@ def sentences_dataset(corpus_dir: str):
 
 
 def source_info_dataset(corpus_dir: str):
-    """Materialized sentence-lineage table (``source_info``,
-    ``clean_and_save.py:561-597``): one row per sentence with its head
-    entity, section/paragraph and provenance, globally sorted by the
+    """Sentence-lineage table (``source_info``, ``clean_and_save.py:
+    561-597``): one row per sentence with its head entity,
+    section/paragraph and provenance, globally sorted by the
     content-stable key — the R1 ``sort_values("ind")`` analogue.  The
     reference's integer ``ind`` becomes (url, sent_ord); ``corpus``
     becomes the page language (the c/m/d/kd source label has no analogue
@@ -180,10 +180,22 @@ def write_source_info(corpus_dir: str, out_root: str, *, resume: bool = True) ->
     Runs its own extract+split pass — the CHEAP prefix of the pipeline
     (no NER/rules), so re-scanning beats threading sentence rows through
     the triple checkpoint, which only retains sentences that produced
-    triples."""
+    triples.  The materialized table is sorted WITHIN each file, not
+    globally: a global sort is a full-table range shuffle of the largest
+    intermediate (measured +17 s of the sf0.1 flagship for zero
+    analytical gain — any reader wanting global order range-merges the
+    sorted files, and `source_info_dataset` still offers the globally
+    sorted R1 form as a query)."""
+    import pyarrow as pa
+
+    def _sort_block(t: pa.Table) -> pa.Table:
+        return t.sort_by([("url", "ascending"), ("sent_ord", "ascending")])
+
     fp = f"corpus={_corpus_fingerprint(corpus_dir)}|source_info"
     return write_stage(
-        source_info_dataset(corpus_dir),
+        sentences_dataset(corpus_dir).map_batches(
+            _sort_block, batch_format="pyarrow"
+        ),
         os.path.join(out_root, "source_info"),
         "source_info",
         fp,
@@ -191,14 +203,33 @@ def write_source_info(corpus_dir: str, out_root: str, *, resume: bool = True) ->
     )
 
 
-def ner_eval_pages(sf_dir: str):
+def ner_eval_pages(sf_dir: str, *, heldout_only: bool = True):
     """MUC-style evaluation table over the sf-scaled page corpus: every
     ensemble member + ensemble_strong scored against the gazetteer gold
     span set — the reference's quality gate as a first-class distributed
-    operator (``multi_ner_prediction.py:75-84, 595-606``)."""
+    operator (``multi_ner_prediction.py:75-84, 595-606``).
+
+    ``heldout_only`` (default): evaluate the content-stable val+test
+    splits (~2.3% of sentences) — the reference evaluates held-out test
+    sets, never the training corpus (``generation.py:446-455``,
+    ``clean_and_save.py:763-768``); pass False for a full-corpus audit."""
+    import pyarrow as pa
+
+    from ..stages.bio import split_of
     from ..stages.muc_eval import ner_eval_dataset
 
     sents = sentences_dataset(corpus_for_sf(sf_dir))
+    if heldout_only:
+        def keep_heldout(t: pa.Table) -> pa.Table:
+            mask = [
+                split_of(u, o) != "train"
+                for u, o in zip(
+                    t.column("url").to_pylist(), t.column("sent_ord").to_pylist()
+                )
+            ]
+            return t.filter(pa.array(mask))
+
+        sents = sents.map_batches(keep_heldout, batch_format="pyarrow")
     return ner_eval_dataset(sents).sort(["model", "ent_type", "schema"])
 
 
@@ -328,19 +359,29 @@ def run_kg(
                     cache[u] = b
                 shard[j] = b
             rows = []
+            import pandas as _pd
+
             for i in np.unique(shard).tolist():
-                part = t.filter(pa.array(shard == i))
-                # block-unique name: digest of EVERY (url, sent_ord) in the
-                # slice — retries of the same block stay idempotent, but two
-                # distinct blocks can never collide (first-row + row-count
-                # collided in principle, silently dropping rows)
-                h = _hl.md5()
-                for u, so in zip(
-                    part.column("url").to_pylist(),
-                    part.column("sent_ord").to_pylist(),
-                ):
-                    h.update(f"{u}|{so};".encode())
-                fname = "part-" + h.hexdigest()[:16] + ".parquet"
+                mask = shard == i
+                part = t.filter(pa.array(mask))
+                # block-unique name: digest over EVERY (url, sent_ord) in
+                # the slice via the vectorized pandas row hash (order-
+                # insensitive uint64 sum) — retries of the same block stay
+                # idempotent, but two distinct blocks can never collide
+                # (first-row + row-count collided in principle, silently
+                # dropping rows); a per-row Python md5 loop here cost
+                # ~15 s at 5.6M triples
+                rh = _pd.util.hash_pandas_object(
+                    _pd.DataFrame(
+                        {"u": np.asarray(urls, dtype=object)[mask],
+                         "o": part.column("sent_ord").to_numpy()}
+                    ),
+                    index=False,
+                ).to_numpy()
+                digest = _hl.md5(
+                    f"{part.num_rows}|{int(rh.sum(dtype=np.uint64))}".encode()
+                ).hexdigest()[:16]
+                fname = "part-" + digest + ".parquet"
                 fpath = os.path.join(tmp, f"shard_id={i:04d}", fname)
                 _pq.write_table(part, fpath)
                 rows.append((i, fname, part.num_rows, os.path.getsize(fpath)))

@@ -256,7 +256,9 @@ class MucEvalStage:
         preds["ensemble_strong"] = strong
         return gold, preds
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame):
+        import pyarrow as pa
+
         rows: list[tuple] = []
         for sentence in batch["sentence"]:
             gold, preds = self._sentence_spans(sentence)
@@ -264,30 +266,46 @@ class MucEvalStage:
         df = pd.DataFrame(
             rows, columns=["model", "ent_type", "schema", *COUNT_COLS]
         )
-        # batch-local combine before the exchange
-        return (
+        # batch-local combine before the exchange; Arrow out — pandas
+        # blocks make the downstream groupby ~25× slower (measured)
+        out = (
             df.groupby(["model", "ent_type", "schema"], sort=False)[COUNT_COLS]
             .sum()
             .reset_index()
         )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def ner_eval_dataset(sentences, *, concurrency=None, batch_size: int = 512):
+_STAGE_CACHE: dict = {}
+
+
+def muc_eval_partials_batch(batch: pd.DataFrame):
+    """Task-pool form of ``MucEvalStage`` with per-process cached state.
+
+    A fixed actor pool here STARVES the downstream shuffle: Ray fuses the
+    whole cheap upstream (read→extract→split→filter) into the pool, and
+    the pool's reserved CPUs aren't available to the aggregate's sort
+    tasks — measured 18.9 s (28-actor pool) vs 10.3 s (8) vs task pool
+    (elastic) for the identical sf0.1 evaluation.  Ray reuses worker
+    processes, so the matcher build still happens once per worker."""
+    stage = _STAGE_CACHE.get("stage")
+    if stage is None:
+        stage = _STAGE_CACHE["stage"] = MucEvalStage()
+    return stage(batch)
+
+
+def ner_eval_dataset(sentences, *, batch_size: int = 2048):
     """sentence rows → evaluated (model, ent_type, schema, counts, P, R).
 
-    Two-phase: actor-pool count partials → tiny fixed-cardinality groupby
+    Two-phase: task-pool count partials (Arrow out — pandas blocks make
+    the groupby ~25× slower) → tiny fixed-cardinality groupby
     (#models × (#types+1) × 4 schemas) → finalize."""
     from ray.data.aggregate import Sum
 
     from ..functions.arrow import arrow_out
-    from ..pipelines.kg import _default_concurrency
 
     partials = sentences.map_batches(
-        MucEvalStage,
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=concurrency or _default_concurrency(),
-        num_cpus=1,
+        muc_eval_partials_batch, batch_format="pandas", batch_size=batch_size
     )
     agg = partials.groupby(["model", "ent_type", "schema"]).aggregate(
         *[Sum(c, alias_name=c) for c in COUNT_COLS]

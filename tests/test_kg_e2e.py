@@ -175,13 +175,17 @@ def test_source_info_lineage_table(ray_session, tmp_path):
     corpus = generate_pages(120, str(tmp_path / "pages"))
     m = run_kg(corpus, str(tmp_path / "out"), n_shards=2)
     assert "source_info" in m and m["source_info"]["rows"] > 0
+    import glob
+
     si = pd.read_parquet(tmp_path / "out" / "source_info")
     assert list(si.columns) == [
         "url", "sent_ord", "sentence", "head_entity", "head_type", "paragraph"
     ]
-    # sorted by content-stable key
-    key = list(zip(si["url"], si["sent_ord"]))
-    assert key == sorted(key)
+    # sorted within every file (global order is the query's job)
+    for f in glob.glob(str(tmp_path / "out" / "source_info" / "*.parquet")):
+        part = pd.read_parquet(f)
+        key = list(zip(part["url"], part["sent_ord"]))
+        assert key == sorted(key)
     # covers every sentence, including triple-less ones
     n_sents = sentences_dataset(corpus).count()
     assert len(si) == n_sents

@@ -149,6 +149,7 @@ def test_stage_batch_matches_manual_sum():
     batch = pd.DataFrame({"sentence": sents})
     got = (
         stage(batch)
+        .to_pandas()
         .groupby(["model", "ent_type", "schema"], sort=False)[COUNT_COLS]
         .sum()
         .reset_index()
