@@ -83,6 +83,41 @@ def test_hash_join_left(ray_session):
     assert got[got["k"] == 2]["b"].isna().all()
 
 
+def test_media_codecs_roundtrip():
+    """The self-describing formats REALLY decode: encode→decode is exact."""
+    from medical_knowledge_graph_ray.stages.multimodal import (
+        ppm_decode, ppm_encode, rawvideo_decode, rawvideo_encode,
+        wav_decode, wav_encode, _synth_audio, _synth_image,
+    )
+
+    img = _synth_image(7, 40, 24)
+    assert (ppm_decode(ppm_encode(img)) == img).all()
+    aud = _synth_audio(3, 5000)
+    got, rate = wav_decode(wav_encode(aud, 8000))
+    assert rate == 8000 and (got == aud).all()
+    frames = [_synth_image(i, 16, 12) for i in range(5)]
+    dec = rawvideo_decode(rawvideo_encode(frames), every=2)
+    assert len(dec) == 3 and (dec[1] == frames[2]).all()
+    with pytest.raises(ValueError):
+        ppm_decode(b"nonsense")
+
+
+def test_media_kernels():
+    from medical_knowledge_graph_ray.stages.multimodal import (
+        _synth_image, dhash64, image_features, resize_nearest,
+    )
+
+    img = _synth_image(1, 64, 48)
+    small = resize_nearest(img, (16, 16))
+    assert small.shape == (16, 16, 3)
+    f = image_features(img)
+    assert f.shape == (16,) and 0.0 <= f[0] <= 1.0
+    # perceptual hash: stable, and near-identical images agree closely
+    h1, h2 = dhash64(img), dhash64(resize_nearest(img, (32, 32)))
+    assert h1 == dhash64(_synth_image(1, 64, 48))
+    assert bin(h1 ^ h2).count("1") <= 16  # small Hamming distance
+
+
 def test_media_feature_plumbing(ray_session):
     from medical_knowledge_graph_ray.stages.multimodal import (
         MediaFeatureExtractor,
@@ -90,19 +125,25 @@ def test_media_feature_plumbing(ray_session):
         synth_media_batch,
     )
 
-    t = synth_media_batch({"id": np.arange(12)})
-    assert t.num_rows == 12
+    t = synth_media_batch({"id": np.arange(24)})
+    assert t.num_rows == 24
     fx = MediaFeatureExtractor()
-    out = fx(t)
-    assert "payload" not in out.column_names and "features" in out.column_names
-    feats = out["features"].to_pylist()
-    assert all(len(f) == 16 and abs(sum(f) - 1.0) < 1e-5 for f in feats)
-    with pytest.raises(ValueError):
-        fx._decode_stub(b"")
+    out = fx(t).to_pandas()
+    assert "payload" not in out.columns and "features" in out.columns
+    assert (out["status"] == "decoded").sum() > 0
+    # foreign codecs hit the dead-letter path, never a crash/drop
+    assert (out["status"] == "unsupported").sum() > 0
+    assert set(out.loc[out["status"] == "unsupported", "mime"]) <= {
+        "image/png", "audio/mpeg", "video/mp4"
+    }
+    # decoded images/videos carry a non-zero perceptual hash
+    dec_img = out[(out["status"] == "decoded") & (out["kind"] != "audio")]
+    assert (dec_img["phash"] != 0).all()
 
     ds = media_features(48, concurrency=2)
     df = ds.to_pandas()
     assert len(df) == 48 and set(df["kind"]) == {"image", "audio", "video"}
+    assert (df["status"] == "decoded").sum() > 30
 
 
 def test_extraction_audit_statuses(ray_session):
