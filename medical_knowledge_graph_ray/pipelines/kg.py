@@ -455,23 +455,20 @@ def run_kg(
         "shards": shard_manifests,
     }
 
-    # nodes and edges are independent scans of the triples checkpoint;
-    # measured: overlapping the two executions CONTENDS (29 s overlapped
-    # vs ~6 s + ~11 s sequential at 200 k pages — both want the full CPU
-    # set), so run them back-to-back.  Large combine batches maximize
-    # batch-local dedup before the key shuffle.
-    nodes = finalize_nodes(
-        read_stage(tri_dir).map_batches(
-            partial_nodes_batch, batch_format="pyarrow", batch_size=65536
-        )
-    )
+    # nodes and edges derive from ONE scan of the triples checkpoint
+    # (stages/canonicalize.py:graph_tables): both partial kinds are
+    # emitted in a single pass and the small post-combiner partials are
+    # materialized so the two finalize branches don't re-read the
+    # checkpoint — at real scale the checkpoint read dominates this half
+    # of the pipeline, so fusing halves its I/O.  The two finalize
+    # executions still run back-to-back (overlapping executions contend,
+    # measured ~2.6×).  Large combine batches maximize batch-local dedup
+    # before the key shuffle.
+    from ..stages.canonicalize import graph_tables
+
+    nodes, edges = graph_tables(read_stage(tri_dir))
     manifests["nodes"] = write_stage(
         nodes, os.path.join(out_root, "nodes"), "nodes", fp_base, force=not resume
-    )
-    edges = finalize_edges(
-        read_stage(tri_dir).map_batches(
-            partial_edges_batch, batch_format="pyarrow", batch_size=65536
-        )
     )
     manifests["edges"] = write_stage(
         edges, os.path.join(out_root, "edges"), "edges", fp_base, force=not resume

@@ -132,6 +132,83 @@ def partial_edges_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(part, schema=EDGE_SCHEMA, preserve_index=False)
 
 
+# -- fused single-scan graph materialization ----------------------------------
+#
+# nodes and edges both derive from the triples checkpoint; scanning it
+# twice doubles checkpoint I/O (the dominant cost once the checkpoint is
+# large).  The fused path emits BOTH partial kinds from ONE scan into a
+# superset schema, materializes the (much smaller, spillable) partials,
+# and runs each finalize over the in-memory partials.
+
+GRAPH_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),           # 'n' | 'e'
+        ("a", pa.string()),              # node_id | subj_id
+        ("b", pa.string()),              # type | pred
+        ("c", pa.string()),              # '' | obj_id
+        ("name", pa.string()),           # canonical_name | ''
+        ("n", pa.int64()),               # n_mentions | n_evidence
+        ("p", pa.float64()),             # prob_max | weight
+    ]
+)
+
+
+def partial_graph_batch(batch: pa.Table) -> pa.Table:
+    """Triple batch → node AND edge partials in one pass (superset rows)."""
+    nodes = partial_nodes_batch(batch).to_pandas()
+    edges = partial_edges_batch(batch).to_pandas()
+    both = pd.concat(
+        [
+            pd.DataFrame(
+                {"kind": "n", "a": nodes["node_id"], "b": nodes["type"],
+                 "c": "", "name": nodes["canonical_name"],
+                 "n": nodes["n_mentions"], "p": nodes["prob_max"]}
+            ),
+            pd.DataFrame(
+                {"kind": "e", "a": edges["subj_id"], "b": edges["pred"],
+                 "c": edges["obj_id"], "name": "",
+                 "n": edges["n_evidence"], "p": edges["weight"]}
+            ),
+        ],
+        ignore_index=True,
+    )
+    return pa.Table.from_pandas(both, schema=GRAPH_PARTIAL_SCHEMA, preserve_index=False)
+
+
+def _kind_slice(partials, kind: str, rename: dict[str, str], drop: list[str]):
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.equal(t.column("kind"), kind))
+        t = t.drop_columns(["kind"] + drop)
+        return t.rename_columns([rename.get(c, c) for c in t.column_names])
+
+    return partials.map_batches(fn, batch_format="pyarrow")
+
+
+def graph_tables(triples):
+    """triples Dataset → (nodes Dataset, edges Dataset) off ONE input scan.
+
+    The superset partials are materialized (object-store resident,
+    spillable; they are the post-combiner rows — orders of magnitude
+    smaller than the triples) so the two finalize branches don't
+    re-execute the scan."""
+    parts = triples.map_batches(
+        partial_graph_batch, batch_format="pyarrow", batch_size=65536
+    ).materialize()
+    node_parts = _kind_slice(
+        parts, "n",
+        {"a": "node_id", "b": "type", "name": "canonical_name",
+         "n": "n_mentions", "p": "prob_max"},
+        drop=["c"],
+    )
+    edge_parts = _kind_slice(
+        parts, "e",
+        {"a": "subj_id", "b": "pred", "c": "obj_id",
+         "n": "n_evidence", "p": "weight"},
+        drop=["name"],
+    )
+    return finalize_nodes(node_parts), finalize_edges(edge_parts)
+
+
 def finalize_nodes(partials):
     """partial-node Dataset → final node Dataset.
 
