@@ -51,6 +51,18 @@ def main(argv: list[str] | None = None) -> int:
     bio.add_argument("--corpus", required=True)
     bio.add_argument("--out", required=True)
 
+    ev = sub.add_parser(
+        "ner-eval",
+        help="MUC evaluation → eval table Parquet + eval_dic.json / "
+        "model_weights.json (the reference's evaluation artifacts)",
+    )
+    ev.add_argument("--corpus", required=True)
+    ev.add_argument("--out", required=True)
+    ev.add_argument(
+        "--full-corpus", action="store_true",
+        help="evaluate every sentence instead of the held-out splits",
+    )
+
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
     import ray
@@ -97,6 +109,22 @@ def main(argv: list[str] | None = None) -> int:
             ).map_batches(dedup_mentions_batch, batch_format="pyarrow")
             write_bio_corpus(deduped, args.out)
             print(json.dumps({"out": args.out}))
+        elif args.cmd == "ner-eval":
+            import os
+
+            from .pipelines.kg import ner_eval_corpus
+            from .stages.muc_eval import eval_matrix_from, weights_from_eval
+
+            eval_df = ner_eval_corpus(
+                args.corpus, heldout_only=not args.full_corpus
+            ).to_pandas()
+            os.makedirs(args.out, exist_ok=True)
+            eval_df.to_parquet(os.path.join(args.out, "ner_eval.parquet"))
+            with open(os.path.join(args.out, "eval_dic.json"), "w") as f:
+                json.dump(eval_matrix_from(eval_df), f, indent=1)
+            with open(os.path.join(args.out, "model_weights.json"), "w") as f:
+                json.dump(weights_from_eval(eval_df), f, indent=1)
+            print(json.dumps({"out": args.out, "rows": len(eval_df)}))
     finally:
         ray.shutdown()
     return 0

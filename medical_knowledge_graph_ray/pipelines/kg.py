@@ -132,17 +132,25 @@ class MentionStage:
         return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
 
 
-def triples_dataset(pages, *, ner_concurrency=None, ner_batch_size: int = 512):
+def triples_dataset(
+    pages, *, ner_concurrency=None, ner_batch_size: int = 512, sentence_tee=None
+):
     """pages Dataset → lazy triples Dataset (no checkpoint).
 
     Stage order mirrors the reference lifecycle (SURVEY §3.3): extract →
     split → [MentionStage actor pool: NER + strip + rules + dedup +
     cleansing + triples].
-    """
+
+    ``sentence_tee``: optional pass-through ``pa.Table → pa.Table``
+    inserted after the split — run_kg uses it to write the source_info
+    lineage table from the SAME execution (a separate extract+split pass
+    cost a whole extra execution's fixed overhead)."""
     conc = ner_concurrency or _default_concurrency()
     text = pages.map_batches(extract_text_batch, batch_format="pyarrow")
     text = text.select_columns(["url", "text"])
     sents = text.map_batches(split_batch, batch_format="pyarrow")
+    if sentence_tee is not None:
+        sents = sents.map_batches(sentence_tee, batch_format="pyarrow")
     return sents.map_batches(
         MentionStage,
         batch_format="pyarrow",
@@ -175,12 +183,12 @@ def source_info_dataset(corpus_dir: str):
 
 
 def write_source_info(corpus_dir: str, out_root: str, *, resume: bool = True) -> dict:
-    """Write source_info alongside nodes/edges (checkpoint + manifest).
+    """STANDALONE source_info writer (own extract+split pass).
 
-    Runs its own extract+split pass — the CHEAP prefix of the pipeline
-    (no NER/rules), so re-scanning beats threading sentence rows through
-    the triple checkpoint, which only retains sentences that produced
-    triples.  The materialized table is sorted WITHIN each file, not
+    ``run_kg`` does NOT use this: it tees the sentence stream out of the
+    triples execution (``sentence_tee``), which costs no extra pipeline
+    pass; use this form to (re)build the lineage table without running
+    the full KG.  The materialized table is sorted WITHIN each file, not
     globally: a global sort is a full-table range shuffle of the largest
     intermediate (measured +17 s of the sf0.1 flagship for zero
     analytical gain — any reader wanting global order range-merges the
@@ -204,10 +212,15 @@ def write_source_info(corpus_dir: str, out_root: str, *, resume: bool = True) ->
 
 
 def ner_eval_pages(sf_dir: str, *, heldout_only: bool = True):
-    """MUC-style evaluation table over the sf-scaled page corpus: every
-    ensemble member + ensemble_strong scored against the gazetteer gold
-    span set — the reference's quality gate as a first-class distributed
-    operator (``multi_ner_prediction.py:75-84, 595-606``).
+    """MUC evaluation over the sf-scaled page corpus (driver query)."""
+    return ner_eval_corpus(corpus_for_sf(sf_dir), heldout_only=heldout_only)
+
+
+def ner_eval_corpus(corpus_dir: str, *, heldout_only: bool = True):
+    """MUC-style evaluation table over a page corpus: every ensemble
+    member + ensemble_strong scored against the gazetteer gold span set —
+    the reference's quality gate as a first-class distributed operator
+    (``multi_ner_prediction.py:75-84, 595-606``).
 
     ``heldout_only`` (default): evaluate the content-stable val+test
     splits (~2.3% of sentences) — the reference evaluates held-out test
@@ -218,7 +231,7 @@ def ner_eval_pages(sf_dir: str, *, heldout_only: bool = True):
     from ..stages.bio import split_of
     from ..stages.muc_eval import ner_eval_dataset
 
-    sents = sentences_dataset(corpus_for_sf(sf_dir))
+    sents = sentences_dataset(corpus_dir)
     if heldout_only:
         def keep_heldout(t: pa.Table) -> pa.Table:
             mask = [
@@ -302,7 +315,9 @@ def run_kg(
 
     fp_base = f"corpus={_corpus_fingerprint(corpus_dir)}|shards={n_shards}"
     tri_dir = os.path.join(out_root, "triples")
+    si_dir = os.path.join(out_root, "source_info")
     os.makedirs(tri_dir, exist_ok=True)
+    os.makedirs(si_dir, exist_ok=True)
     manifests: dict[str, dict] = {}
 
     def _sdir(i: int) -> str:
@@ -311,9 +326,60 @@ def run_kg(
     def _fp(i: int) -> str:
         return f"{fp_base}|shard={i}"
 
-    incomplete = [
+    def _si_sdir(i: int) -> str:
+        return os.path.join(si_dir, f"shard_{i:04d}")
+
+    def _fp_si(i: int) -> str:
+        return f"{fp_base}|source_info|shard={i}"
+
+    def _slice_digest(part) -> str:
+        """Block-unique deterministic name component: digest over EVERY
+        (url, sent_ord) in the slice via the vectorized pandas row hash
+        (order-insensitive uint64 sum) — retries of the same block stay
+        idempotent, but two distinct blocks can never collide (first-row
+        + row-count collided in principle, silently dropping rows); a
+        per-row Python md5 loop here cost ~15 s at 5.6M triples."""
+        import hashlib as _hl
+
+        import numpy as np
+        import pandas as _pd
+
+        rh = _pd.util.hash_pandas_object(
+            _pd.DataFrame(
+                {"u": part.column("url").to_pandas(),
+                 "o": part.column("sent_ord").to_pandas()}
+            ),
+            index=False,
+        ).to_numpy()
+        return _hl.md5(
+            f"{part.num_rows}|{int(rh.sum(dtype=np.uint64))}".encode()
+        ).hexdigest()[:16]
+
+    def _shards_of(t):
+        import numpy as np
+
+        urls = t.column("url").to_pylist()
+        cache: dict[str, int] = {}
+        shard = np.empty(len(urls), dtype=np.int32)
+        for j, u in enumerate(urls):
+            b = cache.get(u)
+            if b is None:
+                b = stable_bucket(u, n_shards)
+                cache[u] = b
+            shard[j] = b
+        return shard
+
+    # independent per-stage resume state; one execution covers the union
+    # of whatever is missing (asymmetric resumes re-compute a completed
+    # stage's slices but never re-WRITE them)
+    tri_inc = [
         i for i in range(n_shards) if not (resume and stage_complete(_sdir(i), _fp(i)))
     ]
+    si_inc = [
+        i for i in range(n_shards)
+        if not (resume and stage_complete(_si_sdir(i), _fp_si(i)))
+    ]
+    incomplete = sorted(set(tri_inc) | set(si_inc))
     if incomplete:
         pages = pages_dataset(corpus_dir)
         todo = frozenset(incomplete)
@@ -328,60 +394,61 @@ def run_kg(
                 return t.filter(pa.array(mask))
 
             pages = pages.map_batches(keep_incomplete, batch_format="pyarrow")
-        tri = triples_dataset(
-            pages, ner_concurrency=ner_concurrency, ner_batch_size=2048
-        )
 
         tmp = tri_dir + ".partial"
+        si_tmp = si_dir + ".partial"
         shutil.rmtree(tmp, ignore_errors=True)
-        for i in incomplete:
+        shutil.rmtree(si_tmp, ignore_errors=True)
+        for i in tri_inc:
             os.makedirs(os.path.join(tmp, f"shard_id={i:04d}"), exist_ok=True)
+        for i in si_inc:
+            os.makedirs(os.path.join(si_tmp, f"shard_id={i:04d}"), exist_ok=True)
+        si_todo = frozenset(si_inc)
+        tri_todo = frozenset(tri_inc)
+
+        def sentence_tee(t):
+            """Pass-through task-side sink for source_info: writes each
+            incomplete shard's sentence slice (sorted within the file)
+            from the SAME execution that feeds the NER stage — the
+            lineage table costs no extra pipeline pass."""
+            import pyarrow as pa
+            import pyarrow.parquet as _pq
+
+            shard = _shards_of(t)
+            import numpy as np
+
+            for i in np.unique(shard).tolist():
+                if i not in si_todo:
+                    continue
+                part = t.filter(pa.array(shard == i)).sort_by(
+                    [("url", "ascending"), ("sent_ord", "ascending")]
+                )
+                fname = "part-" + _slice_digest(part) + ".parquet"
+                _pq.write_table(part, os.path.join(si_tmp, f"shard_id={i:04d}", fname))
+            return t
+
+        tri = triples_dataset(
+            pages, ner_concurrency=ner_concurrency, ner_batch_size=2048,
+            sentence_tee=sentence_tee if si_inc else None,
+        )
 
         def shard_write(t):
-            """Task-side sink: split the block by url-hash shard and write
-            each slice as its own parquet file (Ray's partition_cols
-            datasink was measured ~45 s at 8 CPUs for the same data — a
-            direct pyarrow write is essentially free).  Emits one lineage
-            row per written file."""
-            import hashlib as _hl
-
+            """Task-side triples sink: split the block by url-hash shard
+            and write each slice as its own parquet file (Ray's
+            partition_cols datasink was measured ~45 s at 8 CPUs for the
+            same data — a direct pyarrow write is essentially free).
+            Emits one lineage row per written file."""
             import numpy as np
             import pyarrow as pa
             import pyarrow.parquet as _pq
 
-            urls = t.column("url").to_pylist()
-            cache: dict[str, int] = {}
-            shard = np.empty(len(urls), dtype=np.int32)
-            for j, u in enumerate(urls):
-                b = cache.get(u)
-                if b is None:
-                    b = stable_bucket(u, n_shards)
-                    cache[u] = b
-                shard[j] = b
+            shard = _shards_of(t)
             rows = []
-            import pandas as _pd
-
             for i in np.unique(shard).tolist():
-                mask = shard == i
-                part = t.filter(pa.array(mask))
-                # block-unique name: digest over EVERY (url, sent_ord) in
-                # the slice via the vectorized pandas row hash (order-
-                # insensitive uint64 sum) — retries of the same block stay
-                # idempotent, but two distinct blocks can never collide
-                # (first-row + row-count collided in principle, silently
-                # dropping rows); a per-row Python md5 loop here cost
-                # ~15 s at 5.6M triples
-                rh = _pd.util.hash_pandas_object(
-                    _pd.DataFrame(
-                        {"u": np.asarray(urls, dtype=object)[mask],
-                         "o": part.column("sent_ord").to_numpy()}
-                    ),
-                    index=False,
-                ).to_numpy()
-                digest = _hl.md5(
-                    f"{part.num_rows}|{int(rh.sum(dtype=np.uint64))}".encode()
-                ).hexdigest()[:16]
-                fname = "part-" + digest + ".parquet"
+                if i not in tri_todo:
+                    continue
+                part = t.filter(pa.array(shard == i))
+                fname = "part-" + _slice_digest(part) + ".parquet"
                 fpath = os.path.join(tmp, f"shard_id={i:04d}", fname)
                 _pq.write_table(part, fpath)
                 rows.append((i, fname, part.num_rows, os.path.getsize(fpath)))
@@ -397,63 +464,70 @@ def run_kg(
         tri.map_batches(shard_write, batch_format="pyarrow").count()
         import pyarrow.parquet as pq
 
-        for i in incomplete:
-            src = os.path.join(tmp, f"shard_id={i:04d}")
-            dst = _sdir(i)
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.exists(src):
-                os.replace(src, dst)
-            else:
-                os.makedirs(dst, exist_ok=True)  # empty shard
-            partitions, total = [], 0
-            for name in sorted(os.listdir(dst)):
-                if not name.endswith(".parquet"):
-                    continue
-                meta = pq.read_metadata(os.path.join(dst, name))
-                partitions.append(
-                    {"file": name, "rows": meta.num_rows,
-                     "bytes": os.path.getsize(os.path.join(dst, name)),
-                     "row_groups": meta.num_row_groups}
-                )
-                total += meta.num_rows
-            with open(os.path.join(dst, "_MANIFEST.json"), "w") as f:
-                json.dump(
-                    {
-                        "stage": f"triples/shard_{i:04d}",
-                        "fingerprint": _fp(i),
-                        "rows": total,
-                        "num_partitions": len(partitions),
-                        "partitions": partitions,
-                        "input": {"corpus": os.path.abspath(corpus_dir),
-                                  "url_hash_bucket": i, "n_shards": n_shards},
-                    },
-                    f, indent=1,
-                )
+        def _assemble(tmp_root, dst_fn, fp_fn, stage_name, inc):
+            for i in inc:
+                src = os.path.join(tmp_root, f"shard_id={i:04d}")
+                dst = dst_fn(i)
+                shutil.rmtree(dst, ignore_errors=True)
+                if os.path.exists(src):
+                    os.replace(src, dst)
+                else:
+                    os.makedirs(dst, exist_ok=True)  # empty shard
+                partitions, total = [], 0
+                for name in sorted(os.listdir(dst)):
+                    if not name.endswith(".parquet"):
+                        continue
+                    meta = pq.read_metadata(os.path.join(dst, name))
+                    partitions.append(
+                        {"file": name, "rows": meta.num_rows,
+                         "bytes": os.path.getsize(os.path.join(dst, name)),
+                         "row_groups": meta.num_row_groups}
+                    )
+                    total += meta.num_rows
+                with open(os.path.join(dst, "_MANIFEST.json"), "w") as f:
+                    json.dump(
+                        {
+                            "stage": f"{stage_name}/shard_{i:04d}",
+                            "fingerprint": fp_fn(i),
+                            "rows": total,
+                            "num_partitions": len(partitions),
+                            "partitions": partitions,
+                            "input": {"corpus": os.path.abspath(corpus_dir),
+                                      "url_hash_bucket": i, "n_shards": n_shards},
+                        },
+                        f, indent=1,
+                    )
+
+        _assemble(tmp, _sdir, _fp, "triples", tri_inc)
+        _assemble(si_tmp, _si_sdir, _fp_si, "source_info", si_inc)
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(si_tmp, ignore_errors=True)
 
     # prune stale shard dirs from an earlier run with a LARGER n_shards:
     # read_stage walks every shard_* directory, so leftovers would be
     # silently double-counted into nodes/edges while the triples manifest
     # only sums shards 0..n-1
-    for name in sorted(os.listdir(tri_dir)):
-        if name.startswith("shard_"):
-            try:
-                idx = int(name.split("_", 1)[1])
-            except ValueError:
-                continue
-            if idx >= n_shards:
-                shutil.rmtree(os.path.join(tri_dir, name), ignore_errors=True)
+    for stage_dir in (tri_dir, si_dir):
+        for name in sorted(os.listdir(stage_dir)):
+            if name.startswith("shard_"):
+                try:
+                    idx = int(name.split("_", 1)[1])
+                except ValueError:
+                    continue
+                if idx >= n_shards:
+                    shutil.rmtree(os.path.join(stage_dir, name), ignore_errors=True)
 
-    shard_manifests = []
-    for i in range(n_shards):
-        with open(os.path.join(_sdir(i), "_MANIFEST.json")) as f:
-            shard_manifests.append(json.load(f))
-    manifests["triples"] = {
-        "stage": "triples",
-        "rows": sum(m["rows"] for m in shard_manifests),
-        "num_partitions": sum(m["num_partitions"] for m in shard_manifests),
-        "shards": shard_manifests,
-    }
+    for stage_name, sdir_fn in (("triples", _sdir), ("source_info", _si_sdir)):
+        shard_manifests = []
+        for i in range(n_shards):
+            with open(os.path.join(sdir_fn(i), "_MANIFEST.json")) as f:
+                shard_manifests.append(json.load(f))
+        manifests[stage_name] = {
+            "stage": stage_name,
+            "rows": sum(m["rows"] for m in shard_manifests),
+            "num_partitions": sum(m["num_partitions"] for m in shard_manifests),
+            "shards": shard_manifests,
+        }
 
     # nodes and edges derive from ONE scan of the triples checkpoint
     # (stages/canonicalize.py:graph_tables): both partial kinds are
@@ -472,8 +546,5 @@ def run_kg(
     )
     manifests["edges"] = write_stage(
         edges, os.path.join(out_root, "edges"), "edges", fp_base, force=not resume
-    )
-    manifests["source_info"] = write_source_info(
-        corpus_dir, out_root, resume=resume
     )
     return manifests

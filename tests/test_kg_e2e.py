@@ -182,7 +182,7 @@ def test_source_info_lineage_table(ray_session, tmp_path):
         "url", "sent_ord", "sentence", "head_entity", "head_type", "paragraph"
     ]
     # sorted within every file (global order is the query's job)
-    for f in glob.glob(str(tmp_path / "out" / "source_info" / "*.parquet")):
+    for f in glob.glob(str(tmp_path / "out" / "source_info" / "*" / "*.parquet")):
         part = pd.read_parquet(f)
         key = list(zip(part["url"], part["sent_ord"]))
         assert key == sorted(key)
@@ -190,3 +190,30 @@ def test_source_info_lineage_table(ray_session, tmp_path):
     n_sents = sentences_dataset(corpus).count()
     assert len(si) == n_sents
     assert not si.duplicated(["url", "sent_ord"]).any()
+
+
+def test_source_info_shard_resume_independent(ray_session, tmp_path):
+    """Deleting one source_info shard and rerunning rebuilds ONLY it —
+    and never re-WRITES the completed triples shards (independent
+    per-stage resume state)."""
+    import os
+    import shutil
+
+    from medical_knowledge_graph_ray.pipelines.kg import run_kg
+    from medical_knowledge_graph_ray.sources.pages import generate_pages
+
+    corpus = generate_pages(100, str(tmp_path / "pages"))
+    out = str(tmp_path / "out")
+    m1 = run_kg(corpus, out, n_shards=4)
+    tri_mtimes = {
+        i: os.path.getmtime(os.path.join(out, "triples", f"shard_{i:04d}", "_MANIFEST.json"))
+        for i in range(4)
+    }
+    shutil.rmtree(os.path.join(out, "source_info", "shard_0001"))
+    m2 = run_kg(corpus, out, n_shards=4)
+    assert m2["source_info"]["rows"] == m1["source_info"]["rows"]
+    assert m2["triples"]["rows"] == m1["triples"]["rows"]
+    for i in range(4):
+        assert os.path.getmtime(
+            os.path.join(out, "triples", f"shard_{i:04d}", "_MANIFEST.json")
+        ) == tri_mtimes[i]
