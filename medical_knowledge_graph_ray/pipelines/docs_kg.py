@@ -64,6 +64,17 @@ class _GazetteerKernel:
     """
 
     def __init__(self, gazetteer: dict[str, str]):
+        # the n-gram probe encodes terms as single-space-joined \w+ word
+        # sequences; a term containing other punctuation (e.g. "x-ray")
+        # would silently never match — reject it up front
+        bad = [
+            t for t in gazetteer
+            if not all(_WORD_RE.fullmatch(w) for w in t.split(" "))
+        ]
+        if bad:
+            raise ValueError(
+                f"gazetteer terms must be space-joined \\w+ words; got {bad[:5]}"
+            )
         self.gazetteer = gazetteer
         self.multi_terms = sorted(
             (t for t in gazetteer if " " in t), key=lambda t: (-len(t), t)
@@ -259,7 +270,7 @@ def gazetteer_unseen(sf_dir: str):
         seen: set[str] = set()
         for text in b["text"].astype(str):
             seen.update(term_set.intersection(text.split(" ")))
-        return pd.DataFrame({"term": sorted(seen)})
+        return pd.DataFrame({"term": pd.array(sorted(seen), "str")})
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     partials = docs.map_batches(arrow_out(seen_partial), batch_format="pandas")

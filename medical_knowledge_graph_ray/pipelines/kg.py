@@ -194,10 +194,21 @@ def write_source_info(corpus_dir: str, out_root: str, *, resume: bool = True) ->
     analytical gain — any reader wanting global order range-merges the
     sorted files, and `source_info_dataset` still offers the globally
     sorted R1 form as a query)."""
+    import shutil
+
     import pyarrow as pa
 
     def _sort_block(t: pa.Table) -> pa.Table:
         return t.sort_by([("url", "ascending"), ("sent_ord", "ascending")])
+
+    # the two writers use different layouts (flat part files here,
+    # shard_NNNN/ dirs in run_kg's tee) — remove the OTHER layout's
+    # remnants so a mixed directory can never double-count sentences
+    target = os.path.join(out_root, "source_info")
+    if os.path.isdir(target):
+        for name in os.listdir(target):
+            if name.startswith("shard_"):
+                shutil.rmtree(os.path.join(target, name), ignore_errors=True)
 
     fp = f"corpus={_corpus_fingerprint(corpus_dir)}|source_info"
     return write_stage(
@@ -427,11 +438,6 @@ def run_kg(
                 _pq.write_table(part, os.path.join(si_tmp, f"shard_id={i:04d}", fname))
             return t
 
-        tri = triples_dataset(
-            pages, ner_concurrency=ner_concurrency, ner_batch_size=2048,
-            sentence_tee=sentence_tee if si_inc else None,
-        )
-
         def shard_write(t):
             """Task-side triples sink: split the block by url-hash shard
             and write each slice as its own parquet file (Ray's
@@ -461,7 +467,20 @@ def run_kg(
                 }
             )
 
-        tri.map_batches(shard_write, batch_format="pyarrow").count()
+        if tri_inc:
+            tri = triples_dataset(
+                pages, ner_concurrency=ner_concurrency, ner_batch_size=2048,
+                sentence_tee=sentence_tee if si_inc else None,
+            )
+            tri.map_batches(shard_write, batch_format="pyarrow").count()
+        else:
+            # source_info-only rebuild: the lineage table needs just the
+            # CHEAP extract+split prefix — never the NER actor pool
+            text = pages.map_batches(extract_text_batch, batch_format="pyarrow")
+            sents = text.select_columns(["url", "text"]).map_batches(
+                split_batch, batch_format="pyarrow"
+            )
+            sents.map_batches(sentence_tee, batch_format="pyarrow").count()
         import pyarrow.parquet as pq
 
         def _assemble(tmp_root, dst_fn, fp_fn, stage_name, inc):
@@ -516,6 +535,12 @@ def run_kg(
                     continue
                 if idx >= n_shards:
                     shutil.rmtree(os.path.join(stage_dir, name), ignore_errors=True)
+    # a prior STANDALONE write_source_info left flat part files /
+    # manifest next to the shard dirs — remove them (mixed layouts would
+    # double-count every sentence on read)
+    for name in sorted(os.listdir(si_dir)):
+        if name.endswith(".parquet") or name == "_MANIFEST.json":
+            os.remove(os.path.join(si_dir, name))
 
     for stage_name, sdir_fn in (("triples", _sdir), ("source_info", _si_sdir)):
         shard_manifests = []
@@ -540,11 +565,24 @@ def run_kg(
     # before the key shuffle.
     from ..stages.canonicalize import graph_tables
 
-    nodes, edges = graph_tables(read_stage(tri_dir))
-    manifests["nodes"] = write_stage(
-        nodes, os.path.join(out_root, "nodes"), "nodes", fp_base, force=not resume
-    )
-    manifests["edges"] = write_stage(
-        edges, os.path.join(out_root, "edges"), "edges", fp_base, force=not resume
-    )
+    nodes_dir = os.path.join(out_root, "nodes")
+    edges_dir = os.path.join(out_root, "edges")
+    if (
+        resume
+        and stage_complete(nodes_dir, fp_base)
+        and stage_complete(edges_dir, fp_base)
+    ):
+        # no-op resume: graph_tables' materialize() would otherwise scan
+        # the full triples checkpoint before write_stage could skip
+        for stage_name, d in (("nodes", nodes_dir), ("edges", edges_dir)):
+            with open(os.path.join(d, "_MANIFEST.json")) as f:
+                manifests[stage_name] = json.load(f)
+    else:
+        nodes, edges = graph_tables(read_stage(tri_dir))
+        manifests["nodes"] = write_stage(
+            nodes, nodes_dir, "nodes", fp_base, force=not resume
+        )
+        manifests["edges"] = write_stage(
+            edges, edges_dir, "edges", fp_base, force=not resume
+        )
     return manifests

@@ -295,6 +295,11 @@ def q5_region_revenue(sf_dir: str):
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             if self.keys is None:
                 self.keys, self.nats = ray.get(self.ref)
+            if not len(self.keys):  # region with zero customers
+                return pd.DataFrame(
+                    {"o_orderkey": pd.array([], "int64"),
+                     "c_nationkey": pd.array([], "int32")}
+                )
             ck = b["o_custkey"].to_numpy()
             pos = np.searchsorted(self.keys, ck)
             pos_c = np.clip(pos, 0, len(self.keys) - 1)

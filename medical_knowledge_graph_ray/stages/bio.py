@@ -60,7 +60,14 @@ def problematic_removal(seg: list[list]) -> list[list]:
       the original tag, the splitter chars becoming ``'rm'`` tokens —
       UNLESS any non-empty piece is ≤ 2 chars (the reference's
       ``min(splitted_test) <= 2 → continue`` guard keeps short runs
-      intact).  Offsets are recomputed; pure (returns a new list)."""
+      intact).
+
+    Offsets are recomputed EXACTLY: one 'rm' token per splitter char, so
+    the output always re-partitions the input span (documented
+    divergence: the reference drops the separator token before an empty
+    piece, generation.py:401-414, leaving all following offsets short by
+    one for consecutive splitters — the same class of off-by-one its own
+    ``lengthcleaner`` exists to patch, SURVEY §7.4)."""
     out: list[list] = []
     for word, tag, s, e in seg:
         if any(word.endswith(nt) for nt in NONTEST_WORDS):
@@ -75,13 +82,10 @@ def problematic_removal(seg: list[list]) -> list[list]:
                 continue
             pos = s
             for i, piece in enumerate(pieces):
-                if piece == "":
-                    out.append([splitter, "rm", pos, pos + 1])
-                    pos += 1
-                    continue
-                out.append([piece, tag, pos, pos + len(piece)])
-                pos += len(piece)
-                if i != len(pieces) - 1 and len(pieces[i + 1]) > 0:
+                if piece:
+                    out.append([piece, tag, pos, pos + len(piece)])
+                    pos += len(piece)
+                if i != len(pieces) - 1:  # one rm token per splitter char
                     out.append([splitter, "rm", pos, pos + 1])
                     pos += 1
             continue

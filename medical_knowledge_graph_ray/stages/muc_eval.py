@@ -231,29 +231,20 @@ class MucEvalStage:
             member_spans[m.name] = spans
             preds[m.name] = [(TYPE_LIST[tid - 1], s, e) for s, e, tid, _p in spans]
 
-        # ensemble_strong spans via the same union+vote path as the NER stage
-        import numpy as np
-
-        from ..functions.spans import fill_spans, runs
+        # ensemble_strong spans via the SHARED shipped-semantics helper
+        # (ner.union_strong_spans) — the evaluator can't drift from the
+        # production voting path
+        from ..functions.spans import fill_spans
+        from .ner import union_strong_spans
 
         L = len(sentence)
-        tids_by_member = {
-            name: fill_spans(L, spans, 0.5)[0] for name, spans in member_spans.items()
-        }
-        union = tids_by_member[self.ner.members[0].name].copy()
-        for m in self.ner.members[1:]:
-            fill = (union == 0) & (tids_by_member[m.name] != 0)
-            union[fill] = tids_by_member[m.name][fill]
-        strong = []
-        for s, e, tid in runs(union):
-            k = sum(
-                1
-                for m in self.ner.members
-                if bool((tids_by_member[m.name][s:e] != 0).any())
-            )
-            if k >= 2:
-                strong.append((TYPE_LIST[tid - 1], s, e))
-        preds["ensemble_strong"] = strong
+        tid_list = [
+            fill_spans(L, member_spans[m.name], 0.5)[0] for m in self.ner.members
+        ]
+        preds["ensemble_strong"] = [
+            (TYPE_LIST[tid - 1], s, e)
+            for s, e, tid, _support in union_strong_spans(tid_list)
+        ]
         return gold, preds
 
     def __call__(self, batch: pd.DataFrame):

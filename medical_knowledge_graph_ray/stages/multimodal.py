@@ -59,7 +59,7 @@ FEATURE_SCHEMA = pa.schema(
         ("width", pa.int32()),
         ("height", pa.int32()),
         ("duration_ms", pa.int32()),
-        ("status", pa.string()),         # decoded | unsupported | error
+        ("status", pa.string()),         # decoded | unsupported | error:<ExcName>
         ("features", pa.list_(pa.float32())),
         ("phash", pa.uint64()),          # images/videos; 0 otherwise
     ]

@@ -117,6 +117,32 @@ class _Member:
         return out
 
 
+def union_strong_spans(
+    member_tids: list[np.ndarray],
+) -> list[tuple[int, int, int, tuple[int, ...]]]:
+    """V2 union fill + V3 strong decode — THE shipped ensemble semantics,
+    shared by the per-sentence NER path and the MUC evaluator so the
+    evaluator can never drift from what production ships.
+
+    ``member_tids``: per-member char type-id arrays in member order.
+    Returns ``[(start, end, tid, supporting_member_indices)]`` for union
+    runs supported by ≥ 2 distinct members (``EnsemblePredict_all.py:
+    321-395``)."""
+    union = member_tids[0].copy()
+    for tids in member_tids[1:]:
+        fill = (union == 0) & (tids != 0)
+        union[fill] = tids[fill]
+    out = []
+    for s, e, tid in runs(union):
+        support = tuple(
+            mi for mi, tids in enumerate(member_tids)
+            if bool((tids[s:e] != 0).any())
+        )
+        if len(support) >= 2:
+            out.append((s, e, tid, support))
+    return out
+
+
 class EnsembleNER:
     """Actor-pool ``map_batches`` stage: sentence rows → mention rows.
 
@@ -135,8 +161,11 @@ class EnsembleNER:
         self.dictionary = GazetteerMatcher(gaz)
         # eval_override: a REAL eval matrix computed from a labeled dataset
         # (stages/muc_eval.py:eval_matrix_from); the default hash-fabricated
-        # matrix stands in for the snapshot's missing eval_dic.json
-        self.eval = eval_override or eval_matrix()
+        # matrix stands in for the snapshot's missing eval_dic.json.
+        # Deep-copied before zero-filling — mutating the caller's dict
+        # would poison artifacts it later persists (eval_dic.json).
+        src = eval_override or eval_matrix()
+        self.eval = {m: dict(v) for m, v in src.items()}
         for m in MODEL_NAMES:  # every (member, type) cell must exist
             ev = self.eval.setdefault(m, {})
             for t in TYPE_LIST:
@@ -171,27 +200,16 @@ class EnsembleNER:
                      p * pr[0], p * pr[1], p * pr[2], p * pr[3], 1)
                 )
 
-        # union (V2): member "a" base, fill O chars from the others
-        union = member_tids["a"].copy()
-        for m in self.members[1:]:
-            fill = (union == 0) & (member_tids[m.name] != 0)
-            union[fill] = member_tids[m.name][fill]
-
-        # strong (V3): decode union runs, count distinct supporting members
-        for s, e, tid in runs(union):
-            support = [
-                m.name
-                for m in self.members
-                if bool((member_tids[m.name][s:e] != 0).any())
-            ]
-            k = len(support)
-            if k < 2:
-                continue
+        # union (V2) + strong (V3) via the shared shipped-semantics helper
+        tid_list = [member_tids[m.name] for m in self.members]
+        for s, e, tid, support in union_strong_spans(tid_list):
+            names = [self.members[mi].name for mi in support]
+            k = len(names)
             ety = TYPE_LIST[tid - 1]
             x3 = float(prob_combined[s:e].mean())
             ps = []
             for mi in range(4):
-                c = [self.eval[m][ety][mi] for m in support]
+                c = [self.eval[m][ety][mi] for m in names]
                 cmax = max(c)
                 ps.append(x3 * (cmax + (1.0 - cmax) * k / (2 * self.num_models)))
             out.append(("ensemble_strong", sentence[s:e], ety, s, e, *ps, k))

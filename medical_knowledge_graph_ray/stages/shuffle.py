@@ -71,9 +71,13 @@ def first_non_null_agg(
             sub["_col"] = col
             frames.append(sub)
         if not frames:
+            # typed empty: _val must carry the REAL value dtype or empty
+            # batches emit blocks whose schema disagrees with non-empty ones
+            val_dtype = pd.concat([b[c].iloc[:0] for c in value_cols]).dtype
             return pd.DataFrame(
-                {**{k: pd.array([], "str") for k in keys},
-                 "_ord": pd.array([], "int64"), "_val": pd.array([], "float64"),
+                {**{k: b[k].iloc[:0] for k in keys},
+                 "_ord": pd.array([], b[order_col].dtype),
+                 "_val": pd.Series([], dtype=val_dtype),
                  "_col": pd.array([], "str")}
             )
         return pd.concat(frames, ignore_index=True)

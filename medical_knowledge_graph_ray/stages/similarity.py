@@ -146,11 +146,14 @@ def neardup_pairs_chunked(embeddings, threshold: float, *, n_chunks: int = 8):
 
     C = n_chunks
 
-    def replicate(b: pd.DataFrame) -> pd.DataFrame:
+    def replicate(b: pd.DataFrame):
         if not len(b):
-            return pd.DataFrame(
-                {"pk": pd.array([], "int32"), "chunk": pd.array([], "int32"),
-                 "vec_id": pd.array([], "int64"), "unit": []}
+            import pyarrow as pa
+
+            return pa.table(
+                {"pk": pa.array([], pa.int32()), "chunk": pa.array([], pa.int32()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "unit": pa.array([], pa.binary())}
             )
         mat = _to_matrix(b["embedding"])
         norms = np.linalg.norm(mat, axis=1)

@@ -246,3 +246,17 @@ def test_bio_export_includes_nonessential_tags(ray_session):
         ).bio_decode(block)
         for s, e, ety in spans:
             assert not (sent[s:e] == "耐药基因" and ety == "OBJ")
+
+
+def test_problematic_removal_consecutive_splitters_exact_offsets():
+    """Documented divergence from the reference's off-by-one: one 'rm'
+    token per splitter char, so offsets always re-partition the span."""
+    from medical_knowledge_graph_ray.stages.bio import problematic_removal
+
+    out = problematic_removal([["咳嗽咳痰、、发热发冷", "SYM", 0, 10]])
+    assert out == [
+        ["咳嗽咳痰", "SYM", 0, 4],
+        ["、", "rm", 4, 5],
+        ["、", "rm", 5, 6],
+        ["发热发冷", "SYM", 6, 10],
+    ]

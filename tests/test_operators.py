@@ -306,3 +306,14 @@ def test_gazetteer_kernel_scales_with_corpus_not_terms():
     # generous bound: 21× the terms must stay within 4× the time (the old
     # sweep kernel would be ~21×)
     assert t_big < 4 * t_small + 0.05, (t_small, t_big)
+
+
+def test_gazetteer_kernel_rejects_unprobeable_terms():
+    from medical_knowledge_graph_ray.pipelines.docs_kg import _GazetteerKernel
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        _GazetteerKernel({"x-ray scan": "OPR"})
+    with pytest.raises(ValueError):
+        _GazetteerKernel({"double  space": "OPR"})
