@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": docs.dedup_exact,
         "minhash_pairs": docs.docs_minhash_pairs,
+        # production chain: LSH candidates -> exact n-gram-Jaccard verify
+        # (rows-only: LSH recall < 1 by design, measured in tests)
+        "minhash_verified_pairs": docs.docs_minhash_verified,
         "simhash_fingerprints": docs.docs_simhash,
         "ngram_jaccard_pairs": docs.docs_ngram_jaccard,
         # similarity search
@@ -178,11 +181,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": docs.docs_sample,
         "docs_first_nonnull": docs.docs_first_nonnull,
         "gazetteer_unseen": docs_kg.gazetteer_unseen,
-        # multimodal plumbing (stubbed decode; rows-only)
+        # multimodal: REAL PPM/WAV/raw-frame decode kernels + perceptual-
+        # hash near-dup (rows-only; engine-synthesized corpus)
         "media_features": lambda sf_dir: __import__(
             "medical_knowledge_graph_ray.stages.multimodal",
             fromlist=["media_features"],
         ).media_features(256),
+        "media_neardup": lambda sf_dir: __import__(
+            "medical_knowledge_graph_ray.stages.multimodal",
+            fromlist=["media_neardup"],
+        ).media_neardup(256),
         # BIO training-data export over the pages corpus (rows-only)
         "kg_bio_export": _kg_bio_export,
         # LSH-bucketed + IVF ANN (scale paths; recall<1 by design → rows-only)

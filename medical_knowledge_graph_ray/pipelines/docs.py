@@ -128,6 +128,14 @@ def docs_simhash(sf_dir: str):
     )
 
 
+def docs_minhash_verified(sf_dir: str, threshold: float = 0.5):
+    """Scale-correct dedup chain: LSH candidates -> exact Jaccard verify
+    (stages/dedup.py:minhash_verified_pairs)."""
+    from ..stages.dedup import minhash_verified_pairs
+
+    return minhash_verified_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold)
+
+
 def docs_ngram_jaccard(sf_dir: str, threshold: float = 0.3):
     """Exact n-gram Jaccard pairs within same-source candidate groups."""
     docs = _docs(sf_dir, ["doc_id", "source", "text"])

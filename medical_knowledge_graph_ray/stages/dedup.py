@@ -210,6 +210,79 @@ def minhash_dedup_pairs(docs, threshold: float = 0.7):
     )
 
 
+def minhash_verified_pairs(docs, threshold: float = 0.5):
+    """The production dedup chain: MinHash-LSH candidate mining → EXACT
+    n-gram-Jaccard verification of just the candidates.
+
+    This is the scale-correct composition the two halves exist for: LSH
+    bounds the pair space (collision buckets only — never all-pairs),
+    and the exact verifier runs O(#candidates), not O(N²).  Candidate
+    pairs rejoin the document texts through the engine's partitioned
+    hash join (both sides large; the text column never broadcasts), then
+    one vectorized shingle-set comparison per candidate pair.
+
+    Recall < 1 by LSH design (a true pair missing from every band's
+    buckets is never verified) — measured in
+    ``tests/test_operators.py::test_minhash_verified_recall``.
+    """
+    import pyarrow as pa
+
+    from ..functions.arrow import arrow_out
+    from .joins import hash_join
+
+    cands = minhash_dedup_pairs(docs, threshold=0.0)  # all LSH collisions
+
+    def _project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["doc_a", "doc_b"]]
+
+    cands = cands.map_batches(arrow_out(_project), batch_format="pandas")
+
+    texts = docs.map_batches(
+        arrow_out(lambda b: b[["doc_id", "text"]]), batch_format="pandas"
+    )
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    with_a = hash_join(
+        cands,
+        texts.map_batches(
+            arrow_out(lambda b: b.rename(columns={"doc_id": "doc_a", "text": "text_a"})),
+            batch_format="pandas",
+        ),
+        on=["doc_a"],
+        num_buckets=16,
+        left_schema=pair_schema,
+        right_schema=pa.schema([("doc_a", pa.int64()), ("text_a", pa.string())]),
+    )
+    with_both = hash_join(
+        with_a,
+        texts.map_batches(
+            arrow_out(lambda b: b.rename(columns={"doc_id": "doc_b", "text": "text_b"})),
+            batch_format="pandas",
+        ),
+        on=["doc_b"],
+        num_buckets=16,
+        left_schema=pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("text_a", pa.string())]
+        ),
+        right_schema=pa.schema([("doc_b", pa.int64()), ("text_b", pa.string())]),
+    )
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in b.itertuples():
+            sa = set(_shingle_ids(str(r.text_a)).tolist())
+            sb = set(_shingle_ids(str(r.text_b)).tolist())
+            union = len(sa | sb)
+            jac = len(sa & sb) / union if union else 0.0
+            if jac >= threshold:
+                rows.append((int(r.doc_a), int(r.doc_b), jac))
+        return pd.DataFrame(
+            rows, columns=["doc_a", "doc_b", "jaccard"]
+        ).astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+
+    return with_both.map_batches(arrow_out(verify), batch_format="pandas")
+
+
 def fingerprint_cluster_partial(batch: pd.DataFrame) -> pd.DataFrame:
     """Exact-dedup combiner: per md5 fingerprint keep (min doc_id, count)
     within the batch; the final per-fp agg runs over these partials."""

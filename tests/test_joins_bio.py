@@ -260,3 +260,27 @@ def test_problematic_removal_consecutive_splitters_exact_offsets():
         ["、", "rm", 5, 6],
         ["发热发冷", "SYM", 6, 10],
     ]
+
+
+def test_phash_neardup_banding_is_exact(ray_session):
+    """Pigeonhole guarantee: banded pairs == brute-force pairs for
+    Hamming <= 3 over the decoded media corpus."""
+    from medical_knowledge_graph_ray.stages.multimodal import (
+        media_features,
+        media_neardup,
+    )
+
+    feats = media_features(96).to_pandas()
+    dec = feats[(feats["status"] == "decoded") & (feats["phash"] != 0)]
+    ph = dict(zip(dec["media_id"], dec["phash"].astype("uint64")))
+    truth = set()
+    ids = sorted(ph)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(int(ph[ids[i]]) ^ int(ph[ids[j]])).count("1") <= 3:
+                truth.add((ids[i], ids[j]))
+    got = media_neardup(96).to_pandas()
+    found = set(zip(got["media_a"], got["media_b"]))
+    assert found == truth, (len(found), len(truth))
+    with __import__("pytest").raises(ValueError):
+        media_neardup(8, max_hamming=4)

@@ -317,3 +317,55 @@ def test_gazetteer_kernel_rejects_unprobeable_terms():
         _GazetteerKernel({"x-ray scan": "OPR"})
     with pytest.raises(ValueError):
         _GazetteerKernel({"double  space": "OPR"})
+
+
+def test_minhash_verified_recall_and_precision(ray_session):
+    """The LSH→exact-verify chain: perfect precision by construction
+    (every emitted pair is exactly verified) and high measured recall on
+    near-dup-heavy data."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.dedup import (
+        _shingle_ids,
+        minhash_verified_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(3000)]
+    texts, ids = [], []
+    for i in range(60):
+        base = list(rng.choice(vocab, size=80))
+        texts.append(" ".join(base))
+        ids.append(i)
+        # near-dup: ~0.7 shingle jaccard (4/80 tokens replaced)
+        dup = base.copy()
+        for j in rng.choice(80, size=4, replace=False):
+            dup[j] = f"x{i}_{j}"
+        texts.append(" ".join(dup))
+        ids.append(1000 + i)
+    df = pd.DataFrame({"doc_id": np.array(ids, "int64"), "text": texts})
+
+    got = minhash_verified_pairs(
+        rd.from_pandas(df), threshold=0.5
+    ).to_pandas()
+
+    # exact ground truth by brute force
+    sets = {r.doc_id: set(_shingle_ids(r.text).tolist()) for r in df.itertuples()}
+    truth = set()
+    keys = sorted(sets)
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            a, b = keys[i], keys[j]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= 0.5:
+                truth.add((a, b))
+    found = set(zip(got["doc_a"], got["doc_b"]))
+    assert found <= truth  # perfect precision: every pair exactly verified
+    recall = len(found & truth) / max(1, len(truth))
+    assert recall >= 0.9, (recall, len(truth))
+    # and the exact jaccard values are right
+    for r in got.itertuples():
+        inter = len(sets[r.doc_a] & sets[r.doc_b])
+        union = len(sets[r.doc_a] | sets[r.doc_b])
+        assert abs(r.jaccard - inter / union) < 1e-12
