@@ -221,6 +221,100 @@ def neardup_pairs_chunked(embeddings, threshold: float, *, n_chunks: int = 8):
     return bucketed_group_map(rows, ["pk"], pair_group, num_buckets=32)
 
 
+def neardup_pairs_projected(embeddings, threshold: float):
+    """High-threshold EXACT near-dup via projection slabs — the
+    sub-quadratic exact path for thresholds where pruning actually bites
+    (t ≥ ~0.8; see ``neardup_pairs_chunked`` for why no prefilter helps
+    at low thresholds).
+
+    Geometry: unit vectors with cos ≥ t satisfy ‖a−b‖ ≤ ε = √(2−2t), so
+    their projections onto ANY fixed unit direction differ by ≤ ε.
+    Slab the projection axis with width ε and send each vector to the
+    two pair-groups (slab−1, slab) covering its slab: every qualifying
+    pair shares ≥ 1 group (|Δslab| ≤ 1), making the prefilter EXACT,
+    while only same/adjacent-slab vectors are ever compared — for
+    concentrated thresholds the per-group population is a tiny fraction
+    of N.  In-group work is one vectorized matmul + threshold; pairs can
+    surface from both shared groups, so a bucketed pair-dedup closes the
+    pipeline (same shape as MinHash-LSH).
+    """
+    from ..functions.arrow import arrow_out
+    from .shuffle import bucketed_group_map
+
+    if threshold < 0.5:
+        raise ValueError(
+            "projection slabs prune nothing below t≈0.5 — use "
+            "neardup_pairs_chunked for low thresholds"
+        )
+    eps = float(np.sqrt(2.0 - 2.0 * threshold))
+
+    def replicate(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            import pyarrow as pa
+
+            return pa.table(
+                {"grp": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "unit": pa.array([], pa.binary())}
+            )
+        mat = _to_matrix(b["embedding"])
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        r = _projection_dir(mat.shape[1])
+        proj = unit @ r
+        slab = np.floor((proj + 1.0) / eps).astype(np.int64)
+        ids = b["vec_id"].to_numpy().astype(np.int64)
+        grp = np.concatenate([slab - 1, slab])
+        rep = np.concatenate([np.arange(len(ids))] * 2)
+        return pd.DataFrame(
+            {
+                "grp": pd.array(grp, "int64"),
+                "vec_id": pd.array(ids[rep], "int64"),
+                "unit": [unit[i].tobytes() for i in rep],
+            }
+        )
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_s = [], [], []
+        for _grp, sub in g.groupby("grp", sort=False):
+            sub = sub.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(sub) < 2:
+                continue
+            ids = sub["vec_id"].to_numpy()
+            mat = np.stack([np.frombuffer(v, np.float64) for v in sub["unit"]])
+            sims = np.round(mat @ mat.T, 6)
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+            out_s.append(sims[ii, jj])
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_a": pd.array([], "int64"), "vec_b": pd.array([], "int64"),
+                 "cos_sim": pd.array([], "float64")}
+            )
+        return pd.DataFrame(
+            {
+                "vec_a": pd.array(np.concatenate(out_a), "int64"),
+                "vec_b": pd.array(np.concatenate(out_b), "int64"),
+                "cos_sim": pd.array(np.concatenate(out_s), "float64"),
+            }
+        )
+
+    rows = embeddings.map_batches(arrow_out(replicate), batch_format="pandas")
+    pairs = bucketed_group_map(rows, ["grp"], group_pairs, num_buckets=32)
+    return bucketed_group_map(
+        pairs, ["vec_a", "vec_b"],
+        lambda g: g.drop_duplicates(["vec_a", "vec_b"]),
+        num_buckets=8,
+    )
+
+
+def _projection_dir(dim: int) -> np.ndarray:
+    rng = np.random.RandomState(4242)
+    r = rng.standard_normal(dim)
+    return r / np.linalg.norm(r)
+
+
 # -- IVF (inverted-file) variant ---------------------------------------------
 
 IVF_CENTROIDS = 16

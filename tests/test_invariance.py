@@ -38,3 +38,19 @@ def test_triples_invariant_to_concurrency_and_blocks(small_corpus):
     base = _triples(small_corpus, 512, 2)
     other = _triples(small_corpus, 128, 3, blocks=7)
     pd.testing.assert_frame_equal(base, other)
+
+
+def test_ner_eval_invariant_to_batching(small_corpus):
+    """The MUC count aggregation is associative: identical evaluation at
+    any batch size / block structure."""
+    from medical_knowledge_graph_ray.pipelines.kg import sentences_dataset
+    from medical_knowledge_graph_ray.stages.muc_eval import ner_eval_dataset
+
+    def run(batch_size, blocks=None):
+        sents = sentences_dataset(small_corpus)
+        if blocks:
+            sents = sents.repartition(blocks)
+        df = ner_eval_dataset(sents, batch_size=batch_size).to_pandas()
+        return df.sort_values(["model", "ent_type", "schema"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run(2048), run(64, blocks=5))

@@ -369,3 +369,33 @@ def test_minhash_verified_recall_and_precision(ray_session):
         inter = len(sets[r.doc_a] & sets[r.doc_b])
         union = len(sets[r.doc_a] | sets[r.doc_b])
         assert abs(r.jaccard - inter / union) < 1e-12
+
+
+def test_projected_neardup_exact_at_high_threshold(ray_session):
+    """Projection-slab prefilter must be EXACT: equals brute force at
+    t=0.9 on data with planted near-identical pairs."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.similarity import (
+        neardup_pairs_projected,
+    )
+
+    rng = np.random.RandomState(9)
+    base = rng.standard_normal((80, 32))
+    dups = base[:30] + rng.standard_normal((30, 32)) * 0.05
+    mat = np.vstack([base, dups, rng.standard_normal((200, 32))])
+    ids = np.arange(len(mat), dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
+    t = 0.9
+    got = neardup_pairs_projected(rd.from_pandas(df), t).to_pandas()
+    # brute force truth
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(unit @ unit.T, 6)
+    ii, jj = np.nonzero(np.triu(sims >= t, k=1))
+    truth = set(zip(ids[ii], ids[jj]))
+    found = set(zip(got["vec_a"], got["vec_b"]))
+    assert found == truth and len(truth) >= 25
+    import pytest
+
+    with pytest.raises(ValueError):
+        neardup_pairs_projected(rd.from_pandas(df), 0.3)
