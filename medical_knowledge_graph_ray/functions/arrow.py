@@ -28,7 +28,12 @@ def arrow_out(fn: Callable[..., pd.DataFrame]) -> Callable[..., pa.Table]:
         out = fn(batch, *args, **kwargs)
         if isinstance(out, pa.Table):
             return out
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # drop the b'pandas' schema metadata: Ray's schema-dedup cache
+        # can't hash it ("Failed to hash the schemas" warning spam) and
+        # it bloats every block's schema for no reader benefit
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
 
     wrapper.__name__ = getattr(fn, "__name__", type(fn).__name__)
     return wrapper
