@@ -63,6 +63,13 @@ def main(argv: list[str] | None = None) -> int:
         help="evaluate every sentence instead of the held-out splits",
     )
 
+    au = sub.add_parser(
+        "audit",
+        help="audit a run_kg output root: every manifest vs the actual "
+        "parquet files (missing/mismatched/orphan partitions)",
+    )
+    au.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
     import ray
@@ -125,6 +132,12 @@ def main(argv: list[str] | None = None) -> int:
             with open(os.path.join(args.out, "model_weights.json"), "w") as f:
                 json.dump(weights_from_eval(eval_df), f, indent=1)
             print(json.dumps({"out": args.out, "rows": len(eval_df)}))
+        elif args.cmd == "audit":
+            from .state.manifests import audit_run
+
+            report = audit_run(args.out)
+            print(json.dumps(report))
+            return 0 if report["ok"] else 1
     finally:
         ray.shutdown()
     return 0

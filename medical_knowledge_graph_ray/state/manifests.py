@@ -114,3 +114,97 @@ def read_stage(out_dir: str, columns: list[str] | None = None):
             if n.endswith(".parquet"):
                 files.append(os.path.join(root, n))
     return rd.read_parquet(files, columns=columns)
+
+
+def audit_stage(out_dir: str) -> dict:
+    """Audit one checkpointed stage directory against its manifest(s).
+
+    north_rule: "any partition can be resumed AND AUDITED" — this is the
+    audit half.  Verifies, for every manifest (flat stage or per-shard):
+
+    * each listed partition file exists, matches its recorded byte size,
+      and its Parquet footer row count matches the manifest;
+    * no ORPHAN parquet files exist beside the manifest (a partial write
+      or foreign layout would silently inflate a directory read);
+    * the manifest's total equals the sum of its partitions.
+
+    Returns ``{"stage_dir", "ok", "manifests_checked", "rows", "issues"}``
+    where ``issues`` is a list of human-readable findings (empty = clean).
+    Footer reads are metadata-only — no data pass.
+    """
+    import pyarrow.parquet as pq
+
+    issues: list[str] = []
+    manifests_checked = 0
+    total_rows = 0
+
+    manifest_dirs = []
+    if os.path.exists(os.path.join(out_dir, MANIFEST)):
+        manifest_dirs.append(out_dir)
+    for name in sorted(os.listdir(out_dir)):
+        sub = os.path.join(out_dir, name)
+        if os.path.isdir(sub) and os.path.exists(os.path.join(sub, MANIFEST)):
+            manifest_dirs.append(sub)
+    if not manifest_dirs:
+        return {
+            "stage_dir": out_dir, "ok": False, "manifests_checked": 0,
+            "rows": 0, "issues": [f"no {MANIFEST} found under {out_dir}"],
+        }
+
+    for mdir in manifest_dirs:
+        with open(os.path.join(mdir, MANIFEST)) as f:
+            m = json.load(f)
+        manifests_checked += 1
+        listed = set()
+        part_sum = 0
+        for p in m.get("partitions", []):
+            listed.add(p["file"])
+            part_sum += p["rows"]
+            fpath = os.path.join(mdir, p["file"])
+            if not os.path.exists(fpath):
+                issues.append(f"{mdir}: missing partition {p['file']}")
+                continue
+            size = os.path.getsize(fpath)
+            if size != p["bytes"]:
+                issues.append(
+                    f"{mdir}/{p['file']}: size {size} != manifest {p['bytes']}"
+                )
+            try:
+                rows = pq.read_metadata(fpath).num_rows
+            except Exception as exc:
+                issues.append(f"{mdir}/{p['file']}: unreadable footer ({exc})")
+                continue
+            if rows != p["rows"]:
+                issues.append(
+                    f"{mdir}/{p['file']}: rows {rows} != manifest {p['rows']}"
+                )
+        if m.get("rows") != part_sum:
+            issues.append(
+                f"{mdir}: manifest total {m.get('rows')} != partition sum {part_sum}"
+            )
+        total_rows += m.get("rows", 0)
+        for name in sorted(os.listdir(mdir)):
+            if name.endswith(".parquet") and name not in listed:
+                issues.append(f"{mdir}: ORPHAN parquet file {name}")
+
+    return {
+        "stage_dir": out_dir,
+        "ok": not issues,
+        "manifests_checked": manifests_checked,
+        "rows": total_rows,
+        "issues": issues,
+    }
+
+
+def audit_run(out_root: str) -> dict:
+    """Audit every stage under a run_kg output root."""
+    stages = {}
+    for name in sorted(os.listdir(out_root)):
+        d = os.path.join(out_root, name)
+        if os.path.isdir(d):
+            stages[name] = audit_stage(d)
+    return {
+        "out_root": out_root,
+        "ok": all(s["ok"] for s in stages.values()) and bool(stages),
+        "stages": stages,
+    }

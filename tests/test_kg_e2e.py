@@ -217,3 +217,34 @@ def test_source_info_shard_resume_independent(ray_session, tmp_path):
         assert os.path.getmtime(
             os.path.join(out, "triples", f"shard_{i:04d}", "_MANIFEST.json")
         ) == tri_mtimes[i]
+
+
+def test_audit_detects_tampering(ray_session, tmp_path):
+    """north_rule audit half: a clean run audits ok; a truncated partition
+    and an orphan file are both flagged."""
+    from medical_knowledge_graph_ray.pipelines.kg import run_kg
+    from medical_knowledge_graph_ray.sources.pages import generate_pages
+    from medical_knowledge_graph_ray.state.manifests import audit_run
+
+    corpus = generate_pages(80, str(tmp_path / "pages"))
+    out = str(tmp_path / "out")
+    run_kg(corpus, out, n_shards=2)
+    clean = audit_run(out)
+    assert clean["ok"], clean
+    assert set(clean["stages"]) == {"triples", "source_info", "nodes", "edges"}
+
+    # tamper: truncate one triples partition, drop an orphan next to nodes
+    import glob
+
+    victim = sorted(glob.glob(f"{out}/triples/shard_*/*.parquet"))[0]
+    with open(victim, "r+b") as f:
+        f.truncate(100)
+    with open(f"{out}/nodes/orphan-xyz.parquet", "wb") as f:
+        f.write(b"not parquet")
+    dirty = audit_run(out)
+    assert not dirty["ok"]
+    blob = "\n".join(
+        i for s in dirty["stages"].values() for i in s["issues"]
+    )
+    assert "ORPHAN" in blob
+    assert ("unreadable footer" in blob) or ("size" in blob)
