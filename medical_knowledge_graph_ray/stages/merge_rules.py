@@ -63,23 +63,31 @@ def _veto(combined: str, sentence: str) -> bool:
     )
 
 
-def _encode(patterns: list[list[str]]) -> list[tuple[str, str]]:
-    """Pre-encode tag patterns to (tag_char_string, result_tag)."""
-    return [
+def _encode(patterns: list[list[str]]) -> tuple:
+    """Pre-encode tag patterns to ((tag_char_string, result_tag)…, plus
+    the pass-level first/last char sets for whole-pass skipping)."""
+    enc = [
         ("".join(_TAG_CHAR.get(t, "z") for t in p), p[-1]) for p in patterns
     ]
+    firsts = frozenset(pat[0] for pat, _ in enc)
+    lasts = frozenset(pat[-1] for pat, _ in enc)
+    return (enc, firsts, lasts)
 
 
 def _combine_encoded(
-    seg: list[Token], sentence: str, encoded: list[tuple[str, str]]
+    seg: list[Token], sentence: str, encoded: tuple
 ) -> list[Token]:
     """E1 core over pre-encoded patterns; the tag string is rebuilt only
-    after a successful merge.  A pattern whose end tags aren't even
-    present in the sentence is skipped with two set probes instead of a
-    substring scan (~60 patterns/pass, most impossible)."""
+    after a successful merge.  Whole passes are skipped with two set
+    intersections when none of their start/end tags occur at all;
+    individual patterns with two set probes (~60 patterns/pass, most
+    impossible)."""
+    enc, firsts, lasts = encoded
     tags = _tag_string(seg)
     present = set(tags)
-    for pat, result_tag in encoded:
+    if present.isdisjoint(firsts) or present.isdisjoint(lasts):
+        return seg
+    for pat, result_tag in enc:
         if pat[0] not in present or pat[-1] not in present:
             continue
         pos = tags.find(pat)
