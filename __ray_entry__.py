@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": relational.q1_pricing,
         "q3_top_orders": relational.q3_top_orders,
         "q5_region_revenue": relational.q5_region_revenue,
+        "q9_profit": relational.q9_profit,
         # event-stream-shaped operators
         "events_tumbling": events.events_tumbling,
         "events_argmax": events.events_argmax,
@@ -219,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_region_revenue": relational.Q5_SQL,
+        "q9_profit": relational.Q9_SQL,
         "events_tumbling": events.TUMBLING_SQL,
         "events_argmax": events.ARGMAX_SQL,
         "events_sessionize": events.SESSIONIZE_SQL,

@@ -378,6 +378,150 @@ ORDER BY n_name
 """
 
 
+# -- Q9-ish: profit by nation and year (4-table join chain) -------------------
+
+Q9_PART_LIKE = "red"
+
+
+def q9_profit(sf_dir: str):
+    """Profit per (supplier nation, order year) — the J2/J3/J4 chain over
+    FOUR tables: part and supplier scanned distributed and collapsed to
+    broadcast key artifacts (a filtered partkey set; a suppkey→nationkey
+    array pair — both dimension-key-sized), lineitem filtered and
+    pre-aggregated per orderkey map-side, then ONE large-large hash join
+    against date-filtered orders with the per-(nation, year) partial
+    aggregate fused into the join buckets.  No fact table ever touches
+    the driver."""
+    import pyarrow as pa
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    nation_by_key = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def filter_part(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["p_name"].str.contains(Q9_PART_LIKE), ["p_partkey"]]
+
+    partkeys = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+        .map_batches(arrow_out(filter_part), batch_format="pandas")
+        .to_pandas()["p_partkey"]
+        .to_numpy()
+    )
+    partkeys.sort()
+
+    supp = (
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    bcast = ray.put(
+        (partkeys, supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy())
+    )
+
+    class LineitemPartial:
+        """Map-side: part semi-join + supplier nation resolution + exact-
+        cents amount, pre-aggregated per (orderkey, nation) per batch."""
+
+        def __init__(self, ref):
+            self.ref = ref
+            self.state = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.state is None:
+                self.state = ray.get(self.ref)
+            pkeys, skeys, snat = self.state
+            pk = b["l_partkey"].to_numpy()
+            pos = np.searchsorted(pkeys, pk)
+            pos_c = np.clip(pos, 0, max(0, len(pkeys) - 1))
+            hit = len(pkeys) > 0
+            mask = (pkeys[pos_c] == pk) if hit else np.zeros(len(b), bool)
+            if not mask.any():
+                return pd.DataFrame(
+                    {"o_orderkey": pd.array([], "int64"),
+                     "nation": pd.array([], "str"),
+                     "amount_c": pd.array([], "int64")}
+                )
+            b = b[mask]
+            sk = b["l_suppkey"].to_numpy()
+            spos = np.clip(np.searchsorted(skeys, sk), 0, len(skeys) - 1)
+            nations = pd.Series(snat[spos]).map(nation_by_key).to_numpy()
+            amount_c = np.rint(
+                b["l_extendedprice"].to_numpy()
+                * (1.0 - b["l_discount"].to_numpy()) * 10_000
+            ).astype("int64")
+            return (
+                pd.DataFrame(
+                    {"o_orderkey": b["l_orderkey"].to_numpy(),
+                     "nation": nations, "amount_c": amount_c}
+                )
+                .groupby(["o_orderkey", "nation"], sort=False)
+                .agg(amount_c=("amount_c", "sum"))
+                .reset_index()
+            )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    partials = li.map_batches(
+        arrow_out(LineitemPartial(bcast)), batch_format="pandas"
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def by_nation_year(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(o_year=g["o_orderdate"].dt.year.astype("int64"))
+        return (
+            g.groupby(["nation", "o_year"], sort=False)
+            .agg(amount_c=("amount_c", "sum"))
+            .reset_index()
+        )
+
+    joined = hash_join(
+        orders, partials, on=["o_orderkey"], how="inner", num_buckets=16,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("nation", pa.string()),
+             ("amount_c", pa.int64())]
+        ),
+        bucket_post=by_nation_year,
+    )
+    agg = joined.groupby(["nation", "o_year"]).aggregate(
+        Sum("amount_c", alias_name="amount_c")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"nation": df["nation"], "o_year": df["o_year"],
+             "profit": df["amount_c"] / 10_000.0}
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas").sort(
+        ["nation", "o_year"], descending=[False, True]
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS profit
+FROM part JOIN lineitem ON p_partkey = l_partkey
+     JOIN supplier ON s_suppkey = l_suppkey
+     JOIN orders ON o_orderkey = l_orderkey
+     JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%{Q9_PART_LIKE}%'
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
 # -- large-large partitioned hash join (J2) -----------------------------------
 
 def orders_lineitem_join(sf_dir: str):
