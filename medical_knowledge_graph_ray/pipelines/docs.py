@@ -137,7 +137,11 @@ def docs_minhash_verified(sf_dir: str, threshold: float = 0.5):
 
 
 def docs_ngram_jaccard(sf_dir: str, threshold: float = 0.3):
-    """Exact n-gram Jaccard pairs within same-source candidate groups."""
+    """Exact n-gram Jaccard pairs within same-source candidate groups
+    (SQL-oracle-able form — candidate groups = `source`).  At corpus
+    scale the candidate generator is MinHash-LSH, not a metadata column:
+    see `docs_minhash_verified` / `stages/dedup.py:minhash_verified_pairs`
+    for the shipped LSH→exact-verify composition."""
     docs = _docs(sf_dir, ["doc_id", "source", "text"])
     return docs.groupby("source").map_groups(
         lambda g: ngram_jaccard_group(g, threshold), batch_format="pandas"

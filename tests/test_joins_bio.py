@@ -284,3 +284,28 @@ def test_phash_neardup_banding_is_exact(ray_session):
     assert found == truth, (len(found), len(truth))
     with __import__("pytest").raises(ValueError):
         media_neardup(8, max_hamming=4)
+
+
+def test_hash_join_skewed_hot_key(ray_session):
+    """One key carrying 50% of the probe side must neither break nor
+    lose rows (bucket co-location is by key hash; a hot key's rows all
+    land in one bucket and the in-bucket merge is vectorized)."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.joins import hash_join
+
+    rng = np.random.RandomState(2)
+    hot = np.full(5000, 7, dtype=np.int64)
+    cold = rng.randint(0, 1000, size=5000).astype(np.int64)
+    probe = pd.DataFrame({"k": np.concatenate([hot, cold]),
+                          "v": np.arange(10000, dtype=np.int64)})
+    build = pd.DataFrame({"k": np.arange(1000, dtype=np.int64),
+                          "w": np.arange(1000, dtype=np.int64) * 10})
+    got = hash_join(
+        rd.from_pandas(build), rd.from_pandas(probe), on=["k"], num_buckets=8
+    ).to_pandas()
+    want = build.merge(probe, on="k")
+    assert len(got) == len(want)
+    assert got["v"].sum() == want["v"].sum()
+    assert (got.loc[got.k == 7, "w"] == 70).all()
+    assert (got.k == 7).sum() == (want.k == 7).sum() >= 5000
