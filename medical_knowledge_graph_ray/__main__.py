@@ -41,11 +41,27 @@ def main(argv: list[str] | None = None) -> int:
     gen.add_argument("--out", required=True)
     gen.add_argument("--num-files", type=int, default=None)
 
-    run = sub.add_parser("run", help="flagship KG pipeline: corpus → triples/nodes/edges")
+    run = sub.add_parser(
+        "run",
+        help="flagship KG pipeline: corpus → triples/nodes/edges/source_info. "
+        "Multi-node: `ray job submit -- python -m medical_knowledge_graph_ray "
+        "run …` with corpus/out on shared storage.",
+    )
     run.add_argument("--corpus", required=True)
     run.add_argument("--out", required=True)
     run.add_argument("--no-resume", action="store_true")
     run.add_argument("--n-shards", type=int, default=8)
+    run.add_argument(
+        "--ner-concurrency", default=None,
+        help="NER actor-pool size: an int (fixed, default cpus-4) or "
+        "'lo:hi' autoscaling bounds (north_star knob; fixed pools "
+        "measured faster for short jobs)",
+    )
+    run.add_argument(
+        "--target-block-mb", type=int, default=None,
+        help="DataContext.target_max_block_size in MiB (explicit target "
+        "block size; default Ray's 128)",
+    )
 
     bio = sub.add_parser("export-bio", help="BIO training-data export")
     bio.add_argument("--corpus", required=True)
@@ -83,9 +99,23 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "run":
             from .pipelines.kg import run_kg
 
+            if args.target_block_mb:
+                from ray.data import DataContext
+
+                DataContext.get_current().target_max_block_size = (
+                    args.target_block_mb * 1024 * 1024
+                )
+            conc = args.ner_concurrency
+            if conc is not None:
+                conc = (
+                    tuple(int(x) for x in conc.split(":"))
+                    if ":" in conc
+                    else int(conc)
+                )
             m = run_kg(
                 args.corpus,
                 args.out,
+                ner_concurrency=conc,
                 resume=not args.no_resume,
                 n_shards=args.n_shards,
             )
