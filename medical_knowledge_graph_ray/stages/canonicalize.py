@@ -92,7 +92,11 @@ def _ids_for(norm: pd.Series, etype: pd.Series) -> pd.Series:
 
 def partial_nodes_batch(batch: pa.Table) -> pa.Table:
     """Triple batch → partial node rows (both endpoints), combined per key."""
-    df = batch.to_pandas()
+    part = _partial_nodes_df(batch.to_pandas())
+    return pa.Table.from_pandas(part, schema=NODE_SCHEMA, preserve_index=False)
+
+
+def _partial_nodes_df(df: pd.DataFrame) -> pd.DataFrame:
     ends = pd.concat(
         [
             df[["subj", "subj_type", "prob"]].rename(
@@ -111,25 +115,27 @@ def partial_nodes_batch(batch: pa.Table) -> pa.Table:
         .reset_index()
     )
     part["node_id"] = _ids_for(part["canonical_name"], part["type"])
-    part = part[["node_id", "canonical_name", "type", "n_mentions", "prob_max"]]
-    return pa.Table.from_pandas(part, schema=NODE_SCHEMA, preserve_index=False)
+    return part[["node_id", "canonical_name", "type", "n_mentions", "prob_max"]]
 
 
 def partial_edges_batch(batch: pa.Table) -> pa.Table:
     """Triple batch → partial edge rows, combined per (subj, pred, obj)."""
-    df = batch.to_pandas()
+    part = _partial_edges_df(batch.to_pandas())
+    return pa.Table.from_pandas(part, schema=EDGE_SCHEMA, preserve_index=False)
+
+
+def _partial_edges_df(df: pd.DataFrame) -> pd.DataFrame:
     df = df.assign(
         _sn=_normalize_series(df["subj"].astype(str)),
         _on=_normalize_series(df["obj"].astype(str)),
     )
     df["subj_id"] = _ids_for(df["_sn"], df["subj_type"])
     df["obj_id"] = _ids_for(df["_on"], df["obj_type"])
-    part = (
+    return (
         df.groupby(["subj_id", "pred", "obj_id"], sort=False)
         .agg(weight=("prob", "max"), n_evidence=("prob", "size"))
         .reset_index()
     )
-    return pa.Table.from_pandas(part, schema=EDGE_SCHEMA, preserve_index=False)
 
 
 # -- fused single-scan graph materialization ----------------------------------
@@ -154,9 +160,11 @@ GRAPH_PARTIAL_SCHEMA = pa.schema(
 
 
 def partial_graph_batch(batch: pa.Table) -> pa.Table:
-    """Triple batch → node AND edge partials in one pass (superset rows)."""
-    nodes = partial_nodes_batch(batch).to_pandas()
-    edges = partial_edges_batch(batch).to_pandas()
+    """Triple batch → node AND edge partials in one pass (superset rows;
+    ONE arrow→pandas conversion shared by both partial kinds)."""
+    df = batch.to_pandas()
+    nodes = _partial_nodes_df(df)
+    edges = _partial_edges_df(df)
     both = pd.concat(
         [
             pd.DataFrame(
