@@ -58,6 +58,11 @@ def main(argv: list[str] | None = None) -> int:
         "measured faster for short jobs)",
     )
     run.add_argument(
+        "--config", default=None,
+        help="EngineConfig YAML/JSON: gazetteer (inline or file path), "
+        "prediction_models, ner_on, merging, tuning (SURVEY §2.12)",
+    )
+    run.add_argument(
         "--target-block-mb", type=int, default=None,
         help="DataContext.target_max_block_size in MiB (explicit target "
         "block size; default Ray's 128)",
@@ -112,12 +117,18 @@ def main(argv: list[str] | None = None) -> int:
                     if ":" in conc
                     else int(conc)
                 )
+            cfg = None
+            if args.config:
+                from .config import EngineConfig
+
+                cfg = EngineConfig.from_file(args.config)
             m = run_kg(
                 args.corpus,
                 args.out,
                 ner_concurrency=conc,
                 resume=not args.no_resume,
                 n_shards=args.n_shards,
+                config=cfg,
             )
             print(
                 json.dumps(

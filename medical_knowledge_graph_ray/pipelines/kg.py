@@ -100,12 +100,17 @@ class MentionStage:
     actors that can never start).
     """
 
-    def __init__(self, gazetteer: dict[str, str] | None = None):
+    def __init__(self, gazetteer: dict[str, str] | None = None, config=None):
+        from ..config import EngineConfig
         from ..stages.ner import EnsembleNER
         from ..stages.rules_stage import RulesMerge
 
-        self.ner = EnsembleNER(gazetteer)
-        self.rules = RulesMerge(gazetteer)
+        cfg = config or EngineConfig()
+        gaz = gazetteer if gazetteer is not None else cfg.gazetteer
+        # ner_on=False (reference switch): dictionary-only labeling
+        members = cfg.prediction_models if cfg.ner_on else ()
+        self.ner = EnsembleNER(gaz, members=members)
+        self.rules = RulesMerge(gaz) if cfg.merging else None
 
     def __call__(self, batch):
         import pandas as pd
@@ -123,9 +128,10 @@ class MentionStage:
         # end — the intermediate stages chain on the same DataFrame
         m = self.ner(batch)
         mdf = clean_mentions_df(m.to_pandas())
-        new = self.rules.augment(batch.to_pandas(), mdf)
-        if len(new):
-            mdf = pd.concat([mdf, new], ignore_index=True)
+        if self.rules is not None:
+            new = self.rules.augment(batch.to_pandas(), mdf)
+            if len(new):
+                mdf = pd.concat([mdf, new], ignore_index=True)
         mdf = dedup_mentions_df(mdf)
         mdf = confidence_rules_df(mdf)
         out = emit_triples_df(mdf)
@@ -133,7 +139,8 @@ class MentionStage:
 
 
 def triples_dataset(
-    pages, *, ner_concurrency=None, ner_batch_size: int = 512, sentence_tee=None
+    pages, *, ner_concurrency=None, ner_batch_size: int = 512,
+    sentence_tee=None, config=None,
 ):
     """pages Dataset → lazy triples Dataset (no checkpoint).
 
@@ -144,8 +151,14 @@ def triples_dataset(
     ``sentence_tee``: optional pass-through ``pa.Table → pa.Table``
     inserted after the split — run_kg uses it to write the source_info
     lineage table from the SAME execution (a separate extract+split pass
-    cost a whole extra execution's fixed overhead)."""
-    conc = ner_concurrency or _default_concurrency()
+    cost a whole extra execution's fixed overhead).
+
+    ``config``: an ``EngineConfig`` (gazetteer override, ensemble member
+    registry, ner_on / merging switches, tuning — SURVEY §2.12)."""
+    conc = ner_concurrency or (
+        config.ner_concurrency if config and config.ner_concurrency else None
+    ) or _default_concurrency()
+    batch_size = ner_batch_size or (config.ner_batch_size if config else 512)
     text = pages.map_batches(extract_text_batch, batch_format="pyarrow")
     text = text.select_columns(["url", "text"])
     sents = text.map_batches(split_batch, batch_format="pyarrow")
@@ -153,8 +166,9 @@ def triples_dataset(
         sents = sents.map_batches(sentence_tee, batch_format="pyarrow")
     return sents.map_batches(
         MentionStage,
+        fn_constructor_kwargs={"config": config} if config is not None else None,
         batch_format="pyarrow",
-        batch_size=ner_batch_size,
+        batch_size=batch_size,
         concurrency=conc,
         num_cpus=1,
     )
@@ -287,6 +301,23 @@ def _corpus_fingerprint(corpus_dir: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
 
 
+def _config_fingerprint(config) -> str:
+    """Semantic config digest — a different gazetteer / member registry /
+    switch set must invalidate the triple checkpoints (tuning fields are
+    excluded: they don't change results)."""
+    import hashlib
+
+    if config is None:
+        return "default"
+    sem = (
+        sorted((config.gazetteer or {}).items()) if config.gazetteer else None,
+        config.prediction_models,
+        config.ner_on,
+        config.merging,
+    )
+    return hashlib.md5(repr(sem).encode()).hexdigest()[:12]
+
+
 def run_kg(
     corpus_dir: str,
     out_root: str,
@@ -294,6 +325,7 @@ def run_kg(
     ner_concurrency=None,
     resume: bool = True,
     n_shards: int = 8,
+    config=None,
 ) -> dict:
     """Full run with checkpoints: url-hash-sharded triples → nodes + edges.
 
@@ -324,7 +356,10 @@ def run_kg(
 
     from ..functions.hashing import stable_bucket
 
-    fp_base = f"corpus={_corpus_fingerprint(corpus_dir)}|shards={n_shards}"
+    fp_base = (
+        f"corpus={_corpus_fingerprint(corpus_dir)}|shards={n_shards}"
+        f"|cfg={_config_fingerprint(config)}"
+    )
     tri_dir = os.path.join(out_root, "triples")
     si_dir = os.path.join(out_root, "source_info")
     os.makedirs(tri_dir, exist_ok=True)
@@ -470,7 +505,7 @@ def run_kg(
         if tri_inc:
             tri = triples_dataset(
                 pages, ner_concurrency=ner_concurrency, ner_batch_size=2048,
-                sentence_tee=sentence_tee if si_inc else None,
+                sentence_tee=sentence_tee if si_inc else None, config=config,
             )
             tri.map_batches(shard_write, batch_format="pyarrow").count()
         else:

@@ -128,6 +128,8 @@ def union_strong_spans(
     Returns ``[(start, end, tid, supporting_member_indices)]`` for union
     runs supported by ≥ 2 distinct members (``EnsemblePredict_all.py:
     321-395``)."""
+    if len(member_tids) < 2:  # dictionary-only / single-member config
+        return []
     union = member_tids[0].copy()
     for tids in member_tids[1:]:
         fill = (union == 0) & (tids != 0)
@@ -155,9 +157,19 @@ class EnsembleNER:
         self,
         gazetteer: dict[str, str] | None = None,
         eval_override: dict[str, dict[str, list[float]]] | None = None,
+        members: tuple[str, ...] | None = None,
     ):
         gaz = gazetteer or MEDICAL_GAZETTEER
-        self.members = [_Member(m, gaz) for m in MODEL_NAMES]
+        # members: the config-selected ensemble (the reference's
+        # `prediction_model` registry, config.yaml:48-49); voting math
+        # (k / 2·M) follows the SELECTED ensemble size
+        # members=() is the reference's ner_on=False: dictionary-only
+        # labeling (no model scoring, no ensemble rows)
+        names = MODEL_NAMES if members is None else tuple(members)
+        unknown = [m for m in names if m not in MODEL_NAMES]
+        if unknown:
+            raise ValueError(f"unknown ensemble members: {unknown}")
+        self.members = [_Member(m, gaz) for m in names]
         self.dictionary = GazetteerMatcher(gaz)
         # eval_override: a REAL eval matrix computed from a labeled dataset
         # (stages/muc_eval.py:eval_matrix_from); the default hash-fabricated
@@ -166,7 +178,7 @@ class EnsembleNER:
         # would poison artifacts it later persists (eval_dic.json).
         src = eval_override or eval_matrix()
         self.eval = {m: dict(v) for m, v in src.items()}
-        for m in MODEL_NAMES:  # every (member, type) cell must exist
+        for m in names:  # every (member, type) cell must exist
             ev = self.eval.setdefault(m, {})
             for t in TYPE_LIST:
                 ev.setdefault(t, [0.0, 0.0, 0.0, 0.0])
@@ -345,14 +357,18 @@ class EnsembleNER:
             rows_tid.append(tid)
             rows_p.append(pr)
 
-        # union (V2): member 0 base, fill O chars in member order
-        union = member_tids[0].copy()
-        for mi in range(1, len(self.members)):
-            fill = (union == 0) & (member_tids[mi] != 0)
-            union[fill] = member_tids[mi][fill]
+        # union (V2): member 0 base, fill O chars in member order;
+        # < 2 members (dictionary-only config) ⇒ no ensemble rows
+        if len(self.members) >= 2:
+            union = member_tids[0].copy()
+            for mi in range(1, len(self.members)):
+                fill = (union == 0) & (member_tids[mi] != 0)
+                union[fill] = member_tids[mi][fill]
+            u_runs = runs(union)
+        else:
+            u_runs = []
 
         # strong (V3) on the union runs, fully vectorized
-        u_runs = runs(union)
         ens_gs = ens_ge = ens_tid = ens_x3 = ens_mask = None
         if u_runs:
             r = np.asarray(u_runs, dtype=np.int64)
