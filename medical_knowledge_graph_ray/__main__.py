@@ -92,6 +92,12 @@ def main(argv: list[str] | None = None) -> int:
     au.add_argument("--out", required=True)
 
     args = p.parse_args(argv)
+    if args.cmd == "audit":  # pure filesystem metadata work — no Ray
+        from .state.manifests import audit_run
+
+        report = audit_run(args.out)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
     _init_ray(args.num_cpus)
     import ray
 
@@ -173,12 +179,6 @@ def main(argv: list[str] | None = None) -> int:
             with open(os.path.join(args.out, "model_weights.json"), "w") as f:
                 json.dump(weights_from_eval(eval_df), f, indent=1)
             print(json.dumps({"out": args.out, "rows": len(eval_df)}))
-        elif args.cmd == "audit":
-            from .state.manifests import audit_run
-
-            report = audit_run(args.out)
-            print(json.dumps(report))
-            return 0 if report["ok"] else 1
     finally:
         ray.shutdown()
     return 0

@@ -37,7 +37,7 @@ class EngineConfig:
     prediction_models: tuple[str, ...] | None = None
     ner_on: bool = True
     merging: bool = True
-    ner_batch_size: int = 512
+    ner_batch_size: int | None = None
     ner_concurrency: int | tuple[int, int] | None = None
     extras: dict = field(default_factory=dict)
 
@@ -75,7 +75,7 @@ class EngineConfig:
             prediction_models=models,
             ner_on=raw.get("ner_on", True),
             merging=raw.get("merging", True),
-            ner_batch_size=raw.get("ner_batch_size", 512),
+            ner_batch_size=raw.get("ner_batch_size"),
             ner_concurrency=conc,
             extras={k: v for k, v in raw.items() if k not in known},
         )

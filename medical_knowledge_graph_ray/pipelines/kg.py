@@ -139,7 +139,7 @@ class MentionStage:
 
 
 def triples_dataset(
-    pages, *, ner_concurrency=None, ner_batch_size: int = 512,
+    pages, *, ner_concurrency=None, ner_batch_size: int | None = None,
     sentence_tee=None, config=None,
 ):
     """pages Dataset → lazy triples Dataset (no checkpoint).
@@ -158,7 +158,11 @@ def triples_dataset(
     conc = ner_concurrency or (
         config.ner_concurrency if config and config.ner_concurrency else None
     ) or _default_concurrency()
-    batch_size = ner_batch_size or (config.ner_batch_size if config else 512)
+    # explicit arg > config knob > default (the arg default must be None
+    # or the config knob is dead)
+    batch_size = ner_batch_size or (
+        config.ner_batch_size if config and config.ner_batch_size else None
+    ) or 512
     text = pages.map_batches(extract_text_batch, batch_format="pyarrow")
     text = text.select_columns(["url", "text"])
     sents = text.map_batches(split_batch, batch_format="pyarrow")
@@ -315,6 +319,8 @@ def _config_fingerprint(config) -> str:
         config.ner_on,
         config.merging,
     )
+    if sem == (None, None, True, True):  # semantically the default config
+        return "default"  # (a tuning-only config must NOT invalidate)
     return hashlib.md5(repr(sem).encode()).hexdigest()[:12]
 
 
@@ -504,7 +510,11 @@ def run_kg(
 
         if tri_inc:
             tri = triples_dataset(
-                pages, ner_concurrency=ner_concurrency, ner_batch_size=2048,
+                pages, ner_concurrency=ner_concurrency,
+                ner_batch_size=(
+                    config.ner_batch_size
+                    if config and config.ner_batch_size else 2048
+                ),
                 sentence_tee=sentence_tee if si_inc else None, config=config,
             )
             tri.map_batches(shard_write, batch_format="pyarrow").count()

@@ -434,20 +434,30 @@ def q9_profit(sf_dir: str):
             if self.state is None:
                 self.state = ray.get(self.ref)
             pkeys, skeys, snat = self.state
+            empty = pd.DataFrame(
+                {"o_orderkey": pd.array([], "int64"),
+                 "nation": pd.array([], "str"),
+                 "amount_c": pd.array([], "int64")}
+            )
+            if not len(pkeys) or not len(skeys):
+                return empty
             pk = b["l_partkey"].to_numpy()
-            pos = np.searchsorted(pkeys, pk)
-            pos_c = np.clip(pos, 0, max(0, len(pkeys) - 1))
-            hit = len(pkeys) > 0
-            mask = (pkeys[pos_c] == pk) if hit else np.zeros(len(b), bool)
+            pos_c = np.clip(np.searchsorted(pkeys, pk), 0, len(pkeys) - 1)
+            mask = pkeys[pos_c] == pk
             if not mask.any():
-                return pd.DataFrame(
-                    {"o_orderkey": pd.array([], "int64"),
-                     "nation": pd.array([], "str"),
-                     "amount_c": pd.array([], "int64")}
-                )
+                return empty
             b = b[mask]
             sk = b["l_suppkey"].to_numpy()
             spos = np.clip(np.searchsorted(skeys, sk), 0, len(skeys) - 1)
+            # inner-join semantics: a suppkey absent from supplier DROPS
+            # the row (clip without the equality check silently credited
+            # it to the nearest supplier's nation)
+            shit = skeys[spos] == sk
+            if not shit.all():
+                b = b[shit]
+                spos = spos[shit]
+                if not len(b):
+                    return empty
             nations = pd.Series(snat[spos]).map(nation_by_key).to_numpy()
             amount_c = np.rint(
                 b["l_extendedprice"].to_numpy()

@@ -337,7 +337,9 @@ def phash_neardup_pairs(features, max_hamming: int = 3):
         )
 
     def bands(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[(b["status"] == "decoded") & (b["phash"] != 0)]
+        # kind-based filter: phash==0 is a LEGAL dHash (uniform images),
+        # not an absent-value sentinel — only audio genuinely has none
+        b = b[(b["status"] == "decoded") & (b["kind"] != "audio")]
         if not len(b):
             return pd.DataFrame(
                 {"band_id": pd.array([], "int32"),
@@ -358,8 +360,17 @@ def phash_neardup_pairs(features, max_hamming: int = 3):
         return pd.concat(out, ignore_index=True)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # hot-key prefilter (the dedup.lsh_bucket_pairs shape): detect
+        # colliding band keys vectorized; per-group Python work only for
+        # true collisions (most band values are singletons at scale)
+        key = g["band_val"].to_numpy(dtype="uint64") ^ (
+            g["band_id"].to_numpy(dtype="uint64") * np.uint64(0x9E3779B97F4A7C15)
+        )
+        g = g.assign(_k=key)
+        sizes = g["_k"].value_counts()
+        g = g[g["_k"].isin(sizes.index[sizes >= 2])]
         rows_a, rows_b, dists = [], [], []
-        for _k, sub in g.groupby(["band_id", "band_val"], sort=False):
+        for _k, sub in g.groupby("_k", sort=False):
             sub = sub.drop_duplicates("media_id").sort_values("media_id")
             if len(sub) < 2:
                 continue

@@ -246,7 +246,11 @@ def neardup_pairs_projected(embeddings, threshold: float):
             "projection slabs prune nothing below t≈0.5 — use "
             "neardup_pairs_chunked for low thresholds"
         )
-    eps = float(np.sqrt(2.0 - 2.0 * threshold))
+    # widen the slab by the 6-dp emission rounding: a pair whose ROUNDED
+    # sim reaches t can have true cos as low as t - 5e-7, i.e. distance
+    # slightly beyond sqrt(2-2t) — without the margin such a pair could
+    # straddle two slab boundaries and be missed at the rounding edge
+    eps = float(np.sqrt(2.0 - 2.0 * (threshold - 1e-6)))
 
     def replicate(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):

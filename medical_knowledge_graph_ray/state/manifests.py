@@ -151,6 +151,20 @@ def audit_stage(out_dir: str) -> dict:
             "rows": 0, "issues": [f"no {MANIFEST} found under {out_dir}"],
         }
 
+    # EVERY parquet under the stage must be governed by some manifest —
+    # read_stage walks all of them, so a manifest-less shard dir (crash
+    # between replace and manifest write) or a stray top-level file would
+    # silently inflate a directory read
+    manifest_set = set(manifest_dirs)
+    for root, _dirs, names in os.walk(out_dir):
+        if root in manifest_set:
+            continue
+        for name in sorted(names):
+            if name.endswith(".parquet"):
+                issues.append(
+                    f"{root}: parquet file {name} not governed by any manifest"
+                )
+
     for mdir in manifest_dirs:
         with open(os.path.join(mdir, MANIFEST)) as f:
             m = json.load(f)
