@@ -180,6 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join": relational.orders_lineitem_join,
         # R5 deterministic sampling / A1 first-non-null / D4 set difference
         "docs_sample": docs.docs_sample,
+        # composed training-corpus curation: lang gate -> quality gate ->
+        # exact-dedup keep-canonical (SQL-oracled end to end)
+        "docs_curation": docs.docs_curation,
         "docs_first_nonnull": docs.docs_first_nonnull,
         "gazetteer_unseen": docs_kg.gazetteer_unseen,
         # multimodal: REAL PPM/WAV/raw-frame decode kernels + perceptual-
@@ -237,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_split": docs.DOCS_SPLIT_SQL,
         "orders_lineitem_join": relational.ORDERS_LINEITEM_JOIN_SQL,
         "docs_sample": docs.DOCS_SAMPLE_SQL,
+        "docs_curation": docs.CURATION_SQL,
         "docs_first_nonnull": docs.DOCS_FIRST_NONNULL_SQL,
         "gazetteer_unseen": docs_kg.unseen_sql(),
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,

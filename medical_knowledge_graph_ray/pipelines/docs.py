@@ -308,6 +308,78 @@ FROM (SELECT doc_id,
 """
 
 
+# -- corpus curation: the composed training-data filter chain ----------------
+
+CURATION_MIN_QUALITY = 0.10
+
+
+def docs_curation(sf_dir: str, min_quality: float = CURATION_MIN_QUALITY):
+    """The end-to-end training-corpus curation chain every large pipeline
+    runs before training: language gate (predicted en) → quality gate →
+    exact dedup keeping the canonical (min doc_id) copy.  One streaming
+    pass computes langid + quality + fingerprint per batch; one bucketed
+    exchange resolves canonical-per-fingerprint.  Output: the surviving
+    (doc_id, n_tokens, quality) rows."""
+    import hashlib
+
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].astype(str).tolist()
+        toks = [t.split(" ") for t in texts]
+        n_tokens = np.array([len(t) for t in toks], dtype=np.int64)
+        stop = np.array(
+            [sum(1 for w in t if w in EN_STOPWORDS) for t in toks], dtype=np.int64
+        )
+        n_distinct = np.array([len(set(t)) for t in toks], dtype=np.int64)
+        ratio = stop / n_tokens
+        quality = np.round(
+            np.minimum(n_tokens, 200) / 200.0 * (n_distinct / n_tokens), 6
+        )
+        keep = (ratio >= 0.05) & (quality >= min_quality)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(b["doc_id"].to_numpy()[keep], "int64"),
+                "fp": pd.array(
+                    [hashlib.md5(t.encode()).hexdigest()
+                     for t, k in zip(texts, keep) if k], "str"
+                ),
+                "n_tokens": pd.array(n_tokens[keep], "int64"),
+                "quality": pd.array(quality[keep], "float64"),
+            }
+        )
+
+    gated = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        arrow_out(gate), batch_format="pandas"
+    )
+
+    def keep_canonical(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby("fp", sort=False)["doc_id"].idxmin()
+        return g.loc[idx, ["doc_id", "n_tokens", "quality"]]
+
+    return bucketed_group_map(gated, ["fp"], keep_canonical, num_buckets=16)
+
+
+CURATION_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, md5(text) AS fp,
+         len(string_split(text, ' ')) AS n_tokens,
+         round((LEAST(len(string_split(text, ' ')), 200)/200.0)
+               * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' '))), 6) AS quality,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL})))
+              AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+), gated AS (
+  SELECT * FROM scored WHERE stop_ratio >= 0.05 AND quality >= {CURATION_MIN_QUALITY}
+)
+SELECT doc_id, n_tokens, quality FROM gated
+WHERE doc_id = (SELECT MIN(doc_id) FROM gated g2 WHERE g2.fp = gated.fp)
+"""
+
+
 # -- R5 deterministic sampling ------------------------------------------------
 
 def docs_sample(sf_dir: str):
