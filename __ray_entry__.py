@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (rows-only: LSH recall < 1 by design, measured in tests)
         "minhash_verified_pairs": docs.docs_minhash_verified,
         "simhash_fingerprints": docs.docs_simhash,
+        "simhash_neardup_pairs": docs.docs_simhash_neardup,
         "ngram_jaccard_pairs": docs.docs_ngram_jaccard,
         # similarity search
         "knn_cosine": docs.knn_cosine_q0,
@@ -245,4 +246,5 @@ def oracle_sql() -> dict[str, str]:
         "gazetteer_unseen": docs_kg.unseen_sql(),
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
+        "simhash_neardup_pairs": docs.simhash_neardup_sql(),
     }

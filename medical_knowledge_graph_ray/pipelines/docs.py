@@ -128,6 +128,27 @@ def docs_simhash(sf_dir: str):
     )
 
 
+def docs_simhash_neardup(sf_dir: str, max_hamming: int = 3):
+    """SimHash banded-Hamming near-dup pairs (exact <= radius 3 by
+    pigeonhole; bit-exact SQL oracle via bit_count(xor(...)))."""
+    from ..stages.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming)
+
+
+SIMHASH_NEARDUP_SQL_TEMPLATE = """
+WITH sims AS ({simhash_sql})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def simhash_neardup_sql() -> str:
+    return SIMHASH_NEARDUP_SQL_TEMPLATE.format(simhash_sql=SIMHASH_SQL)
+
+
 def docs_minhash_verified(sf_dir: str, threshold: float = 0.5):
     """Scale-correct dedup chain: LSH candidates -> exact Jaccard verify
     (stages/dedup.py:minhash_verified_pairs)."""

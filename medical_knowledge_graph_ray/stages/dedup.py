@@ -348,3 +348,102 @@ def ngram_jaccard_group(group: pd.DataFrame, threshold: float = 0.3) -> pd.DataF
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
         {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
     )
+
+
+# -- banded-Hamming near-dup over 64-bit fingerprints --------------------------
+
+HAMMING_BANDS = 4  # 4 × 16-bit bands over a 64-bit fingerprint
+
+
+def banded_hamming_pairs(
+    ds,
+    *,
+    id_col: str,
+    hash_col: str,
+    out_a: str,
+    out_b: str,
+    max_hamming: int = 3,
+    num_buckets: int = 32,
+):
+    """Near-dup pairs by fingerprint Hamming distance — EXACT for the
+    given radius: with the 64-bit hash split into ``HAMMING_BANDS``
+    16-bit bands, any pair within Hamming ≤ HAMMING_BANDS−1 must agree
+    on at least one whole band (pigeonhole).  Shared by the SimHash text
+    path and the dHash media path.  Shape: band explode → bucketed
+    collision detection (value_counts hot-key prefilter, per-group
+    Python only on true collisions) → vectorized popcount verify → pair
+    dedup (a pair can collide in several bands)."""
+    from ..functions.arrow import arrow_out
+    from .shuffle import bucketed_group_map
+
+    if max_hamming >= HAMMING_BANDS:
+        raise ValueError(
+            f"banding guarantees exactness only for radius < {HAMMING_BANDS}"
+        )
+
+    def bands(b: pd.DataFrame) -> pd.DataFrame:
+        h = b[hash_col].to_numpy(dtype="uint64")
+        frames = []
+        for band in range(HAMMING_BANDS):
+            frames.append(
+                pd.DataFrame(
+                    {"band_id": np.int32(band),
+                     "band_val": (h >> np.uint64(16 * band)) & np.uint64(0xFFFF),
+                     "_id": b[id_col].to_numpy(),
+                     "_h": h}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["band_val"].to_numpy(dtype="uint64") ^ (
+            g["band_id"].to_numpy(dtype="uint64") * np.uint64(0x9E3779B97F4A7C15)
+        )
+        g = g.assign(_k=key)
+        sizes = g["_k"].value_counts()
+        g = g[g["_k"].isin(sizes.index[sizes >= 2])]
+        rows_a, rows_b, dists = [], [], []
+        for _k, sub in g.groupby("_k", sort=False):
+            sub = sub.drop_duplicates("_id").sort_values("_id")
+            if len(sub) < 2:
+                continue
+            ids = sub["_id"].to_numpy()
+            ph = sub["_h"].to_numpy(dtype="uint64")
+            for i in range(len(ids)):
+                x = ph[i + 1:] ^ ph[i]
+                d = np.unpackbits(
+                    x.view(np.uint8).reshape(len(x), 8), axis=1
+                ).sum(axis=1)
+                for j in np.flatnonzero(d <= max_hamming):
+                    rows_a.append(ids[i])
+                    rows_b.append(ids[i + 1 + j])
+                    dists.append(int(d[j]))
+        id_dtype = g["_id"].dtype  # typed empties must match non-empty blocks
+        return pd.DataFrame(
+            {out_a: pd.array(rows_a, dtype=id_dtype),
+             out_b: pd.array(rows_b, dtype=id_dtype),
+             "hamming": pd.array(dists, "int32")}
+        )
+
+    banded = ds.map_batches(arrow_out(bands), batch_format="pandas")
+    pairs = bucketed_group_map(
+        banded, ["band_id", "band_val"], bucket_pairs, num_buckets=num_buckets
+    )
+    return bucketed_group_map(
+        pairs, [out_a, out_b],
+        lambda g: g.drop_duplicates([out_a, out_b]),
+        num_buckets=8,
+    )
+
+
+def simhash_neardup_pairs(docs, max_hamming: int = 3):
+    """Text near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``
+    (exact by pigeonhole banding; bit-exact SQL oracle via DuckDB
+    ``bit_count(xor(...))`` over the same md5-derived fingerprints)."""
+    from ..functions.arrow import arrow_out
+
+    fps = docs.map_batches(arrow_out(simhash_batch), batch_format="pandas")
+    return banded_hamming_pairs(
+        fps, id_col="doc_id", hash_col="simhash",
+        out_a="doc_a", out_b="doc_b", max_hamming=max_hamming,
+    )

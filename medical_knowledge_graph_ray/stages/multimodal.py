@@ -315,89 +315,32 @@ def media_features(n_media: int = 256, *, batch_size: int = 64, concurrency=2):
 
 # -- perceptual-hash near-dup (image/video dedup over the phash column) -------
 
-PHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit dHash
+PHASH_BANDS = 4  # kept for API compat; banding lives in stages/dedup.py
 
 
 def phash_neardup_pairs(features, max_hamming: int = 3):
-    """Media near-dup pairs by dHash Hamming distance — EXACT for the
-    given radius: with the 64-bit hash split into ``PHASH_BANDS`` 16-bit
-    bands, any pair within Hamming ≤ PHASH_BANDS−1 must agree on at
-    least one whole band (pigeonhole), so banding misses nothing up to
-    radius 3.  Same shuffle shape as MinHash LSH: band explode →
-    bucketed collision pairs → in-bucket exact popcount verify → pair
-    dedup (a pair can collide in several bands)."""
+    """Media near-dup pairs by dHash Hamming distance — the shared
+    banded-Hamming machinery (``stages/dedup.py:banded_hamming_pairs``,
+    EXACT for radius ≤ 3 by pigeonhole) over decoded image/video rows.
+    Filter is kind-based: phash==0 is a LEGAL dHash (uniform images),
+    not an absent-value sentinel — only audio genuinely has none."""
     import pandas as pd
 
     from ..functions.arrow import arrow_out
-    from .shuffle import bucketed_group_map
+    from .dedup import banded_hamming_pairs
 
-    if max_hamming >= PHASH_BANDS:
-        raise ValueError(
-            f"banding guarantees exactness only for radius < {PHASH_BANDS}"
-        )
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.loc[
+            (b["status"] == "decoded") & (b["kind"] != "audio"),
+            ["media_id", "phash"],
+        ]
+        out["phash"] = out["phash"].astype("uint64")
+        return out
 
-    def bands(b: pd.DataFrame) -> pd.DataFrame:
-        # kind-based filter: phash==0 is a LEGAL dHash (uniform images),
-        # not an absent-value sentinel — only audio genuinely has none
-        b = b[(b["status"] == "decoded") & (b["kind"] != "audio")]
-        if not len(b):
-            return pd.DataFrame(
-                {"band_id": pd.array([], "int32"),
-                 "band_val": pd.array([], "uint64"),
-                 "media_id": pd.array([], "str"),
-                 "phash": pd.array([], "uint64")}
-            )
-        ph = b["phash"].to_numpy(dtype="uint64")
-        out = []
-        for band in range(PHASH_BANDS):
-            val = (ph >> np.uint64(16 * band)) & np.uint64(0xFFFF)
-            out.append(
-                pd.DataFrame(
-                    {"band_id": np.int32(band), "band_val": val,
-                     "media_id": b["media_id"].to_numpy(), "phash": ph}
-                )
-            )
-        return pd.concat(out, ignore_index=True)
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # hot-key prefilter (the dedup.lsh_bucket_pairs shape): detect
-        # colliding band keys vectorized; per-group Python work only for
-        # true collisions (most band values are singletons at scale)
-        key = g["band_val"].to_numpy(dtype="uint64") ^ (
-            g["band_id"].to_numpy(dtype="uint64") * np.uint64(0x9E3779B97F4A7C15)
-        )
-        g = g.assign(_k=key)
-        sizes = g["_k"].value_counts()
-        g = g[g["_k"].isin(sizes.index[sizes >= 2])]
-        rows_a, rows_b, dists = [], [], []
-        for _k, sub in g.groupby("_k", sort=False):
-            sub = sub.drop_duplicates("media_id").sort_values("media_id")
-            if len(sub) < 2:
-                continue
-            ids = sub["media_id"].to_numpy()
-            ph = sub["phash"].to_numpy(dtype="uint64")
-            for i in range(len(ids)):
-                x = ph[i + 1:] ^ ph[i]
-                # vectorized popcount via byte-view + unpackbits
-                d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
-                hit = d <= max_hamming
-                for j in np.flatnonzero(hit):
-                    rows_a.append(ids[i])
-                    rows_b.append(ids[i + 1 + j])
-                    dists.append(int(d[j]))
-        return pd.DataFrame(
-            {"media_a": pd.array(rows_a, "str"), "media_b": pd.array(rows_b, "str"),
-             "hamming": pd.array(dists, "int32")}
-        )
-
-    banded = features.map_batches(arrow_out(bands), batch_format="pandas")
-    pairs = bucketed_group_map(
-        banded, ["band_id", "band_val"], bucket_pairs, num_buckets=32
-    )
-    return bucketed_group_map(
-        pairs, ["media_a", "media_b"],
-        lambda g: g.drop_duplicates(["media_a", "media_b"]),
-        num_buckets=8,
+    hashed = features.map_batches(arrow_out(keep), batch_format="pandas")
+    return banded_hamming_pairs(
+        hashed, id_col="media_id", hash_col="phash",
+        out_a="media_a", out_b="media_b", max_hamming=max_hamming,
     )
 
 
