@@ -399,3 +399,24 @@ def test_projected_neardup_exact_at_high_threshold(ray_session):
 
     with pytest.raises(ValueError):
         neardup_pairs_projected(rd.from_pandas(df), 0.3)
+
+
+def test_lsh_knn_recall_on_clustered_data(ray_session):
+    """The LSH-bucketed ANN path needs a measured recall figure too (the
+    IVF variant already had one): on clustered data the query's bucket
+    must recover most of the exact top-10."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.similarity import (
+        knn_cosine,
+        knn_cosine_lsh,
+    )
+
+    rng = np.random.RandomState(13)
+    centers = rng.standard_normal((6, 32)) * 5
+    mat = np.vstack([c + rng.standard_normal((80, 32)) for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(len(mat)), "embedding": list(mat)})
+    q = mat[10]
+    exact = set(knn_cosine(rd.from_pandas(df), q, k=10).to_pandas()["vec_id"])
+    approx = set(knn_cosine_lsh(rd.from_pandas(df), q, k=10).to_pandas()["vec_id"])
+    assert len(exact & approx) >= 7  # measured recall on clustered data
