@@ -157,6 +157,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_argmax": events.events_argmax,
         "events_sessionize": events.events_sessionize,
         "events_sliding": events.events_sliding,
+        "events_asof": events.events_asof,
+        "events_running_sum": events.events_running_sum,
+        "events_range_join": events.events_range_join,
+        "events_user_median": events.events_user_median,
+        # grouped top-N + shuffle-free exact quantiles
+        "orders_topn_per_cust": relational.orders_topn_per_cust,
+        "lineitem_quantiles": relational.lineitem_quantiles,
         # text analysis
         "docs_stats": docs.docs_stats,
         "docs_langid": docs.docs_langid,
@@ -229,6 +236,12 @@ def oracle_sql() -> dict[str, str]:
         "events_argmax": events.ARGMAX_SQL,
         "events_sessionize": events.SESSIONIZE_SQL,
         "events_sliding": events.SLIDING_SQL,
+        "events_asof": events.ASOF_SQL,
+        "events_running_sum": events.RUNNING_SUM_SQL,
+        "events_range_join": events.RANGE_JOIN_SQL,
+        "events_user_median": events.USER_MEDIAN_SQL,
+        "orders_topn_per_cust": relational.TOPN_SQL,
+        "lineitem_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "docs_stats": docs.STATS_SQL,
         "docs_langid": docs.LANGID_SQL,
         "docs_fingerprint": docs.FINGERPRINT_SQL,

@@ -42,6 +42,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "docs_stats", "docs_quality", "dedup_exact",
         "minhash_pairs", "knn_cosine", "embed_norms",
         "embed_neardup_pairs", "ner_eval",
+        "events_asof", "orders_topn_per_cust", "lineitem_quantiles",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -134,3 +134,112 @@ SELECT event_type, window_start, COUNT(*) AS n,
        SUM(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
 FROM exploded GROUP BY event_type, window_start
 """
+
+
+def events_asof(sf_dir: str):
+    """As-of join: each 'click' matched to the user's latest prior (or
+    simultaneous) 'purchase'.  One pruned read feeds both sides (a side
+    tag instead of two scans); one bucketed shuffle on user_id co-locates
+    a user's probe and reference rows; `asof_bucket` aligns them with a
+    single vectorized merge_asof."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+    from ..stages.windows import asof_bucket
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def tag(b):
+        keep = b[b["event_type"].isin(["click", "purchase"])]
+        out = keep[["event_id", "user_id", "ts"]].copy()
+        out["side"] = np.where(keep["event_type"].to_numpy() == "click", "L", "R")
+        return out
+
+    tagged = ev.map_batches(arrow_out(tag), batch_format="pandas")
+    return bucketed_group_map(tagged, ["user_id"], asof_bucket)
+
+
+ASOF_SQL = """
+WITH r AS (
+  SELECT user_id, ts, max(event_id) AS ref_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT l.event_id, l.user_id, l.ts, r.ref_event_id, r.ts AS ref_ts,
+       CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS wait_us
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def events_running_sum(sf_dir: str):
+    """Per-user event-time cumulative sum (the windowed-aggregate shape
+    Ray Data lacks natively): bucketed shuffle on user_id, then one
+    vectorized per-bucket sort + grouped cumsum on exact int cents."""
+    from ..stages.shuffle import bucketed_group_map
+    from ..stages.windows import running_sum_bucket
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    return bucketed_group_map(ev, ["user_id"], running_sum_bucket)
+
+
+RUNNING_SUM_SQL = """
+SELECT event_id, user_id, ts,
+       SUM(CAST(round(value*100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) / 100.0 AS running_sum
+FROM events
+"""
+
+
+def events_range_join(sf_dir: str):
+    """Interval self-join: same-user event pairs at most 2 h apart
+    (strictly later partner).  One bucketed shuffle on user_id; the
+    in-bucket kernel is a single searchsorted sweep over all users —
+    see `stages/windows.py:range_join_bucket` for the monotone-axis
+    construction and its overflow guard."""
+    from ..stages.shuffle import bucketed_group_map
+    from ..stages.windows import range_join_bucket
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+    return bucketed_group_map(ev, ["user_id"], range_join_bucket)
+
+
+RANGE_JOIN_SQL = """
+SELECT a.event_id AS a_event_id, b.event_id AS b_event_id, a.user_id,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 2 HOUR
+"""
+
+
+def events_user_median(sf_dir: str):
+    """Per-user discrete median of event value — grouped quantile via
+    rank selection: one bucketed shuffle on user_id, then a vectorized
+    sort + cumcount rank-pick over every user at once.  quantile_disc is
+    pure selection (an existing element, rank max(1, ceil(q·n))), so the
+    result is bit-exact with no scaled-integer contract needed."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["user_id", "value"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "value"], kind="mergesort")
+        n = s.groupby("user_id", sort=False)["value"].transform("size").to_numpy()
+        rank = s.groupby("user_id", sort=False).cumcount().to_numpy() + 1
+        # the same IEEE double product DuckDB computes for the rank
+        pick = rank == np.maximum(1, np.ceil(0.5 * n))
+        out = s[pick][["user_id", "value"]].rename(columns={"value": "median_value"})
+        return out
+
+    return bucketed_group_map(ev, ["user_id"], bucket)
+
+
+USER_MEDIAN_SQL = """
+SELECT user_id, quantile_disc(value, 0.5) AS median_value
+FROM events GROUP BY user_id
+"""

@@ -581,3 +581,62 @@ SELECT o_orderpriority,
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
+
+
+def orders_topn_per_cust(sf_dir: str, n: int = 3):
+    """Top-n orders per customer by total price — the grouped top-N
+    pattern (`stages/shuffle.py:grouped_topn`): batch-local top-n
+    combiner, bucketed final, deterministic orderkey tiebreak."""
+    from ..stages.shuffle import grouped_topn
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    return grouped_topn(
+        orders, ["o_custkey"], "o_totalprice", n, tiebreak="o_orderkey"
+    )
+
+
+TOPN_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+QUANTILE_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def lineitem_quantiles(sf_dir: str):
+    """Exact discrete quantiles of l_extendedprice WITHOUT a global sort:
+    iterative histogram narrowing (`stages/quantiles.py`) — each round is
+    a cheap column scan exchanging a 4096-bin histogram, never rows.  The
+    column round-trips losslessly through int cents (verified property of
+    2-decimal prices), so the answers are bit-identical to DuckDB's
+    quantile_disc over the raw doubles."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.arrow import arrow_out
+    from ..stages.quantiles import quantiles_disc_int
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": np.rint(b["l_extendedprice"].to_numpy() * 100).astype("int64")}
+        )
+
+    ints = li.map_batches(arrow_out(to_cents), batch_format="pandas")
+    out = quantiles_disc_int(ints, QUANTILE_QS)
+    out["value"] = out["value"] / 100.0
+    return out
+
+
+LINEITEM_QUANTILES_SQL = "\nUNION ALL\n".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q, "
+    f"quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
+    for q in QUANTILE_QS
+)

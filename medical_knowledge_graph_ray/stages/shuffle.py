@@ -120,3 +120,39 @@ def bucketed_group_map(
     return bucketed.groupby(BUCKET_COL).map_groups(
         arrow_out(_run), batch_format="pandas"
     )
+
+
+def grouped_topn(
+    ds,
+    keys: list[str],
+    order_col: str,
+    n: int,
+    *,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    num_buckets: int = 32,
+):
+    """Top-``n`` rows per group — the distributed form of
+    ``row_number() OVER (PARTITION BY keys ORDER BY order_col) <= n``.
+
+    Two-phase: each batch keeps its batch-local top-n per group (a
+    combiner — the exchange moves at most n·#groups·#batches rows, never
+    the table), then a bucketed final re-selects and emits a 1-based
+    ``rank`` column.  ``tiebreak`` (ascending) makes ranking total and
+    parallelism-invariant; required when ``order_col`` has duplicates.
+    """
+    sort_cols = keys + [order_col] + ([tiebreak] if tiebreak else [])
+    asc = [True] * len(keys) + [not descending] + ([True] if tiebreak else [])
+
+    def keep_topn(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.sort_values(sort_cols, ascending=asc, kind="mergesort")
+        return s.groupby(keys, sort=False).head(n)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(sort_cols, ascending=asc, kind="mergesort")
+        top = s.groupby(keys, sort=False).head(n).copy()
+        top["rank"] = top.groupby(keys, sort=False).cumcount() + 1
+        return top
+
+    partials = ds.map_batches(arrow_out(keep_topn), batch_format="pandas")
+    return bucketed_group_map(partials, keys, final, num_buckets=num_buckets)

@@ -420,3 +420,140 @@ def test_lsh_knn_recall_on_clustered_data(ray_session):
     exact = set(knn_cosine(rd.from_pandas(df), q, k=10).to_pandas()["vec_id"])
     approx = set(knn_cosine_lsh(rd.from_pandas(df), q, k=10).to_pandas()["vec_id"])
     assert len(exact & approx) >= 7  # measured recall on clustered data
+
+
+def test_asof_bucket_hand_case():
+    """Backward as-of: exact-ts match allowed, latest prior wins, ties on
+    ref ts resolve to max event_id, unmatched probes drop."""
+    from medical_knowledge_graph_ray.stages.windows import asof_bucket
+
+    ts = pd.to_datetime(
+        ["2024-01-01 10:00", "2024-01-01 10:05", "2024-01-01 10:05",
+         "2024-01-01 09:00", "2024-01-01 10:05", "2024-01-01 11:00"]
+    ).astype("datetime64[us]")
+    b = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 10, 11, 12],
+            "user_id": [7, 7, 7, 7, 7, 8],
+            "ts": ts,
+            "side": ["L", "L", "R", "R", "R", "L"],  # two R at 10:05 via 3?
+        }
+    )
+    # user 7: probes at 10:00 (matches R@09:00 id10) and 10:05
+    # (R ids 3 and 11 both at 10:05 -> max id 11 wins, wait 0)
+    # user 8: probe with no reference -> dropped
+    out = asof_bucket(b).sort_values("event_id").reset_index(drop=True)
+    assert list(out["event_id"]) == [1, 2]
+    assert list(out["ref_event_id"]) == [10, 11]
+    assert out["wait_us"].tolist() == [3600 * 10**6, 0]
+
+
+def test_running_sum_bucket_exact_cents():
+    from medical_knowledge_graph_ray.stages.windows import running_sum_bucket
+
+    ts = pd.to_datetime(
+        ["2024-01-01 10:00", "2024-01-01 10:01", "2024-01-01 10:00"]
+    ).astype("datetime64[us]")
+    b = pd.DataFrame(
+        {"event_id": [1, 2, 3], "user_id": [5, 5, 6], "ts": ts,
+         "value": [0.1, 0.2, 9.9]}
+    )
+    out = running_sum_bucket(b)
+    got = dict(zip(out["event_id"], out["running_sum"]))
+    assert got == {1: 0.1, 2: 0.3, 3: 9.9}  # exact, no 0.30000000000000004
+
+
+def test_grouped_topn_matches_pandas_and_parallelism(ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.shuffle import grouped_topn
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 40, 2000),
+            "id": np.arange(2000),
+            # heavy ties to exercise the tiebreak
+            "score": rng.randint(0, 5, 2000).astype("float64"),
+        }
+    )
+    expect = (
+        df.sort_values(["k", "score", "id"], ascending=[True, False, True])
+        .groupby("k")
+        .head(3)
+    )
+    for nblocks in (1, 13):
+        got = (
+            grouped_topn(
+                rd.from_pandas(df).repartition(nblocks), ["k"], "score", 3,
+                tiebreak="id",
+            )
+            .to_pandas()
+            .sort_values(["k", "rank"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(expect)
+        assert (
+            got[["k", "id", "score"]].to_numpy()
+            == expect[["k", "id", "score"]].to_numpy()
+        ).all()
+        assert got.groupby("k")["rank"].apply(
+            lambda s: list(s) == list(range(1, len(s) + 1))
+        ).all()
+
+
+def test_quantiles_disc_matches_duckdb_semantics(ray_session):
+    """Iterative histogram narrowing must reproduce DuckDB quantile_disc
+    bit-for-bit, including duplicate-heavy and tiny-n edge cases."""
+    import duckdb
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.quantiles import quantiles_disc_int
+
+    rng = np.random.RandomState(11)
+    cases = [
+        rng.randint(-(10**9), 10**9, 5000),          # wide range, 2 rounds
+        rng.randint(0, 7, 3000),                      # duplicate-heavy
+        np.array([42]),                               # n = 1
+        np.array([5, 5, 5, 5]),                       # all equal
+    ]
+    qs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    for vals in cases:
+        ds = rd.from_pandas(pd.DataFrame({"v": vals.astype("int64")})).repartition(7)
+        got = quantiles_disc_int(ds, qs).set_index("q")["value"]
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"v": vals.astype("int64")}))
+        for q in qs:
+            exp = con.execute(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+            assert got[q] == exp, (len(vals), q, got[q], exp)
+
+
+def test_range_join_bucket_edges():
+    """Boundary-inclusive window, strict ts ordering (equal-ts rows never
+    pair), user isolation, and the monotone-axis overflow guard."""
+    from medical_knowledge_graph_ray.stages.windows import range_join_bucket
+
+    base = pd.Timestamp("2024-01-01")
+    us = pd.Timedelta(microseconds=1)
+    W = 2 * 3600 * 10**6
+    b = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "ts": [
+                base,
+                base,                      # equal ts, same user -> no pair
+                base + W * us,             # exactly at the boundary -> pairs
+                base + (W + 1) * us,       # just outside for 1/2
+                base,                      # user 2
+                base + us,
+            ],
+        }
+    )
+    out = range_join_bucket(b)
+    pairs = set(zip(out["a_event_id"], out["b_event_id"]))
+    # boundary included ((1,3),(2,3) at exactly W; (3,4) at 1us), +1us
+    # excluded ((1,4),(2,4)), equal ts never pairs ((1,2)), users isolated
+    assert pairs == {(1, 3), (2, 3), (3, 4), (5, 6)}
+    gaps = dict(zip(zip(out["a_event_id"], out["b_event_id"]), out["gap_us"]))
+    assert gaps[(1, 3)] == W and gaps[(5, 6)] == 1
