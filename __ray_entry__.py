@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_verified_pairs": docs.docs_minhash_verified,
         "simhash_fingerprints": docs.docs_simhash,
         "simhash_neardup_pairs": docs.docs_simhash_neardup,
+        # pairs -> transitive clusters (distributed min-label components)
+        "dedup_components": docs.docs_dedup_components,
         "ngram_jaccard_pairs": docs.docs_ngram_jaccard,
         # similarity search
         "knn_cosine": docs.knn_cosine_q0,
@@ -184,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup_pairs": docs.embed_neardup_pairs,
         # token census + content-stable split + large-large shuffle join
         "token_histogram": docs.token_histogram,
+        # composed text analytics: tf x idf join + grouped top-N
+        "docs_tfidf_top": docs.docs_tfidf_top,
         "docs_split": docs.docs_split,
         "orders_lineitem_join": relational.orders_lineitem_join,
         # R5 deterministic sampling / A1 first-non-null / D4 set difference
@@ -251,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_norms": docs.EMBED_NORMS_SQL,
         "embed_neardup_pairs": docs.EMBED_NEARDUP_SQL,
         "token_histogram": docs.TOKEN_HISTOGRAM_SQL,
+        "docs_tfidf_top": docs.TFIDF_TOP_SQL,
         "docs_split": docs.DOCS_SPLIT_SQL,
         "orders_lineitem_join": relational.ORDERS_LINEITEM_JOIN_SQL,
         "docs_sample": docs.DOCS_SAMPLE_SQL,
@@ -260,4 +265,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),
+        "dedup_components": docs.dedup_components_sql(),
     }

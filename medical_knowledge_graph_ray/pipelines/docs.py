@@ -593,3 +593,125 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= {NEARDUP_COS_THRESHOLD}
 """
+
+
+def docs_dedup_components(sf_dir: str, max_hamming: int = 3):
+    """Near-dup CLUSTERS (not just pairs): SimHash banded pairs →
+    distributed min-label connected components.  component_id = min
+    doc_id of the transitive group — the canonical representative a
+    keep-one-per-cluster dedup would retain.  Isolated docs are omitted
+    (trivially their own cluster), keeping the output O(clustered docs)."""
+    from ..stages.components import connected_components
+    from ..stages.dedup import simhash_neardup_pairs
+
+    pairs = simhash_neardup_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+
+    def rename(b):
+        return b.rename(columns={"node": "doc_id"})
+
+    from ..functions.arrow import arrow_out
+
+    return comp.map_batches(arrow_out(rename), batch_format="pandas")
+
+
+DEDUP_COMPONENTS_SQL_TEMPLATE = """
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src AS node, r.r FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
+"""
+
+
+def dedup_components_sql() -> str:
+    return DEDUP_COMPONENTS_SQL_TEMPLATE.format(
+        pairs_sql=simhash_neardup_sql()
+    )
+
+
+def docs_tfidf_top(sf_dir: str, k: int = 5):
+    """Top-k TF-IDF terms per document — the canonical composed text-
+    analytics pipeline: per-doc term counts (fused explode+count, a doc
+    never splits across batches) ⋈ corpus document-frequency census on
+    the token key (partitioned hash join — the vocabulary is corpus-sized
+    at scale, never a broadcast), then the grouped top-N combiner.
+    idf = ln(N/df) rounded to 6 dp on both sides (engine float contract)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import bucketed_group_map, grouped_topn
+    from ..stages.text_stats import token_explode_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_total = docs.count()
+
+    def tf_batch(b: pd.DataFrame) -> pd.DataFrame:
+        toks = token_explode_batch(b).to_pandas()
+        return (
+            toks.groupby(["doc_id", "token"], sort=False)
+            .size().rename("tf").reset_index()
+        )
+
+    tf = docs.map_batches(arrow_out(tf_batch), batch_format="pandas")
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = token_explode_batch(b).to_pandas()
+        return (
+            toks.groupby("token", sort=False)
+            .agg(df=("doc_id", "nunique")).reset_index()
+        )
+
+    df_partials = docs.map_batches(arrow_out(df_partial), batch_format="pandas")
+    df_tbl = bucketed_group_map(
+        df_partials, ["token"],
+        lambda g: g.groupby("token", sort=False).agg(df=("df", "sum")).reset_index(),
+        num_buckets=32,
+    )
+
+    TF_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("token", pa.string()), ("tf", pa.int64())]
+    )
+    DF_SCHEMA = pa.schema([("token", pa.string()), ("df", pa.int64())])
+    joined = hash_join(
+        tf, df_tbl, on=["token"],
+        left_schema=TF_SCHEMA, right_schema=DF_SCHEMA,
+    )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id", "token", "tf"]].copy()
+        out["tfidf"] = np.round(
+            b["tf"].to_numpy() * np.log(n_total / b["df"].to_numpy()), 6
+        )
+        return out
+
+    scored = joined.map_batches(arrow_out(score), batch_format="pandas")
+    return grouped_topn(scored, ["doc_id"], "tfidf", k, tiebreak="token")
+
+
+TFIDF_TOP_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+), n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, tfidf, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""

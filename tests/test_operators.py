@@ -557,3 +557,47 @@ def test_range_join_bucket_edges():
     assert pairs == {(1, 3), (2, 3), (3, 4), (5, 6)}
     gaps = dict(zip(zip(out["a_event_id"], out["b_event_id"]), out["gap_us"]))
     assert gaps[(1, 3)] == W and gaps[(5, 6)] == 1
+
+
+def test_connected_components_random_graphs(ray_session):
+    """Distributed CC (local union-find contraction + hooking/jumping
+    BSP) must match a single-process union-find on random graphs, at
+    different partition counts, including chains (worst-case diameter)."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.components import connected_components
+
+    def reference_cc(edges_df):
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in edges_df.itertuples(index=False):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = set(edges_df.doc_a) | set(edges_df.doc_b)
+        return {n: find(n) for n in nodes}
+
+    rng = np.random.RandomState(7)
+    # one disjoint edge list covering both shapes in a single BSP run:
+    # a 60-node chain (worst-case diameter) + a random multigraph
+    g = pd.concat(
+        [
+            pd.DataFrame({"doc_a": np.arange(59), "doc_b": np.arange(1, 60)}),
+            pd.DataFrame({"doc_a": rng.randint(1000, 1500, 400),
+                          "doc_b": rng.randint(1000, 1500, 400)}),
+        ],
+        ignore_index=True,
+    )
+    g = g[g.doc_a != g.doc_b]
+    expect = reference_cc(g)
+    got = (
+        connected_components(rd.from_pandas(g).repartition(4), max_iters=30)
+        .to_pandas()
+    )
+    assert dict(zip(got["node"], got["component_id"])) == expect
