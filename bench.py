@@ -55,12 +55,24 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
 
 
 def run_flagship() -> dict:
-    """Headline: pages corpus → triples/nodes/edges Parquet (fresh run)."""
-    from medical_knowledge_graph_ray.pipelines.kg import PAGES_PER_SF, corpus_for_sf, run_kg
+    """Headline: pages corpus → triples/nodes/edges Parquet (fresh run).
 
-    corpus = corpus_for_sf(SF_DIR)  # cached; generation excluded from timing
+    ``MKG_BENCH_PAGES`` overrides the corpus size (used by --scaling to
+    amortize the ~11 s fixed per-run cost — three execution startups +
+    actor-pool spin-up — which at 400k pages is ~half the 32-CPU wall and
+    turns host noise into efficiency noise)."""
+    from medical_knowledge_graph_ray.pipelines.kg import PAGES_PER_SF, corpus_for_sf, run_kg
+    from medical_knowledge_graph_ray.sources.pages import generate_pages
+
     sf_name = os.path.basename(os.path.normpath(SF_DIR))
-    n_pages = PAGES_PER_SF.get(sf_name, 500)
+    n_override = os.environ.get("MKG_BENCH_PAGES")
+    if n_override:
+        n_pages = int(n_override)
+        # cached; generation excluded from timing
+        corpus = generate_pages(n_pages, f"/tmp/mkg_corpus/pages_{n_pages}")
+    else:
+        corpus = corpus_for_sf(SF_DIR)  # cached; generation excluded from timing
+        n_pages = PAGES_PER_SF.get(sf_name, 500)
 
     out_root = f"/tmp/mkg_bench_out/{sf_name}"
     shutil.rmtree(out_root, ignore_errors=True)
@@ -105,7 +117,7 @@ def main_bench() -> dict:
             f.read()
 
     flagship = run_flagship()
-    qtimes, _rows = run_queries()
+    qtimes, _rows = ({}, {}) if os.environ.get("GRAFT_FLAGSHIP_ONLY") else run_queries()
 
     out = {
         "metric": "kg_flagship_sec",
@@ -117,14 +129,43 @@ def main_bench() -> dict:
         "docs_per_sec": flagship["docs_per_sec"],
         "triples_per_sec": flagship["triples_per_sec"],
         "n_triples": flagship["n_triples"],
+        "n_pages": flagship["n_pages"],
     }
     ray.shutdown()
     return out
 
 
+def _spin(d: float) -> int:
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < d:
+        for _ in range(10000):
+            n += 1
+    return n
+
+
+def _host_envelope(lo: int, hi: int, dur: float = 2.0) -> float:
+    """How much more raw compute the HOST actually yields from lo to hi
+    parallel processes right now (pure-CPU spin, no Ray).  On a shared
+    box with CPU steal this is < hi/lo — e.g. measured 3.01x for 8->32
+    during round 3 — and bounds the best achievable raw scaling
+    efficiency at envelope/(hi/lo); report it so the engine's efficiency
+    can be read against what the hardware offered during the run."""
+    import multiprocessing as mp
+
+    rates = {}
+    for procs in (lo, hi):
+        with mp.Pool(procs) as p:
+            t0 = time.perf_counter()
+            total = sum(p.map(_spin, [dur] * procs))
+            rates[procs] = total / (time.perf_counter() - t0)
+    return rates[hi] / rates[lo]
+
+
 def scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # flagship only — same job, same input, two parallelism levels
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_FLAGSHIP_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -132,6 +173,7 @@ def scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    envelope = _host_envelope(lo, hi)
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
@@ -144,6 +186,9 @@ def scaling() -> dict:
         "triples_per_sec_lo": r_lo["triples_per_sec"],
         "triples_per_sec_hi": r_hi["triples_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "host_cpu_envelope": round(envelope, 3),
+        "efficiency_vs_host": round((t_lo / t_hi) / envelope, 3),
+        "n_pages": r_lo.get("n_pages"),
     }
 
 
