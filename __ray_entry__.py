@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_histogram": docs.token_histogram,
         # composed text analytics: tf x idf join + grouped top-N
         "docs_tfidf_top": docs.docs_tfidf_top,
+        # HLL cardinality sketch (approximate by design -> rows-only;
+        # <2% error + split-invariance pytest-gated vs the exact count)
+        "tokens_approx_distinct": docs.tokens_approx_distinct,
         "docs_split": docs.docs_split,
         "orders_lineitem_join": relational.orders_lineitem_join,
         # R5 deterministic sampling / A1 first-non-null / D4 set difference

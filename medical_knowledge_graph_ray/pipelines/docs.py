@@ -715,3 +715,19 @@ SELECT doc_id, token, tf, tfidf, CAST(rn AS BIGINT) AS rank FROM (
   FROM scored
 ) WHERE rn <= 5
 """
+
+
+def tokens_approx_distinct(sf_dir: str):
+    """Approximate vocabulary size via HyperLogLog (stages/sketches.py):
+    the exchange is one 16 KiB register row per batch instead of the
+    whole distinct token set — the sketch alternative to the exact
+    `token_histogram` census.  Rows-only (approximate by design);
+    accuracy (~0.8% expected, <2% asserted) and batch-split invariance
+    are pytest-gated against the exact DuckDB count."""
+    from ..stages.sketches import approx_distinct
+    from ..stages.text_stats import token_explode_batch
+
+    toks = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_explode_batch, batch_format="pandas"
+    )
+    return approx_distinct(toks, "token")

@@ -1,0 +1,85 @@
+"""Mergeable cardinality sketches: HyperLogLog over Dataset columns.
+
+Exact COUNT(DISTINCT) needs every distinct value to cross an exchange
+(the engine's `token_histogram` path); at 100 TB the distinct set itself
+can be the biggest intermediate.  HyperLogLog replaces it with a
+fixed-size register array that merges with an elementwise max — the
+canonical sketch shape for Ray Data:
+
+* per batch: deterministic vectorized 64-bit hashes
+  (``pd.util.hash_pandas_object`` with its fixed default key — stable
+  across processes, the same primitive the engine's bucketed shuffle
+  relies on; never Python's salted ``hash``), register update via
+  ``np.maximum.at``;
+* per dataset: registers travel as ONE small row per batch; the reduce
+  is an elementwise max — associative and commutative, so the estimate
+  is IDENTICAL at any parallelism / batch split (tested);
+* estimator: the bias-corrected harmonic mean with the standard
+  small-range linear-counting correction.
+
+Registers are 2^P bytes (P=14 → 16 KiB, ~0.8% relative error); the
+exchange is O(#batches) rows of 16 KiB regardless of data size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+P = 14                      # 2^14 = 16384 registers
+M = 1 << P
+_ALPHA = 0.7213 / (1 + 1.079 / M)
+
+
+def _clz64(v: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (branchless shifts)."""
+    v = v.copy()
+    lz = np.zeros(v.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        cond = v < (np.uint64(1) << np.uint64(64 - s))
+        lz[cond] += s
+        v[cond] = v[cond] << np.uint64(s)
+    lz[v == 0] = 64  # all-zero input (loop leaves 63)
+    return lz
+
+
+def hll_partial_batch(batch: pd.DataFrame, col: str) -> pd.DataFrame:
+    """One sketch row per batch: registers as a 16 KiB bytes payload."""
+    regs = np.zeros(M, dtype=np.uint8)
+    if len(batch):
+        h = pd.util.hash_pandas_object(batch[col], index=False).to_numpy()
+        idx = (h >> np.uint64(64 - P)).astype(np.int64)
+        rest = h << np.uint64(P)
+        rank = (np.minimum(_clz64(rest), 64 - P) + 1).astype(np.uint8)
+        np.maximum.at(regs, idx, rank)
+    return pd.DataFrame({"regs": [regs.tobytes()]})
+
+
+def hll_merge(frames: pd.DataFrame) -> np.ndarray:
+    regs = np.zeros(M, dtype=np.uint8)
+    for payload in frames["regs"]:
+        regs = np.maximum(regs, np.frombuffer(payload, dtype=np.uint8))
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    inv = np.ldexp(1.0, -regs.astype(np.int64))
+    raw = _ALPHA * M * M / inv.sum()
+    zeros = int((regs == 0).sum())
+    if raw <= 2.5 * M and zeros:
+        return M * np.log(M / zeros)      # linear counting, small range
+    return raw
+
+
+def approx_distinct(ds, col: str) -> pd.DataFrame:
+    """Dataset → one-row DataFrame (column, approx_distinct int64).
+
+    The partial sketches stream; only #batches 16 KiB rows reach the
+    driver, which folds them with an elementwise max."""
+    partials = ds.map_batches(
+        lambda b: hll_partial_batch(b, col), batch_format="pandas"
+    ).to_pandas()
+    est = hll_estimate(hll_merge(partials))
+    return pd.DataFrame(
+        {"column": [col], "approx_distinct": np.asarray([round(est)], np.int64)}
+    )

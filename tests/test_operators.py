@@ -601,3 +601,25 @@ def test_connected_components_random_graphs(ray_session):
         .to_pandas()
     )
     assert dict(zip(got["node"], got["component_id"])) == expect
+
+
+def test_hll_approx_distinct_accuracy_and_invariance(ray_session):
+    """HLL estimate within 2% of the exact distinct count, identical at
+    any batch split (mergeable max-registers)."""
+    import duckdb
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.sketches import approx_distinct
+
+    rng = np.random.RandomState(5)
+    vals = pd.DataFrame({"x": [f"v{z}" for z in rng.zipf(1.3, 40_000)]})
+    exact = duckdb.connect().execute(
+        "SELECT COUNT(DISTINCT x) FROM vals"
+    ).fetchone()[0]
+    ests = [
+        int(approx_distinct(rd.from_pandas(vals).repartition(nb), "x")
+            ["approx_distinct"].iloc[0])
+        for nb in (1, 11)
+    ]
+    assert ests[0] == ests[1]  # split-invariant
+    assert abs(ests[0] - exact) / exact < 0.02
