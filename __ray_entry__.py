@@ -198,6 +198,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composed training-corpus curation: lang gate -> quality gate ->
         # exact-dedup keep-canonical (SQL-oracled end to end)
         "docs_curation": docs.docs_curation,
+        # near-dup-aware curation: gates -> simhash pairs -> components ->
+        # keep cluster canonicals (SQL-oracled end to end)
+        "docs_curation_neardup": docs.docs_curation_neardup,
         "docs_first_nonnull": docs.docs_first_nonnull,
         "gazetteer_unseen": docs_kg.gazetteer_unseen,
         # multimodal: REAL PPM/WAV/raw-frame decode kernels + perceptual-
@@ -263,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_lineitem_join": relational.ORDERS_LINEITEM_JOIN_SQL,
         "docs_sample": docs.DOCS_SAMPLE_SQL,
         "docs_curation": docs.CURATION_SQL,
+        "docs_curation_neardup": docs.curation_neardup_sql(),
         "docs_first_nonnull": docs.DOCS_FIRST_NONNULL_SQL,
         "gazetteer_unseen": docs_kg.unseen_sql(),
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,

@@ -731,3 +731,116 @@ def tokens_approx_distinct(sf_dir: str):
         token_explode_batch, batch_format="pandas"
     )
     return approx_distinct(toks, "token")
+
+
+def docs_curation_neardup(sf_dir: str, min_quality: float = CURATION_MIN_QUALITY):
+    """Near-dup-aware curation — the production superset of
+    `docs_curation`: language gate → quality gate → SimHash banded pairs
+    over the survivors → distributed connected components → keep only
+    cluster canonicals (min doc_id) plus all unclustered docs.  The
+    cluster filter FUSES into the final hash join (`bucket_post`), so
+    after the CC label state the chain adds no extra exchange.  Exact
+    dedup is subsumed: identical texts have identical simhashes
+    (Hamming 0)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.components import connected_components
+    from ..stages.dedup import banded_hamming_pairs, simhash_batch
+    from ..stages.joins import hash_join
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].astype(str).tolist()
+        toks = [t.split(" ") for t in texts]
+        n_tokens = np.array([len(t) for t in toks], dtype=np.int64)
+        stop = np.array(
+            [sum(1 for w in t if w in EN_STOPWORDS) for t in toks], dtype=np.int64
+        )
+        n_distinct = np.array([len(set(t)) for t in toks], dtype=np.int64)
+        ratio = stop / n_tokens
+        quality = np.round(
+            np.minimum(n_tokens, 200) / 200.0 * (n_distinct / n_tokens), 6
+        )
+        keep = (ratio >= 0.05) & (quality >= min_quality)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(b["doc_id"].to_numpy()[keep], "int64"),
+                "text": pd.array([t for t, k in zip(texts, keep) if k], "str"),
+                "n_tokens": pd.array(n_tokens[keep], "int64"),
+                "quality": pd.array(quality[keep], "float64"),
+            }
+        )
+
+    gated = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        arrow_out(gate), batch_format="pandas"
+    ).materialize()  # reused by the pair miner AND the final join
+
+    fps = gated.map_batches(arrow_out(simhash_batch), batch_format="pandas")
+    pairs = banded_hamming_pairs(
+        fps, id_col="doc_id", hash_col="simhash",
+        out_a="doc_a", out_b="doc_b", max_hamming=3,
+    )
+    comps = connected_components(pairs, "doc_a", "doc_b")
+
+    def comp_rename(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={"node": "doc_id", "component_id": "comp"})
+
+    def thin(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["doc_id", "n_tokens", "quality"]]
+
+    GATED = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                       ("quality", pa.float64())])
+    COMPS = pa.schema([("doc_id", pa.int64()), ("comp", pa.int64())])
+
+    def keep_canonical(m: pd.DataFrame) -> pd.DataFrame:
+        ok = m["comp"].isna() | (m["comp"] == m["doc_id"])
+        return m[ok][["doc_id", "n_tokens", "quality"]]
+
+    return hash_join(
+        gated.map_batches(arrow_out(thin), batch_format="pandas"),
+        comps.map_batches(arrow_out(comp_rename), batch_format="pandas"),
+        on=["doc_id"], how="left",
+        left_schema=GATED, right_schema=COMPS,
+        bucket_post=keep_canonical,
+    )
+
+
+CURATION_NEARDUP_SQL = f"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         round((LEAST(len(string_split(text, ' ')), 200)/200.0)
+               * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' '))), 6) AS quality,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ({{stop_sql}})))
+              AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+), gated AS (
+  SELECT * FROM scored WHERE stop_ratio >= 0.05 AND quality >= {CURATION_MIN_QUALITY}
+), sims AS ({{simhash_sql}}),
+gsims AS (
+  SELECT s.doc_id, s.simhash FROM sims s JOIN gated g USING (doc_id)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM gsims a JOIN gsims b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(node, r) AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src AS node, r.r FROM edges e JOIN reach r ON e.dst = r.node
+), comp AS (
+  SELECT node AS doc_id, min(r) AS comp FROM reach GROUP BY node
+)
+SELECT g.doc_id, g.n_tokens, g.quality
+FROM gated g LEFT JOIN comp c USING (doc_id)
+WHERE c.comp IS NULL OR c.comp = g.doc_id
+"""
+
+
+def curation_neardup_sql() -> str:
+    return CURATION_NEARDUP_SQL.format(stop_sql=_STOP_SQL, simhash_sql=SIMHASH_SQL)
