@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_sum": events.events_running_sum,
         "events_range_join": events.events_range_join,
         "events_user_median": events.events_user_median,
+        "events_lag_diff": events.events_lag_diff,
+        "events_user_type_pivot": events.events_user_type_pivot,
         # grouped top-N + shuffle-free exact quantiles
         "orders_topn_per_cust": relational.orders_topn_per_cust,
         "lineitem_quantiles": relational.lineitem_quantiles,
@@ -250,6 +252,8 @@ def oracle_sql() -> dict[str, str]:
         "events_running_sum": events.RUNNING_SUM_SQL,
         "events_range_join": events.RANGE_JOIN_SQL,
         "events_user_median": events.USER_MEDIAN_SQL,
+        "events_lag_diff": events.LAG_DIFF_SQL,
+        "events_user_type_pivot": events.USER_TYPE_PIVOT_SQL,
         "orders_topn_per_cust": relational.TOPN_SQL,
         "lineitem_quantiles": relational.LINEITEM_QUANTILES_SQL,
         "docs_stats": docs.STATS_SQL,

@@ -43,6 +43,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "minhash_pairs", "knn_cosine", "embed_norms",
         "embed_neardup_pairs", "ner_eval",
         "events_asof", "orders_topn_per_cust", "lineitem_quantiles",
+        "docs_tfidf_top", "events_range_join",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

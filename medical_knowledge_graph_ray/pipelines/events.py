@@ -243,3 +243,95 @@ USER_MEDIAN_SQL = """
 SELECT user_id, quantile_disc(value, 0.5) AS median_value
 FROM events GROUP BY user_id
 """
+
+
+def events_lag_diff(sf_dir: str):
+    """Per-user LAG window: each event with the value delta and time gap
+    from the user's previous event (NULL-free: first events drop, like
+    an inner LAG join).  Same bucketed shape as the running sum; the
+    in-bucket kernel is one sort + grouped shift, fully vectorized."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = s.groupby("user_id", sort=False)
+        prev_c = grp["value"].shift().mul(100).round()
+        cur_c = np.rint(s["value"].to_numpy() * 100)
+        gap = (s["ts"] - grp["ts"].shift()) // pd.Timedelta(microseconds=1)
+        out = pd.DataFrame(
+            {
+                "event_id": s["event_id"],
+                "user_id": s["user_id"],
+                "ts": s["ts"],
+                "value_delta": (cur_c - prev_c.to_numpy()) / 100.0,
+                "gap_us": gap,
+            }
+        )
+        out = out[out["value_delta"].notna()]
+        return out.astype({"value_delta": "float64", "gap_us": "int64"})
+
+    return bucketed_group_map(ev, ["user_id"], bucket)
+
+
+LAG_DIFF_SQL = """
+SELECT event_id, user_id, ts,
+       (CAST(round(value*100) AS BIGINT)
+        - lag(CAST(round(value*100) AS BIGINT))
+            OVER w) / 100.0 AS value_delta,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY value_delta IS NOT NULL
+"""
+
+
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_user_type_pivot(sf_dir: str):
+    """Long→wide pivot (conditional aggregation): one row per user with
+    a count column per event type.  Two-phase: per-batch (user, type)
+    partial counts, bucketed final pivots to the fixed wide schema —
+    the column set is part of the schema contract, never data-driven."""
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["user_id", "event_type"], sort=False)
+            .size().rename("n").reset_index()
+        )
+
+    partials = ev.map_batches(arrow_out(partial), batch_format="pandas")
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        wide = (
+            g.groupby(["user_id", "event_type"], sort=False)["n"].sum()
+            .unstack(fill_value=0)
+            .reindex(columns=PIVOT_TYPES, fill_value=0)
+            .astype("int64")
+            .reset_index()
+        )
+        wide.columns = ["user_id"] + [f"n_{t}" for t in PIVOT_TYPES]
+        return wide
+
+    return bucketed_group_map(partials, ["user_id"], pivot)
+
+
+USER_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
