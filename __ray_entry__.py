@@ -193,6 +193,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HLL cardinality sketch (approximate by design -> rows-only;
         # <2% error + split-invariance pytest-gated vs the exact count)
         "tokens_approx_distinct": docs.tokens_approx_distinct,
+        # LLM training-data prep: strided token-window chunking (oracled)
+        # + deterministic first-fit-decreasing sequence packing (rows-only;
+        # budget/exactly-once/parallelism-invariance pytest-gated)
+        "docs_chunk_windows": docs.docs_chunk_windows,
+        "docs_pack_sequences": docs.docs_pack_sequences,
         "docs_split": docs.docs_split,
         "orders_lineitem_join": relational.orders_lineitem_join,
         # R5 deterministic sampling / A1 first-non-null / D4 set difference
@@ -271,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample": docs.DOCS_SAMPLE_SQL,
         "docs_curation": docs.CURATION_SQL,
         "docs_curation_neardup": docs.curation_neardup_sql(),
+        "docs_chunk_windows": docs.CHUNK_WINDOWS_SQL,
         "docs_first_nonnull": docs.DOCS_FIRST_NONNULL_SQL,
         "gazetteer_unseen": docs_kg.unseen_sql(),
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,

@@ -844,3 +844,133 @@ WHERE c.comp IS NULL OR c.comp = g.doc_id
 
 def curation_neardup_sql() -> str:
     return CURATION_NEARDUP_SQL.format(stop_sql=_STOP_SQL, simhash_sql=SIMHASH_SQL)
+
+
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+def docs_chunk_windows(sf_dir: str):
+    """Strided token-window chunking — the standard pre-tokenization
+    step of an LLM training pipeline: each document explodes into
+    windows of CHUNK_WINDOW tokens every CHUNK_STRIDE (trailing windows
+    may be short; the simple strided form is kept so the SQL oracle is
+    exactly expressible with range()+list_slice).  Pure per-doc flat-map
+    — embarrassingly parallel, no exchange."""
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, ords, texts, ntoks = [], [], [], []
+        for did, text in zip(b["doc_id"].tolist(), b["text"].astype(str).tolist()):
+            toks = text.split(" ")
+            n = len(toks)
+            for ord_, start in enumerate(range(0, n, CHUNK_STRIDE)):
+                window = toks[start:start + CHUNK_WINDOW]
+                doc_ids.append(did)
+                ords.append(ord_)
+                texts.append(" ".join(window))
+                ntoks.append(len(window))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(doc_ids, "int64"),
+                "chunk_ord": pd.array(ords, "int64"),
+                "chunk_text": pd.array(texts, "str"),
+                "n_chunk_tokens": pd.array(ntoks, "int64"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        arrow_out(explode), batch_format="pandas"
+    )
+
+
+CHUNK_WINDOWS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), idx AS (
+  SELECT doc_id, toks, n, unnest(range(0, n, {CHUNK_STRIDE})) AS start FROM t
+)
+SELECT doc_id,
+       CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_ord,
+       array_to_string(list_slice(toks, start + 1,
+                                  LEAST(start + {CHUNK_WINDOW}, n)), ' ')
+         AS chunk_text,
+       LEAST({CHUNK_WINDOW}, n - start) AS n_chunk_tokens
+FROM idx
+"""
+
+
+PACK_BUDGET = 256
+PACK_GROUPS = 64
+
+
+def docs_pack_sequences(sf_dir: str):
+    """Deterministic sequence packing (sample packing): greedy first-fit
+    of documents into fixed token budgets, the step that turns a curated
+    corpus into dense training sequences.  Packing is inherently
+    sequential, so determinism at ANY parallelism comes from structure:
+    each doc hash-routes to one of PACK_GROUPS independent packing
+    groups (content hash, never arrival order), and within a group docs
+    are packed in (n_tokens desc, doc_id) order — first-fit-decreasing.
+    Oversized docs (> budget) become flagged singleton packs.  Rows-only
+    (order-dependent greedy state is not SQL-expressible); the budget,
+    exactly-once and parallelism-invariance contracts are pytest-gated."""
+    import numpy as np
+
+    from ..functions.hashing import md5_int
+    from ..stages.shuffle import bucketed_group_map
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].astype(str).tolist()
+        n_tokens = np.array([t.count(" ") + 1 for t in texts], dtype=np.int64)
+        grp = np.array(
+            [md5_int(f"pack|{d}", bits=32) % PACK_GROUPS for d in b["doc_id"]],
+            dtype=np.int64,
+        )
+        return pd.DataFrame(
+            {"doc_id": pd.array(b["doc_id"].to_numpy(), "int64"),
+             "n_tokens": pd.array(n_tokens, "int64"),
+             "grp": pd.array(grp, "int64")}
+        )
+
+    prepped = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        arrow_out(prep), batch_format="pandas"
+    )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for grp_id, sub in g.groupby("grp", sort=True):
+            sub = sub.sort_values(
+                ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+            )
+            bins: list[list] = []      # [(remaining, pack_ord, next_pos)]
+            rows = []
+            for did, nt in zip(sub["doc_id"].tolist(), sub["n_tokens"].tolist()):
+                placed = False
+                if nt <= PACK_BUDGET:
+                    for bin_ in bins:
+                        if bin_[0] >= nt:
+                            bin_[0] -= nt
+                            rows.append((did, nt, bin_[1], bin_[2], False))
+                            bin_[2] += 1
+                            placed = True
+                            break
+                if not placed:
+                    ord_ = len(bins)
+                    bins.append([max(0, PACK_BUDGET - nt), ord_, 1])
+                    rows.append((did, nt, ord_, 0, nt > PACK_BUDGET))
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "n_tokens", "pack_ord", "pos", "oversize"]
+            )
+            out["pack_id"] = [
+                f"p{int(grp_id):02d}_{int(o):05d}" for o in out["pack_ord"]
+            ]
+            frames.append(out[["pack_id", "doc_id", "n_tokens", "pos", "oversize"]])
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"pack_id": pd.array([], "str"), "doc_id": pd.array([], "int64"),
+             "n_tokens": pd.array([], "int64"), "pos": pd.array([], "int64"),
+             "oversize": pd.array([], "bool")}
+        )
+
+    return bucketed_group_map(prepped, ["grp"], pack, num_buckets=16)

@@ -623,3 +623,34 @@ def test_hll_approx_distinct_accuracy_and_invariance(ray_session):
     ]
     assert ests[0] == ests[1]  # split-invariant
     assert abs(ests[0] - exact) / exact < 0.02
+
+
+def test_pack_sequences_contracts(ray_session):
+    """Sequence packing: every doc exactly once, no pack over budget
+    (except flagged oversize singletons), identical output at any
+    parallelism (content-hash groups, not arrival order)."""
+    from medical_knowledge_graph_ray.pipelines.docs import (
+        PACK_BUDGET,
+        docs_pack_sequences,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    outs = []
+    for _ in range(2):
+        out = (
+            docs_pack_sequences(sf).to_pandas()
+            .sort_values(["pack_id", "pos"]).reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # deterministic
+    out = outs[0]
+    import duckdb
+    n_docs = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM '{sf}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(out) == n_docs and out["doc_id"].is_unique  # exactly once
+    sums = out[~out["oversize"]].groupby("pack_id")["n_tokens"].sum()
+    assert (sums <= PACK_BUDGET).all()
+    assert (out[out["oversize"]]["n_tokens"] > PACK_BUDGET).all()
+    # packs are dense: FFD should beat one-doc-per-pack substantially
+    assert out["pack_id"].nunique() < n_docs * 0.8
