@@ -334,6 +334,35 @@ FROM (SELECT doc_id,
 CURATION_MIN_QUALITY = 0.10
 
 
+def _curation_gate(b: pd.DataFrame, min_quality: float) -> pd.DataFrame:
+    """Shared language/quality gate (ONE definition — `docs_curation` and
+    `docs_curation_neardup` must stay in lockstep with their oracles):
+    stopword-ratio language check + length×distinctness quality score.
+    Returns the surviving (doc_id, text, n_tokens, quality) rows."""
+    import numpy as np
+
+    texts = b["text"].astype(str).tolist()
+    toks = [t.split(" ") for t in texts]
+    n_tokens = np.array([len(t) for t in toks], dtype=np.int64)
+    stop = np.array(
+        [sum(1 for w in t if w in EN_STOPWORDS) for t in toks], dtype=np.int64
+    )
+    n_distinct = np.array([len(set(t)) for t in toks], dtype=np.int64)
+    ratio = stop / n_tokens
+    quality = np.round(
+        np.minimum(n_tokens, 200) / 200.0 * (n_distinct / n_tokens), 6
+    )
+    keep = (ratio >= 0.05) & (quality >= min_quality)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(b["doc_id"].to_numpy()[keep], "int64"),
+            "text": pd.array([t for t, k in zip(texts, keep) if k], "str"),
+            "n_tokens": pd.array(n_tokens[keep], "int64"),
+            "quality": pd.array(quality[keep], "float64"),
+        }
+    )
+
+
 def docs_curation(sf_dir: str, min_quality: float = CURATION_MIN_QUALITY):
     """The end-to-end training-corpus curation chain every large pipeline
     runs before training: language gate (predicted en) → quality gate →
@@ -343,34 +372,14 @@ def docs_curation(sf_dir: str, min_quality: float = CURATION_MIN_QUALITY):
     (doc_id, n_tokens, quality) rows."""
     import hashlib
 
-    import numpy as np
-
     from ..stages.shuffle import bucketed_group_map
 
     def gate(b: pd.DataFrame) -> pd.DataFrame:
-        texts = b["text"].astype(str).tolist()
-        toks = [t.split(" ") for t in texts]
-        n_tokens = np.array([len(t) for t in toks], dtype=np.int64)
-        stop = np.array(
-            [sum(1 for w in t if w in EN_STOPWORDS) for t in toks], dtype=np.int64
+        g = _curation_gate(b, min_quality)
+        g["fp"] = pd.array(
+            [hashlib.md5(t.encode()).hexdigest() for t in g["text"]], "str"
         )
-        n_distinct = np.array([len(set(t)) for t in toks], dtype=np.int64)
-        ratio = stop / n_tokens
-        quality = np.round(
-            np.minimum(n_tokens, 200) / 200.0 * (n_distinct / n_tokens), 6
-        )
-        keep = (ratio >= 0.05) & (quality >= min_quality)
-        return pd.DataFrame(
-            {
-                "doc_id": pd.array(b["doc_id"].to_numpy()[keep], "int64"),
-                "fp": pd.array(
-                    [hashlib.md5(t.encode()).hexdigest()
-                     for t, k in zip(texts, keep) if k], "str"
-                ),
-                "n_tokens": pd.array(n_tokens[keep], "int64"),
-                "quality": pd.array(quality[keep], "float64"),
-            }
-        )
+        return g[["doc_id", "fp", "n_tokens", "quality"]]
 
     gated = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         arrow_out(gate), batch_format="pandas"
@@ -660,16 +669,19 @@ def docs_tfidf_top(sf_dir: str, k: int = 5):
             .size().rename("tf").reset_index()
         )
 
-    tf = docs.map_batches(arrow_out(tf_batch), batch_format="pandas")
+    # tokenize ONCE: tf is materialized and the df census derives from it
+    # (tf rows are globally unique per (doc, token), so df(token) is a
+    # plain row count — batch-split-safe with no nunique and no second
+    # pass over the corpus text)
+    tf = docs.map_batches(arrow_out(tf_batch), batch_format="pandas").materialize()
 
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
-        toks = token_explode_batch(b).to_pandas()
         return (
-            toks.groupby("token", sort=False)
-            .agg(df=("doc_id", "nunique")).reset_index()
+            b.groupby("token", sort=False)
+            .size().rename("df").reset_index()
         )
 
-    df_partials = docs.map_batches(arrow_out(df_partial), batch_format="pandas")
+    df_partials = tf.map_batches(arrow_out(df_partial), batch_format="pandas")
     df_tbl = bucketed_group_map(
         df_partials, ["token"],
         lambda g: g.groupby("token", sort=False).agg(df=("df", "sum")).reset_index(),
@@ -742,46 +754,20 @@ def docs_curation_neardup(sf_dir: str, min_quality: float = CURATION_MIN_QUALITY
     after the CC label state the chain adds no extra exchange.  Exact
     dedup is subsumed: identical texts have identical simhashes
     (Hamming 0)."""
-    import hashlib
-
-    import numpy as np
     import pyarrow as pa
 
     from ..stages.components import connected_components
-    from ..stages.dedup import banded_hamming_pairs, simhash_batch
+    from ..stages.dedup import simhash_neardup_pairs
     from ..stages.joins import hash_join
 
     def gate(b: pd.DataFrame) -> pd.DataFrame:
-        texts = b["text"].astype(str).tolist()
-        toks = [t.split(" ") for t in texts]
-        n_tokens = np.array([len(t) for t in toks], dtype=np.int64)
-        stop = np.array(
-            [sum(1 for w in t if w in EN_STOPWORDS) for t in toks], dtype=np.int64
-        )
-        n_distinct = np.array([len(set(t)) for t in toks], dtype=np.int64)
-        ratio = stop / n_tokens
-        quality = np.round(
-            np.minimum(n_tokens, 200) / 200.0 * (n_distinct / n_tokens), 6
-        )
-        keep = (ratio >= 0.05) & (quality >= min_quality)
-        return pd.DataFrame(
-            {
-                "doc_id": pd.array(b["doc_id"].to_numpy()[keep], "int64"),
-                "text": pd.array([t for t, k in zip(texts, keep) if k], "str"),
-                "n_tokens": pd.array(n_tokens[keep], "int64"),
-                "quality": pd.array(quality[keep], "float64"),
-            }
-        )
+        return _curation_gate(b, min_quality)
 
     gated = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         arrow_out(gate), batch_format="pandas"
     ).materialize()  # reused by the pair miner AND the final join
 
-    fps = gated.map_batches(arrow_out(simhash_batch), batch_format="pandas")
-    pairs = banded_hamming_pairs(
-        fps, id_col="doc_id", hash_col="simhash",
-        out_a="doc_a", out_b="doc_b", max_hamming=3,
-    )
+    pairs = simhash_neardup_pairs(gated, 3)
     comps = connected_components(pairs, "doc_a", "doc_b")
 
     def comp_rename(b: pd.DataFrame) -> pd.DataFrame:
@@ -906,14 +892,17 @@ PACK_GROUPS = 64
 
 
 def docs_pack_sequences(sf_dir: str):
-    """Deterministic sequence packing (sample packing): greedy first-fit
-    of documents into fixed token budgets, the step that turns a curated
-    corpus into dense training sequences.  Packing is inherently
-    sequential, so determinism at ANY parallelism comes from structure:
-    each doc hash-routes to one of PACK_GROUPS independent packing
-    groups (content hash, never arrival order), and within a group docs
-    are packed in (n_tokens desc, doc_id) order — first-fit-decreasing.
-    Oversized docs (> budget) become flagged singleton packs.  Rows-only
+    """Deterministic sequence packing (sample packing): greedy best-fit-
+    decreasing of documents into fixed token budgets, the step that
+    turns a curated corpus into dense training sequences.  Packing is
+    inherently sequential, so determinism at ANY parallelism comes from
+    structure: each doc hash-routes to one of PACK_GROUPS independent
+    packing groups (content hash, never arrival order), and within a
+    group docs are packed in (n_tokens desc, doc_id) order into the
+    fullest bin that still fits (capacity-sorted bisect — O(log bins)
+    probe per doc, vs the O(bins) linear scan of naive first-fit whose
+    cost grows quadratically with group size).  Oversized docs
+    (> budget) become flagged singleton packs.  Rows-only
     (order-dependent greedy state is not SQL-expressible); the budget,
     exactly-once and parallelism-invariance contracts are pytest-gated."""
     import numpy as np
@@ -939,26 +928,33 @@ def docs_pack_sequences(sf_dir: str):
     )
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
+        from bisect import bisect_left, insort
+
         frames = []
         for grp_id, sub in g.groupby("grp", sort=True):
             sub = sub.sort_values(
                 ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
             )
-            bins: list[list] = []      # [(remaining, pack_ord, next_pos)]
+            # open bins sorted by (remaining, pack_ord): bisect finds the
+            # FULLEST bin that still fits (best-fit; pack_ord tiebreak
+            # keeps it deterministic); n_packs/next_pos index by pack_ord
+            open_bins: list[tuple[int, int]] = []
+            next_pos: list[int] = []
             rows = []
             for did, nt in zip(sub["doc_id"].tolist(), sub["n_tokens"].tolist()):
                 placed = False
                 if nt <= PACK_BUDGET:
-                    for bin_ in bins:
-                        if bin_[0] >= nt:
-                            bin_[0] -= nt
-                            rows.append((did, nt, bin_[1], bin_[2], False))
-                            bin_[2] += 1
-                            placed = True
-                            break
+                    i = bisect_left(open_bins, (nt, -1))
+                    if i < len(open_bins):
+                        rem, ord_ = open_bins.pop(i)
+                        rows.append((did, nt, ord_, next_pos[ord_], False))
+                        next_pos[ord_] += 1
+                        insort(open_bins, (rem - nt, ord_))
+                        placed = True
                 if not placed:
-                    ord_ = len(bins)
-                    bins.append([max(0, PACK_BUDGET - nt), ord_, 1])
+                    ord_ = len(next_pos)
+                    next_pos.append(1)
+                    insort(open_bins, (max(0, PACK_BUDGET - nt), ord_))
                     rows.append((did, nt, ord_, 0, nt > PACK_BUDGET))
             out = pd.DataFrame(
                 rows, columns=["doc_id", "n_tokens", "pack_ord", "pos", "oversize"]

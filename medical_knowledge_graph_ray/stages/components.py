@@ -110,12 +110,33 @@ def connected_components(
             {"src": np.concatenate([a, c]), "dst": np.concatenate([c, a])}
         )
 
+    # ONE materialized execution of the upstream edge-mining plan: both
+    # phase 1 and the BSP rounds read `sym` (deriving phase 1 from the
+    # lazy `norm` would re-run the whole pair miner — the documented
+    # accidental-re-execution trap).  Duplicate/reversed edges are
+    # harmless to union-find.
     sym = norm.map_batches(
         arrow_out(symmetrize), batch_format="pandas"
     ).materialize()
 
+    if not sym.count():
+        # typed empty (same convention as shuffle.first_non_null_agg):
+        # a corpus with no near-dup pairs is a legitimate input, and an
+        # un-typed 0-column dataset breaks downstream joins/oracles
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "component_id": pa.array([], pa.int64())})
+        )
+
     # phase 1: per-block union-find partials, folded by a min-reduce
-    partials = norm.map_batches(arrow_out(_local_cc_batch), batch_format="pandas")
+    def local_cc_sym(b: pd.DataFrame) -> pd.DataFrame:
+        return _local_cc_batch(
+            pd.DataFrame({"doc_a": b["src"], "doc_b": b["dst"]})
+        )
+
+    partials = sym.map_batches(arrow_out(local_cc_sym), batch_format="pandas")
 
     def min_label(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby("src", sort=False)["label"].min()

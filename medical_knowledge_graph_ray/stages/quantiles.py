@@ -55,7 +55,15 @@ def _stats_pass(ints_ds):
     p = ints_ds.map_batches(arrow_out(partial), batch_format="pandas").to_pandas()
     if not len(p) or p["n"].sum() == 0:
         raise ValueError("quantile over an empty dataset")
-    return int(p["n"].sum()), int(p["lo"].min()), int(p["hi"].max())
+    lo, hi = int(p["lo"].min()), int(p["hi"].max())
+    if hi - lo > 2**62:
+        # (v - lo) in the histogram kernel is evaluated in numpy int64
+        # and would wrap for ranges wider than 2^63
+        raise ValueError(
+            "quantiles_disc_int: value range exceeds 2^62 — shift/scale "
+            "the column into a narrower int64 domain first"
+        )
+    return int(p["n"].sum()), lo, hi
 
 
 def quantiles_disc_int(ints_ds, qs: list[float]) -> pd.DataFrame:
@@ -83,8 +91,8 @@ def quantiles_disc_int(ints_ds, qs: list[float]) -> pd.DataFrame:
             v = b["v"].to_numpy()
             tgt, bins, counts = [], [], []
             for i, lo, hi in intervals:
-                # fixed integer bin step — exact (no float drift) and
-                # overflow-free for any int64 interval
+                # fixed integer bin step — exact (no float drift);
+                # ranges wider than 2^62 are rejected in _stats_pass
                 step = -(-(hi - lo + 1) // N_BINS)
                 m = v[(v >= lo) & (v <= hi)]
                 if not len(m):

@@ -654,3 +654,22 @@ def test_pack_sequences_contracts(ray_session):
     assert (out[out["oversize"]]["n_tokens"] > PACK_BUDGET).all()
     # packs are dense: FFD should beat one-doc-per-pack substantially
     assert out["pack_id"].nunique() < n_docs * 0.8
+
+
+def test_connected_components_empty_edges_typed(ray_session):
+    """A corpus with no near-dup pairs is a legitimate input: CC must
+    return a TYPED empty (node:int64, component_id:int64), not a
+    column-less dataset that breaks downstream joins/oracles."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.components import connected_components
+
+    empty = rd.from_pandas(
+        pd.DataFrame({"doc_a": pd.array([], "int64"),
+                      "doc_b": pd.array([], "int64")})
+    )
+    out = connected_components(empty)
+    schema = out.schema()
+    assert schema.names == ["node", "component_id"]
+    assert [str(t) for t in schema.types] == ["int64", "int64"]
+    assert out.count() == 0
