@@ -200,8 +200,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_sequences": docs.docs_pack_sequences,
         "docs_split": docs.docs_split,
         "orders_lineitem_join": relational.orders_lineitem_join,
+        # partitioned anti join (filter side too big to broadcast)
+        "customers_no_orders": relational.customers_no_orders,
         # R5 deterministic sampling / A1 first-non-null / D4 set difference
         "docs_sample": docs.docs_sample,
+        # deterministic importance sampling (training-mixture weights)
+        "docs_weighted_sample": docs.docs_weighted_sample,
         # composed training-corpus curation: lang gate -> quality gate ->
         # exact-dedup keep-canonical (SQL-oracled end to end)
         "docs_curation": docs.docs_curation,
@@ -273,7 +277,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_tfidf_top": docs.TFIDF_TOP_SQL,
         "docs_split": docs.DOCS_SPLIT_SQL,
         "orders_lineitem_join": relational.ORDERS_LINEITEM_JOIN_SQL,
+        "customers_no_orders": relational.CUSTOMERS_NO_ORDERS_SQL,
         "docs_sample": docs.DOCS_SAMPLE_SQL,
+        "docs_weighted_sample": docs.WEIGHTED_SAMPLE_SQL,
         "docs_curation": docs.CURATION_SQL,
         "docs_curation_neardup": docs.curation_neardup_sql(),
         "docs_chunk_windows": docs.CHUNK_WINDOWS_SQL,

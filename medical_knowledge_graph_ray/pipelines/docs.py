@@ -970,3 +970,51 @@ def docs_pack_sequences(sf_dir: str):
         )
 
     return bucketed_group_map(prepped, ["grp"], pack, num_buckets=16)
+
+
+def docs_weighted_sample(sf_dir: str):
+    """Deterministic weighted (importance) sampling — the training-
+    mixture primitive: keep each doc with probability equal to its
+    quality score, decided by content hash, never a RNG.  A doc's fate
+    is a pure function of (doc_id, text), so the sample is identical at
+    any parallelism AND stable across incremental runs (adding new docs
+    never flips old decisions — the property positional np.random
+    sampling fundamentally lacks, multi_source_ner.py:854-858).
+    keep ⟺ md5_32('wsample|'||doc_id) < floor(quality · 2^32)."""
+    import numpy as np
+
+    from ..functions.hashing import md5_int
+    from ..stages.text_stats import quality_score_batch
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        q = quality_score_batch(b)
+        h = np.array(
+            [md5_int(f"wsample|{d}", bits=32) for d in q["doc_id"]],
+            dtype=np.int64,
+        )
+        thr = np.floor(q["quality"].to_numpy() * 4294967296.0).astype("int64")
+        keep = h < thr
+        return pd.DataFrame(
+            {"doc_id": pd.array(q["doc_id"].to_numpy()[keep], "int64"),
+             "quality": pd.array(q["quality"].to_numpy()[keep], "float64")}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        arrow_out(pick), batch_format="pandas"
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH q AS (
+  SELECT doc_id,
+         (LEAST(n_tokens, 200)/200.0) * (CAST(n_distinct AS DOUBLE)/n_tokens) AS quality
+  FROM (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct
+    FROM documents
+  )
+)
+SELECT doc_id, quality FROM q
+WHERE CAST(('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+      < CAST(floor(quality * 4294967296.0) AS BIGINT)
+"""

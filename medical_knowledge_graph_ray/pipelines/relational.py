@@ -640,3 +640,42 @@ LINEITEM_QUANTILES_SQL = "\nUNION ALL\n".join(
     f"quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
     for q in QUANTILE_QS
 )
+
+
+NO_BIG_ORDER_CUTOFF = 400_000
+
+
+def customers_no_orders(sf_dir: str):
+    """Customers with no order above NO_BIG_ORDER_CUTOFF — the
+    PARTITIONED anti join (`stages/joins.py` how='anti'): both sides
+    bucket by the key and the filter resolves in-bucket, for when the
+    filter side is itself too large to broadcast as a key set (the
+    broadcast `isin` form is J6; this is its shuffle-scale sibling)."""
+    import pyarrow as pa
+
+    from ..functions.arrow import arrow_out
+    from ..stages.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(
+        sf_dir, "orders", ["o_custkey"],
+        filter=pc.field("o_totalprice") > float(NO_BIG_ORDER_CUTOFF),
+    ).map_batches(
+        arrow_out(lambda b: b.rename(columns={"o_custkey": "c_custkey"})),
+        batch_format="pandas",
+    )
+    return hash_join(
+        cust, orders, on=["c_custkey"], how="anti",
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+        ),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    )
+
+
+CUSTOMERS_NO_ORDERS_SQL = f"""
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_totalprice > {NO_BIG_ORDER_CUTOFF})
+"""

@@ -51,7 +51,10 @@ def hash_join(
 
     Both sides are bucketed by the same deterministic key hash and
     unioned; each bucket's pandas merge sees every row of its keys from
-    both sides.  ``how`` ∈ {inner, left}.
+    both sides.  ``how`` ∈ {inner, left, semi, anti} — semi/anti keep
+    left rows whose key does/doesn't appear on the right (no right
+    columns emitted): the PARTITIONED form of the broadcast ``isin``
+    filter (J6), for when the filter side is itself too big to ship.
 
     ``left_schema`` / ``right_schema``: optional ``pyarrow.Schema`` for each
     side.  When omitted the join introspects ``ds.schema()`` — which
@@ -67,7 +70,7 @@ def hash_join(
     join→groupby chains, clean_and_save.py:1039-1083, all have this
     shape).
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported join type: {how}")
 
     # capture each side's columns/dtypes at plan time from the Arrow
@@ -118,7 +121,15 @@ def hash_join(
         lmask = bucket[_SIDE_COL] == 0
         l = _restore(bucket[lmask], l_names, l_pd)
         r = _restore(bucket[~lmask], r_names, r_pd)
-        if not len(l):
+        if how in ("semi", "anti"):
+            if len(l) and len(r):
+                mark = l.merge(
+                    r[on].drop_duplicates().assign(_hit=1), on=on, how="left"
+                )["_hit"].notna().to_numpy()
+                out = l[mark] if how == "semi" else l[~mark]
+            else:
+                out = l if how == "anti" else l.iloc[:0]
+        elif not len(l):
             out = l.merge(r.iloc[:0], on=on, how=how, suffixes=suffixes)
         else:
             out = l.merge(r, on=on, how=how, suffixes=suffixes)

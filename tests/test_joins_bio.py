@@ -309,3 +309,27 @@ def test_hash_join_skewed_hot_key(ray_session):
     assert got["v"].sum() == want["v"].sum()
     assert (got.loc[got.k == 7, "w"] == 70).all()
     assert (got.k == 7).sum() == (want.k == 7).sum() >= 5000
+
+
+def test_hash_join_semi_anti(ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.joins import hash_join
+
+    import pyarrow as pa
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 4], "v": list("abcde")})
+    right = pd.DataFrame({"k": [2, 4, 4, 9]})
+    L = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    R = pa.schema([("k", pa.int64())])
+    semi = hash_join(
+        rd.from_pandas(left).repartition(3), rd.from_pandas(right).repartition(2),
+        on=["k"], how="semi", left_schema=L, right_schema=R,
+    ).to_pandas().sort_values("v")
+    anti = hash_join(
+        rd.from_pandas(left).repartition(3), rd.from_pandas(right).repartition(2),
+        on=["k"], how="anti", left_schema=L, right_schema=R,
+    ).to_pandas().sort_values("v")
+    assert list(semi["v"]) == ["b", "d", "e"]   # keys present on the right
+    assert list(anti["v"]) == ["a", "c"]        # keys absent; no row explosion
+    assert list(semi.columns) == ["k", "v"]     # left columns only
