@@ -175,7 +175,14 @@ def scaling() -> dict:
 
     lo, hi = 8, 32
     envelope = _host_envelope(lo, hi)
-    r_lo, r_hi = run(lo), run(hi)
+    # min-of-N per leg: co-tenant noise only ever ADDS wall time, so the
+    # minimum is the noise-robust estimator of each leg's true cost
+    # (observed same-code efficiency swings 0.68-0.83 from noise alone)
+    repeats = int(os.environ.get("MKG_SCALING_REPEATS", "2"))
+    runs_lo = [run(lo) for _ in range(repeats)]
+    runs_hi = [run(hi) for _ in range(repeats)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -190,6 +197,9 @@ def scaling() -> dict:
         "host_cpu_envelope": round(envelope, 3),
         "efficiency_vs_host": round((t_lo / t_hi) / envelope, 3),
         "n_pages": r_lo.get("n_pages"),
+        "repeats": repeats,
+        "sec_lo_all": [r["value"] for r in runs_lo],
+        "sec_hi_all": [r["value"] for r in runs_hi],
     }
 
 
