@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_median": events.events_user_median,
         "events_lag_diff": events.events_lag_diff,
         "events_user_type_pivot": events.events_user_type_pivot,
+        # grouped HLL sketch (approximate -> rows-only, pytest accuracy gate)
+        "events_type_approx_users": events.events_type_approx_users,
         # grouped top-N + shuffle-free exact quantiles
         "orders_topn_per_cust": relational.orders_topn_per_cust,
         "lineitem_quantiles": relational.lineitem_quantiles,

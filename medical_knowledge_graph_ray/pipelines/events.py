@@ -335,3 +335,16 @@ SELECT user_id,
        COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
 FROM events GROUP BY user_id
 """
+
+
+def events_type_approx_users(sf_dir: str):
+    """Approximate distinct users per event type via grouped HyperLogLog
+    (stages/sketches.py:approx_distinct_by) — the sketch form of
+    COUNT(DISTINCT user_id) GROUP BY event_type: the exchange carries
+    16 KiB register rows per (batch, type), never user ids.  Rows-only
+    (approximate by design); accuracy vs the exact count is
+    pytest-gated."""
+    from ..stages.sketches import approx_distinct_by
+
+    ev = _events(sf_dir, ["event_type", "user_id"])
+    return approx_distinct_by(ev, "event_type", "user_id")

@@ -83,3 +83,43 @@ def approx_distinct(ds, col: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"column": [col], "approx_distinct": np.asarray([round(est)], np.int64)}
     )
+
+
+def hll_grouped_partial(batch: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
+    """One sketch row per (batch, group): groupwise register payloads."""
+    keys, payloads = [], []
+    if len(batch):
+        for k, sub in batch.groupby(key, sort=False):
+            keys.append(k)
+            payloads.append(hll_partial_batch(sub, col)["regs"].iloc[0])
+    return pd.DataFrame({key: pd.array(keys, batch[key].dtype if len(batch) else "str"),
+                         "regs": payloads})
+
+
+def approx_distinct_by(ds, key: str, col: str) -> pd.DataFrame:
+    """Grouped HLL: Dataset of (key, approx_distinct) — approx distinct
+    ``col`` per ``key`` group.
+
+    Partial sketches per (batch, group) → one bucketed exchange of
+    16 KiB rows → per-group register max + estimate.  The exchange is
+    O(#batches · #groups-per-batch) sketch rows — never the value set."""
+    import numpy as np
+
+    from .shuffle import bucketed_group_map
+
+    partials = ds.map_batches(
+        lambda b: hll_grouped_partial(b, key, col), batch_format="pandas"
+    )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, sub in g.groupby(key, sort=False):
+            est = hll_estimate(hll_merge(sub))
+            rows.append((k, round(est)))
+        return pd.DataFrame(
+            {key: [r[0] for r in rows],
+             "approx_distinct": np.asarray([r[1] for r in rows], np.int64)}
+        )
+
+    out = bucketed_group_map(partials, [key], reduce, num_buckets=8)
+    return out

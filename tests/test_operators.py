@@ -673,3 +673,25 @@ def test_connected_components_empty_edges_typed(ray_session):
     assert schema.names == ["node", "component_id"]
     assert [str(t) for t in schema.types] == ["int64", "int64"]
     assert out.count() == 0
+
+
+def test_grouped_hll_accuracy(ray_session):
+    """Grouped HLL within 2% of exact per-group distinct counts."""
+    import duckdb
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.sketches import approx_distinct_by
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame(
+        {"g": rng.choice(["a", "b", "c"], 30_000),
+         "u": [f"u{v}" for v in rng.randint(0, 5000, 30_000)]}
+    )
+    got = approx_distinct_by(
+        rd.from_pandas(df).repartition(9), "g", "u"
+    ).to_pandas().set_index("g")["approx_distinct"]
+    exact = duckdb.connect().execute(
+        "SELECT g, COUNT(DISTINCT u) FROM df GROUP BY g"
+    ).df().set_index("g").iloc[:, 0]
+    for k in exact.index:
+        assert abs(int(got[k]) - int(exact[k])) / int(exact[k]) < 0.02
