@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": events.events_range_join,
         "events_user_median": events.events_user_median,
         "events_lag_diff": events.events_lag_diff,
+        "events_rolling_avg": events.events_rolling_avg,
         "events_user_type_pivot": events.events_user_type_pivot,
         # grouped HLL sketch (approximate -> rows-only, pytest accuracy gate)
         "events_type_approx_users": events.events_type_approx_users,
@@ -264,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": events.RANGE_JOIN_SQL,
         "events_user_median": events.USER_MEDIAN_SQL,
         "events_lag_diff": events.LAG_DIFF_SQL,
+        "events_rolling_avg": events.ROLLING_AVG_SQL,
         "events_user_type_pivot": events.USER_TYPE_PIVOT_SQL,
         "orders_topn_per_cust": relational.TOPN_SQL,
         "lineitem_quantiles": relational.LINEITEM_QUANTILES_SQL,

@@ -348,3 +348,44 @@ def events_type_approx_users(sf_dir: str):
 
     ev = _events(sf_dir, ["event_type", "user_id"])
     return approx_distinct_by(ev, "event_type", "user_id")
+
+
+ROLLING_ROWS = 3
+
+
+def events_rolling_avg(sf_dir: str):
+    """Row-based rolling mean per user (last ROLLING_ROWS events,
+    partial windows included) — the ROWS BETWEEN window-frame shape, as
+    distinct from the engine's time-based tumbling/sliding windows.
+    In-bucket: one sort + cython grouped rolling sum/count on exact int
+    cents, divided once (both sides divide the same exact integers)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = pd.Series(np.rint(s["value"].to_numpy() * 100), index=s.index)
+        grp = cents.groupby(s["user_id"].to_numpy())
+        # groupby(...).rolling returns rows in group-concatenation order,
+        # which equals s's row order BECAUSE s is sorted by user_id first
+        rs = grp.rolling(ROLLING_ROWS, min_periods=1).sum().to_numpy()
+        rn = grp.rolling(ROLLING_ROWS, min_periods=1).count().to_numpy()
+        out = s[["event_id", "user_id", "ts"]].copy()
+        out["rolling_avg"] = rs / (rn * 100.0)
+        return out
+
+    return bucketed_group_map(ev, ["user_id"], bucket)
+
+
+ROLLING_AVG_SQL = f"""
+SELECT event_id, user_id, ts,
+       SUM(CAST(round(value*100) AS BIGINT)) OVER w
+         / (COUNT(*) OVER w * 100.0) AS rolling_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLLING_ROWS - 1} PRECEDING AND CURRENT ROW)
+"""
