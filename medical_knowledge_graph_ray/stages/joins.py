@@ -111,7 +111,14 @@ def hash_join(
     both = l_tagged.union(r_tagged)
 
     def _restore(frame: pd.DataFrame, names: list[str], dtypes: dict) -> pd.DataFrame:
-        out = frame[[c for c in names if c in frame.columns]].copy()
+        # reindex, not column-select: a bucket that received rows from only
+        # ONE side (e.g. a sparse right side whose ~200 rows hash into few
+        # of the 32 buckets) yields a group block WITHOUT the other side's
+        # columns — Ray's union does not align the two schemas.  reindex
+        # null-fills the missing columns so the empty side still carries
+        # its full schema into the merge (the r02 driver failure:
+        # docs_curation_neardup KeyError 'comp').
+        out = frame.reindex(columns=names)
         for c in out.columns:
             if c in dtypes and out[c].dtype != dtypes[c]:
                 out[c] = out[c].astype(dtypes[c])

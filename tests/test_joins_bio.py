@@ -83,6 +83,53 @@ def test_hash_join_left(ray_session):
     assert got[got["k"] == 2]["b"].isna().all()
 
 
+def test_hash_join_left_sparse_right_bucket_post(ray_session):
+    """Regression: r02 driver failure (docs_curation_neardup KeyError 'comp').
+
+    A left join whose right side is empty or so sparse that many buckets
+    receive ZERO right rows must still carry the right columns (null-filled)
+    into every bucket's merge — a ``bucket_post`` touching a right column
+    crashed before the ``reindex`` fix in ``joins._restore``.
+    """
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.joins import hash_join
+
+    left = pd.DataFrame({"k": np.arange(200), "a": np.arange(200) * 3})
+
+    def post(m: pd.DataFrame) -> pd.DataFrame:
+        # touches the right column 'b' — the r02 crash shape
+        return m[m["b"].isna() | (m["b"] > 5)]
+
+    # (a) fully empty right side
+    empty_right = pd.DataFrame({"k": pd.array([], dtype="int64"),
+                                "b": pd.array([], dtype="int64")})
+    got = hash_join(
+        rd.from_pandas(left), rd.from_pandas(empty_right), on=["k"],
+        how="left", num_buckets=16, bucket_post=post,
+    ).to_pandas()
+    assert len(got) == 200 and got["b"].isna().all()
+    assert list(got.columns) == ["k", "a", "b"]
+
+    # (b) sparse right: 3 keys hash into few of the 32 buckets
+    sparse_right = pd.DataFrame({"k": [0, 1, 2], "b": [1, 7, 9]})
+    got = (
+        hash_join(
+            rd.from_pandas(left), rd.from_pandas(sparse_right), on=["k"],
+            how="left", num_buckets=32, bucket_post=post,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = left.merge(sparse_right, on=["k"], how="left")
+    want = post(want).sort_values("k").reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["b"].astype("Float64"), want["b"].astype("Float64"), check_names=False
+    )
+
+
 def test_media_codecs_roundtrip():
     """The self-describing formats REALLY decode: encode→decode is exact."""
     from medical_knowledge_graph_ray.stages.multimodal import (
