@@ -40,7 +40,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "q1_pricing", "q3_top_orders", "q5_region_revenue",
         "events_tumbling", "events_argmax", "events_sessionize",
         "docs_stats", "docs_quality", "dedup_exact",
-        "minhash_pairs", "knn_cosine", "embed_norms",
+        "minhash_verified_pairs", "knn_cosine", "embed_norms",
         "embed_neardup_pairs", "ner_eval",
         "events_asof", "orders_topn_per_cust", "lineitem_quantiles",
         "docs_tfidf_top", "events_range_join",

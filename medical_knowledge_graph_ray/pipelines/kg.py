@@ -257,18 +257,16 @@ def ner_eval_corpus(corpus_dir: str, *, heldout_only: bool = True):
     ``clean_and_save.py:763-768``); pass False for a full-corpus audit."""
     import pyarrow as pa
 
-    from ..stages.bio import split_of
+    from ..stages.bio import split_heldout_mask
     from ..stages.muc_eval import ner_eval_dataset
 
     sents = sentences_dataset(corpus_dir)
     if heldout_only:
         def keep_heldout(t: pa.Table) -> pa.Table:
-            mask = [
-                split_of(u, o) != "train"
-                for u, o in zip(
-                    t.column("url").to_pylist(), t.column("sent_ord").to_pylist()
-                )
-            ]
+            # vectorized split decision (identical md5 contract as
+            # split_of) — the per-row loop here was the most expensive
+            # single stage of BENCH_r02 (11.8 s ner_eval wall)
+            mask = split_heldout_mask(t.column("url"), t.column("sent_ord"))
             return t.filter(pa.array(mask))
 
         sents = sents.map_batches(keep_heldout, batch_format="pyarrow")
@@ -360,7 +358,7 @@ def run_kg(
     import json
     import shutil
 
-    from ..functions.hashing import stable_bucket
+    from ..functions.hashing import stable_bucket_vec
 
     fp_base = (
         f"corpus={_corpus_fingerprint(corpus_dir)}|shards={n_shards}"
@@ -408,18 +406,16 @@ def run_kg(
         ).hexdigest()[:16]
 
     def _shards_of(t):
+        """Vectorized url→shard routing: dictionary-encode so each DISTINCT
+        url is md5-hashed once (a block holds many rows per url), then
+        gather.  Replaces a per-row Python loop on the flagship's widest
+        stream (the same trap as the old shard_write filename loop)."""
         import numpy as np
+        import pyarrow.compute as pc
 
-        urls = t.column("url").to_pylist()
-        cache: dict[str, int] = {}
-        shard = np.empty(len(urls), dtype=np.int32)
-        for j, u in enumerate(urls):
-            b = cache.get(u)
-            if b is None:
-                b = stable_bucket(u, n_shards)
-                cache[u] = b
-            shard[j] = b
-        return shard
+        d = pc.dictionary_encode(t.column("url").combine_chunks())
+        shard_u = stable_bucket_vec(d.dictionary, n_shards).astype(np.int32)
+        return shard_u[np.asarray(d.indices)]
 
     # independent per-stage resume state; one execution covers the union
     # of whatever is missing (asymmetric resumes re-compute a completed
@@ -439,10 +435,12 @@ def run_kg(
             import pyarrow as pa
 
             def keep_incomplete(t: pa.Table) -> pa.Table:
-                mask = [
-                    stable_bucket(u, n_shards) in todo
-                    for u in t.column("url").to_pylist()
-                ]
+                import numpy as np
+                import pyarrow.compute as pc
+
+                d = pc.dictionary_encode(t.column("url").combine_chunks())
+                bucket_u = stable_bucket_vec(d.dictionary, n_shards)
+                mask = np.isin(bucket_u, list(todo))[np.asarray(d.indices)]
                 return t.filter(pa.array(mask))
 
             pages = pages.map_batches(keep_incomplete, batch_format="pyarrow")

@@ -140,6 +140,22 @@ def split_of(url: str, sent_ord: int) -> str:
     return "train"
 
 
+def split_heldout_mask(urls, ords):
+    """Vectorized ``split_of(u, o) != 'train'`` over aligned Arrow columns
+    (identical md5 contract — the message string and modulo tests match the
+    scalar form bit-for-bit).  Returns a numpy bool mask."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_int_vec
+
+    msg = pc.binary_join_element_wise(
+        pa.scalar("split"), urls, pc.cast(ords, pa.string()), pa.scalar("|")
+    )
+    h = md5_int_vec(msg, bits=32)
+    return (h % 80 == 0) | (h % 90 == 0)
+
+
 _TRAINING_STATE: dict = {}
 
 

@@ -87,3 +87,66 @@ def test_bio_roundtrip_property(raw):
     block = bio_encode(sentence, spans)
     got_sentence, got_spans = bio_decode(block)
     assert got_sentence == sentence and got_spans == spans
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", blacklist_categories=("Cs",)
+            ),
+            max_size=200,
+        ),
+        max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_md5_int_vec_matches_hashlib(strs):
+    """The numpy-vectorized MD5 is bit-exact vs hashlib across arbitrary
+    UTF-8 strings and lengths spanning multiple 512-bit blocks."""
+    import pyarrow as pa
+
+    from medical_knowledge_graph_ray.functions.hashing import md5_int, md5_int_vec
+
+    for bits in (32, 64):
+        got = md5_int_vec(pa.array(strs, pa.string()), bits=bits)
+        want = np.array([md5_int(s, bits) for s in strs], dtype=np.uint64)
+        assert (got == want).all()
+
+
+def test_md5_int_vec_block_boundaries_and_slices():
+    """Deterministic edge lengths around the 1→2 and 2→3 block boundaries
+    (55/56, 119/120 message bytes) plus sliced/chunked Arrow inputs."""
+    import pyarrow as pa
+
+    from medical_knowledge_graph_ray.functions.hashing import (
+        md5_int,
+        md5_int_vec,
+        stable_bucket,
+        stable_bucket_vec,
+    )
+
+    strs = ["x" * n for n in (0, 1, 54, 55, 56, 63, 64, 65, 118, 119, 120, 300)]
+    strs += ["雪梨酱油汤圆" * n for n in range(6)]
+    want = np.array([md5_int(s, 32) for s in strs], dtype=np.uint64)
+    assert (md5_int_vec(strs) == want).all()
+    arr = pa.chunked_array([pa.array(strs[:5]), pa.array(strs[5:])])
+    assert (md5_int_vec(arr) == want).all()
+    sliced = pa.array(strs).slice(3, 7)
+    assert (md5_int_vec(sliced) == want[3:10]).all()
+    assert (
+        stable_bucket_vec(strs, 7) == np.array([stable_bucket(s, 7) for s in strs])
+    ).all()
+
+
+def test_split_heldout_mask_matches_scalar():
+    import pyarrow as pa
+
+    from medical_knowledge_graph_ray.stages.bio import split_heldout_mask, split_of
+
+    urls = [f"https://medwiki.example.org/wiki/page_{i:05d}" for i in range(3000)]
+    ords = [i % 37 for i in range(3000)]
+    got = split_heldout_mask(pa.array(urls), pa.array(ords, pa.int64()))
+    want = np.array([split_of(u, o) != "train" for u, o in zip(urls, ords)])
+    assert (got == want).all()
+    assert want.any()  # the corpus slice actually exercises both branches
