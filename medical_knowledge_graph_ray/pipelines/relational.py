@@ -403,7 +403,11 @@ def q9_profit(sf_dir: str):
     nation_by_key = dict(zip(nation["n_nationkey"], nation["n_name"]))
 
     def filter_part(b: pd.DataFrame) -> pd.DataFrame:
-        return b.loc[b["p_name"].str.contains(Q9_PART_LIKE), ["p_partkey"]]
+        # regex=False: the SQL side is LIKE '%…%', a literal substring
+        # match — a metacharacter in Q9_PART_LIKE must not change semantics
+        return b.loc[
+            b["p_name"].str.contains(Q9_PART_LIKE, regex=False), ["p_partkey"]
+        ]
 
     partkeys = (
         _read(sf_dir, "part", columns=["p_partkey", "p_name"])

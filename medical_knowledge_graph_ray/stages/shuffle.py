@@ -59,6 +59,11 @@ def first_non_null_agg(
     final keeps the global minimum and pivots back to wide."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # the unified _val dtype for EVERY partial frame: a batch where
+        # only one column contributes would otherwise emit that column's
+        # dtype while multi-contributor batches emit pd.concat's promoted
+        # dtype — inconsistent block schemas under mixed-dtype value_cols
+        val_dtype = pd.concat([b[c].iloc[:0] for c in value_cols]).dtype
         frames = []
         for col in value_cols:
             nn = b[b[col].notna()]
@@ -68,12 +73,12 @@ def first_non_null_agg(
             sub = nn.loc[idx, keys + [order_col, col]].rename(
                 columns={order_col: "_ord", col: "_val"}
             )
+            sub["_val"] = sub["_val"].astype(val_dtype)
             sub["_col"] = col
             frames.append(sub)
         if not frames:
             # typed empty: _val must carry the REAL value dtype or empty
             # batches emit blocks whose schema disagrees with non-empty ones
-            val_dtype = pd.concat([b[c].iloc[:0] for c in value_cols]).dtype
             return pd.DataFrame(
                 {**{k: b[k].iloc[:0] for k in keys},
                  "_ord": pd.array([], b[order_col].dtype),

@@ -371,8 +371,10 @@ def knn_cosine_ivf(
 
     # Deterministic training sample regardless of block arrival order
     # (preserve_order=False makes `limit(n)` order-dependent): stride-hash
-    # on vec_id — stride from the Parquet metadata row count (no scan) —
-    # then a driver-side sort of the ≈train_limit survivors.
+    # on vec_id, then a driver-side sort of the ≈train_limit survivors.
+    # NOTE `count()` is metadata-only for a raw read_parquet input but
+    # EXECUTES any non-trivial lazy plan — pass a plain read (or a cheap
+    # projection of one) as `embeddings` when that matters.
     n_total = embeddings.count()
     stride = max(1, n_total // train_limit)
     def _stride_sample(b: pd.DataFrame) -> pd.DataFrame:

@@ -85,15 +85,30 @@ def approx_distinct(ds, col: str) -> pd.DataFrame:
     )
 
 
-def hll_grouped_partial(batch: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
-    """One sketch row per (batch, group): groupwise register payloads."""
+def hll_grouped_partial(batch: pd.DataFrame, key: str, col: str):
+    """One sketch row per (batch, group): groupwise register payloads.
+
+    Returns an Arrow table with an EXPLICIT schema: the key column always
+    carries the incoming key dtype (``batch[key].dtype`` is available on
+    zero-row frames) and ``regs`` is ``pa.binary()`` even when empty — an
+    empty object column would otherwise infer Arrow null type and clash
+    with populated blocks at the shuffle."""
+    import pyarrow as pa
+
     keys, payloads = [], []
     if len(batch):
         for k, sub in batch.groupby(key, sort=False):
             keys.append(k)
             payloads.append(hll_partial_batch(sub, col)["regs"].iloc[0])
-    return pd.DataFrame({key: pd.array(keys, batch[key].dtype if len(batch) else "str"),
-                         "regs": payloads})
+    dt = batch[key].dtype
+    if keys:
+        key_arr = pa.Array.from_pandas(pd.Series(keys, dtype=dt))
+    else:
+        # explicit Arrow type for the typed-empty case (object → string,
+        # the engine's convention for string keys)
+        key_type = pa.string() if dt == object else pa.from_numpy_dtype(dt)
+        key_arr = pa.array([], key_type)
+    return pa.table({key: key_arr, "regs": pa.array(payloads, pa.binary())})
 
 
 def approx_distinct_by(ds, key: str, col: str) -> pd.DataFrame:

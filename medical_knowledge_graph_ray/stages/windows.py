@@ -165,11 +165,15 @@ def asof_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         .sort_values(["ts", "event_id"], kind="mergesort")
         .rename(columns={"event_id": "ref_event_id", "ts": "ref_ts"})
     )
+    # derive the empty frame's timestamp dtype from the incoming bucket: a
+    # caller with datetime64[ns] events must not get [us]-typed empty
+    # buckets next to [ns]-typed populated ones
+    ts_dtype = bucket["ts"].dtype if len(bucket.columns) else "datetime64[us]"
     empty = pd.DataFrame(
         {"event_id": pd.array([], "int64"), "user_id": pd.array([], "int64"),
-         "ts": pd.Series([], dtype="datetime64[us]"),
+         "ts": pd.Series([], dtype=ts_dtype),
          "ref_event_id": pd.array([], "int64"),
-         "ref_ts": pd.Series([], dtype="datetime64[us]"),
+         "ref_ts": pd.Series([], dtype=ts_dtype),
          "wait_us": pd.array([], "int64")}
     )
     if not len(left) or not len(right):

