@@ -234,6 +234,33 @@ class EnsembleNER:
             )
         return out
 
+    # -- S8: online-serving surface (app.py:32-48, app_multi.py:154-282) ------
+    def predict_sentences(self, sentences: list[str]) -> list[dict]:
+        """The reference's only interactive entry point (POST sentence →
+        ensemble spans) as a thin library call on the resident ensemble —
+        the HTTP layer minus HTTP.  One resident ``EnsembleNER`` (e.g. a
+        long-lived ``@ray.remote`` actor, or simply an in-process object)
+        scores ad-hoc sentences with exactly the batch pipeline's member +
+        ensemble_strong + dictionary semantics, so online and offline
+        predictions can never diverge.
+
+        Returns one dict per sentence: ``{"sentence", "mentions": [
+        {"model", "ent_name", "ent_type", "start", "end", "prob"}]}``,
+        mentions ordered by (start, end, model)."""
+        out = []
+        for sent in sentences:
+            mentions = [
+                {
+                    "model": m, "ent_name": nm, "ent_type": ty,
+                    "start": s, "end": e, "prob": round(p_strict, 6),
+                }
+                for (m, nm, ty, s, e, p_strict, _pp, _pe, _pt, _k)
+                in self._sentence_mentions(sent)
+            ]
+            mentions.sort(key=lambda r: (r["start"], r["end"], r["model"]))
+            out.append({"sentence": sent, "mentions": mentions})
+        return out
+
     # -- V1: weighted-vote ensemble (EnsemblePredict_all.py:250-288) ----------
     #
     # Computed by the reference alongside union/strong but NOT exported to

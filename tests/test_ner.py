@@ -184,3 +184,53 @@ def test_vote_spans_weighted_threshold():
         assert spans[0][4] == min(cands)
     else:
         assert spans == []
+
+
+# -- S8: online-serving surface (the app_multi.py contract minus HTTP) --------
+
+# the reference's model-selection smoke sentences (utils.py:15-40)
+_SMOKE_1 = (
+    "5.瓣膜置换术后心内膜炎,感染严重,药物不易控制,引起人工瓣功能障碍或瓣周漏、"
+    "瓣周脓肿等。此时应使用用纱布，血压计，心电图仪对病患进行监测。"
+)
+_SMOKE_2 = (
+    "(1)缺血性或非缺血性心肌病(2)充分抗心力衰竭药物治疗后,NYHA心功能分级仍在Ⅲ级"
+    "或不必卧床的Ⅳ级(3)窦性心律4)左心室射血分数≤35%"
+)
+
+
+def test_predict_sentences_smoke():
+    """S8: the serving call returns well-formed span predictions for the
+    reference's smoke sentences — offsets index the sentence exactly and
+    both member and dictionary/ensemble rows appear."""
+    ner = EnsembleNER({"心内膜炎": "DIS", "心肌病": "DIS", "血压计": "EQM",
+                       "心电图仪": "EQM", "感染": "SYM"})
+    res = ner.predict_sentences([_SMOKE_1, _SMOKE_2])
+    assert [r["sentence"] for r in res] == [_SMOKE_1, _SMOKE_2]
+    for r in res:
+        assert r["mentions"], "smoke sentence produced no mentions"
+        for m in r["mentions"]:
+            assert r["sentence"][m["start"]: m["end"]] == m["ent_name"]
+            assert 0.0 <= m["prob"] <= 1.0
+    models = {m["model"] for r in res for m in r["mentions"]}
+    assert "dictionary" in models
+
+
+def test_predict_sentences_matches_batch_pipeline():
+    """Online and offline must agree: predict_sentences emits exactly the
+    batch stage's mentions for the same sentence."""
+    import pyarrow as pa
+
+    gaz = {"心内膜炎": "DIS", "血压计": "EQM"}
+    ner = EnsembleNER(gaz)
+    online = ner.predict_sentences([_SMOKE_1])[0]["mentions"]
+    batch = ner(
+        pa.table({"url": ["u"], "sent_ord": [0], "sentence": [_SMOKE_1],
+                  "head_entity": [""], "head_type": [""], "paragraph": [0]})
+    ).to_pandas()
+    offline = sorted(
+        zip(batch["model"], batch["ent_name"], batch["start"], batch["end"]),
+        key=lambda r: (r[2], r[3], r[0]),
+    )
+    got = [(m["model"], m["ent_name"], m["start"], m["end"]) for m in online]
+    assert got == [tuple(r) for r in offline]
