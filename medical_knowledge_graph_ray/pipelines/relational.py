@@ -36,6 +36,19 @@ def _read(sf_dir: str, table: str, columns=None, filter=None):
     )
 
 
+def _read_dim(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
+    """Driver-side pyarrow read for FIXED-CARDINALITY dimension tables
+    (region = 5 rows, nation = 25 at every scale factor).  A distributed
+    Dataset execution for a KB-sized table is pure fixed overhead
+    (~0.5-1 s per execution — measured ~2 s of q5's wall across its two
+    dimension reads); the table is broadcast state, so read it where the
+    broadcast starts.  Only valid for tables whose size does NOT grow
+    with the data (never customer/supplier/part)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
+
+
 # -- Q1: pricing summary (groupby aggregate with batch-local combiner) -------
 
 def q1_pricing(sf_dir: str):
@@ -263,8 +276,8 @@ def q5_region_revenue(sf_dir: str):
 
     from ..stages.joins import hash_join
 
-    region = _read(sf_dir, "region").to_pandas()
-    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read_dim(sf_dir, "region")
+    nation = _read_dim(sf_dir, "nation")
     rkeys = set(region.loc[region["r_name"] == Q5_REGION, "r_regionkey"])
     nat = nation[nation["n_regionkey"].isin(rkeys)]
     nation_by_key = dict(zip(nat["n_nationkey"], nat["n_name"]))
@@ -347,7 +360,7 @@ def q5_region_revenue(sf_dir: str):
         return out[["n_name", "rev_c"]]
 
     joined = hash_join(
-        orders, partials, on=["o_orderkey"], how="inner", num_buckets=16,
+        orders, partials, on=["o_orderkey"], how="inner", num_buckets=32,
         left_schema=pa.schema([("o_orderkey", pa.int64()), ("c_nationkey", pa.int32())]),
         right_schema=pa.schema([("o_orderkey", pa.int64()), ("rev_c", pa.int64())]),
         bucket_post=by_nation,
@@ -399,7 +412,7 @@ def q9_profit(sf_dir: str):
 
     from ..stages.joins import hash_join
 
-    nation = _read(sf_dir, "nation").to_pandas()
+    nation = _read_dim(sf_dir, "nation")
     nation_by_key = dict(zip(nation["n_nationkey"], nation["n_name"]))
 
     def filter_part(b: pd.DataFrame) -> pd.DataFrame:
@@ -497,7 +510,7 @@ def q9_profit(sf_dir: str):
         )
 
     joined = hash_join(
-        orders, partials, on=["o_orderkey"], how="inner", num_buckets=16,
+        orders, partials, on=["o_orderkey"], how="inner", num_buckets=32,
         left_schema=pa.schema(
             [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
         ),
