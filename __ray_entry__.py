@@ -205,6 +205,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curation_neardup": docs.docs_curation_neardup,
         "docs_first_nonnull": docs.docs_first_nonnull,
         "gazetteer_unseen": docs_kg.gazetteer_unseen,
+        # benchmark decontamination (n-gram overlap, broadcast semi-join),
+        # Gopher-style repetition signal, per-source quota curation
+        "docs_decontaminate": docs.docs_decontaminate,
+        "docs_repetition": docs.docs_repetition,
+        "docs_source_quota": docs.docs_source_quota,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -291,6 +296,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_chunk_windows": docs.CHUNK_WINDOWS_SQL,
         "docs_first_nonnull": docs.DOCS_FIRST_NONNULL_SQL,
         "gazetteer_unseen": docs_kg.unseen_sql(),
+        "docs_decontaminate": docs.DECONTAM_SQL,
+        "docs_repetition": docs.REPETITION_SQL,
+        "docs_source_quota": docs.SOURCE_QUOTA_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

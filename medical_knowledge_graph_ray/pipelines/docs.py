@@ -1018,3 +1018,213 @@ SELECT doc_id, quality FROM q
 WHERE CAST(('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
       < CAST(floor(quality * 4294967296.0) AS BIGINT)
 """
+
+
+# -- benchmark decontamination (word-n-gram overlap, broadcast semi-join) -----
+#
+# The eval-set decontamination step every LLM training pipeline needs:
+# flag training documents sharing any word n-gram with a held-out
+# benchmark slice.  Here the "benchmark" is a deterministic slice of the
+# documents table itself (doc_id % DECONTAM_BENCH_MOD == 0 — no external
+# data), which keeps the whole operator SQL-oracle-able.
+
+DECONTAM_N = 3            # word n-gram size
+DECONTAM_BENCH_MOD = 97   # doc_id % MOD == 0 → benchmark member
+
+
+def _doc_ngrams(b: pd.DataFrame, n: int) -> pd.DataFrame:
+    """(doc_id, g) rows of word ``n``-grams, vectorized: one explode of
+    the token lists, then shifted elementwise joins with a doc-boundary
+    mask — no per-document Python loop."""
+    import numpy as np
+
+    toks = b["text"].astype(str).str.split(" ")
+    lens = toks.str.len().to_numpy()
+    if not len(b) or int(lens.sum()) < n:
+        return pd.DataFrame({"doc_id": pd.array([], "int64"),
+                             "g": pd.array([], "str")})
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    doc = np.repeat(b["doc_id"].to_numpy().astype("int64"), lens)
+    m = len(flat) - (n - 1)
+    # a window starting at i is valid iff it stays inside one document
+    valid = doc[:m] == doc[n - 1:]
+    grams = flat[:m].copy()
+    for k in range(1, n):
+        grams = grams + " "
+        grams = grams + flat[k: m + k]
+    return pd.DataFrame(
+        {"doc_id": pd.array(doc[:m][valid], "int64"),
+         "g": pd.array(grams[valid], "str")}
+    )
+
+
+def docs_decontaminate(sf_dir: str, n: int = DECONTAM_N):
+    """Contaminated training docs: (doc_id, n_hits) where n_hits = count
+    of DISTINCT benchmark n-grams the doc contains (benchmark docs
+    excluded from the output).
+
+    Shape: the benchmark slice is scanned distributed, its distinct
+    grams collected driver-side and shipped ONCE via ``ray.put``; the
+    corpus pass is then a pure map (each doc's grams live in its batch,
+    so the per-doc distinct-hit count needs no exchange).  At real scale
+    ship 64-bit gram hashes instead of strings (8 bytes/gram), and when
+    the benchmark outgrows worker memory switch to the partitioned
+    semi-join on the gram key (stages/joins.py, how='semi')."""
+    import numpy as np
+    import ray
+
+    def bench_grams(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b[b["doc_id"] % DECONTAM_BENCH_MOD == 0]
+        return _doc_ngrams(sel, n).drop_duplicates("g")[["g"]]
+
+    bench = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(arrow_out(bench_grams), batch_format="pandas")
+        .to_pandas()  # distinct grams of a ~1% slice — bounded artifact
+    )
+    bench_ref = ray.put(frozenset(bench["g"]))
+
+    class Contaminated:
+        def __init__(self):
+            self.bench = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.bench is None:
+                self.bench = ray.get(bench_ref)
+            train = b[b["doc_id"] % DECONTAM_BENCH_MOD != 0]
+            g = _doc_ngrams(train, n).drop_duplicates()
+            hit = g[g["g"].isin(self.bench)]
+            out = hit.groupby("doc_id", sort=False).size().reset_index(name="n_hits")
+            return pd.DataFrame(
+                {"doc_id": pd.array(out["doc_id"].to_numpy(), "int64"),
+                 "n_hits": pd.array(out["n_hits"].to_numpy(), "int64")}
+            )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Contaminated(), batch_format="pandas"
+    )
+
+
+DECONTAM_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+{DECONTAM_N - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w) - {DECONTAM_N - 2})) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {DECONTAM_BENCH_MOD} = 0)
+SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_hits
+FROM grams g JOIN bench b USING (g)
+WHERE g.doc_id % {DECONTAM_BENCH_MOD} != 0
+GROUP BY g.doc_id
+"""
+
+
+# -- repetition quality signal: top-bigram share (Gopher-style) ---------------
+
+def docs_repetition(sf_dir: str):
+    """Per-doc repetition score: the share of word-bigram slots occupied
+    by the single most frequent bigram (the Gopher/C4 family's
+    duplicate-n-gram-fraction signal).  Docs with < 2 tokens score 0.
+
+    Pure per-batch map (a doc's bigrams live in its batch): one explode
+    + shifted join builds every bigram, one pandas groupby counts them,
+    one more takes the per-doc max — all C-level, no Python loop over
+    docs."""
+    import numpy as np
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"doc_id": pd.array([], "int64"),
+                                 "top_bigram_share": pd.array([], "float64")})
+        g = _doc_ngrams(b, 2)
+        n_tok = (
+            b["text"].astype(str).str.count(" ").to_numpy().astype("int64") + 1
+        )
+        base = pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy().astype("int64"), "n_tok": n_tok}
+        )
+        if len(g):
+            cnt = g.groupby(["doc_id", "g"], sort=False).size()
+            mx = cnt.groupby("doc_id").max().rename("mx").reset_index()
+        else:
+            mx = pd.DataFrame({"doc_id": pd.array([], "int64"),
+                               "mx": pd.array([], "int64")})
+        m = base.merge(mx, on="doc_id", how="left")
+        share = np.where(
+            m["mx"].notna(), m["mx"].astype("float64") / (m["n_tok"] - 1), 0.0
+        )
+        return pd.DataFrame(
+            {"doc_id": pd.array(m["doc_id"], "int64"),
+             "top_bigram_share": pd.array(np.round(share, 6), "float64")}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        arrow_out(score), batch_format="pandas"
+    )
+
+
+REPETITION_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+g2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g, len(w) AS n
+       FROM toks, UNNEST(range(1, len(w))) t(i)),
+cnt AS (SELECT doc_id, n, COUNT(*) AS c FROM g2 GROUP BY doc_id, g, n)
+SELECT d.doc_id,
+       COALESCE(ROUND(m.mx / (m.n - 1), 6), 0.0) AS top_bigram_share
+FROM documents d LEFT JOIN (
+  SELECT doc_id, n, MAX(c)::DOUBLE AS mx FROM cnt GROUP BY doc_id, n
+) m USING (doc_id)
+"""
+
+
+# -- per-source quota (domain-cap curation) -----------------------------------
+
+QUOTA_K = 10
+
+
+def docs_source_quota(sf_dir: str, k: int = QUOTA_K):
+    """Cap each source (domain analogue) at ``k`` documents, selected by
+    a content-stable md5 priority — the per-domain quota step of web-
+    corpus curation, as the distributed ROW_NUMBER() OVER (PARTITION BY
+    source ORDER BY priority) <= k.  Rides grouped_topn's two-phase
+    combiner: the exchange carries at most k rows per (source, batch)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_int_vec
+    from ..stages.shuffle import grouped_topn
+
+    def prioritize(t: pa.Table) -> pa.Table:
+        msg = pc.binary_join_element_wise(
+            pa.scalar("quota"), pc.cast(t.column("doc_id"), pa.string()),
+            pa.scalar("|"),
+        )
+        pr = md5_int_vec(msg, bits=32).astype("int64")
+        return t.append_column("priority", pa.array(pr, pa.int64()))
+
+    prepped = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        prioritize, batch_format="pyarrow"
+    )
+    top = grouped_topn(
+        prepped, ["source"], "priority", k, descending=False, tiebreak="doc_id",
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": pd.array(b["doc_id"], "int64"),
+             "source": b["source"].astype(str),
+             "quota_rank": pd.array(b["rank"], "int64")}
+        )
+
+    return top.map_batches(arrow_out(finish), batch_format="pandas")
+
+
+SOURCE_QUOTA_SQL = f"""
+SELECT doc_id, source, rn AS quota_rank FROM (
+  SELECT doc_id, source, ROW_NUMBER() OVER (
+     PARTITION BY source
+     ORDER BY ('0x'||substr(md5('quota|'||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT,
+              doc_id
+  ) AS rn FROM documents
+) WHERE rn <= {QUOTA_K}
+"""

@@ -718,3 +718,103 @@ def test_grouped_hll_accuracy(ray_session):
     ).df().set_index("g").iloc[:, 0]
     for k in exact.index:
         assert abs(int(got[k]) - int(exact[k])) / int(exact[k]) < 0.02
+
+
+def test_doc_ngrams_matches_naive():
+    """_doc_ngrams (exploded + shifted joins) == the obvious per-doc loop,
+    including doc-boundary windows and short docs."""
+    from medical_knowledge_graph_ray.pipelines.docs import _doc_ngrams
+
+    b = pd.DataFrame(
+        {"doc_id": [7, 8, 9, 10],
+         "text": ["a b c d e", "x y", "q", "a b a b a"]}
+    )
+    for n in (2, 3):
+        got = list(
+            _doc_ngrams(b, n).itertuples(index=False, name=None)
+        )
+        want = []
+        for did, txt in zip(b["doc_id"], b["text"]):
+            w = txt.split(" ")
+            want += [(did, " ".join(w[i: i + n])) for i in range(len(w) - n + 1)]
+        assert got == want
+
+
+def test_source_quota_parallelism_invariant(ray_session):
+    """The per-source quota keeps the SAME k docs per source at any block
+    layout (content-stable md5 priority, not arrival order)."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.functions.hashing import md5_int
+    from medical_knowledge_graph_ray.stages.shuffle import grouped_topn
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(300),
+         "source": [f"s{i % 7}" for i in range(300)],
+         "priority": [md5_int(f"quota|{i}", bits=32) for i in range(300)]}
+    )
+
+    def run(n_blocks):
+        out = grouped_topn(
+            rd.from_pandas(df).repartition(n_blocks),
+            ["source"], "priority", 5, descending=False, tiebreak="doc_id",
+        ).to_pandas()
+        return out.sort_values(["source", "rank"]).reset_index(drop=True)
+
+    a, b = run(2), run(11)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby("source").size() == 5).all()
+    # matches the driver-side oracle selection
+    want = (
+        df.sort_values(["priority", "doc_id"]).groupby("source").head(5)
+    )
+    assert set(a["doc_id"]) == set(want["doc_id"])
+
+
+def test_decontaminate_and_repetition_small(ray_session):
+    """End-to-end on a tiny in-memory corpus written to parquet: the
+    engine's decontamination hits and repetition scores match a naive
+    driver-side computation."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medical_knowledge_graph_ray.pipelines.docs import (
+        DECONTAM_BENCH_MOD,
+        docs_decontaminate,
+        docs_repetition,
+    )
+
+    docs = {
+        0: "alpha beta gamma delta epsilon",          # benchmark (0 % MOD == 0)
+        1: "alpha beta gamma zeta",                   # shares 3-gram with 0
+        2: "zeta eta theta iota",                     # clean
+        3: "alpha beta gamma delta other words here", # shares two 3-grams
+        4: "x y x y x y x y",                         # repetitive
+    }
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table(
+                {"doc_id": pa.array(list(docs), pa.int64()),
+                 "text": pa.array(list(docs.values()), pa.string()),
+                 "lang": pa.array(["en"] * len(docs)),
+                 "source": pa.array(["s"] * len(docs)),
+                 "n_chars": pa.array([len(t) for t in docs.values()], pa.int64())}
+            ),
+            os.path.join(td, "documents.parquet"),
+        )
+        assert 0 % DECONTAM_BENCH_MOD == 0 and all(
+            d % DECONTAM_BENCH_MOD != 0 for d in list(docs)[1:]
+        )
+        hits = (
+            docs_decontaminate(td).to_pandas().set_index("doc_id")["n_hits"]
+        )
+        # doc 1 shares 'alpha beta gamma'; doc 3 also 'beta gamma delta'
+        assert hits.to_dict() == {1: 1, 3: 2}
+        rep = (
+            docs_repetition(td).to_pandas().set_index("doc_id")["top_bigram_share"]
+        )
+        assert rep[4] == round(4 / 7, 6)   # 'x y' fills 4 of 7 bigram slots
+        assert rep[2] == round(1 / 3, 6)   # all bigrams distinct -> 1/(n-1)
