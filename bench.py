@@ -44,6 +44,9 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "embed_neardup_pairs", "ner_eval",
         "events_asof", "orders_topn_per_cust", "lineitem_quantiles",
         "docs_tfidf_top", "events_range_join",
+        # round-3 additions: decontamination, per-source quota, and the
+        # repaired near-dup curation chain (components + left join)
+        "docs_decontaminate", "docs_source_quota", "docs_curation_neardup",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -322,6 +322,67 @@ def _config_fingerprint(config) -> str:
     return hashlib.md5(repr(sem).encode()).hexdigest()[:12]
 
 
+def merge_graph_runs(
+    out_roots: list[str], merged_out: str, *, resume: bool = True
+) -> dict:
+    """Incremental KG maintenance: nodes + edges re-finalized from the
+    UNION of several runs' triples checkpoints.
+
+    The 100-TB corpus-append story: a new crawl slice goes through
+    ``run_kg`` against its OWN ``out_root`` (extraction + NER run only on
+    the delta pages), then this merge rebuilds the graph tables from all
+    triples checkpoints — which are orders of magnitude smaller than the
+    page corpora, and the canonicalization half of the pipeline is the
+    cheap half.  Because node/edge aggregation is associative
+    (sum/max/count over content-hash keys), ``merge(run(A), run(B)) ≡
+    run(A ∪ B)`` EXACTLY — pinned by ``test_merge_graph_runs_equals_
+    single_run``.  No reference analogue (the reference recomputes from
+    scratch, clean_and_save.py end-to-end); this is the operational gap
+    a production graph needs closed.
+
+    Returns {"nodes": manifest, "edges": manifest} under ``merged_out``.
+    """
+    import hashlib
+    import json
+
+    # merged fingerprint = digest of every input shard manifest's
+    # fingerprint (any input change invalidates the merge)
+    parts = []
+    for root in sorted(out_roots):
+        tri_dir = os.path.join(root, "triples")
+        for name in sorted(os.listdir(tri_dir)):
+            mpath = os.path.join(tri_dir, name, "_MANIFEST.json")
+            if name.startswith("shard_") and os.path.exists(mpath):
+                with open(mpath) as f:
+                    m = json.load(f)
+                parts.append(f"{m['fingerprint']}|rows={m['rows']}")
+    fp = "merge|" + hashlib.md5("\n".join(parts).encode()).hexdigest()[:16]
+
+    from ..stages.canonicalize import graph_tables
+
+    nodes_dir = os.path.join(merged_out, "nodes")
+    edges_dir = os.path.join(merged_out, "edges")
+    manifests: dict[str, dict] = {}
+    if (
+        resume
+        and stage_complete(nodes_dir, fp)
+        and stage_complete(edges_dir, fp)
+    ):
+        for stage_name, d in (("nodes", nodes_dir), ("edges", edges_dir)):
+            with open(os.path.join(d, "_MANIFEST.json")) as f:
+                manifests[stage_name] = json.load(f)
+        return manifests
+
+    tri = None
+    for root in out_roots:
+        ds = read_stage(os.path.join(root, "triples"))
+        tri = ds if tri is None else tri.union(ds)
+    nodes, edges = graph_tables(tri)
+    manifests["nodes"] = write_stage(nodes, nodes_dir, "nodes", fp, force=not resume)
+    manifests["edges"] = write_stage(edges, edges_dir, "edges", fp, force=not resume)
+    return manifests
+
+
 def run_kg(
     corpus_dir: str,
     out_root: str,

@@ -248,3 +248,60 @@ def test_audit_detects_tampering(ray_session, tmp_path):
     )
     assert "ORPHAN" in blob
     assert ("unreadable footer" in blob) or ("size" in blob)
+
+
+def test_merge_graph_runs_equals_single_run(ray_session, tmp_path):
+    """Incremental append invariant: run_kg on two disjoint corpus halves
+    + merge_graph_runs == run_kg on the whole corpus, EXACTLY (node/edge
+    aggregation is associative over content-hash keys)."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from medical_knowledge_graph_ray.pipelines.kg import merge_graph_runs, run_kg
+    from medical_knowledge_graph_ray.sources.pages import generate_pages
+
+    corpus = generate_pages(160, str(tmp_path / "pages_all"))
+    # split the corpus into two halves by url hash (simulating an initial
+    # crawl + a later delta slice)
+    full = pq.read_table(corpus)
+    urls = full.column("url").to_pandas()
+    import pyarrow as pa
+
+    mask = (pd.util.hash_pandas_object(urls, index=False) % 2 == 0).to_numpy()
+    for name, m in (("a", mask), ("b", ~mask)):
+        d = tmp_path / f"pages_{name}"
+        os.makedirs(d)
+        pq.write_table(full.filter(pa.array(m)), str(d / "part-0.parquet"))
+
+    run_kg(corpus, str(tmp_path / "out_all"), ner_concurrency=2, n_shards=2)
+    run_kg(str(tmp_path / "pages_a"), str(tmp_path / "out_a"),
+           ner_concurrency=2, n_shards=2)
+    run_kg(str(tmp_path / "pages_b"), str(tmp_path / "out_b"),
+           ner_concurrency=2, n_shards=2)
+    merged = merge_graph_runs(
+        [str(tmp_path / "out_a"), str(tmp_path / "out_b")],
+        str(tmp_path / "out_merged"),
+    )
+    assert merged["nodes"]["rows"] > 0 and merged["edges"]["rows"] > 0
+
+    for table, key in (("nodes", ["node_id"]), ("edges", ["subj_id", "pred", "obj_id"])):
+        want = (
+            pd.read_parquet(tmp_path / "out_all" / table)
+            .sort_values(key).reset_index(drop=True)
+        )
+        got = (
+            pd.read_parquet(tmp_path / "out_merged" / table)
+            .sort_values(key).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.sort_index(axis=1), want.sort_index(axis=1)
+        )
+
+    # resume: a second merge with unchanged inputs is a manifest no-op
+    again = merge_graph_runs(
+        [str(tmp_path / "out_a"), str(tmp_path / "out_b")],
+        str(tmp_path / "out_merged"),
+    )
+    assert again["edges"]["rows"] == merged["edges"]["rows"]
