@@ -249,6 +249,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "medical_knowledge_graph_ray.stages.multimodal",
             fromlist=["media_neardup"],
         ).media_neardup(256),
+        # uncertainty-sampled annotation seeds (active-learning data side;
+        # deterministic top-disagreement vs the reference's random.sample)
+        "kg_active_seeds": lambda sf_dir: __import__(
+            "medical_knowledge_graph_ray.pipelines.kg",
+            fromlist=["active_learning_seeds"],
+        ).active_learning_seeds(sf_dir, n=200),
     }
 
 

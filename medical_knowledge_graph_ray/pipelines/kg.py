@@ -690,3 +690,78 @@ def run_kg(
             edges, edges_dir, "edges", fp_base, force=not resume
         )
     return manifests
+
+
+def active_learning_seeds(sf_dir: str, n: int = 200):
+    """Uncertainty-sampled annotation seeds: the ``n`` sentences whose
+    ensemble votes disagree most — the data-side of the reference's
+    active-learning loop (``multi_source_ner.py:854-858`` seeds retraining
+    with ``random.sample``, which is order-dependent; top-disagreement
+    selection is deterministic AND targets annotation where the ensemble
+    is least sure, the standard uncertainty-sampling upgrade).
+
+    Disagreement per sentence, from the mention stream alone (no span
+    join): member span instances that failed to form a majority span
+    (``orphans = n_member_rows − Σ support``) plus each majority span's
+    dissent ``(M − k)``, normalized by the sentence's member instance
+    count.  Unanimous sentences score 0; a sentence whose members all
+    disagree scores ~1.
+
+    Shape: one EnsembleNER actor-pool pass → vectorized per-batch
+    (url, sent_ord) partials → global top-n through grouped_topn's
+    combiner (the exchange carries ≤ n rows per batch, never the
+    corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.arrow import arrow_out
+    from ..stages.ner import MODEL_NAMES
+    from ..stages.shuffle import grouped_topn
+
+    corpus = corpus_for_sf(sf_dir)
+    sents = sentences_dataset(corpus)
+    mentions = sents.map_batches(
+        EnsembleNER, batch_format="pyarrow", batch_size=1024,
+        concurrency=_default_concurrency(), num_cpus=1,
+    )
+    M = len(MODEL_NAMES)
+    member_set = frozenset(MODEL_NAMES)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"url": pd.array([], "str"), "sent_ord": pd.array([], "int64"),
+                 "disagreement": pd.array([], "float64"),
+                 "_all": pd.array([], "int8")}
+            )
+        is_member = b["model"].isin(member_set).to_numpy()
+        is_strong = (b["model"] == "ensemble_strong").to_numpy()
+        g = pd.DataFrame(
+            {"url": b["url"], "sent_ord": b["sent_ord"],
+             "n_member": is_member.astype("int64"),
+             "support": np.where(is_strong, b["n_models"], 0).astype("int64"),
+             "dissent": np.where(is_strong, M - b["n_models"], 0).astype("int64")}
+        ).groupby(["url", "sent_ord"], sort=False).sum().reset_index()
+        orphans = np.maximum(g["n_member"] - g["support"], 0)
+        score = (orphans + g["dissent"]) / np.maximum(g["n_member"], 1)
+        return pd.DataFrame(
+            {"url": g["url"].astype(str),
+             "sent_ord": pd.array(g["sent_ord"], "int64"),
+             "disagreement": pd.array(np.round(score, 6), "float64"),
+             "_all": pd.array(np.zeros(len(g), dtype="int8"), "int8")}
+        )
+
+    partials = mentions.map_batches(arrow_out(partial), batch_format="pandas")
+    top = grouped_topn(
+        partials, ["_all"], "disagreement", n,
+        descending=True, tiebreak="url", num_buckets=1,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.sort_values(
+            ["disagreement", "url", "sent_ord"], ascending=[False, True, True],
+            kind="mergesort",
+        )
+        return out[["url", "sent_ord", "disagreement"]]
+
+    return top.map_batches(arrow_out(finish), batch_format="pandas")

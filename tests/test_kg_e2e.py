@@ -305,3 +305,22 @@ def test_merge_graph_runs_equals_single_run(ray_session, tmp_path):
         str(tmp_path / "out_merged"),
     )
     assert again["edges"]["rows"] == merged["edges"]["rows"]
+
+
+def test_active_learning_seeds(ray_session, tmp_path, monkeypatch):
+    """Seed selection is deterministic, capped at n, sorted by descending
+    disagreement, and scores sentences in [0, 1]."""
+    from medical_knowledge_graph_ray.pipelines import kg
+
+    # point corpus_for_sf's cache at a tmp corpus of 80 pages
+    monkeypatch.setitem(kg.PAGES_PER_SF, "sfseed", 80)
+    out1 = kg.active_learning_seeds(
+        str(tmp_path / "sfseed"), n=25
+    ).to_pandas()
+    assert len(out1) == 25
+    assert (out1["disagreement"].to_numpy() >= 0).all()
+    assert (out1["disagreement"].to_numpy() <= 1.0).all()
+    d = out1["disagreement"].to_numpy()
+    assert (d[:-1] >= d[1:]).all()  # descending
+    out2 = kg.active_learning_seeds(str(tmp_path / "sfseed"), n=25).to_pandas()
+    pd.testing.assert_frame_equal(out1, out2)
