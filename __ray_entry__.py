@@ -210,6 +210,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": docs.docs_decontaminate,
         "docs_repetition": docs.docs_repetition,
         "docs_source_quota": docs.docs_source_quota,
+        # entity co-occurrence graph (relation-candidate generation)
+        "kg_cooccurrence": docs_kg.doc_cooccurrence,
+        # global n-gram heavy hitters (LM census)
+        "docs_ngram_topk": docs.docs_ngram_topk,
+        # per-language deterministic rate sampling (training mixture)
+        "docs_stratified_sample": docs.docs_stratified_sample,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -255,6 +261,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "medical_knowledge_graph_ray.pipelines.kg",
             fromlist=["active_learning_seeds"],
         ).active_learning_seeds(sf_dir, n=200),
+        # entity salience: PageRank over the (bounded) co-occurrence graph
+        # — dense finalizer over distributed mining; ≡-to-BSP pytest-gated
+        "kg_entity_salience": docs_kg.kg_entity_salience,
+        # document salience: distributed BSP PageRank over the near-dup
+        # graph (unbounded node set; BSP ≡ dense power iteration in tests)
+        "docs_pagerank": docs.docs_pagerank,
     }
 
 
@@ -305,6 +317,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate": docs.DECONTAM_SQL,
         "docs_repetition": docs.REPETITION_SQL,
         "docs_source_quota": docs.SOURCE_QUOTA_SQL,
+        "kg_cooccurrence": docs_kg.cooccur_sql(),
+        "docs_ngram_topk": docs.NGRAM_TOPK_SQL,
+        "docs_stratified_sample": docs.STRATIFIED_SAMPLE_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

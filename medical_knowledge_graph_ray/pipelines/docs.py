@@ -1228,3 +1228,158 @@ SELECT doc_id, source, rn AS quota_rank FROM (
   ) AS rn FROM documents
 ) WHERE rn <= {QUOTA_K}
 """
+
+
+# -- global n-gram census: top-K heavy hitters --------------------------------
+
+NGRAM_TOPK_N = 3   # word n-gram size
+NGRAM_TOPK_K = 100  # heavy hitters kept
+
+
+def docs_ngram_topk(sf_dir: str, n: int = NGRAM_TOPK_N, k: int = NGRAM_TOPK_K):
+    """Global top-``k`` word ``n``-grams by corpus count — the LM-census /
+    heavy-hitters op every corpus audit runs.
+
+    Shape: per-batch ``value_counts`` is the map-side combiner (the
+    exchange moves (gram, partial_count) rows, never token streams);
+    per-bucket exact sums then per-bucket top-``k`` — gram keys are
+    disjoint across buckets, so the union of bucket top-``k``s provably
+    contains the global top-``k``; the final merge ranks ≤ buckets·k
+    rows driver-side.  ``rank`` = order by (cnt DESC, gram ASC): total
+    and parallelism-invariant.  At open-vocabulary web scale, bound the
+    exchange further with a count-min + heavy-hitter sketch prefilter;
+    this exact two-phase form is the oracle-able baseline.
+    """
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = _doc_ngrams(b, n)
+        vc = g["g"].value_counts()
+        return pd.DataFrame(
+            {"g": pd.array(vc.index.to_numpy(dtype=object), "str"),
+             "cnt": pd.array(vc.to_numpy(), "int64")}
+        )
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("g", sort=False)["cnt"].sum().reset_index()
+        return m.sort_values(
+            ["cnt", "g"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        arrow_out(partial), batch_format="pandas"
+    )
+    per_bucket = bucketed_group_map(partials, ["g"], bucket_top, num_buckets=16)
+    top = (
+        per_bucket.to_pandas()  # ≤ 16·k rows — bounded artifact
+        .sort_values(["cnt", "g"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {"gram": pd.array(top["g"], "str"),
+         "cnt": pd.array(top["cnt"].to_numpy(), "int64"),
+         "rank": pd.array(np.arange(1, len(top) + 1), "int64")}
+    )
+
+
+NGRAM_TOPK_SQL = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT array_to_string(w[i:i+{NGRAM_TOPK_N - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w) - {NGRAM_TOPK_N - 2})) AS t(i)
+),
+counted AS (SELECT g, COUNT(*) AS cnt FROM grams GROUP BY g)
+SELECT g AS gram, CAST(cnt AS BIGINT) AS cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, g ASC) AS BIGINT) AS rank
+FROM counted ORDER BY cnt DESC, g ASC LIMIT {NGRAM_TOPK_K}
+"""
+
+
+# -- stratified (per-language) deterministic sampling -------------------------
+
+# training-mixture rates: downsample the dominant language, keep the tail
+STRATA_RATES: dict[str, float] = {
+    "en": 0.25, "zh": 0.75, "es": 0.75, "de": 0.75, "fr": 0.75,
+}
+STRATA_DEFAULT_RATE = 0.5  # unlisted strata
+
+
+def docs_stratified_sample(sf_dir: str):
+    """Per-stratum (language) deterministic rate sampling — the
+    training-mixture rebalancing op (R5's stratified form).
+
+    keep ⟺ md5_32('strat|'||doc_id) < floor(rate[lang]·2³²): a pure
+    content-hash decision — no shuffle, no state, decisions stable under
+    corpus growth/reordering, and independent across strata.  Expected
+    rate is exact per stratum; the same keyed-threshold trick as
+    ``docs_weighted_sample``."""
+    from ..functions.hashing import md5_int_vec
+
+    thresholds = {
+        lang: int(rate * 2**32) for lang, rate in STRATA_RATES.items()
+    }
+    default_thr = int(STRATA_DEFAULT_RATE * 2**32)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ("strat|" + b["doc_id"].astype(str)).tolist()
+        h = md5_int_vec(keys, bits=32)
+        thr = b["lang"].map(thresholds).fillna(default_thr).to_numpy("uint64")
+        out = b.loc[h < thr, ["doc_id", "lang", "source"]]
+        return pd.DataFrame(
+            {"doc_id": pd.array(out["doc_id"].to_numpy(), "int64"),
+             "lang": pd.array(out["lang"], "str"),
+             "source": pd.array(out["source"], "str")}
+        )
+
+    return _docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        arrow_out(keep), batch_format="pandas"
+    )
+
+
+def _strata_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {int(rate * 2**32)}"
+        for lang, rate in sorted(STRATA_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE {int(STRATA_DEFAULT_RATE * 2**32)} END"
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      < {_strata_case_sql()}
+"""
+
+
+# -- document salience: PageRank over the near-dup graph ----------------------
+
+def docs_pagerank(sf_dir: str, max_hamming: int = 3, iters: int = 3):
+    """Document salience over the SimHash near-dup graph via the
+    DISTRIBUTED BSP PageRank (``stages/graph.py``) — the node set here is
+    doc_ids (unbounded at corpus scale), so the dense driver-side path
+    used for gazetteer-keyed graphs cannot apply.  Unweighted symmetric
+    edges; a fixed 3 rounds — the ranking ORDERING settles long before
+    full convergence (raise ``iters`` for converged values), and each
+    BSP round costs one join + one bucketed reduce (~3 s of AllToAll
+    fixed cost at small scale — the same documented price as the
+    connected-components rounds, amortized away at real block counts).
+    ``rank`` rounded to 6 dp (float contract); isolated docs are
+    omitted (they all share the baseline rank)."""
+    from ..stages.dedup import simhash_neardup_pairs
+    from ..stages.graph import pagerank
+
+    pairs = simhash_neardup_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming)
+    pr = pagerank(
+        pairs, "doc_a", "doc_b", iters=iters, num_buckets=4, symmetric=True
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": pd.array(b["node"].to_numpy(), "int64"),
+             "rank": pd.array(b["rank"].to_numpy().round(6), "float64")}
+        )
+
+    return pr.map_batches(arrow_out(finish), batch_format="pandas")

@@ -250,6 +250,151 @@ def doc_nodes(sf_dir: str):
     )
 
 
+# -- entity co-occurrence graph (relation-candidate generation) ---------------
+
+_EMPTY_COOCCUR = {
+    "term_a": pd.array([], "str"), "type_a": pd.array([], "str"),
+    "term_b": pd.array([], "str"), "type_b": pd.array([], "str"),
+    "n_docs": pd.array([], "int64"), "w_total": pd.array([], "int64"),
+}
+
+
+def doc_cooccur_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """documents batch → batch-combined co-occurrence partials.
+
+    For every unordered pair of distinct gazetteer terms mentioned in the
+    same document (``term_a < term_b`` lexicographically) emit the pair
+    with ``n_docs`` (documents containing both) and ``w_total``
+    (Σ n_occ_a·n_occ_b — the co-mention strength a downstream relation
+    scorer would consume).  This is the relation-CANDIDATE generator of a
+    KG pipeline: the reference derives its relations from per-sentence
+    head-entity pairing (``structurize_files.py:302-326``); over the
+    documents table the same idea is doc-level term pairing.
+
+    Per-doc cost is O(k²) pairs where k = distinct gazetteer terms in the
+    doc — bounded by the gazetteer, not the corpus; with a very large
+    gazetteer, prune each doc to its top-k terms by n_occ first.  The
+    batch-local pair groupby is the map-side combiner: the exchange moves
+    ≤ |gazetteer|² rows per batch, never per-doc rows.
+    """
+    texts = batch["text"].astype(str).tolist()
+    per_doc = _KERNEL.counts(texts)
+    o_a, o_b, o_w = [], [], []
+    for counts in per_doc:
+        if len(counts) < 2:
+            continue
+        terms = sorted(counts)
+        for i, ta in enumerate(terms[:-1]):
+            na = counts[ta]
+            for tb in terms[i + 1:]:
+                o_a.append(ta)
+                o_b.append(tb)
+                o_w.append(na * counts[tb])
+    if not o_a:
+        return pd.DataFrame(_EMPTY_COOCCUR)
+    pairs = pd.DataFrame({"term_a": o_a, "term_b": o_b, "w": o_w})
+    agg = (
+        pairs.groupby(["term_a", "term_b"], sort=False)
+        .agg(n_docs=("w", "size"), w_total=("w", "sum"))
+        .reset_index()
+    )
+    return pd.DataFrame(
+        {
+            "term_a": pd.array(agg["term_a"], "str"),
+            "type_a": pd.array(
+                [WEBTEXT_GAZETTEER[t] for t in agg["term_a"]], "str"
+            ),
+            "term_b": pd.array(agg["term_b"], "str"),
+            "type_b": pd.array(
+                [WEBTEXT_GAZETTEER[t] for t in agg["term_b"]], "str"
+            ),
+            "n_docs": pd.array(agg["n_docs"].to_numpy(), "int64"),
+            "w_total": pd.array(agg["w_total"].to_numpy(), "int64"),
+        }
+    )
+
+
+def doc_cooccurrence(sf_dir: str):
+    """Corpus-wide entity co-occurrence edge table: batch partials →
+    bucketed vectorized sum (pair cardinality is gazetteer-bounded, so the
+    final aggregate is a few small buckets, never a per-key groupby)."""
+    import ray.data as rd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    partials = docs.map_batches(
+        arrow_out(doc_cooccur_batch), batch_format="pandas"
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["term_a", "type_a", "term_b", "type_b"], sort=False)
+            .agg(n_docs=("n_docs", "sum"), w_total=("w_total", "sum"))
+            .reset_index()
+        )
+
+    return bucketed_group_map(
+        partials, ["term_a", "term_b"], combine, num_buckets=8
+    )
+
+
+def kg_entity_salience(sf_dir: str, iters: int = 20) -> pd.DataFrame:
+    """Entity salience: damped PageRank over the co-occurrence graph,
+    weighted by co-mention strength — the transitive generalization of
+    the reference's raw mention-count entity weights
+    (``clean_and_save.py`` weight columns).
+
+    The co-occurrence EDGE table is gazetteer-bounded (≤ |G|² rows — a
+    bounded artifact by the engine's broadcast convention), so after the
+    distributed mining + aggregation the power iteration itself runs
+    driver-side (``stages/graph.py:pagerank_power``).  For unbounded
+    node sets (doc graphs) the distributed BSP path is ``pagerank`` —
+    proven ≡ this dense form to 1e-9 in ``tests/test_graph.py``.  rank
+    rounded to 6 dp (float contract)."""
+    from ..stages.graph import pagerank_power
+
+    edges = doc_cooccurrence(sf_dir).to_pandas()  # ≤ |gazetteer|² rows
+    term_ids = {t: i for i, t in enumerate(sorted(WEBTEXT_GAZETTEER))}
+    if not len(edges):
+        return pd.DataFrame(
+            {"term": pd.array([], "str"), "ent_type": pd.array([], "str"),
+             "rank": pd.array([], "float64")}
+        )
+    edges = edges.assign(
+        src=edges["term_a"].map(term_ids).astype("int64"),
+        dst=edges["term_b"].map(term_ids).astype("int64"),
+    )
+    pr = pagerank_power(
+        edges, "src", "dst", "w_total", iters=iters, symmetric=True
+    )
+    inv = {i: t for t, i in term_ids.items()}
+    terms = [inv[int(n)] for n in pr["node"]]
+    out = pd.DataFrame(
+        {"term": pd.array(terms, "str"),
+         "ent_type": pd.array([WEBTEXT_GAZETTEER[t] for t in terms], "str"),
+         "rank": pd.array(pr["rank"].to_numpy().round(6), "float64")}
+    )
+    return out.sort_values(
+        ["rank", "term"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def cooccur_sql() -> str:
+    return (
+        f"WITH mentions AS ({mentions_sql()})\n"
+        "SELECT a.term AS term_a, a.ent_type AS type_a, "
+        "b.term AS term_b, b.ent_type AS type_b, "
+        "COUNT(*) AS n_docs, "
+        "CAST(SUM(a.n_occ * b.n_occ) AS BIGINT) AS w_total\n"
+        "FROM mentions a JOIN mentions b "
+        "ON a.doc_id = b.doc_id AND a.term < b.term\n"
+        "GROUP BY 1, 2, 3, 4"
+    )
+
+
 # -- D4 set difference: unseen gazetteer terms --------------------------------
 
 def gazetteer_unseen(sf_dir: str):

@@ -1,0 +1,305 @@
+"""Distributed PageRank — entity/document salience over mined graphs.
+
+The KG pipelines mine edge tables (entity co-occurrence, near-dup pairs,
+subject→object triples); ranking their nodes by stationary importance is
+the classic follow-up (the reference ranks entities only by raw mention
+counts — ``clean_and_save.py``'s weight columns; PageRank generalizes
+that to transitive salience).
+
+Two execution paths, same math (damped power iteration,
+``r' = (1-d)/N + d·(Pᵀ r + dangling_mass/N)``):
+
+* ``pagerank`` — the DISTRIBUTED BSP form for unbounded node sets
+  (documents, urls): edge weights are out-normalized ONCE up front
+  (one partitioned join), then each round is one ``hash_join`` of the
+  normalized edges against the rank state plus one bucketed per-node
+  sum — the Shiloach–Vishkin-shaped round structure shared with
+  ``stages/components.py``, with the same per-round state compaction.
+  Per round the exchange is O(E + V) small rows.
+* ``pagerank_power`` — the driver-side dense form for BOUNDED node sets
+  (a gazetteer-keyed co-occurrence graph is ≤ |gazetteer| nodes — a
+  bounded artifact by the engine's broadcast convention).  Also the
+  test oracle the BSP path must match to 1e-9.
+
+Float contract: ranks are order-of-summation sensitive; callers that
+need cross-run stability round to 6 dp (the engine-wide float contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.arrow import arrow_out
+from .joins import hash_join
+from .shuffle import bucketed_group_map
+
+_EDGE_SCHEMA = pa.schema(
+    [("src", pa.int64()), ("dst", pa.int64()), ("w", pa.float64())]
+)
+_EDGE_NORM_SCHEMA = pa.schema(
+    [("src", pa.int64()), ("dst", pa.int64()), ("w_norm", pa.float64())]
+)
+_RANK_SCHEMA = pa.schema(
+    [("src", pa.int64()), ("rank", pa.float64()), ("dangling", pa.int8())]
+)
+
+
+def pagerank(
+    edges,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    *,
+    damping: float = 0.85,
+    iters: int = 20,
+    num_buckets: int = 16,
+    symmetric: bool = False,
+):
+    """edges Dataset → (node, rank) for every node incident to an edge.
+
+    ``symmetric=True`` treats each input row as an undirected edge (both
+    directions emitted) — the right setting for co-occurrence / near-dup
+    pair graphs, and it also guarantees no dangling nodes.  Directed
+    graphs are supported: dangling mass (rank parked on nodes without
+    out-edges) is redistributed uniformly each round, which keeps the
+    rank vector a proper distribution (Σ rank = 1).
+
+    Fixed ``iters`` rounds (PageRank converges geometrically at rate
+    ``damping``; 20 rounds ≈ 3 decimal digits at d=0.85) — a fixed
+    round count keeps the distributed op count deterministic.
+    """
+
+    def normalize(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[src_col].to_numpy().astype("int64")
+        d = b[dst_col].to_numpy().astype("int64")
+        w = (
+            b[weight_col].to_numpy().astype("float64")
+            if weight_col is not None
+            else np.ones(len(b), dtype="float64")
+        )
+        if symmetric:
+            s, d, w = (
+                np.concatenate([s, d]),
+                np.concatenate([d, s]),
+                np.concatenate([w, w]),
+            )
+        return pd.DataFrame({"src": s, "dst": d, "w": w})
+
+    # ONE materialized execution of the upstream edge-mining plan (the
+    # documented accidental-re-execution trap): every round reads `ew`.
+    ew = edges.map_batches(
+        arrow_out(normalize), batch_format="pandas"
+    ).materialize()
+
+    import ray.data as rd
+
+    if not ew.count():
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.float64())})
+        )
+
+    # out-weight per src (V rows — the per-batch groupby is the combiner)
+    def outw_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("src", sort=False)["w"].sum()
+        return pd.DataFrame(
+            {"src": g.index.to_numpy(), "out_w": g.to_numpy()}
+        )
+
+    def outw_final(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("src", sort=False)["out_w"].sum()
+        return pd.DataFrame(
+            {"src": m.index.to_numpy(), "out_w": m.to_numpy()}
+        )
+
+    outw = bucketed_group_map(
+        ew.map_batches(arrow_out(outw_partial), batch_format="pandas"),
+        ["src"], outw_final, num_buckets=num_buckets,
+    ).materialize()
+    _OUTW_SCHEMA = pa.schema([("src", pa.int64()), ("out_w", pa.float64())])
+
+    # normalize edge weights once: w_norm = w / out_w(src).  Reused every
+    # round — the transition matrix never needs recomputing.
+    def edge_norm_post(m: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": m["src"].to_numpy(), "dst": m["dst"].to_numpy(),
+             "w_norm": m["w"].to_numpy() / m["out_w"].to_numpy()}
+        )
+
+    edges_norm = hash_join(
+        ew, outw, on=["src"],
+        left_schema=_EDGE_SCHEMA, right_schema=_OUTW_SCHEMA,
+        num_buckets=num_buckets, bucket_post=edge_norm_post,
+    ).materialize()
+
+    # node set = distinct src ∪ dst; dangling ⟺ no out-edge.  SYMMETRIC
+    # fast path: both directions of every edge exist, so nodes ≡ outw's
+    # keys and nothing dangles — the node census, the left-join flag
+    # derivation AND the per-round dangling-mass pass all vanish (each
+    # was a full distributed execution; measured ~3 s/query of pure
+    # fixed cost at small scale).
+    if symmetric:
+        def flag_zero(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"src": b["src"].to_numpy(),
+                 "dangling": pd.array(np.zeros(len(b), "int8"), "int8")}
+            )
+
+        flagged = outw.map_batches(
+            arrow_out(flag_zero), batch_format="pandas"
+        ).materialize()
+    else:
+        def node_partial(b: pd.DataFrame) -> pd.DataFrame:
+            n = np.unique(
+                np.concatenate([b["src"].to_numpy(), b["dst"].to_numpy()])
+            )
+            return pd.DataFrame({"src": n})
+
+        def node_final(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates("src")
+
+        nodes = bucketed_group_map(
+            ew.map_batches(arrow_out(node_partial), batch_format="pandas"),
+            ["src"], node_final, num_buckets=num_buckets,
+        )
+        _NODE_SCHEMA = pa.schema([("src", pa.int64())])
+
+        def flag_post(m: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"src": m["src"].to_numpy(),
+                 "dangling": pd.array(
+                     m["out_w"].isna().to_numpy().astype("int8"), "int8")}
+            )
+
+        flagged = hash_join(
+            nodes, outw, on=["src"], how="left",
+            left_schema=_NODE_SCHEMA, right_schema=_OUTW_SCHEMA,
+            num_buckets=num_buckets, bucket_post=flag_post,
+        ).materialize()
+    n_nodes = flagged.count()
+
+    def init_rank(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["rank"] = 1.0 / n_nodes
+        return out[["src", "rank", "dangling"]]
+
+    ranks = flagged.map_batches(
+        arrow_out(init_rank), batch_format="pandas"
+    ).repartition(num_buckets).materialize()
+
+    base_teleport = (1.0 - damping) / n_nodes
+
+    for _ in range(iters):
+        # dangling mass of the CURRENT vector (one cheap V-row pass;
+        # structurally zero for symmetric graphs)
+        if symmetric:
+            dangling_sum = 0.0
+        else:
+            def dangling_partial(b: pd.DataFrame) -> pd.DataFrame:
+                s = float(b.loc[b["dangling"] == 1, "rank"].sum())
+                return pd.DataFrame({"x": [s]})
+
+            dangling_sum = ranks.map_batches(
+                arrow_out(dangling_partial), batch_format="pandas"
+            ).sum("x") or 0.0
+
+        def contrib_post(m: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"src": m["dst"].to_numpy(),
+                 "val": m["rank"].to_numpy() * m["w_norm"].to_numpy(),
+                 "dangling": pd.array(np.zeros(len(m), "int8"), "int8")}
+            )
+
+        contribs = hash_join(
+            edges_norm, ranks, on=["src"],
+            left_schema=_EDGE_NORM_SCHEMA, right_schema=_RANK_SCHEMA,
+            num_buckets=num_buckets, bucket_post=contrib_post,
+        )
+
+        # base rows keep nodes with no in-edges alive AND carry the
+        # authoritative dangling flag (max-folded in the reduce)
+        def base_row(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"src": b["src"].to_numpy(),
+                 "val": np.zeros(len(b), "float64"),
+                 "dangling": b["dangling"].to_numpy()}
+            )
+
+        cand = contribs.union(
+            ranks.map_batches(arrow_out(base_row), batch_format="pandas")
+        )
+
+        extra = damping * dangling_sum / n_nodes
+
+        def reduce_rank(g: pd.DataFrame) -> pd.DataFrame:
+            gg = g.groupby("src", sort=False)
+            val = gg["val"].sum()
+            flag = gg["dangling"].max()
+            return pd.DataFrame(
+                {"src": val.index.to_numpy(),
+                 "rank": base_teleport + damping * val.to_numpy() + extra,
+                 "dangling": pd.array(flag.to_numpy(), "int8")}
+            )
+
+        ranks = bucketed_group_map(
+            cand, ["src"], reduce_rank, num_buckets=num_buckets
+        ).repartition(num_buckets).materialize()
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": b["src"].to_numpy(), "rank": b["rank"].to_numpy()}
+        )
+
+    return ranks.map_batches(arrow_out(rename), batch_format="pandas")
+
+
+def pagerank_power(
+    edges: pd.DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    *,
+    damping: float = 0.85,
+    iters: int = 20,
+    symmetric: bool = False,
+) -> pd.DataFrame:
+    """Dense power iteration over a BOUNDED edge frame (driver-side
+    finalizer for gazetteer-keyed graphs; also the BSP path's test
+    oracle).  Same update rule, same dangling handling."""
+    s = edges[src_col].to_numpy().astype("int64")
+    d = edges[dst_col].to_numpy().astype("int64")
+    w = (
+        edges[weight_col].to_numpy().astype("float64")
+        if weight_col is not None
+        else np.ones(len(edges), dtype="float64")
+    )
+    if symmetric:
+        s, d, w = (
+            np.concatenate([s, d]),
+            np.concatenate([d, s]),
+            np.concatenate([w, w]),
+        )
+    nodes = np.unique(np.concatenate([s, d]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    if not n:
+        return pd.DataFrame({"node": pd.array([], "int64"),
+                             "rank": pd.array([], "float64")})
+    si = np.fromiter((idx[int(x)] for x in s), np.int64, len(s))
+    di = np.fromiter((idx[int(x)] for x in d), np.int64, len(d))
+    out_w = np.zeros(n)
+    np.add.at(out_w, si, w)
+    w_norm = w / out_w[si]
+    dangling = out_w == 0.0
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, r[si] * w_norm)
+        extra = damping * float(r[dangling].sum()) / n
+        r = (1.0 - damping) / n + damping * contrib + extra
+    return pd.DataFrame(
+        {"node": pd.array(nodes, "int64"),
+         "rank": pd.array(r, "float64")}
+    )

@@ -1,0 +1,137 @@
+"""PageRank (stages/graph.py) + entity co-occurrence tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from medical_knowledge_graph_ray.stages.graph import pagerank, pagerank_power
+
+SF = "/root/testdata/sf0.001"
+
+
+def _random_edges(seed: int = 7, n_nodes: int = 120, n_edges: int = 500):
+    rng = np.random.RandomState(seed)
+    e = pd.DataFrame(
+        {
+            "src": rng.randint(0, n_nodes, n_edges),
+            "dst": rng.randint(0, n_nodes, n_edges),
+            "w": rng.randint(1, 5, n_edges).astype(float),
+        }
+    )
+    return e[e.src != e.dst].reset_index(drop=True)
+
+
+@pytest.mark.parametrize("symmetric", [False, True])
+def test_pagerank_bsp_matches_power(ray_session, symmetric):
+    import ray.data as rd
+
+    e = _random_edges()
+    got = (
+        pagerank(
+            rd.from_pandas(e), "src", "dst", "w",
+            iters=6, num_buckets=8, symmetric=symmetric,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pagerank_power(e, "src", "dst", "w", iters=6, symmetric=symmetric)
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert (got["node"].to_numpy() == exp["node"].to_numpy()).all()
+    assert np.abs(got["rank"].to_numpy() - exp["rank"].to_numpy()).max() < 1e-9
+
+
+def test_pagerank_parallelism_invariance(ray_session):
+    import ray.data as rd
+
+    e = _random_edges(seed=11)
+    outs = []
+    for nb in (2, 8):
+        outs.append(
+            pagerank(rd.from_pandas(e), "src", "dst", "w", iters=4,
+                     num_buckets=nb, symmetric=False)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+    assert (outs[0]["node"].to_numpy() == outs[1]["node"].to_numpy()).all()
+    assert np.abs(
+        outs[0]["rank"].to_numpy() - outs[1]["rank"].to_numpy()
+    ).max() < 1e-9
+
+
+def test_pagerank_is_a_distribution_with_dangling(ray_session):
+    """Directed chain with a sink: dangling mass must be redistributed,
+    keeping Σrank = 1 exactly (up to float summation)."""
+    import ray.data as rd
+
+    e = pd.DataFrame({"src": [1, 2, 3, 4], "dst": [2, 3, 4, 5]})
+    got = pagerank(rd.from_pandas(e), iters=10, num_buckets=2).to_pandas()
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+    exp = pagerank_power(e, iters=10)
+    m = got.sort_values("node")["rank"].to_numpy()
+    assert np.abs(m - exp.sort_values("node")["rank"].to_numpy()).max() < 1e-12
+
+
+def test_pagerank_empty_edges(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    empty = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    )
+    out = pagerank(empty)
+    # Ray 2.49 `to_pandas()` drops schema on zero-block datasets, so the
+    # contract is asserted on the Dataset itself.
+    assert out.schema().names == ["node", "rank"]
+    assert out.count() == 0
+
+
+def test_cooccur_batch_matches_naive():
+    """doc_cooccur_batch ≡ brute-force pair expansion of the kernel's
+    per-doc counts (including the n_docs / w_total aggregation)."""
+    from itertools import combinations
+
+    from medical_knowledge_graph_ray.pipelines.docs_kg import (
+        _KERNEL,
+        doc_cooccur_batch,
+    )
+
+    texts = [
+        "the server cluster and the database cluster share a network switch",
+        "machine learning model training on the server",
+        "database index and query planner tuning guide",
+        "no relevant terms at all here",
+    ]
+    b = pd.DataFrame(
+        {"doc_id": range(len(texts)), "source": "s", "text": texts}
+    )
+    got = (
+        doc_cooccur_batch(b)
+        .sort_values(["term_a", "term_b"])
+        .reset_index(drop=True)
+    )
+    agg: dict[tuple[str, str], list[int]] = {}
+    for counts in _KERNEL.counts(texts):
+        for ta, tb in combinations(sorted(counts), 2):
+            cur = agg.setdefault((ta, tb), [0, 0])
+            cur[0] += 1
+            cur[1] += counts[ta] * counts[tb]
+    assert len(got) == len(agg)
+    for _, row in got.iterrows():
+        n_docs, w_total = agg[(row["term_a"], row["term_b"])]
+        assert (row["n_docs"], row["w_total"]) == (n_docs, w_total)
+
+
+def test_entity_salience_is_ranked_distribution(ray_session):
+    from medical_knowledge_graph_ray.ontology import WEBTEXT_GAZETTEER
+    from medical_knowledge_graph_ray.pipelines.docs_kg import kg_entity_salience
+
+    out = kg_entity_salience(SF)
+    assert set(out["term"]) <= set(WEBTEXT_GAZETTEER)
+    assert abs(out["rank"].sum() - 1.0) < 1e-3  # 6-dp rounding slack
+    assert (out["rank"].to_numpy()[:-1] >= out["rank"].to_numpy()[1:]).all()
