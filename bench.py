@@ -47,6 +47,11 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         # round-3 additions: decontamination, per-source quota, and the
         # repaired near-dup curation chain (components + left join)
         "docs_decontaminate", "docs_source_quota", "docs_curation_neardup",
+        # round-3 graph/census family: co-occurrence mining + entity
+        # salience (dense finalizer), global n-gram heavy hitters, and
+        # the distributed BSP PageRank over the near-dup doc graph
+        "kg_cooccurrence", "kg_entity_salience",
+        "docs_ngram_topk", "docs_pagerank",
     ]
     qs = em.queries()
     times: dict[str, float] = {}
