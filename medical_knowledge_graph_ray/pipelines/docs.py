@@ -1356,18 +1356,16 @@ WHERE ('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
 
 # -- document salience: PageRank over the near-dup graph ----------------------
 
-def docs_pagerank(sf_dir: str, max_hamming: int = 3, iters: int = 3):
-    """Document salience over the SimHash near-dup graph via the
-    DISTRIBUTED BSP PageRank (``stages/graph.py``) — the node set here is
-    doc_ids (unbounded at corpus scale), so the dense driver-side path
-    used for gazetteer-keyed graphs cannot apply.  Unweighted symmetric
-    edges; a fixed 3 rounds — the ranking ORDERING settles long before
-    full convergence (raise ``iters`` for converged values), and each
-    BSP round costs one join + one bucketed reduce (~3 s of AllToAll
-    fixed cost at small scale — the same documented price as the
-    connected-components rounds, amortized away at real block counts).
-    ``rank`` rounded to 6 dp (float contract); isolated docs are
-    omitted (they all share the baseline rank)."""
+def docs_pagerank(sf_dir: str, max_hamming: int = 3, iters: int = 20):
+    """Document salience over the SimHash near-dup graph
+    (``stages/graph.py:pagerank``) — the node set is doc_ids, unbounded
+    at corpus scale, so the ADAPTIVE path applies: pair mining stays
+    distributed, and the iteration runs dense driver-side while the
+    mined edge table is under the bounded-artifact budget, switching to
+    the BSP rounds (one join + one bucketed reduce each) beyond it.
+    Unweighted symmetric edges; 20 damped rounds ≈ converged to 3
+    decimal digits.  ``rank`` rounded to 6 dp (float contract);
+    isolated docs are omitted (they all share the baseline rank)."""
     from ..stages.dedup import simhash_neardup_pairs
     from ..stages.graph import pagerank
 

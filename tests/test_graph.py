@@ -31,7 +31,7 @@ def test_pagerank_bsp_matches_power(ray_session, symmetric):
     got = (
         pagerank(
             rd.from_pandas(e), "src", "dst", "w",
-            iters=6, num_buckets=8, symmetric=symmetric,
+            iters=6, num_buckets=8, symmetric=symmetric, mode="bsp",
         )
         .to_pandas()
         .sort_values("node")
@@ -54,7 +54,7 @@ def test_pagerank_parallelism_invariance(ray_session):
     for nb in (2, 8):
         outs.append(
             pagerank(rd.from_pandas(e), "src", "dst", "w", iters=4,
-                     num_buckets=nb, symmetric=False)
+                     num_buckets=nb, symmetric=False, mode="bsp")
             .to_pandas().sort_values("node").reset_index(drop=True)
         )
     assert (outs[0]["node"].to_numpy() == outs[1]["node"].to_numpy()).all()
@@ -69,11 +69,33 @@ def test_pagerank_is_a_distribution_with_dangling(ray_session):
     import ray.data as rd
 
     e = pd.DataFrame({"src": [1, 2, 3, 4], "dst": [2, 3, 4, 5]})
-    got = pagerank(rd.from_pandas(e), iters=10, num_buckets=2).to_pandas()
+    got = pagerank(
+        rd.from_pandas(e), iters=10, num_buckets=2, mode="bsp"
+    ).to_pandas()
     assert abs(got["rank"].sum() - 1.0) < 1e-9
     exp = pagerank_power(e, iters=10)
     m = got.sort_values("node")["rank"].to_numpy()
     assert np.abs(m - exp.sort_values("node")["rank"].to_numpy()).max() < 1e-12
+
+
+def test_pagerank_auto_dense_equals_bsp(ray_session):
+    """The adaptive finalizer (mode='auto' under the edge bound) must
+    agree with the forced BSP path to 1e-9 — same contract either way."""
+    import ray.data as rd
+
+    e = _random_edges(seed=3)
+    a = (
+        pagerank(rd.from_pandas(e), "src", "dst", "w", iters=5,
+                 symmetric=True, mode="auto")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    b = (
+        pagerank(rd.from_pandas(e), "src", "dst", "w", iters=5,
+                 symmetric=True, mode="bsp")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert (a["node"].to_numpy() == b["node"].to_numpy()).all()
+    assert np.abs(a["rank"].to_numpy() - b["rank"].to_numpy()).max() < 1e-9
 
 
 def test_pagerank_empty_edges(ray_session):

@@ -619,11 +619,14 @@ def test_connected_components_random_graphs(ray_session):
     )
     g = g[g.doc_a != g.doc_b]
     expect = reference_cc(g)
-    got = (
-        connected_components(rd.from_pandas(g).repartition(4), max_iters=30)
-        .to_pandas()
-    )
-    assert dict(zip(got["node"], got["component_id"])) == expect
+    for mode in ("bsp", "auto"):  # auto takes the dense finalizer here
+        got = (
+            connected_components(
+                rd.from_pandas(g).repartition(4), max_iters=30, mode=mode
+            )
+            .to_pandas()
+        )
+        assert dict(zip(got["node"], got["component_id"])) == expect
 
 
 def test_hll_approx_distinct_accuracy_and_invariance(ray_session):
