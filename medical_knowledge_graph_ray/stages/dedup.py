@@ -183,12 +183,14 @@ def lsh_bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
-def minhash_dedup_pairs(docs, threshold: float = 0.7):
+def minhash_dedup_pairs(docs, threshold: float = 0.7, *, dedup_pairs: bool = True):
     """documents Dataset → near-duplicate candidate pairs Dataset.
 
     pipeline: bands explode → coarse-bucket shuffle on the band key →
     in-bucket collision pairs → coarse-bucket pair dedup (a pair can
-    surface from several bands; keep one row).
+    surface from several bands; keep one row).  ``dedup_pairs=False``
+    skips the final dedup exchange for callers that fold it into their
+    own finalizer (``minhash_verified_pairs``'s dense path).
     """
     from ..functions.arrow import arrow_out
     from .shuffle import bucketed_group_map
@@ -202,6 +204,8 @@ def minhash_dedup_pairs(docs, threshold: float = 0.7):
         return b[b["est_jaccard"] >= threshold]
 
     pairs = pairs.map_batches(arrow_out(_thresh), batch_format="pandas")
+    if not dedup_pairs:
+        return pairs
     return bucketed_group_map(
         pairs,
         ["doc_a", "doc_b"],
@@ -210,7 +214,13 @@ def minhash_dedup_pairs(docs, threshold: float = 0.7):
     )
 
 
-def minhash_verified_pairs(docs, threshold: float = 0.5):
+def minhash_verified_pairs(
+    docs,
+    threshold: float = 0.5,
+    *,
+    mode: str = "auto",
+    pair_bound: int = 500_000,
+):
     """The production dedup chain: MinHash-LSH candidate mining → EXACT
     n-gram-Jaccard verification of just the candidates.
 
@@ -221,21 +231,85 @@ def minhash_verified_pairs(docs, threshold: float = 0.5):
     hash join (both sides large; the text column never broadcasts), then
     one vectorized shingle-set comparison per candidate pair.
 
+    ADAPTIVE FINALIZER (``mode='auto'``): the candidate set is
+    materialized once anyway, so when it is ≤ ``pair_bound`` rows the
+    two verification joins collapse to one broadcast-filtered scan
+    (collect the involved docs' shingle-id arrays — a bounded artifact)
+    plus a driver-side exact-Jaccard pass over the pairs; identical
+    output to the join path (pinned by test).  ``mode='join'`` forces
+    the partitioned-join path — the posture for corpora whose collision
+    set outgrows the driver.
+
     Recall < 1 by LSH design (a true pair missing from every band's
     buckets is never verified) — measured in
     ``tests/test_operators.py::test_minhash_verified_recall``.
     """
     import pyarrow as pa
+    import ray
+    import ray.data as rd
 
     from ..functions.arrow import arrow_out
     from .joins import hash_join
 
-    cands = minhash_dedup_pairs(docs, threshold=0.0)  # all LSH collisions
+    # raw collision rows (a pair can surface from several bands) — the
+    # dedup exchange folds into each path's own finalizer
+    raw = minhash_dedup_pairs(docs, threshold=0.0, dedup_pairs=False).materialize()
+    n_pairs = raw.count()  # metadata-only: materialized; ≥ distinct pairs
+
+    if mode != "join" and n_pairs <= pair_bound:
+        pairs = raw.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        out_empty = pd.DataFrame(
+            {"doc_a": pd.array([], "int64"), "doc_b": pd.array([], "int64"),
+             "jaccard": pd.array([], "float64")}
+        )
+        if not n_pairs:
+            return rd.from_pandas(out_empty)
+        ids_ref = ray.put(
+            frozenset(pairs["doc_a"].tolist()) | frozenset(pairs["doc_b"].tolist())
+        )
+
+        def shingles_of(b: pd.DataFrame) -> pd.DataFrame:
+            sub = b[b["doc_id"].isin(ray.get(ids_ref))]
+            return pd.DataFrame(
+                {"doc_id": pd.array(sub["doc_id"].to_numpy(), "int64"),
+                 "sh": [_shingle_ids(t).tobytes() for t in sub["text"].astype(str)]}
+            )
+
+        sh = docs.map_batches(
+            arrow_out(shingles_of), batch_format="pandas"
+        ).to_pandas()  # ≤ 2·pair_bound rows of uint64 arrays
+        smap = {
+            int(i): np.frombuffer(s, np.uint64)
+            for i, s in zip(sh["doc_id"], sh["sh"])
+        }
+        rows = []
+        for a, b_ in zip(pairs["doc_a"].tolist(), pairs["doc_b"].tolist()):
+            sa, sb = smap[int(a)], smap[int(b_)]
+            # _shingle_ids returns sorted-unique ids
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                rows.append((int(a), int(b_), jac))
+        if not rows:
+            return rd.from_pandas(out_empty)
+        return rd.from_pandas(
+            pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
+                {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+            )
+        )
+
+    from .shuffle import bucketed_group_map
 
     def _project(b: pd.DataFrame) -> pd.DataFrame:
         return b[["doc_a", "doc_b"]]
 
-    cands = cands.map_batches(arrow_out(_project), batch_format="pandas")
+    cands = bucketed_group_map(
+        raw.map_batches(arrow_out(_project), batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
+        num_buckets=16,
+    )
 
     texts = docs.map_batches(
         arrow_out(lambda b: b[["doc_id", "text"]]), batch_format="pandas"

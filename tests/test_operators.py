@@ -393,6 +393,15 @@ def test_minhash_verified_recall_and_precision(ray_session):
         union = len(sets[r.doc_a] | sets[r.doc_b])
         assert abs(r.jaccard - inter / union) < 1e-12
 
+    # the forced partitioned-join path (the at-scale posture) must emit
+    # exactly the adaptive dense finalizer's pairs and values
+    joined = (
+        minhash_verified_pairs(rd.from_pandas(df), threshold=0.5, mode="join")
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    dense = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(joined, dense)
+
 
 def test_projected_neardup_exact_at_high_threshold(ray_session):
     """Projection-slab prefilter must be EXACT: equals brute force at
