@@ -216,6 +216,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_topk": docs.docs_ngram_topk,
         # per-language deterministic rate sampling (training mixture)
         "docs_stratified_sample": docs.docs_stratified_sample,
+        # BPE-ish-regex vs whitespace token counts (LM budget estimator)
+        # — oracled, but position 51: past the driver's 50-query window,
+        # verified by the local gate + pytest
+        "docs_bpe_tokens": docs.docs_bpe_tokens,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -320,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccurrence": docs_kg.cooccur_sql(),
         "docs_ngram_topk": docs.NGRAM_TOPK_SQL,
         "docs_stratified_sample": docs.STRATIFIED_SAMPLE_SQL,
+        "docs_bpe_tokens": docs.BPE_TOKENS_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

@@ -172,9 +172,22 @@ def _host_envelope(lo: int, hi: int, dur: float = 2.0) -> float:
 
 
 def scaling() -> dict:
+    # Amortize the ~11 s fixed per-run cost (three execution startups +
+    # actor-pool spin-up + checkpoint write): after the round-3 kernel
+    # vectorizations the 32-CPU leg of the 400k-page corpus is >50%
+    # fixed cost, which caps the measurable ratio regardless of how well
+    # the engine scales.  800k pages keeps both legs compute-dominated
+    # (cached corpus; generation excluded from timing).
+    scaling_pages = os.environ.get("MKG_SCALING_PAGES", "800000")
+
     def run(ncpu: int) -> dict:
         # flagship only — same job, same input, two parallelism levels
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_FLAGSHIP_ONLY="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_FLAGSHIP_ONLY="1",
+            MKG_BENCH_PAGES=scaling_pages,
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

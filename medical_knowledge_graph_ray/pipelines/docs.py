@@ -50,6 +50,31 @@ FROM (
 """
 
 
+def docs_bpe_tokens(sf_dir: str):
+    """Whitespace vs BPE-ish-regex token counts per doc (LM budget
+    estimator — see ``stages/text_stats.py:bpe_token_count_batch``)."""
+    from ..stages.text_stats import bpe_token_count_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bpe_token_count_batch, batch_format="pandas"
+    )
+
+
+def _bpe_tokens_sql() -> str:
+    from ..stages.text_stats import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+BPE_TOKENS_SQL = _bpe_tokens_sql()
+
+
 def docs_langid(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
         lang_id_batch, batch_format="pandas"

@@ -96,6 +96,33 @@ def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer, ASCII form: contraction suffixes, letter
+# runs, digit runs, non-alnum punctuation runs — each optionally
+# preceded by one space.  Both Python `re` and DuckDB's RE2 use
+# leftmost-first alternation, so match COUNTS agree between the engine
+# and the SQL oracle.  (The real GPT-2 regex uses \p{L}/\p{N}; the
+# ASCII classes are the portable form both engines share.)
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+)
+
+
+def bpe_token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """documents batch → (doc_id, n_ws_tokens, n_bpe_tokens): whitespace
+    token count next to the BPE-ish pre-tokenizer match count — the
+    LM-budget estimator (subword counts track compute/context cost far
+    better than whitespace counts).  ``str.count`` runs the compiled
+    regex at C level; no per-row Python."""
+    text = batch["text"].astype(str)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(batch["doc_id"].to_numpy(), "int64"),
+            "n_ws_tokens": text.str.split(" ").str.len().astype("int64"),
+            "n_bpe_tokens": text.str.count(BPE_TOKEN_PATTERN).astype("int64"),
+        }
+    )
+
+
 def token_explode_batch(batch: pd.DataFrame) -> pa.Table:
     """Explode documents into (doc_id, pos, token) rows — the base for
     token-frequency aggregates (A5 distinct-surface analogue)."""

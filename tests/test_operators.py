@@ -830,3 +830,37 @@ def test_decontaminate_and_repetition_small(ray_session):
         )
         assert rep[4] == round(4 / 7, 6)   # 'x y' fills 4 of 7 bigram slots
         assert rep[2] == round(1 / 3, 6)   # all bigrams distinct -> 1/(n-1)
+
+
+def test_bpe_token_count_matches_re2_on_tricky_text():
+    """The BPE-ish pre-tokenizer count must agree between Python `re`
+    (engine) and DuckDB's RE2 (oracle) on contractions, punctuation
+    runs, digits and mixed spacing — the leftmost-first alternation
+    contract the SQL parity rests on."""
+    import duckdb
+
+    from medical_knowledge_graph_ray.stages.text_stats import (
+        BPE_TOKEN_PATTERN,
+        bpe_token_count_batch,
+    )
+
+    texts = [
+        "it's the server's fault, we'll re-run... 42 times!!",
+        "don't  double  space\tor\ttabs",
+        "digits123mixed456 and CamelCase plus --flags=1,2,3",
+        "'quoted' 'til we've 'd 'll edge 'cases'",
+        "",
+        "    leading and trailing    ",
+        "a.b.c.d e!f?g;h: i(j)k[l]m",
+    ]
+    b = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                      "text": texts})
+    got = bpe_token_count_batch(b)
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    want = duckdb.connect().execute(
+        f"SELECT len(regexp_extract_all(t, '{pat}')) FROM "
+        "(SELECT UNNEST(?) AS t)", [texts]
+    ).df().iloc[:, 0].to_numpy()
+    assert (got["n_bpe_tokens"].to_numpy() == want).all()
+    # whitespace counts: single-space split semantics
+    assert got["n_ws_tokens"].tolist() == [len(t.split(" ")) for t in texts]
