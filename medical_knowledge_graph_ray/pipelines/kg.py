@@ -358,7 +358,7 @@ def merge_graph_runs(
                 parts.append(f"{m['fingerprint']}|rows={m['rows']}")
     fp = "merge|" + hashlib.md5("\n".join(parts).encode()).hexdigest()[:16]
 
-    from ..stages.canonicalize import graph_tables
+    from ..stages.canonicalize import finalize_graph_write
 
     nodes_dir = os.path.join(merged_out, "nodes")
     edges_dir = os.path.join(merged_out, "edges")
@@ -377,9 +377,9 @@ def merge_graph_runs(
     for root in out_roots:
         ds = read_stage(os.path.join(root, "triples"))
         tri = ds if tri is None else tri.union(ds)
-    nodes, edges = graph_tables(tri)
-    manifests["nodes"] = write_stage(nodes, nodes_dir, "nodes", fp, force=not resume)
-    manifests["edges"] = write_stage(edges, edges_dir, "edges", fp, force=not resume)
+    m_nodes, m_edges = finalize_graph_write(tri, nodes_dir, edges_dir, fp)
+    manifests["nodes"] = m_nodes
+    manifests["edges"] = m_edges
     return manifests
 
 
@@ -658,16 +658,14 @@ def run_kg(
             "shards": shard_manifests,
         }
 
-    # nodes and edges derive from ONE scan of the triples checkpoint
-    # (stages/canonicalize.py:graph_tables): both partial kinds are
-    # emitted in a single pass and the small post-combiner partials are
-    # materialized so the two finalize branches don't re-read the
-    # checkpoint — at real scale the checkpoint read dominates this half
-    # of the pipeline, so fusing halves its I/O.  The two finalize
-    # executions still run back-to-back (overlapping executions contend,
-    # measured ~2.6×).  Large combine batches maximize batch-local dedup
-    # before the key shuffle.
-    from ..stages.canonicalize import graph_tables
+    # nodes and edges derive from ONE scan of the triples checkpoint AND
+    # finalize in ONE streaming execution
+    # (stages/canonicalize.py:finalize_graph_write): both partial kinds
+    # combine in a single bucketed pass, nodes write task-side inside
+    # it, and edges flow on into the subj sort + checkpointed write —
+    # the previous three back-to-back executions were ~7 s of pure
+    # fixed cost at sf0.1, <0.5 s of it the checkpoint scan.
+    from ..stages.canonicalize import finalize_graph_write
 
     nodes_dir = os.path.join(out_root, "nodes")
     edges_dir = os.path.join(out_root, "edges")
@@ -676,19 +674,17 @@ def run_kg(
         and stage_complete(nodes_dir, fp_base)
         and stage_complete(edges_dir, fp_base)
     ):
-        # no-op resume: graph_tables' materialize() would otherwise scan
-        # the full triples checkpoint before write_stage could skip
+        # no-op resume: the fused finalize would otherwise scan the full
+        # triples checkpoint before noticing nothing is missing
         for stage_name, d in (("nodes", nodes_dir), ("edges", edges_dir)):
             with open(os.path.join(d, "_MANIFEST.json")) as f:
                 manifests[stage_name] = json.load(f)
     else:
-        nodes, edges = graph_tables(read_stage(tri_dir))
-        manifests["nodes"] = write_stage(
-            nodes, nodes_dir, "nodes", fp_base, force=not resume
+        m_nodes, m_edges = finalize_graph_write(
+            read_stage(tri_dir), nodes_dir, edges_dir, fp_base
         )
-        manifests["edges"] = write_stage(
-            edges, edges_dir, "edges", fp_base, force=not resume
-        )
+        manifests["nodes"] = m_nodes
+        manifests["edges"] = m_edges
     return manifests
 
 
