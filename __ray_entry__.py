@@ -220,6 +220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # — oracled, but position 51: past the driver's 50-query window,
         # verified by the local gate + pytest
         "docs_bpe_tokens": docs.docs_bpe_tokens,
+        # k-hop neighborhood over the mined co-occurrence graph (the
+        # KG-serving traversal; recursive-CTE oracle) — past the window,
+        # local gate + dense≡frontier pytest
+        "kg_khop": docs_kg.kg_khop,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -325,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_ngram_topk": docs.NGRAM_TOPK_SQL,
         "docs_stratified_sample": docs.STRATIFIED_SAMPLE_SQL,
         "docs_bpe_tokens": docs.BPE_TOKENS_SQL,
+        "kg_khop": docs_kg.khop_sql(),
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

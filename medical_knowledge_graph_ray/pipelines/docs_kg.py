@@ -382,6 +382,97 @@ def kg_entity_salience(sf_dir: str, iters: int = 20) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def kg_khop(sf_dir: str, k: int = 3, *, mode: str = "dense") -> pd.DataFrame:
+    """k-hop neighborhood query over the mined co-occurrence graph — the
+    KG-serving primitive the reference answers from its graph database
+    (the reference builds its tables FOR such traversals; the engine
+    serves them directly from the edge Dataset).
+
+    Deterministic, sf-relative contract (exact SQL parity):
+
+    * kept edges: ``n_docs·100 ≥ 97·max(n_docs)`` (integer arithmetic —
+      no float threshold; relative so the graph stays non-trivial at
+      every scale factor),
+    * seed: the kept-graph node with the largest incident ``n_docs``
+      sum, ties broken by term ascending,
+    * result: every node within ``k`` undirected hops of the seed with
+      its minimal hop distance (seed row has hop 0).
+
+    The co-occurrence edge table is gazetteer-bounded, so the default
+    BFS runs dense driver-side (``stages/graph.py:k_hop_dense``) after
+    the distributed mining — same convention as ``kg_entity_salience``;
+    ``mode='frontier'`` forces the distributed broadcast-frontier path
+    (unbounded edge tables), pinned ≡ dense by tests."""
+    from ..stages.graph import k_hop_dense, k_hop_frontier
+
+    edges = doc_cooccurrence(sf_dir)
+    edf = edges.to_pandas()  # ≤ |gazetteer|² rows (bounded artifact)
+    out_empty = pd.DataFrame(
+        {"term": pd.array([], "str"), "ent_type": pd.array([], "str"),
+         "hop": pd.array([], "int64")}
+    )
+    if not len(edf):
+        return out_empty
+    kept = edf[edf["n_docs"] * 100 >= 97 * int(edf["n_docs"].max())]
+    deg = (
+        pd.concat(
+            [kept[["term_a", "n_docs"]].rename(columns={"term_a": "t"}),
+             kept[["term_b", "n_docs"]].rename(columns={"term_b": "t"})]
+        )
+        .groupby("t")["n_docs"].sum()
+    )
+    seed = deg.sort_index().sort_values(kind="mergesort", ascending=False).index[0]
+    if mode == "frontier":
+        import ray.data as rd
+
+        visited = k_hop_frontier(
+            rd.from_pandas(kept.reset_index(drop=True)),
+            "term_a", "term_b", [seed], k=k,
+        )
+    else:
+        visited = k_hop_dense(kept, "term_a", "term_b", [seed], k=k)
+    terms = sorted(visited)
+    out = pd.DataFrame(
+        {"term": pd.array(terms, "str"),
+         "ent_type": pd.array([WEBTEXT_GAZETTEER[t] for t in terms], "str"),
+         "hop": pd.array([visited[t] for t in terms], "int64")}
+    )
+    return out.sort_values(["hop", "term"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def khop_sql(k: int = 3) -> str:
+    """Recursive-CTE oracle for ``kg_khop`` (UNION ALL walk bounded by
+    ``hop < k``; min-hop per node via the final GROUP BY)."""
+    return (
+        f"WITH RECURSIVE mentions AS ({mentions_sql()}),\n"
+        "pairs AS (\n"
+        "  SELECT a.term AS ta, b.term AS tb, COUNT(*) AS n\n"
+        "  FROM mentions a JOIN mentions b\n"
+        "    ON a.doc_id = b.doc_id AND a.term < b.term\n"
+        "  GROUP BY 1, 2\n"
+        "),\n"
+        "kept AS (SELECT * FROM pairs "
+        "WHERE n * 100 >= 97 * (SELECT MAX(n) FROM pairs)),\n"
+        "und AS (SELECT ta AS t1, tb AS t2, n FROM kept\n"
+        "        UNION ALL SELECT tb, ta, n FROM kept),\n"
+        "seed AS (SELECT t1 AS term FROM und GROUP BY t1\n"
+        "         ORDER BY SUM(n) DESC, t1 ASC LIMIT 1),\n"
+        "walk(term, hop) AS (\n"
+        "  SELECT term, 0 FROM seed\n"
+        "  UNION ALL\n"
+        "  SELECT u.t2, w.hop + 1 FROM walk w JOIN und u ON u.t1 = w.term\n"
+        f"  WHERE w.hop < {k}\n"
+        "),\n"
+        "types AS (SELECT DISTINCT term, ent_type FROM mentions)\n"
+        "SELECT w.term AS term, ty.ent_type AS ent_type,\n"
+        "       CAST(MIN(w.hop) AS BIGINT) AS hop\n"
+        "FROM walk w JOIN types ty ON ty.term = w.term\n"
+        "GROUP BY 1, 2"
+    )
+
+
 def cooccur_sql() -> str:
     return (
         f"WITH mentions AS ({mentions_sql()})\n"

@@ -327,3 +327,83 @@ def pagerank_power(
         {"node": pd.array(nodes, "int64"),
          "rank": pd.array(r, "float64")}
     )
+
+
+# -- k-hop neighborhood (BFS min-distance from a seed set) ---------------------
+
+def k_hop_dense(
+    edges: pd.DataFrame,
+    src_col: str,
+    dst_col: str,
+    seeds,
+    k: int = 3,
+) -> dict:
+    """Driver-side exact BFS over a BOUNDED undirected edge table:
+    {node: min hops from the seed set, ≤ k}.  The dense twin of
+    ``k_hop_frontier`` (equivalence pinned by tests) — use it when the
+    edge table is already a bounded driver-side artifact (gazetteer
+    co-occurrence graphs), the same convention as ``pagerank_power``."""
+    adj: dict = {}
+    for a, b in zip(edges[src_col], edges[dst_col]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    visited = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, k + 1):
+        nxt: set = set()
+        for t in frontier:
+            nxt |= adj.get(t, set())
+        nxt -= visited.keys()
+        if not nxt:
+            break
+        for t in nxt:
+            visited[t] = hop
+        frontier = nxt
+    return visited
+
+
+def k_hop_frontier(
+    edges,
+    src_col: str,
+    dst_col: str,
+    seeds,
+    k: int = 3,
+) -> dict:
+    """Distributed BFS min-distance over an undirected edge Dataset:
+    {node: min hops from the seed set, ≤ k}.
+
+    Per hop: ONE streamed pass over the edge Dataset with the current
+    frontier broadcast once via ``ray.put`` (read per task, never
+    re-shipped per batch); each batch emits its DISTINCT touched
+    neighbors, so the driver-side union receives batch-deduplicated
+    node partials — O(#batches · frontier-degree) small rows, never
+    edge rows.  The visited map is the query RESULT, so holding it
+    driver-side is the output contract, not a materialization; for
+    whole-graph reachability (result ~ node set) use
+    ``stages/components.py`` labels instead.  The Dataset is
+    materialized once up front because BFS re-scans it k times."""
+    import ray
+
+    edges = edges.materialize()
+    visited = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, k + 1):
+        ref = ray.put(frontier)
+
+        def touched(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            fr = ray.get(_ref)
+            s, d = b[src_col], b[dst_col]
+            nbrs = pd.concat([d[s.isin(fr)], s[d.isin(fr)]]).drop_duplicates()
+            return pd.DataFrame({"node": nbrs.reset_index(drop=True)})
+
+        found = set(
+            edges.map_batches(arrow_out(touched), batch_format="pandas")
+            .to_pandas()["node"]
+        )
+        nxt = found - visited.keys()
+        if not nxt:
+            break
+        for t in nxt:
+            visited[t] = hop
+        frontier = nxt
+    return visited

@@ -157,3 +157,39 @@ def test_entity_salience_is_ranked_distribution(ray_session):
     assert set(out["term"]) <= set(WEBTEXT_GAZETTEER)
     assert abs(out["rank"].sum() - 1.0) < 1e-3  # 6-dp rounding slack
     assert (out["rank"].to_numpy()[:-1] >= out["rank"].to_numpy()[1:]).all()
+
+
+# -- k-hop neighborhood --------------------------------------------------------
+
+def test_k_hop_dense_hand_case():
+    from medical_knowledge_graph_ray.stages.graph import k_hop_dense
+
+    # 1-2-3-4-5 chain plus a 2-6 spur; BFS from 2 with k=2
+    e = pd.DataFrame({"src": [1, 2, 3, 4, 2], "dst": [2, 3, 4, 5, 6]})
+    got = k_hop_dense(e, "src", "dst", [2], k=2)
+    assert got == {2: 0, 1: 1, 3: 1, 6: 1, 4: 2}
+
+
+def test_k_hop_frontier_matches_dense(ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.graph import (
+        k_hop_dense,
+        k_hop_frontier,
+    )
+
+    e = _random_edges(seed=5, n_nodes=200, n_edges=260)
+    seeds = [0, 1]
+    for k in (1, 2, 4):
+        dense = k_hop_dense(e, "src", "dst", seeds, k=k)
+        dist = k_hop_frontier(rd.from_pandas(e), "src", "dst", seeds, k=k)
+        assert dist == dense
+
+
+def test_kg_khop_frontier_mode_matches_dense(ray_session):
+    from medical_knowledge_graph_ray.pipelines.docs_kg import kg_khop
+
+    dense = kg_khop(SF, k=3)
+    frontier = kg_khop(SF, k=3, mode="frontier")
+    pd.testing.assert_frame_equal(dense, frontier)
+    assert (dense["hop"] == 0).sum() == 1  # exactly one seed row
