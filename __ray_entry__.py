@@ -224,6 +224,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG-serving traversal; recursive-CTE oracle) — past the window,
         # local gate + dense≡frontier pytest
         "kg_khop": docs_kg.kg_khop,
+        # FULL OUTER partitioned hash join: event-log vs order-system key
+        # reconciliation (both sides pre-aggregated per key) — past the
+        # window, local gate + pytest
+        "events_orders_reconcile": events.events_orders_reconcile,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -330,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_stratified_sample": docs.STRATIFIED_SAMPLE_SQL,
         "docs_bpe_tokens": docs.BPE_TOKENS_SQL,
         "kg_khop": docs_kg.khop_sql(),
+        "events_orders_reconcile": events.EVENTS_ORDERS_RECONCILE_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

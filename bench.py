@@ -51,7 +51,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         # salience (dense finalizer), global n-gram heavy hitters, and
         # the distributed BSP PageRank over the near-dup doc graph
         "kg_cooccurrence", "kg_entity_salience",
-        "docs_ngram_topk", "docs_pagerank",
+        "docs_ngram_topk", "docs_pagerank", "kg_khop",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

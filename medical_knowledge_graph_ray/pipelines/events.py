@@ -389,3 +389,90 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN {ROLLING_ROWS - 1} PRECEDING AND CURRENT ROW)
 """
+
+
+def events_orders_reconcile(sf_dir: str):
+    """Key reconciliation across two fact tables via a FULL OUTER join:
+    per-user purchase-event counts ⟗ per-customer urgent-order counts
+    (users with activity but no urgent orders, customers with urgent
+    orders but no tracked activity, and the matched middle — the audit
+    query every warehouse runs between event logs and the order system).
+
+    Scale shape: each side is pre-aggregated to one row per key with a
+    batch-local count partial + bucketed sum BEFORE the join, so the
+    full-outer ``hash_join`` (J2, ``how='full'``) exchanges only the
+    per-key aggregates; unmatched sides null-fill and coalesce to 0."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import bucketed_group_map
+
+    def _counted(ds, key_col: str, filt, out_name: str):
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[filt(b)]
+            out = (
+                b.groupby(key_col, sort=False).size().rename(out_name)
+                .reset_index()
+                .rename(columns={key_col: "user_key"})
+            )
+            out[out_name] = out[out_name].astype("int64")
+            return out
+
+        partials = ds.map_batches(arrow_out(partial), batch_format="pandas")
+        return bucketed_group_map(
+            partials, ["user_key"],
+            lambda g: g.groupby("user_key", sort=False)[out_name]
+            .sum().astype("int64").reset_index(),
+            num_buckets=8,
+        )
+
+    ev = _counted(
+        _events(sf_dir, ["user_id", "event_type"]),
+        "user_id",
+        lambda b: b["event_type"] == "purchase",
+        "n_purchases",
+    )
+    orders = _counted(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority"],
+        ),
+        "o_custkey",
+        lambda b: b["o_orderpriority"] == "1-URGENT",
+        "n_urgent_orders",
+    )
+    joined = hash_join(
+        ev, orders, on=["user_key"], how="full", num_buckets=16,
+        left_schema=pa.schema(
+            [("user_key", pa.int64()), ("n_purchases", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("user_key", pa.int64()), ("n_urgent_orders", pa.int64())]
+        ),
+    )
+
+    def coalesce(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_key": b["user_key"].astype("int64"),
+             "n_purchases": b["n_purchases"].fillna(0).astype("int64"),
+             "n_urgent_orders": b["n_urgent_orders"].fillna(0).astype("int64")}
+        )
+
+    return joined.map_batches(arrow_out(coalesce), batch_format="pandas")
+
+
+EVENTS_ORDERS_RECONCILE_SQL = """
+WITH e AS (
+  SELECT user_id AS user_key, COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), o AS (
+  SELECT o_custkey AS user_key, COUNT(*) AS n_urgent_orders
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+)
+SELECT COALESCE(e.user_key, o.user_key) AS user_key,
+       CAST(COALESCE(e.n_purchases, 0) AS BIGINT) AS n_purchases,
+       CAST(COALESCE(o.n_urgent_orders, 0) AS BIGINT) AS n_urgent_orders
+FROM e FULL OUTER JOIN o ON e.user_key = o.user_key
+"""

@@ -51,10 +51,12 @@ def hash_join(
 
     Both sides are bucketed by the same deterministic key hash and
     unioned; each bucket's pandas merge sees every row of its keys from
-    both sides.  ``how`` ∈ {inner, left, semi, anti} — semi/anti keep
-    left rows whose key does/doesn't appear on the right (no right
-    columns emitted): the PARTITIONED form of the broadcast ``isin``
-    filter (J6), for when the filter side is itself too big to ship.
+    both sides.  ``how`` ∈ {inner, left, full, semi, anti} — ``full``
+    keeps unmatched rows from BOTH sides (key columns coalesced,
+    the other side's columns null); semi/anti keep left rows whose key
+    does/doesn't appear on the right (no right columns emitted): the
+    PARTITIONED form of the broadcast ``isin`` filter (J6), for when the
+    filter side is itself too big to ship.
 
     ``left_schema`` / ``right_schema``: optional ``pyarrow.Schema`` for each
     side.  When omitted the join introspects ``ds.schema()`` — which
@@ -70,7 +72,7 @@ def hash_join(
     join→groupby chains, clean_and_save.py:1039-1083, all have this
     shape).
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "full", "semi", "anti"):
         raise ValueError(f"unsupported join type: {how}")
 
     # capture each side's columns/dtypes at plan time from the Arrow
@@ -86,16 +88,23 @@ def hash_join(
 
     l_names, l_pd = _pd_dtypes(left_schema if left_schema is not None else left.schema())
     r_names, r_pd = _pd_dtypes(right_schema if right_schema is not None else right.schema())
-    if how == "left":
-        # unmatched left rows null-fill right columns: use pandas nullable
-        # dtypes on the right so every bucket emits ONE Arrow schema
-        # (int64-with-nulls) instead of int64/float64 depending on matches
+    if how in ("left", "full"):
+        # unmatched rows null-fill the other side's columns: use pandas
+        # nullable dtypes on that side so every bucket emits ONE Arrow
+        # schema (int64-with-nulls) instead of int64/float64 depending on
+        # matches.  Key columns stay as-is (coalesced by the merge, never
+        # null in the output).
         _nullable = {"int64": "Int64", "int32": "Int32", "float64": "Float64",
                      "bool": "boolean"}
         r_pd = {
             c: _nullable.get(str(d), d) if c not in on else d
             for c, d in r_pd.items()
         }
+        if how == "full":
+            l_pd = {
+                c: _nullable.get(str(d), d) if c not in on else d
+                for c, d in l_pd.items()
+            }
 
     def _tag(side: int):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
@@ -136,6 +145,9 @@ def hash_join(
                 out = l[mark] if how == "semi" else l[~mark]
             else:
                 out = l if how == "anti" else l.iloc[:0]
+        elif how == "full":
+            # no empty-side shortcut: unmatched RIGHT rows must survive
+            out = l.merge(r, on=on, how="outer", suffixes=suffixes)
         elif not len(l):
             out = l.merge(r.iloc[:0], on=on, how=how, suffixes=suffixes)
         else:

@@ -130,6 +130,79 @@ def test_hash_join_left_sparse_right_bucket_post(ray_session):
     )
 
 
+def test_hash_join_full_outer(ray_session):
+    """FULL OUTER: unmatched rows from BOTH sides survive with the other
+    side's columns null — including buckets that receive rows from only
+    one side, and a bucket_post touching both sides' columns."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.joins import hash_join
+
+    rng = np.random.RandomState(9)
+    # key ranges overlap only in [30, 50): genuine two-sided asymmetry
+    left = pd.DataFrame({"k": rng.randint(0, 50, 250), "a": np.arange(250)})
+    right = pd.DataFrame({"k": rng.randint(30, 80, 180), "b": np.arange(180) * 2})
+    got = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), on=["k"],
+                  how="full", num_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on=["k"], how="outer")
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ("k", "a", "b"):
+        pd.testing.assert_series_equal(
+            got[c].astype("Float64"), want[c].astype("Float64"),
+            check_names=False,
+        )
+    # both kinds of unmatched rows really exist in the fixture
+    assert got["a"].isna().any() and got["b"].isna().any()
+
+    # sparse right into many buckets + post touching both sides
+    def post(m: pd.DataFrame) -> pd.DataFrame:
+        return m[m["a"].isna() | m["b"].isna() | (m["a"] < m["b"])]
+
+    sparse_right = pd.DataFrame({"k": [0, 1, 99], "b": [5, 7, 9]})
+    got2 = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(sparse_right),
+                  on=["k"], how="full", num_buckets=32, bucket_post=post)
+        .to_pandas()
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    want2 = post(left.merge(sparse_right, on=["k"], how="outer"))
+    want2 = want2.sort_values(["k", "a", "b"]).reset_index(drop=True)
+    assert len(got2) == len(want2)
+    assert (got2["k"] == 99).any()  # right-only key survived
+
+
+def test_hash_join_full_outer_empty_sides(ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.joins import hash_join
+
+    left = pd.DataFrame({"k": [1, 2], "a": [10, 20]})
+    empty = pd.DataFrame({"k": pd.array([], dtype="int64"),
+                          "b": pd.array([], dtype="int64")})
+    got = hash_join(
+        rd.from_pandas(left), rd.from_pandas(empty), on=["k"], how="full",
+        num_buckets=4,
+    ).to_pandas()
+    assert len(got) == 2 and got["b"].isna().all()
+    got = hash_join(
+        rd.from_pandas(empty.rename(columns={"b": "a"})),
+        rd.from_pandas(left.rename(columns={"a": "b"})),
+        on=["k"], how="full", num_buckets=4,
+    ).to_pandas()
+    assert len(got) == 2 and got["a"].isna().all()
+    assert set(got["b"]) == {10, 20}
+
+
 def test_media_codecs_roundtrip():
     """The self-describing formats REALLY decode: encode→decode is exact."""
     from medical_knowledge_graph_ray.stages.multimodal import (
