@@ -228,6 +228,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reconciliation (both sides pre-aggregated per key) — past the
         # window, local gate + pytest
         "events_orders_reconcile": events.events_orders_reconcile,
+        # ROLLUP / grouping-sets aggregate (subtotal levels derived from
+        # the distributed detail aggregate) — past the window, local gate
+        "q1_rollup": relational.q1_rollup,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -335,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_tokens": docs.BPE_TOKENS_SQL,
         "kg_khop": docs_kg.khop_sql(),
         "events_orders_reconcile": events.EVENTS_ORDERS_RECONCILE_SQL,
+        "q1_rollup": relational.Q1_ROLLUP_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

@@ -126,6 +126,91 @@ def q1_pricing(sf_dir: str):
     )
 
 
+def q1_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP / GROUPING-SETS aggregate (the subtotal family Ray Data has
+    no native operator for): q1's pricing sums at THREE grouping levels —
+    (returnflag, linestatus), per-returnflag subtotals, and the grand
+    total — with the sentinel 'ALL' marking rolled-up key columns.
+
+    Scale shape: the detail aggregate is computed ONCE distributed (the
+    same int-cent partial combiner as q1); every coarser level is then
+    derived from the DETAIL aggregate — a ≤|flag|·|status| bounded
+    artifact — driver-side, never a second corpus pass.  Sums stay int64
+    cents through every re-aggregation and divide once at the end (the
+    engine's float-parity contract)."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_shipdate"],
+        filter=pc.field("l_shipdate") <= pc.scalar(np.datetime64(Q1_CUTOFF, "us")),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty_c": np.rint(b["l_quantity"].to_numpy() * 100).astype("int64"),
+                "price_c": np.rint(
+                    b["l_extendedprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+        return (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(qty_c=("qty_c", "sum"), price_c=("price_c", "sum"),
+                 n=("qty_c", "size"))
+            .reset_index()
+        )
+
+    from ray.data.aggregate import Sum
+
+    base = (
+        li.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()  # ≤ |returnflag| × |linestatus| rows
+    )
+    levels = [base]
+    for keep in (["l_returnflag"], []):
+        lvl = base.groupby(keep)[["qty_c", "price_c", "n"]].sum().reset_index() \
+            if keep else base[["qty_c", "price_c", "n"]].sum().to_frame().T
+        for col in ("l_returnflag", "l_linestatus"):
+            if col not in lvl.columns:
+                lvl[col] = "ALL"
+        levels.append(lvl)
+    out = pd.concat(levels, ignore_index=True)
+    out = pd.DataFrame(
+        {
+            "l_returnflag": pd.array(out["l_returnflag"], "str"),
+            "l_linestatus": pd.array(out["l_linestatus"], "str"),
+            "sum_qty": out["qty_c"].astype("int64") / 100.0,
+            "sum_base_price": out["price_c"].astype("int64") / 100.0,
+            "count_order": out["n"].astype("int64"),
+        }
+    )
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+Q1_ROLLUP_SQL = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       SUM(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        SUM(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
