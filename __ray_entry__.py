@@ -231,6 +231,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ROLLUP / grouping-sets aggregate (subtotal levels derived from
         # the distributed detail aggregate) — past the window, local gate
         "q1_rollup": relational.q1_rollup,
+        # HAVING-filtered grouped sum + two chained partitioned hash joins
+        # (TPC-H q18 shape) — past the window, local gate
+        "q18_big_orders": relational.q18_big_orders,
+        # exact 3-sigma per-type anomaly flagging (integer z² contract) —
+        # past the window, local gate
+        "events_anomaly": events.events_anomaly,
+        # per-node triangle census via degree-oriented wedge semi-join —
+        # past the window, local gate + pytest
+        "kg_triangles": docs_kg.kg_triangles,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -339,6 +348,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_khop": docs_kg.khop_sql(),
         "events_orders_reconcile": events.EVENTS_ORDERS_RECONCILE_SQL,
         "q1_rollup": relational.Q1_ROLLUP_SQL,
+        "q18_big_orders": relational.Q18_SQL,
+        "events_anomaly": events.ANOMALY_SQL,
+        "kg_triangles": docs_kg.triangles_sql(),
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

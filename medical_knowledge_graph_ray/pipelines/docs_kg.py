@@ -580,3 +580,60 @@ def nodes_sql() -> str:
         "SELECT term, ent_type, COUNT(*) AS n_docs, "
         "CAST(SUM(n_occ) AS BIGINT) AS n_occ_total FROM mentions GROUP BY term, ent_type"
     )
+
+
+# -- triangle census over the mined co-occurrence graph -----------------------
+
+def kg_triangles(sf_dir: str):
+    """Per-node triangle participation over the co-occurrence graph —
+    the clustering signal the reference's graph DB would answer with a
+    3-way relationship match (its tables are built FOR such traversals;
+    the engine computes the census from the edge Dataset).
+
+    The distributed census is ``stages/graph.py:triangle_counts`` (degree-
+    oriented wedge semi-join, pinned ≡ the dense A³ oracle by
+    ``tests/test_graph.py``); this wrapper feeds it the mined edges and
+    re-attaches entity types.  Orientation-invariance makes the result
+    identical to the SQL oracle's lexicographic 3-way self-join."""
+    from ..stages.graph import triangle_counts
+
+    edges = doc_cooccurrence(sf_dir).map_batches(
+        arrow_out(
+            lambda b: b[["term_a", "term_b"]].rename(
+                columns={"term_a": "src", "term_b": "dst"}
+            )
+        ),
+        batch_format="pandas",
+    )
+
+    def attach_type(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"term": pd.array(b["node"], "str"),
+             "ent_type": pd.array(
+                 [WEBTEXT_GAZETTEER[t] for t in b["node"]], "str"
+             ),
+             "triangles": b["triangles"].astype("int64")}
+        )
+
+    return triangle_counts(edges).map_batches(
+        arrow_out(attach_type), batch_format="pandas"
+    )
+
+
+def triangles_sql() -> str:
+    return (
+        f"WITH e AS (SELECT term_a, type_a, term_b, type_b FROM ({cooccur_sql()})),\n"
+        "tri AS (\n"
+        "  SELECT e1.term_a AS a, e1.type_a AS ta, e1.term_b AS b,\n"
+        "         e1.type_b AS tb, e2.term_b AS c, e2.type_b AS tc\n"
+        "  FROM e e1\n"
+        "  JOIN e e2 ON e2.term_a = e1.term_b\n"
+        "  JOIN e e3 ON e3.term_a = e1.term_a AND e3.term_b = e2.term_b\n"
+        "),\n"
+        "corners AS (\n"
+        "  SELECT a AS term, ta AS ent_type FROM tri\n"
+        "  UNION ALL SELECT b, tb FROM tri\n"
+        "  UNION ALL SELECT c, tc FROM tri\n"
+        ")\n"
+        "SELECT term, ent_type, COUNT(*) AS triangles FROM corners GROUP BY 1, 2"
+    )

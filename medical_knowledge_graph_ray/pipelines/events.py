@@ -476,3 +476,98 @@ SELECT COALESCE(e.user_key, o.user_key) AS user_key,
        CAST(COALESCE(o.n_urgent_orders, 0) AS BIGINT) AS n_urgent_orders
 FROM e FULL OUTER JOIN o ON e.user_key = o.user_key
 """
+
+
+def events_anomaly(sf_dir: str):
+    """3-sigma outliers per event_type — EXACT integer arithmetic so the
+    borderline rows match the SQL oracle bit-for-bit (a float z-score
+    computed in a different summation order would flip rows sitting on
+    the boundary).
+
+    Contract, all on cents ``c = rint(value·100)`` (the engine's float
+    convention): a row is anomalous iff ``(c·n − S)² > 9·(n·Q − S²)``
+    per event_type, where ``n``/``S``/``Q`` are the group's count / sum /
+    sum-of-squares — algebraically ``(c − mean)² > 9·var_pop`` with every
+    quantity exact.  The per-row test vectorizes in int64 as
+    ``|c·n − S| > isqrt(9·(nQ − S²))`` (isqrt makes the strict
+    comparison exact without per-row bignums).
+
+    Distributed shape: per-batch (n, S, Q) combiner partials → the tiny
+    per-type stats table combines DRIVER-SIDE IN PYTHON INTS (n·Q
+    overflows int64; #event_types is bounded) → thresholds broadcast into
+    a vectorized filter pass.  Scale bound (documented): ``c·n`` must fit
+    int64 — holds to ~10¹² rows/type at c ≤ 10⁶; beyond that switch the
+    row test to float z with an epsilon band.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    ev = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b["value"].to_numpy() * 100).astype("int64")
+        g = pd.DataFrame(
+            {"event_type": b["event_type"].astype(str), "c": c, "q": c * c}
+        )
+        out = (
+            g.groupby("event_type", sort=False)
+            .agg(n=("c", "size"), s=("c", "sum"), q=("q", "sum"))
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {"event_type": pd.array(out["event_type"], "str"),
+             "n": out["n"].astype("int64"),
+             "s": out["s"].astype("int64"),
+             "q": out["q"].astype("int64")}
+        )
+
+    partials = ev.map_batches(
+        arrow_out(stats_partial), batch_format="pandas"
+    ).to_pandas()  # ≤ #event_types · #batches rows — bounded artifact
+
+    n_map: dict[str, int] = {}
+    s_map: dict[str, int] = {}
+    t_map: dict[str, int] = {}
+    for et, sub in partials.groupby("event_type"):
+        n = int(sub["n"].sum())
+        big_s = int(sub["s"].sum())
+        big_q = int(sub["q"].sum())
+        r = 9 * (n * big_q - big_s * big_s)  # Python int: n·Q > int64
+        n_map[et] = n
+        s_map[et] = big_s
+        t_map[et] = math.isqrt(r) if r > 0 else 0
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b["value"].to_numpy() * 100).astype("int64")
+        et = b["event_type"]
+        n = et.map(n_map).to_numpy("int64")
+        s = et.map(s_map).to_numpy("int64")
+        t = et.map(t_map).to_numpy("int64")
+        keep = np.abs(c * n - s) > t
+        out = b.loc[keep, ["event_id", "event_type", "value"]]
+        return pd.DataFrame(
+            {"event_id": out["event_id"].astype("int64"),
+             "event_type": pd.array(out["event_type"], "str"),
+             "value": out["value"].astype("float64")}
+        )
+
+    return ev.map_batches(arrow_out(flag), batch_format="pandas")
+
+
+ANOMALY_SQL = """
+WITH st AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(round(value*100) AS HUGEINT)) AS s,
+         SUM(CAST(round(value*100) AS HUGEINT)
+             * CAST(round(value*100) AS HUGEINT)) AS q
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN st USING (event_type)
+WHERE (CAST(round(e.value*100) AS HUGEINT) * st.n - st.s)
+      * (CAST(round(e.value*100) AS HUGEINT) * st.n - st.s)
+      > 9 * (st.n * st.q - st.s * st.s)
+"""

@@ -781,3 +781,103 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_totalprice > {NO_BIG_ORDER_CUTOFF})
 """
+
+
+Q18_MIN_QTY = 250  # whole units; HAVING sum(l_quantity) > this (~top 1-2%)
+
+
+def q18_big_orders(sf_dir: str):
+    """TPC-H-q18-shaped "large-volume customers": HAVING over a grouped
+    SUM, then two CHAINED partitioned hash joins (reference's
+    join→groupby chains, ``clean_and_save.py:1039-1083``, composed the
+    other way round: aggregate FIRST, join the survivors).
+
+    Scale shape: the per-orderkey quantity sum is combined map-side per
+    batch, the HAVING filter runs inside the bucketed final (survivors
+    ~1-2%% of orders — they scale with the data, so BOTH downstream joins
+    stay partitioned hash joins, no broadcast); explicit Arrow schemas on
+    every join side because ``ds.schema()`` on a chained lazy join
+    re-executes the upstream shuffle (CLAUDE.md round-2 fact)."""
+    import pyarrow as pa
+
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import bucketed_group_map
+
+    thr_c = Q18_MIN_QTY * 100
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b["l_quantity"].to_numpy() * 100).astype("int64")
+        return (
+            pd.DataFrame({"o_orderkey": b["l_orderkey"].astype("int64"), "qty_c": c})
+            .groupby("o_orderkey", sort=False)
+            .agg(qty_c=("qty_c", "sum"))
+            .reset_index()
+        )
+
+    partials = li.map_batches(arrow_out(partial), batch_format="pandas")
+
+    def having(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("o_orderkey", sort=False)
+            .agg(qty_c=("qty_c", "sum"))
+            .reset_index()
+        )
+        return out[out["qty_c"] > thr_c]
+
+    big = bucketed_group_map(partials, ["o_orderkey"], having, num_buckets=32)
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    j1 = hash_join(
+        orders, big, on=["o_orderkey"], how="inner",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("o_orderdate", pa.timestamp("us")), ("o_totalprice", pa.float64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("qty_c", pa.int64())]
+        ),
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
+        arrow_out(lambda b: b.rename(columns={"c_custkey": "o_custkey"})),
+        batch_format="pandas",
+    )
+    j2 = hash_join(
+        j1, cust, on=["o_custkey"], how="inner",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("o_orderdate", pa.timestamp("us")), ("o_totalprice", pa.float64()),
+             ("qty_c", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("c_name", pa.string())]
+        ),
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"c_custkey": b["o_custkey"].astype("int64"),
+             "c_name": pd.array(b["c_name"], "str"),
+             "o_orderkey": b["o_orderkey"].astype("int64"),
+             "o_orderdate": b["o_orderdate"],
+             "o_totalprice": b["o_totalprice"].astype("float64"),
+             "sum_qty": (b["qty_c"] / 100.0).astype("float64")}
+        )
+
+    return j2.map_batches(arrow_out(finalize), batch_format="pandas")
+
+
+Q18_SQL = f"""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       SUM(CAST(round(l.l_quantity*100) AS BIGINT))/100.0 AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2, 3, 4, 5
+HAVING SUM(CAST(round(l.l_quantity*100) AS BIGINT)) > {Q18_MIN_QTY * 100}
+"""

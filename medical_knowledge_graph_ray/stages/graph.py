@@ -407,3 +407,134 @@ def k_hop_frontier(
             visited[t] = hop
         frontier = nxt
     return visited
+
+
+# -- triangle census ----------------------------------------------------------
+
+def triangle_counts(edges, *, node_type=None, num_buckets: int = 16):
+    """Per-node triangle participation over an undirected edge Dataset —
+    the degree-oriented wedge semi-join (each triangle counted once at
+    its minimum-rank corner, then unpivoted to all three corners).
+
+    ``edges``: Dataset with columns ``src``/``dst`` — DISTINCT undirected
+    pairs, each pair present exactly once in either orientation, no
+    self-loops.  Returns a Dataset of ``(node, triangles)`` for nodes in
+    ≥1 triangle.
+
+    Steps: (1) bucketed degree census; (2) orient each edge from the
+    lower (degree, node) endpoint to the higher — caps oriented
+    out-degree at O(√m), bounding wedge fan-out on hubs (skew control);
+    (3) enumerate out-neighbor pairs per apex in a bucketed group;
+    (4) semi-join wedges against the oriented edges — survivors are
+    triangles.  The result is orientation-invariant, so any total order
+    (lexicographic in a SQL oracle, degree here) yields identical counts.
+
+    Partitioning assumption (documented per the engine convention): the
+    degree→rank map is collected driver-side — a NODE-cardinality
+    artifact, fine for gazetteer-/entity-keyed graphs; for unbounded
+    node sets replace step (2) with two rank hash-joins (src then dst)
+    — same exchange shape as ``pagerank``'s out-weight normalization."""
+    from itertools import combinations
+
+    import ray
+
+    node_type = node_type or pa.string()
+    pd_node = pa.schema([("n", node_type)]).empty_table().to_pandas()["n"].dtype
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([b["src"].rename("node"), b["dst"].rename("node")])
+        out = both.value_counts().rename_axis("node").reset_index(name="deg")
+        return pd.DataFrame(
+            {"node": out["node"].astype(pd_node), "deg": out["deg"].astype("int64")}
+        )
+
+    deg = bucketed_group_map(
+        edges.map_batches(arrow_out(deg_partial), batch_format="pandas"),
+        ["node"],
+        lambda g: g.groupby("node", sort=False)["deg"].sum().reset_index(),
+        num_buckets=4,
+    ).to_pandas()  # node-cardinality artifact (see docstring)
+    empty = pd.DataFrame(
+        {"node": pd.Series([], dtype=pd_node),
+         "triangles": pd.array([], "int64")}
+    )
+    if not len(deg):
+        import ray.data as rd
+
+        return rd.from_pandas(empty)
+    ordered = deg.sort_values(["deg", "node"], kind="mergesort")
+    rank_ref = ray.put({t: i for i, t in enumerate(ordered["node"])})
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rank_ref)
+        ra = b["src"].map(r).to_numpy("int64")
+        rb = b["dst"].map(r).to_numpy("int64")
+        lo = np.where(ra < rb, b["src"], b["dst"])
+        hi = np.where(ra < rb, b["dst"], b["src"])
+        return pd.DataFrame(
+            {"src": pd.Series(lo).astype(pd_node),
+             "dst": pd.Series(hi).astype(pd_node)}
+        )
+
+    oriented = edges.map_batches(arrow_out(orient), batch_format="pandas")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rank_ref)
+        apex, v, w = [], [], []
+        for src, sub in g.groupby("src", sort=False):
+            nbrs = sorted(sub["dst"], key=r.__getitem__)
+            for x, y in combinations(nbrs, 2):
+                apex.append(src)
+                v.append(x)
+                w.append(y)
+        return pd.DataFrame(
+            {"apex": pd.Series(apex, dtype=pd_node),
+             "src": pd.Series(v, dtype=pd_node),
+             "dst": pd.Series(w, dtype=pd_node)}
+        )
+
+    wedge_ds = bucketed_group_map(oriented, ["src"], wedges, num_buckets=num_buckets)
+    tri = hash_join(
+        wedge_ds, oriented, on=["src", "dst"], how="semi",
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [("apex", node_type), ("src", node_type), ("dst", node_type)]
+        ),
+        right_schema=pa.schema([("src", node_type), ("dst", node_type)]),
+    )
+
+    def corner_partial(b: pd.DataFrame) -> pd.DataFrame:
+        corners = pd.concat(
+            [b["apex"].rename("node"), b["src"].rename("node"),
+             b["dst"].rename("node")]
+        )
+        out = corners.value_counts().rename_axis("node").reset_index(name="triangles")
+        return pd.DataFrame(
+            {"node": out["node"].astype(pd_node),
+             "triangles": out["triangles"].astype("int64")}
+        )
+
+    return bucketed_group_map(
+        tri.map_batches(arrow_out(corner_partial), batch_format="pandas"),
+        ["node"],
+        lambda g: g.groupby("node", sort=False)["triangles"].sum().reset_index(),
+        num_buckets=4,
+    )
+
+
+def triangle_counts_dense(edges: pd.DataFrame, src: str, dst: str) -> pd.DataFrame:
+    """Driver-side dense oracle: A³ diagonal / 2 per node (test pin for
+    ``triangle_counts``)."""
+    nodes = sorted(set(edges[src]) | set(edges[dst]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    a = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    for s, d in zip(edges[src], edges[dst]):
+        if s != d:
+            a[idx[s], idx[d]] = 1
+            a[idx[d], idx[s]] = 1
+    tri = np.diag(a @ a @ a) // 2
+    keep = tri > 0
+    return pd.DataFrame(
+        {"node": pd.Series(np.asarray(nodes)[keep]),
+         "triangles": pd.array(tri[keep], "int64")}
+    )

@@ -193,3 +193,72 @@ def test_kg_khop_frontier_mode_matches_dense(ray_session):
     frontier = kg_khop(SF, k=3, mode="frontier")
     pd.testing.assert_frame_equal(dense, frontier)
     assert (dense["hop"] == 0).sum() == 1  # exactly one seed row
+
+
+# -- triangle census ----------------------------------------------------------
+
+def _random_undirected(seed: int = 11, n_nodes: int = 60, n_edges: int = 260):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, n_nodes, n_edges)
+    b = rng.randint(0, n_nodes, n_edges)
+    e = pd.DataFrame({"src": np.minimum(a, b), "dst": np.maximum(a, b)})
+    e = e[e.src != e.dst].drop_duplicates().reset_index(drop=True)
+    return e
+
+
+@pytest.mark.parametrize("nb", [1, 16])
+def test_triangle_counts_matches_dense(ray_session, nb):
+    """Distributed degree-oriented wedge semi-join ≡ dense A³/2 — at two
+    bucket counts (parallelism invariance)."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.graph import (
+        triangle_counts,
+        triangle_counts_dense,
+    )
+
+    e = _random_undirected()
+    got = (
+        triangle_counts(
+            rd.from_pandas(e), node_type=__import__("pyarrow").int64(),
+            num_buckets=nb,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    exp = (
+        triangle_counts_dense(e, "src", "dst")
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert exp["triangles"].sum() > 30  # non-trivial instance
+    pd.testing.assert_frame_equal(
+        got.astype({"node": "int64"}), exp.astype({"node": "int64"})
+    )
+
+
+def test_triangle_counts_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.graph import triangle_counts
+
+    e = pd.DataFrame({"src": pd.array([], "int64"), "dst": pd.array([], "int64")})
+    out = triangle_counts(rd.from_pandas(e), node_type=pa.int64())
+    assert out.count() == 0
+
+
+def test_anomaly_isqrt_inequality_exact():
+    """events_anomaly's vectorized row test |d| > isqrt(R) must equal the
+    exact bignum comparison d² > R, including at perfect squares."""
+    import math
+
+    rng = np.random.RandomState(3)
+    ds = rng.randint(-10**9, 10**9, 2000).astype(object)
+    rs = [int(abs(r)) for r in rng.randint(0, 10**18, 1000)]
+    rs += [int(d) * int(d) for d in ds[:500]]  # exact-square boundaries
+    for d, r in zip(ds, rs):
+        exact = int(d) * int(d) > r
+        via_isqrt = abs(int(d)) > math.isqrt(r)
+        assert exact == via_isqrt
