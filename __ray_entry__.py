@@ -240,6 +240,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-node triangle census via degree-oriented wedge semi-join —
         # past the window, local gate + pytest
         "kg_triangles": docs_kg.kg_triangles,
+        # sub-document chunk dedup with document reconstruction — past the
+        # window, local gate
+        "docs_chunk_dedup": docs.docs_chunk_dedup,
+        # neighborhood-Jaccard link-prediction candidates (exact integer
+        # ppm contract) — past the window, local gate
+        "kg_jaccard_neighbors": docs_kg.kg_jaccard_neighbors,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -351,6 +357,8 @@ def oracle_sql() -> dict[str, str]:
         "q18_big_orders": relational.Q18_SQL,
         "events_anomaly": events.ANOMALY_SQL,
         "kg_triangles": docs_kg.triangles_sql(),
+        "docs_chunk_dedup": docs.CHUNK_DEDUP_SQL,
+        "kg_jaccard_neighbors": docs_kg.jaccard_neighbors_sql(),
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

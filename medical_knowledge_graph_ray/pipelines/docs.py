@@ -1406,3 +1406,104 @@ def docs_pagerank(sf_dir: str, max_hamming: int = 3, iters: int = 20):
         )
 
     return pr.map_batches(arrow_out(finish), batch_format="pandas")
+
+
+# -- sub-document (chunk-level) exact dedup + reconstruction ------------------
+
+CHUNK_DEDUP_W = 16  # non-overlapping chunk width (tokens)
+
+
+def docs_chunk_dedup(sf_dir: str):
+    """Chunk-level exact dedup WITH document reconstruction — the
+    sub-document granularity a web-scale curation pipeline needs when
+    boilerplate repeats across pages that are not whole-document dups
+    (each document keeps only the chunks whose globally-first occurrence
+    it owns, then reassembles).
+
+    Contract (exact SQL parity): documents split into NON-overlapping
+    ``CHUNK_DEDUP_W``-token chunks (trailing chunk short); a chunk
+    instance survives iff it is the minimum ``(doc_id, chunk_idx)``
+    holder of its exact text; surviving chunks rejoin in chunk order.
+    Documents whose every chunk is owned elsewhere disappear.
+
+    Distributed shape — exactly TWO exchanges, no join:
+
+    1. per-doc flat-map explode (combiner: batch-local keep-first is
+       sound because the global minimum instance is ≤ every batch-local
+       minimum), bucket by chunk text → keep the min instance per text;
+    2. survivors bucket by doc_id → ordered reassembly.
+
+    The exchange carries the corpus once (inherent to any
+    dedup-and-rebuild); the combiner shrinks dup-heavy batches first."""
+    from ..stages.shuffle import bucketed_group_map
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, idxs, texts = [], [], []
+        for did, text in zip(b["doc_id"].tolist(), b["text"].astype(str).tolist()):
+            toks = text.split(" ")
+            for idx, start in enumerate(range(0, len(toks), CHUNK_DEDUP_W)):
+                doc_ids.append(did)
+                idxs.append(idx)
+                texts.append(" ".join(toks[start:start + CHUNK_DEDUP_W]))
+        out = pd.DataFrame(
+            {"doc_id": pd.array(doc_ids, "int64"),
+             "chunk_idx": pd.array(idxs, "int64"),
+             "chunk": pd.array(texts, "str")}
+        )
+        # batch-local combiner: keep-first never discards a global winner
+        return out.sort_values(
+            ["chunk", "doc_id", "chunk_idx"], kind="mergesort"
+        ).drop_duplicates("chunk", keep="first")
+
+    chunks = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        arrow_out(explode), batch_format="pandas"
+    )
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["chunk", "doc_id", "chunk_idx"], kind="mergesort"
+        ).drop_duplicates("chunk", keep="first")
+
+    survivors = bucketed_group_map(chunks, ["chunk"], keep_first, num_buckets=32)
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["doc_id", "chunk_idx"], kind="mergesort")
+        out = (
+            s.groupby("doc_id", sort=False)
+            .agg(text_dedup=("chunk", " ".join), n_kept=("chunk", "size"))
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {"doc_id": out["doc_id"].astype("int64"),
+             "text_dedup": pd.array(out["text_dedup"], "str"),
+             "n_kept": out["n_kept"].astype("int64")}
+        )
+
+    return bucketed_group_map(survivors, ["doc_id"], rebuild, num_buckets=16)
+
+
+CHUNK_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), idx AS (
+  SELECT doc_id, toks, n, unnest(range(0, n, {CHUNK_DEDUP_W})) AS start FROM t
+), chunks AS (
+  SELECT doc_id, CAST(start / {CHUNK_DEDUP_W} AS BIGINT) AS chunk_idx,
+         array_to_string(list_slice(toks, start + 1,
+                                    LEAST(start + {CHUNK_DEDUP_W}, n)), ' ')
+           AS chunk
+  FROM idx
+), kept AS (
+  SELECT doc_id, chunk_idx, chunk FROM (
+    SELECT doc_id, chunk_idx, chunk,
+           row_number() OVER (PARTITION BY chunk
+                              ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks
+  ) WHERE rn = 1
+)
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup,
+       COUNT(*) AS n_kept
+FROM kept GROUP BY doc_id
+"""

@@ -637,3 +637,119 @@ def triangles_sql() -> str:
         ")\n"
         "SELECT term, ent_type, COUNT(*) AS triangles FROM corners GROUP BY 1, 2"
     )
+
+
+# -- neighborhood-Jaccard node similarity (link-prediction candidates) --------
+
+def kg_jaccard_neighbors(sf_dir: str):
+    """Neighborhood-Jaccard similarity for every node pair sharing ≥1
+    co-occurrence neighbor — the classic link-prediction / synonym-
+    candidate signal over a mined KG (two entities whose neighborhoods
+    overlap are merge or relation candidates even when never co-mentioned).
+
+    Float contract: ``jaccard = (c·10⁶ // (dx + dy − c)) / 10⁶`` —
+    integer floor-division then ONE identical IEEE divide on both sides
+    (a plain ROUND(…, 6) diverges on exact-half ratios like 1/128:
+    DuckDB rounds half away, numpy half to even).
+
+    Distributed shape: adjacency flat-map (both directions) → bucket by
+    the SHARED neighbor, enumerate its lex-ordered neighbor pairs with a
+    batch-local pair-count combiner → bucketed final sum per pair →
+    degree lookup from the node-cardinality degree artifact (broadcast;
+    for unbounded node sets this becomes two rank hash-joins, same as
+    ``triangle_counts``).  Hub fan-out is O(deg²) — inherent to exact
+    common-neighbor counting; the scale knob is a degree cap or a
+    min-common threshold pushed into the wedge stage."""
+    from itertools import combinations
+
+    import ray
+
+    from ..stages.shuffle import bucketed_group_map
+
+    edges = doc_cooccurrence(sf_dir)
+
+    def adj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"u": pd.array(
+                pd.concat([b["term_a"], b["term_b"]]), "str"
+             ),
+             "v": pd.array(
+                pd.concat([b["term_b"], b["term_a"]]), "str"
+             )}
+        )
+
+    adjacency = edges.map_batches(arrow_out(adj), batch_format="pandas")
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b["u"].value_counts().rename_axis("u").reset_index(name="d")
+        return pd.DataFrame(
+            {"u": pd.array(out["u"], "str"), "d": out["d"].astype("int64")}
+        )
+
+    deg = bucketed_group_map(
+        adjacency.map_batches(arrow_out(deg_partial), batch_format="pandas"),
+        ["u"],
+        lambda g: g.groupby("u", sort=False)["d"].sum().reset_index(),
+        num_buckets=4,
+    ).to_pandas()  # node-cardinality artifact (gazetteer-bounded)
+    deg_ref = ray.put(dict(zip(deg["u"], deg["d"].astype(int))))
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        xs, ys, cs = [], [], []
+        for _, sub in g.groupby("v", sort=False):
+            nbrs = sorted(sub["u"])
+            for x, y in combinations(nbrs, 2):
+                xs.append(x)
+                ys.append(y)
+                cs.append(1)
+        out = pd.DataFrame(
+            {"term_a": pd.array(xs, "str"), "term_b": pd.array(ys, "str"),
+             "n_common": pd.array(cs, "int64")}
+        )
+        return (
+            out.groupby(["term_a", "term_b"], sort=False, as_index=False)
+            .agg(n_common=("n_common", "sum"))
+        )
+
+    pairs = bucketed_group_map(adjacency, ["v"], pair_partial, num_buckets=16)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        agg = (
+            g.groupby(["term_a", "term_b"], sort=False, as_index=False)
+            .agg(n_common=("n_common", "sum"))
+        )
+        d = ray.get(deg_ref)
+        dx = agg["term_a"].map(d).to_numpy("int64")
+        dy = agg["term_b"].map(d).to_numpy("int64")
+        c = agg["n_common"].to_numpy("int64")
+        ppm = (c * 1_000_000) // (dx + dy - c)
+        return pd.DataFrame(
+            {"term_a": pd.array(agg["term_a"], "str"),
+             "term_b": pd.array(agg["term_b"], "str"),
+             "n_common": c,
+             "jaccard": (ppm / 1e6).astype("float64")}
+        )
+
+    return bucketed_group_map(pairs, ["term_a", "term_b"], final, num_buckets=8)
+
+
+def jaccard_neighbors_sql() -> str:
+    return (
+        f"WITH e AS (SELECT term_a, term_b FROM ({cooccur_sql()})),\n"
+        "adj AS (SELECT term_a AS u, term_b AS v FROM e\n"
+        "        UNION ALL SELECT term_b, term_a FROM e),\n"
+        "deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY u),\n"
+        "common AS (\n"
+        "  SELECT a1.u AS term_a, a2.u AS term_b, COUNT(*) AS n_common\n"
+        "  FROM adj a1 JOIN adj a2 ON a1.v = a2.v AND a1.u < a2.u\n"
+        "  GROUP BY 1, 2\n"
+        ")\n"
+        "SELECT c.term_a, c.term_b, c.n_common,\n"
+        "       (c.n_common * 1000000 // (dx.d + dy.d - c.n_common))\n"
+        "         / 1000000.0 AS jaccard\n"
+        "FROM common c\n"
+        "JOIN deg dx ON dx.u = c.term_a\n"
+        "JOIN deg dy ON dy.u = c.term_b"
+    )

@@ -864,3 +864,46 @@ def test_bpe_token_count_matches_re2_on_tricky_text():
     assert (got["n_bpe_tokens"].to_numpy() == want).all()
     # whitespace counts: single-space split semantics
     assert got["n_ws_tokens"].tolist() == [len(t.split(" ")) for t in texts]
+
+
+def test_chunk_dedup_ownership_and_reconstruction(ray_session):
+    """Chunk-level dedup: the minimum (doc_id, chunk_idx) instance owns a
+    chunk; docs rebuild from surviving chunks in order; fully-owned-
+    elsewhere docs disappear."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medical_knowledge_graph_ray.pipelines.docs import (
+        CHUNK_DEDUP_W,
+        docs_chunk_dedup,
+    )
+
+    w = CHUNK_DEDUP_W
+    shared = " ".join(f"s{i}" for i in range(w))       # one full shared chunk
+    uniq_a = " ".join(f"a{i}" for i in range(w))
+    uniq_b = " ".join(f"b{i}" for i in range(3))        # short trailing chunk
+    docs = {
+        0: f"{shared} {uniq_a}",        # owns 'shared' (min doc_id)
+        1: f"{shared} {uniq_b}",        # loses 'shared', keeps trailing
+        2: shared,                      # every chunk owned elsewhere -> gone
+    }
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table(
+                {"doc_id": pa.array(list(docs), pa.int64()),
+                 "text": pa.array(list(docs.values()), pa.string()),
+                 "lang": pa.array(["en"] * len(docs)),
+                 "source": pa.array(["s"] * len(docs)),
+                 "n_chars": pa.array([len(t) for t in docs.values()], pa.int64())}
+            ),
+            os.path.join(td, "documents.parquet"),
+        )
+        out = docs_chunk_dedup(td).to_pandas().set_index("doc_id")
+        assert out.loc[0, "text_dedup"] == docs[0]
+        assert out.loc[0, "n_kept"] == 2
+        assert out.loc[1, "text_dedup"] == uniq_b
+        assert out.loc[1, "n_kept"] == 1
+        assert 2 not in out.index
