@@ -246,6 +246,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # neighborhood-Jaccard link-prediction candidates (exact integer
         # ppm contract) — past the window, local gate
         "kg_jaccard_neighbors": docs_kg.kg_jaccard_neighbors,
+        # grouped-window PERCENT_RANK (exact shared-integer division) —
+        # past the window, local gate
+        "events_percent_rank": events.events_percent_rank,
+        # semi-structured JSON payload extraction census — past the
+        # window, local gate
+        "events_props_parse": events.events_props_parse,
+        # zero-filled hourly resampling over the corpus span — past the
+        # window, local gate
+        "events_gapfill": events.events_gapfill,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -359,6 +368,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": docs_kg.triangles_sql(),
         "docs_chunk_dedup": docs.CHUNK_DEDUP_SQL,
         "kg_jaccard_neighbors": docs_kg.jaccard_neighbors_sql(),
+        "events_percent_rank": events.PERCENT_RANK_SQL,
+        "events_props_parse": events.PROPS_PARSE_SQL,
+        "events_gapfill": events.GAPFILL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

@@ -5,6 +5,8 @@ Each returns a lazy Dataset; SQL oracles alongside (DuckDB-ready).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from ..functions.arrow import arrow_out
 from ..stages.windows import (
     argmax_finalize,
@@ -570,4 +572,170 @@ FROM events e JOIN st USING (event_type)
 WHERE (CAST(round(e.value*100) AS HUGEINT) * st.n - st.s)
       * (CAST(round(e.value*100) AS HUGEINT) * st.n - st.s)
       > 9 * (st.n * st.q - st.s * st.s)
+"""
+
+
+def events_percent_rank(sf_dir: str):
+    """Per-user PERCENT_RANK of event value — the grouped-window rank
+    family (rank−1)/(n−1) with min-rank ties, single-row groups → 0.
+
+    Exact float contract: both sides divide the SAME two integers once
+    (rank−1, n−1), so the IEEE result is bit-identical — no rounding
+    needed.  Distributed shape: one bucketed exchange on user_id; ranks
+    vectorize per bucket with pandas ``groupby.rank(method='min')``."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "value"])
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("user_id", sort=False)["value"].rank(method="min")
+        n = g.groupby("user_id", sort=False)["value"].transform("size")
+        denom = (n - 1.0).to_numpy()
+        pct = np.where(denom > 0, (r - 1.0).to_numpy() / denom, 0.0)
+        return pd.DataFrame(
+            {"event_id": g["event_id"].astype("int64"),
+             "user_id": g["user_id"].astype("int64"),
+             "value": g["value"].astype("float64"),
+             "pct_rank": pct.astype("float64")}
+        )
+
+    return bucketed_group_map(ev, ["user_id"], rank_bucket, num_buckets=32)
+
+
+PERCENT_RANK_SQL = """
+SELECT event_id, user_id, value,
+       PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value) AS pct_rank
+FROM events
+"""
+
+
+def events_props_parse(sf_dir: str):
+    """Semi-structured payload parsing: extract ``k`` from the JSON
+    ``props`` column and census it per (event_type, k-decile) with
+    exact cent-sums of value — the "parse the event payload" stage every
+    log pipeline starts with.
+
+    The extract is a COMPILED vectorized regex (`"k": <int>` — exact for
+    the corpus's flat one-key payloads; a jsonpath engine would be
+    per-row Python) checked against DuckDB's real ``json_extract`` by
+    the oracle, so any payload-shape drift fails the gate rather than
+    silently diverging."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_type", "props", "value"])
+
+    def parse_partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].str.extract(r'"k":\s*(-?\d+)', expand=False).astype("int64")
+        c = np.rint(b["value"].to_numpy() * 100).astype("int64")
+        g = pd.DataFrame(
+            {"event_type": b["event_type"].astype(str),
+             "k_decile": (k // 10).astype("int64"), "c": c}
+        )
+        out = (
+            g.groupby(["event_type", "k_decile"], sort=False)
+            .agg(n=("c", "size"), sum_value_c=("c", "sum"))
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {"event_type": pd.array(out["event_type"], "str"),
+             "k_decile": out["k_decile"].astype("int64"),
+             "n": out["n"].astype("int64"),
+             "sum_value_c": out["sum_value_c"].astype("int64")}
+        )
+
+    partials = ev.map_batches(arrow_out(parse_partial), batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["event_type", "k_decile"], sort=False)
+            .agg(n=("n", "sum"), sum_value_c=("sum_value_c", "sum"))
+            .reset_index()
+        )
+        out["sum_value"] = out["sum_value_c"] / 100.0
+        return out[["event_type", "k_decile", "n", "sum_value"]]
+
+    return bucketed_group_map(
+        partials, ["event_type", "k_decile"], combine, num_buckets=8
+    )
+
+
+PROPS_PARSE_SQL = """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
+       COUNT(*) AS n,
+       SUM(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_gapfill(sf_dir: str) -> pd.DataFrame:
+    """Hourly event counts per type with ZERO-FILLED gaps over the
+    corpus's [min, max] hour span — time-series resampling (the dense
+    grid a forecaster or anomaly monitor consumes; sparse groupbys
+    silently skip empty hours).
+
+    Distributed shape: the per-(type, hour) counts and the global hour
+    span come out of ONE combiner pass (counts are the tumbling-window
+    partial family); the dense hours × types grid is a BOUNDED artifact
+    (span/3600 × #types rows) assembled driver-side and left-filled
+    from the distributed counts."""
+    import numpy as np
+
+    ev = _events(sf_dir, ["event_type", "ts"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        hour = b["ts"].dt.floor("h")
+        g = pd.DataFrame({"event_type": b["event_type"].astype(str), "hour": hour})
+        return (
+            g.groupby(["event_type", "hour"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    parts = ev.map_batches(
+        arrow_out(count_partial), batch_format="pandas"
+    ).to_pandas()  # ≤ #types · #hours · #batches rows — bounded artifact
+    counts = (
+        parts.groupby(["event_type", "hour"], sort=False)["n"].sum().reset_index()
+    )
+    if not len(counts):
+        return pd.DataFrame(
+            {"event_type": pd.array([], "str"),
+             "hour": pd.Series([], dtype="datetime64[us]"),
+             "n": pd.array([], "int64")}
+        )
+    hours = pd.date_range(
+        counts["hour"].min(), counts["hour"].max(), freq="h"
+    )
+    types = sorted(counts["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, hours], names=["event_type", "hour"]
+    ).to_frame(index=False)
+    out = grid.merge(counts, on=["event_type", "hour"], how="left")
+    return pd.DataFrame(
+        {"event_type": pd.array(out["event_type"], "str"),
+         "hour": out["hour"].astype("datetime64[us]"),
+         "n": out["n"].fillna(0).astype("int64")}
+    )
+
+
+GAPFILL_SQL = """
+WITH span AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM span
+), types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT t.event_type, h.hour, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM types t CROSS JOIN hours h
+LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour = h.hour
 """
