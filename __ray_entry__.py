@@ -255,6 +255,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zero-filled hourly resampling over the corpus span — past the
         # window, local gate
         "events_gapfill": events.events_gapfill,
+        # signup→purchase conversion funnel (pruned two-type read, one
+        # user_id exchange) — past the window, local gate
+        "events_conversion": events.events_conversion,
+        # weekly cohort retention triangle — past the window, local gate
+        "events_retention": events.events_retention,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -371,6 +376,8 @@ def oracle_sql() -> dict[str, str]:
         "events_percent_rank": events.PERCENT_RANK_SQL,
         "events_props_parse": events.PROPS_PARSE_SQL,
         "events_gapfill": events.GAPFILL_SQL,
+        "events_conversion": events.CONVERSION_SQL,
+        "events_retention": events.RETENTION_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

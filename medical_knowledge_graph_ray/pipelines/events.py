@@ -739,3 +739,136 @@ SELECT t.event_type, h.hour, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
 FROM types t CROSS JOIN hours h
 LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour = h.hour
 """
+
+
+def events_conversion(sf_dir: str, days: int = 7):
+    """Signup→purchase conversion funnel: for every user with a signup,
+    the first signup time and how many purchases land in the following
+    ``days`` window — the multi-event-sequence primitive of product
+    analytics.  All comparisons are on exact microsecond timestamps —
+    no float contract needed.
+
+    Distributed shape: the read is pruned to the two relevant event
+    types (row filter pushed into the Parquet scan); ONE bucketed
+    exchange on user_id; inside a bucket the first-signup and the
+    windowed purchase count both vectorize (groupby min + boolean-mask
+    count)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+        filter=pc.field("event_type").isin(["signup", "purchase"]),
+    )
+
+    from ..stages.shuffle import bucketed_group_map
+
+    delta = pd.Timedelta(days=days)
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["event_type"] == "signup"]
+        if not len(s):
+            return pd.DataFrame(
+                {"user_id": pd.array([], "int64"),
+                 "first_signup": pd.Series([], dtype="datetime64[us]"),
+                 "n_purchases_7d": pd.array([], "int64"),
+                 "converted": pd.array([], "bool")}
+            )
+        first = s.groupby("user_id", sort=False)["ts"].min().rename("first_signup")
+        p = g[g["event_type"] == "purchase"].merge(
+            first, left_on="user_id", right_index=True
+        )
+        inwin = p[
+            (p["ts"] > p["first_signup"]) & (p["ts"] <= p["first_signup"] + delta)
+        ]
+        n = inwin.groupby("user_id", sort=False).size()
+        out = first.reset_index()
+        counts = out["user_id"].map(n).fillna(0).astype("int64")
+        return pd.DataFrame(
+            {"user_id": out["user_id"].astype("int64"),
+             "first_signup": out["first_signup"].astype("datetime64[us]"),
+             "n_purchases_7d": counts,
+             "converted": (counts > 0).astype("bool")}
+        )
+
+    return bucketed_group_map(ev, ["user_id"], funnel, num_buckets=32)
+
+
+CONVERSION_SQL = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS first_signup
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), p AS (
+  SELECT e.user_id, COUNT(*) AS n
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts > s.first_signup
+    AND e.ts <= s.first_signup + INTERVAL 7 DAY
+  GROUP BY 1
+)
+SELECT s.user_id, s.first_signup,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases_7d,
+       COALESCE(p.n, 0) > 0 AS converted
+FROM s LEFT JOIN p USING (user_id)
+"""
+
+
+def events_retention(sf_dir: str):
+    """Weekly cohort retention: users grouped by the week of their FIRST
+    event; for every (cohort_week, week_offset ≥ 0) the count of cohort
+    users active in that later week — the triangle every growth
+    dashboard is built on.
+
+    Distributed shape: ONE bucketed exchange on user_id; per bucket the
+    (cohort, offset) pairs come from a vectorized first-week join +
+    distinct (user, week) census; the pair counts then combine through a
+    tiny second exchange (pair cardinality ≤ weeks², bounded)."""
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        wk = g["ts"].dt.to_period("W").dt.start_time
+        d = pd.DataFrame({"user_id": g["user_id"], "week": wk}).drop_duplicates()
+        first = d.groupby("user_id", sort=False)["week"].transform("min")
+        off = ((d["week"] - first).dt.days // 7).astype("int64")
+        out = (
+            pd.DataFrame({"cohort_week": first, "week_offset": off})
+            .groupby(["cohort_week", "week_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return pd.DataFrame(
+            {"cohort_week": out["cohort_week"].astype("datetime64[us]"),
+             "week_offset": out["week_offset"].astype("int64"),
+             "n_users": out["n_users"].astype("int64")}
+        )
+
+    per_user = bucketed_group_map(ev, ["user_id"], pairs, num_buckets=32)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["cohort_week", "week_offset"], sort=False)["n_users"]
+            .sum()
+            .reset_index()
+        )
+
+    return bucketed_group_map(
+        per_user, ["cohort_week", "week_offset"], combine, num_buckets=4
+    )
+
+
+RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), f AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, uw.week) // 7 AS BIGINT)
+         AS week_offset,
+       COUNT(*) AS n_users
+FROM uw JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
