@@ -260,6 +260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_conversion": events.events_conversion,
         # weekly cohort retention triangle — past the window, local gate
         "events_retention": events.events_retention,
+        # exact-quantile winsorization (two-pass: histogram-narrowed
+        # thresholds, vectorized clip) — past the window, local gate
+        "lineitem_winsorize": relational.lineitem_winsorize,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -378,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill": events.GAPFILL_SQL,
         "events_conversion": events.CONVERSION_SQL,
         "events_retention": events.RETENTION_SQL,
+        "lineitem_winsorize": relational.WINSORIZE_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

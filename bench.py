@@ -52,6 +52,11 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         # the distributed BSP PageRank over the near-dup doc graph
         "kg_cooccurrence", "kg_entity_salience",
         "docs_ngram_topk", "docs_pagerank", "kg_khop",
+        # late round-3 additions: q18 HAVING join chain, exact 3-sigma
+        # anomalies, triangle census, chunk-level dedup + reconstruction,
+        # neighborhood Jaccard, conversion funnel
+        "q18_big_orders", "events_anomaly", "kg_triangles",
+        "docs_chunk_dedup", "kg_jaccard_neighbors", "events_conversion",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

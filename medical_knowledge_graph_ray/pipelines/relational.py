@@ -889,3 +889,59 @@ JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY 1, 2, 3, 4, 5
 HAVING SUM(CAST(round(l.l_quantity*100) AS BIGINT)) > {Q18_MIN_QTY * 100}
 """
+
+
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+def lineitem_winsorize(sf_dir: str):
+    """Winsorization — clip a column at its exact global p01/p99, the
+    standard robust-feature preparation before training.  Inherently
+    two-pass: pass 1 finds the thresholds via the sort-free
+    histogram-narrowing quantile stage (exchanges 4096-bin histograms,
+    never rows); pass 2 is a pure vectorized clip.  The thresholds are
+    ACTUAL data values (discrete quantiles) that round-trip losslessly
+    through int cents, so the clip comparisons are float-exact against
+    the SQL oracle."""
+    from ..stages.quantiles import quantiles_disc_int
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": np.rint(b["l_extendedprice"].to_numpy() * 100).astype("int64")}
+        )
+
+    ints = li.map_batches(arrow_out(to_cents), batch_format="pandas")
+    thr = quantiles_disc_int(ints, [WINSOR_LO, WINSOR_HI])
+    lo, hi = (thr["value"] / 100.0).tolist()
+
+    full = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def clip(b: pd.DataFrame) -> pd.DataFrame:
+        p = b["l_extendedprice"].astype("float64")
+        return pd.DataFrame(
+            {"l_orderkey": b["l_orderkey"].astype("int64"),
+             "l_linenumber": b["l_linenumber"],  # keep source int32
+             "l_extendedprice": p,
+             "price_winsor": p.clip(lo, hi)}
+        )
+
+    return full.map_batches(arrow_out(clip), batch_format="pandas")
+
+
+WINSORIZE_SQL = f"""
+WITH t AS (
+  SELECT quantile_disc(l_extendedprice, {WINSOR_LO}) AS lo,
+         quantile_disc(l_extendedprice, {WINSOR_HI}) AS hi
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       CASE WHEN l_extendedprice < lo THEN lo
+            WHEN l_extendedprice > hi THEN hi
+            ELSE l_extendedprice END AS price_winsor
+FROM lineitem, t
+"""

@@ -907,3 +907,37 @@ def test_chunk_dedup_ownership_and_reconstruction(ray_session):
         assert out.loc[1, "text_dedup"] == uniq_b
         assert out.loc[1, "n_kept"] == 1
         assert 2 not in out.index
+
+
+def test_read_table_dispatches_formats(ray_session, tmp_path):
+    """read_table reads the same rows from parquet, csv and jsonl; filter
+    pushdown is parquet-only (explicit error elsewhere)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from medical_knowledge_graph_ray.sources.tables import read_table
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "t.parquet")
+    df.to_csv(tmp_path / "t.csv", index=False)
+    df.to_json(tmp_path / "t.jsonl", orient="records", lines=True)
+
+    for name in ("t.parquet", "t.csv", "t.jsonl"):
+        got = (
+            read_table(str(tmp_path / name), columns=["a"])
+            .to_pandas()
+            .sort_values("a")
+            .reset_index(drop=True)
+        )
+        assert got["a"].tolist() == [1, 2, 3]
+        assert list(got.columns) == ["a"]
+
+    import pyarrow.compute as pc
+
+    assert read_table(
+        str(tmp_path / "t.parquet"), filter=pc.field("a") > 1
+    ).count() == 2
+    with _pytest.raises(ValueError):
+        read_table(str(tmp_path / "t.csv"), filter=pc.field("a") > 1)
