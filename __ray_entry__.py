@@ -263,6 +263,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-quantile winsorization (two-pass: histogram-narrowed
         # thresholds, vectorized clip) — past the window, local gate
         "lineitem_winsorize": relational.lineitem_winsorize,
+        # Bloom-prefiltered exact semi join (bitmap broadcast instead of
+        # a key set) — past the window, local gate
+        "orders_bloom_semi": relational.orders_bloom_semi,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -382,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "events_conversion": events.CONVERSION_SQL,
         "events_retention": events.RETENTION_SQL,
         "lineitem_winsorize": relational.WINSORIZE_SQL,
+        "orders_bloom_semi": relational.BLOOM_SEMI_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

@@ -945,3 +945,44 @@ SELECT l_orderkey, l_linenumber, l_extendedprice,
             ELSE l_extendedprice END AS price_winsor
 FROM lineitem, t
 """
+
+
+BLOOM_ACCTBAL = 9000
+
+
+def orders_bloom_semi(sf_dir: str):
+    """Orders of high-balance customers via the Bloom semi-join chain
+    (`stages/bloom.py`): constant-size bitmap broadcast prefilters the
+    probe stream vectorized, an exact partitioned semi join removes the
+    false positives — the scale substitute for shipping exact key sets
+    (J6) when the filter side has too many keys to broadcast.  Result is
+    exact; the oracle is a plain EXISTS."""
+    import pyarrow as pa
+
+    from ..stages.bloom import bloom_semi_join
+
+    filt = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_acctbal"],
+        filter=pc.field("c_acctbal") > float(BLOOM_ACCTBAL),
+    ).map_batches(
+        arrow_out(
+            lambda b: pd.DataFrame(
+                {"o_custkey": b["c_custkey"].astype("int64")}
+            )
+        ),
+        batch_format="pandas",
+    )
+    probe = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return bloom_semi_join(
+        probe, filt, "o_custkey",
+        probe_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+    )
+
+
+BLOOM_SEMI_SQL = f"""
+SELECT o_orderkey, o_custkey FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_acctbal > {BLOOM_ACCTBAL})
+"""

@@ -453,3 +453,53 @@ def test_hash_join_semi_anti(ray_session):
     assert list(semi["v"]) == ["b", "d", "e"]   # keys present on the right
     assert list(anti["v"]) == ["a", "c"]        # keys absent; no row explosion
     assert list(semi.columns) == ["k", "v"]     # left columns only
+
+
+def test_bloom_semi_join_exact_and_prefilter_superset(ray_session):
+    """The Bloom chain's final output must equal a plain exact semi join
+    (false positives removed); the prefilter alone must be a superset of
+    the true matches (no false negatives, ever)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.bloom import (
+        bloom_contains,
+        bloom_semi_join,
+        bloom_words,
+    )
+    from medical_knowledge_graph_ray.stages.joins import hash_join
+
+    rng = np.random.RandomState(5)
+    probe = pd.DataFrame(
+        {"id": np.arange(5000, dtype="int64"),
+         "k": rng.randint(0, 2000, 5000).astype("int64")}
+    )
+    fkeys = pd.DataFrame(
+        {"k": np.unique(rng.randint(0, 2000, 150)).astype("int64")}
+    )
+    schema = pa.schema([("id", pa.int64()), ("k", pa.int64())])
+
+    got = (
+        bloom_semi_join(
+            rd.from_pandas(probe), rd.from_pandas(fkeys), "k",
+            probe_schema=schema, m_bits=1 << 12, k_hashes=3,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    want = (
+        hash_join(
+            rd.from_pandas(probe), rd.from_pandas(fkeys), on=["k"],
+            how="semi", left_schema=schema,
+            right_schema=pa.schema([("k", pa.int64())]),
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["id", "k"]], want[["id", "k"]])
+
+    # no false negatives even at a deliberately tiny, collision-heavy m
+    w = bloom_words(fkeys["k"].to_numpy(), 1 << 8, 3)
+    member = bloom_contains(w, probe["k"].to_numpy(), 1 << 8, 3)
+    truly = probe["k"].isin(set(fkeys["k"])).to_numpy()
+    assert (member | ~truly).all()
