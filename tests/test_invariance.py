@@ -93,3 +93,76 @@ def test_fused_finalize_invariant_to_buckets_and_matches_unfused(
             got_n.sort_values("node_id").reset_index(drop=True), want_n
         )
         pd.testing.assert_frame_equal(got_e, want_e)
+
+
+def test_bucketed_ops_survive_extreme_key_skew(ray_session):
+    """90% of rows on ONE key: hash_join and bucketed_group_map must stay
+    correct (the hot bucket simply does more vectorized work)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.joins import hash_join
+    from medical_knowledge_graph_ray.stages.shuffle import bucketed_group_map
+
+    rng = np.random.RandomState(9)
+    n = 20_000
+    keys = np.where(rng.rand(n) < 0.9, 7, rng.randint(0, 500, n)).astype("int64")
+    left = pd.DataFrame({"k": keys, "v": rng.randint(0, 100, n).astype("int64")})
+    right = pd.DataFrame({"k": np.arange(0, 500, dtype="int64"),
+                          "w": np.arange(0, 500, dtype="int64") * 10})
+
+    agg = (
+        bucketed_group_map(
+            rd.from_pandas(left), ["k"],
+            lambda g: g.groupby("k", sort=False)["v"].sum().reset_index(),
+            num_buckets=8,
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    exp = left.groupby("k")["v"].sum().reset_index()
+    pd.testing.assert_frame_equal(agg, exp)
+
+    j = (
+        hash_join(
+            rd.from_pandas(left), rd.from_pandas(right), on=["k"],
+            left_schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+            right_schema=pa.schema([("k", pa.int64()), ("w", pa.int64())]),
+        )
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    exp_j = left.merge(right, on="k").sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(j[["k", "v", "w"]], exp_j[["k", "v", "w"]])
+
+
+def test_chunk_dedup_parallelism_invariant(ray_session):
+    """docs_chunk_dedup over the sf0.001 corpus is identical at 1 vs
+    default block parallelism (ownership is content-defined, not
+    arrival-order-defined)."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.pipelines.docs import docs_chunk_dedup
+
+    base = (
+        docs_chunk_dedup("/root/testdata/sf0.001")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    # single-block variant: rewrite the corpus as ONE row group/file
+    df = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    with tempfile.TemporaryDirectory() as td:
+        import pyarrow as pa
+
+        pq.write_table(
+            pa.Table.from_pandas(df), os.path.join(td, "documents.parquet"),
+            row_group_size=len(df),
+        )
+        one = (
+            docs_chunk_dedup(td)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(base, one)
