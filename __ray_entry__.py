@@ -266,6 +266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Bloom-prefiltered exact semi join (bitmap broadcast instead of
         # a key set) — past the window, local gate
         "orders_bloom_semi": relational.orders_bloom_semi,
+        # Count-Min heavy hitters (sketch prefilter + exact verify) —
+        # past the window, local gate
+        "docs_frequent_tokens": docs.docs_frequent_tokens,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -386,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": events.RETENTION_SQL,
         "lineitem_winsorize": relational.WINSORIZE_SQL,
         "orders_bloom_semi": relational.BLOOM_SEMI_SQL,
+        "docs_frequent_tokens": docs.FREQUENT_TOKENS_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

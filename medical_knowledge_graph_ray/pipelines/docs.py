@@ -1507,3 +1507,89 @@ SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup,
        COUNT(*) AS n_kept
 FROM kept GROUP BY doc_id
 """
+
+
+# -- heavy hitters via Count-Min prefilter + exact verify ---------------------
+
+FREQ_PERMILLE = 5  # report tokens holding ≥ 0.5% of all occurrences
+
+
+def docs_frequent_tokens(sf_dir: str):
+    """Heavy-hitter tokens (≥ ``FREQ_PERMILLE``‰ of all occurrences) via
+    the Count-Min chain — the scale substitute for a full token census
+    when the vocabulary itself is too large to exchange (`token_histogram`
+    moves EVERY distinct token; this moves a fixed 64 KiB sketch plus
+    candidate-only partials).
+
+    Two passes, exact result: (1) per-batch CM partials + batch token
+    totals — CM is linear, so batch sketches SUM to the corpus sketch
+    (driver fold, bounded); (2) per-batch counts KEPT ONLY for tokens the
+    broadcast sketch estimates ≥ threshold — CM never underestimates, so
+    the candidate set is a SUPERSET of the truth (no false negatives) —
+    then one tiny bucketed exact sum + the exact integer HAVING
+    ``n_occ·1000 ≥ permille·total``.  Same prefilter-then-verify pattern
+    as ``stages/bloom.py``; the sketch only saves work, never changes
+    the answer (oracle: plain GROUP BY / HAVING)."""
+    import numpy as np
+    import ray
+
+    from ..stages.shuffle import bucketed_group_map
+    from ..stages.sketches import cm_add, cm_estimate
+
+    def sketch_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.Series(
+            np.concatenate([t.split(" ") for t in b["text"].astype(str)])
+            if len(b) else [], dtype=object
+        )
+        counts = toks.value_counts()
+        cm = cm_add(counts)
+        return pd.DataFrame(
+            {"cm": [cm.tobytes()],
+             "n_tokens": pd.array([int(counts.sum())], "int64")}
+        )
+
+    parts = _docs(sf_dir, ["text"]).map_batches(
+        arrow_out(sketch_partial), batch_format="pandas"
+    ).to_pandas()  # ≤ #batches rows of 64 KiB
+    from ..stages.sketches import CM_D, CM_W
+
+    cm = np.zeros((CM_D, CM_W), dtype=np.int64)
+    for buf in parts["cm"]:
+        cm += np.frombuffer(buf, dtype=np.int64).reshape(CM_D, CM_W)
+    total = int(parts["n_tokens"].sum())
+    cm_ref = ray.put(cm)
+
+    def candidate_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.Series(
+            np.concatenate([t.split(" ") for t in b["text"].astype(str)])
+            if len(b) else [], dtype=object
+        )
+        counts = toks.value_counts()
+        if len(counts):
+            est = cm_estimate(ray.get(cm_ref), list(counts.index))
+            # est ≥ true count, so true ≥ T ⇒ est ≥ T: superset kept
+            counts = counts[est * 1000 >= FREQ_PERMILLE * total]
+        return pd.DataFrame(
+            {"token": pd.array(counts.index, "str"),
+             "n_occ": pd.array(counts.to_numpy(), "int64")}
+        )
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        arrow_out(candidate_counts), batch_format="pandas"
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", sort=False)["n_occ"].sum().reset_index()
+        return out[out["n_occ"] * 1000 >= FREQ_PERMILLE * total]
+
+    return bucketed_group_map(partials, ["token"], verify, num_buckets=4)
+
+
+FREQUENT_TOKENS_SQL = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT token, COUNT(*) AS n_occ
+FROM toks, tot
+GROUP BY token, tot.n
+HAVING COUNT(*) * 1000 >= {FREQ_PERMILLE} * tot.n
+"""

@@ -138,3 +138,50 @@ def approx_distinct_by(ds, key: str, col: str) -> pd.DataFrame:
 
     out = bucketed_group_map(partials, [key], reduce, num_buckets=8)
     return out
+
+
+# -- Count-Min sketch (frequency estimation; heavy-hitter prefilter) ----------
+
+CM_W = 2048  # counters per row
+CM_D = 4     # rows (independent hashes)
+
+
+def _cm_positions(tokens) -> "np.ndarray":
+    """(n, CM_D) counter indices: one vectorized md5 per token, then
+    double-hashed row probes (same construction as stages/bloom.py)."""
+    import numpy as np
+
+    from ..functions.hashing import md5_int_vec
+
+    h1 = md5_int_vec(tokens, bits=64)
+    # splitmix-style second stride derived from the md5 (odd → full period)
+    z = (h1 ^ (h1 >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h2 = (z ^ (z >> np.uint64(27))) | np.uint64(1)
+    r = np.arange(CM_D, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + r * h2[:, None]) % np.uint64(CM_W)).astype(np.int64)
+
+
+def cm_add(counts: "pd.Series") -> "np.ndarray":
+    """(CM_D, CM_W) int64 sketch of token→count (LINEAR: sketches of
+    partitions sum to the sketch of the union)."""
+    import numpy as np
+
+    cm = np.zeros((CM_D, CM_W), dtype=np.int64)
+    if not len(counts):
+        return cm
+    pos = _cm_positions(list(counts.index))
+    c = counts.to_numpy("int64")
+    for r in range(CM_D):
+        np.add.at(cm[r], pos[:, r], c)
+    return cm
+
+
+def cm_estimate(cm: "np.ndarray", tokens) -> "np.ndarray":
+    """Point estimates (min over rows) — NEVER underestimates."""
+    import numpy as np
+
+    if not len(tokens):
+        return np.empty(0, dtype=np.int64)
+    pos = _cm_positions(list(tokens))
+    ests = np.stack([cm[r][pos[:, r]] for r in range(CM_D)], axis=1)
+    return ests.min(axis=1)

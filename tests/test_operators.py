@@ -941,3 +941,30 @@ def test_read_table_dispatches_formats(ray_session, tmp_path):
     ).count() == 2
     with _pytest.raises(ValueError):
         read_table(str(tmp_path / "t.csv"), filter=pc.field("a") > 1)
+
+
+def test_count_min_never_underestimates_and_is_linear():
+    """CM point estimates are ≥ the true counts (the superset guarantee
+    the heavy-hitter chain rests on) and batch sketches SUM to the
+    union sketch (linearity — the distributed merge)."""
+    import numpy as np
+    import pandas as pd
+
+    from medical_knowledge_graph_ray.stages.sketches import cm_add, cm_estimate
+
+    rng = np.random.RandomState(2)
+    toks = pd.Series(rng.choice([f"w{i}" for i in range(3000)], 20000))
+    counts = toks.value_counts()
+    half = len(toks) // 2
+    cm_a = cm_add(toks.iloc[:half].value_counts())
+    cm_b = cm_add(toks.iloc[half:].value_counts())
+    cm_all = cm_add(counts)
+    assert (cm_a + cm_b == cm_all).all()
+
+    est = cm_estimate(cm_all, list(counts.index))
+    true = counts.to_numpy("int64")
+    assert (est >= true).all()
+    # error bound sanity: overestimate ≤ a few × n/w with d=4 rows
+    from medical_knowledge_graph_ray.stages.sketches import CM_W
+
+    assert (est - true).max() <= 8 * len(toks) // CM_W
