@@ -269,6 +269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Count-Min heavy hitters (sketch prefilter + exact verify) —
         # past the window, local gate
         "docs_frequent_tokens": docs.docs_frequent_tokens,
+        # deletion-banded fuzzy gazetteer match (typo mining) — past the
+        # window, local gate
+        "docs_typo_candidates": docs_kg.docs_typo_candidates,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -390,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_winsorize": relational.WINSORIZE_SQL,
         "orders_bloom_semi": relational.BLOOM_SEMI_SQL,
         "docs_frequent_tokens": docs.FREQUENT_TOKENS_SQL,
+        "docs_typo_candidates": docs_kg.typo_candidates_sql(),
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

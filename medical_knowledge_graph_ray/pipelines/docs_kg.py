@@ -757,3 +757,34 @@ def jaccard_neighbors_sql() -> str:
         "JOIN deg dx ON dx.u = c.term_a\n"
         "JOIN deg dy ON dy.u = c.term_b"
     )
+
+
+# -- typo-candidate mining: fuzzy gazetteer match ------------------------------
+
+TYPO_MAX_D = 2
+
+
+def docs_typo_candidates(sf_dir: str):
+    """Corpus tokens within ``TYPO_MAX_D`` edits of a single-word
+    gazetteer term (token ≠ term) — unlisted-variant/typo mining, the
+    fuzzy complement of the exact gazetteer scan (O2/D4 family).
+    Deletion-banded candidate generation + exact Levenshtein verify:
+    `stages/fuzzy.py`."""
+    import ray.data as rd
+
+    from ..stages.fuzzy import fuzzy_match_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return fuzzy_match_terms(docs, list(SINGLE_TERMS), max_d=TYPO_MAX_D)
+
+
+def typo_candidates_sql() -> str:
+    values = ", ".join(f"('{t}')" for t in sorted(SINGLE_TERMS))
+    return (
+        "WITH toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) "
+        "AS token FROM documents),\n"
+        f"g AS (SELECT term FROM (VALUES {values}) AS v(term))\n"
+        "SELECT token, term, CAST(levenshtein(token, term) AS BIGINT) AS dist\n"
+        "FROM toks, g\n"
+        f"WHERE levenshtein(token, term) <= {TYPO_MAX_D} AND token <> term"
+    )
