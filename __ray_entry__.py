@@ -272,6 +272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deletion-banded fuzzy gazetteer match (typo mining) — past the
         # window, local gate
         "docs_typo_candidates": docs_kg.docs_typo_candidates,
+        # grouped bottom-k deterministic sampling (exact-size strata) —
+        # past the window, local gate
+        "docs_bottomk_sample": docs.docs_bottomk_sample,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -394,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_bloom_semi": relational.BLOOM_SEMI_SQL,
         "docs_frequent_tokens": docs.FREQUENT_TOKENS_SQL,
         "docs_typo_candidates": docs_kg.typo_candidates_sql(),
+        "docs_bottomk_sample": docs.BOTTOMK_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

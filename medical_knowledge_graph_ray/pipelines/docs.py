@@ -1593,3 +1593,57 @@ FROM toks, tot
 GROUP BY token, tot.n
 HAVING COUNT(*) * 1000 >= {FREQ_PERMILLE} * tot.n
 """
+
+
+# -- grouped bottom-k deterministic sampling ----------------------------------
+
+BOTTOMK_K = 3
+
+
+def docs_bottomk_sample(sf_dir: str):
+    """EXACT-size per-stratum sampling: the ``BOTTOMK_K`` documents per
+    language with the smallest content hashes — the bottom-k sketch, the
+    fixed-BUDGET complement of the rate samplers (`docs_sample` keeps
+    hash < rate·2³², so its output size floats with the corpus; training
+    mixtures often need exactly-k exemplars per stratum).
+
+    Bottom-k is mergeable and order-independent (the k smallest of a
+    union = the k smallest of each part's k smallest), so it reuses the
+    grouped top-N machinery ascending on the hash: batch-local bottom-k
+    combiner → bucketed final.  Deterministic: md5 of the doc id, never
+    arrival order; ties impossible (hash of distinct ids ~unique, and
+    doc_id tiebreak makes it total anyway)."""
+    from ..functions.hashing import md5_int_vec
+    from ..stages.shuffle import grouped_topn
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+
+    def with_hash(b: pd.DataFrame) -> pd.DataFrame:
+        h = md5_int_vec(
+            [f"bk|{d}" for d in b["doc_id"].tolist()], bits=32
+        ).astype("int64")
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "lang": pd.array(b["lang"], "str"),
+             "h": h}
+        )
+
+    hashed = docs.map_batches(arrow_out(with_hash), batch_format="pandas")
+    return grouped_topn(
+        hashed, ["lang"], "h", BOTTOMK_K,
+        descending=False, tiebreak="doc_id", num_buckets=8,
+    )
+
+
+BOTTOMK_SQL = f"""
+SELECT doc_id, lang,
+       CAST(('0x' || substr(md5('bk|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+            AS BIGINT) AS h,
+       CAST(row_number() OVER (
+         PARTITION BY lang
+         ORDER BY ('0x' || substr(md5('bk|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT,
+                  doc_id
+       ) AS BIGINT) AS rank
+FROM documents
+QUALIFY rank <= {BOTTOMK_K}
+"""
