@@ -275,6 +275,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped bottom-k deterministic sampling (exact-size strata) —
         # past the window, local gate
         "docs_bottomk_sample": docs.docs_bottomk_sample,
+        # TPC-H-shaped additions (all past the window, local gate +
+        # parametrized oracle pytest): q6 pushdown filter + scalar sum,
+        # q14 broadcast promo-membership revenue share, q10 returned-
+        # customer top-k join chain, q7 bi-nation volume per year
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q14_promo_share": relational.q14_promo_share,
+        "q10_returned_customers": relational.q10_returned_customers,
+        "q7_nation_volume": relational.q7_nation_volume,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -398,6 +406,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_frequent_tokens": docs.FREQUENT_TOKENS_SQL,
         "docs_typo_candidates": docs_kg.typo_candidates_sql(),
         "docs_bottomk_sample": docs.BOTTOMK_SQL,
+        "q6_forecast_revenue": relational.Q6_SQL,
+        "q14_promo_share": relational.Q14_SQL,
+        "q10_returned_customers": relational.Q10_SQL,
+        "q7_nation_volume": relational.Q7_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

@@ -57,6 +57,9 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         # neighborhood Jaccard, conversion funnel
         "q18_big_orders", "events_anomaly", "kg_triangles",
         "docs_chunk_dedup", "kg_jaccard_neighbors", "events_conversion",
+        # sketch/prefilter chains + exact-size sampling
+        "orders_bloom_semi", "docs_frequent_tokens", "docs_bottomk_sample",
+        "lineitem_winsorize",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -986,3 +986,432 @@ SELECT o_orderkey, o_custkey FROM orders
 WHERE EXISTS (SELECT 1 FROM customer
               WHERE c_custkey = o_custkey AND c_acctbal > {BLOOM_ACCTBAL})
 """
+
+
+# -- Q6-ish: forecasting revenue change (pure pushdown filter + scalar) -------
+
+Q6_FROM, Q6_TO = "1996-01-01", "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_QTY = 24
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """Single-scalar filtered sum (the TPC-H q6 shape, adapted to the
+    testdata columns).  Everything that can prune, prunes AT THE READ:
+    all four predicates push into the Parquet scan (row-group statistics
+    skip non-matching groups before any byte leaves storage), the
+    projection carries only the two revenue columns, and each batch
+    collapses to ONE int64-cents row before the final Sum — the exchange
+    carries O(num_batches) rows regardless of corpus size.
+
+    The discount bounds compare against the same stored doubles on both
+    sides (numpy and DuckDB evaluate identical IEEE comparisons), so no
+    epsilon is needed."""
+    from ray.data.aggregate import Sum
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= pc.scalar(np.datetime64(Q6_FROM, "us")))
+            & (pc.field("l_shipdate") < pc.scalar(np.datetime64(Q6_TO, "us")))
+            & (pc.field("l_discount") >= Q6_DISC_LO)
+            & (pc.field("l_discount") <= Q6_DISC_HI)
+            & (pc.field("l_quantity") < float(Q6_QTY))
+        ),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev_c = np.rint(
+            b["l_extendedprice"].to_numpy() * b["l_discount"].to_numpy() * 10_000
+        ).astype("int64")
+        return pd.DataFrame({"rev_c": [rev_c.sum()]})
+
+    agg = (
+        li.map_batches(arrow_out(partial), batch_format="pandas")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+    return pd.DataFrame({"revenue": [agg["rev_c"] / 10_000.0]})
+
+
+Q6_SQL = f"""
+SELECT SUM(CAST(round(l_extendedprice*l_discount*10000) AS BIGINT))/10000.0
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_FROM} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q6_TO} 00:00:00'
+  AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY}
+"""
+
+
+# -- Q14-ish: promo revenue share (broadcast key-set membership ratio) --------
+
+Q14_FROM, Q14_TO = "1997-01-01", "1997-04-01"
+Q14_PROMO_TYPE = "PROMO"
+
+
+def q14_promo_share(sf_dir: str) -> pd.DataFrame:
+    """Share of revenue from promo parts (TPC-H q14 shape).  The join is
+    MEMBERSHIP-ONLY — no part attribute survives into the output — so the
+    part side collapses to a broadcast sorted-partkey array (a filtered
+    dimension-KEY artifact, the q9 tradeoff) and lineitem resolves promo
+    membership map-side via searchsorted; one scan, two int64-cent sums,
+    no exchange beyond O(num_batches) one-row partials."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def keys_only(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["p_type"] == Q14_PROMO_TYPE, ["p_partkey"]]
+
+    promo = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+        .map_batches(arrow_out(keys_only), batch_format="pandas")
+        .to_pandas()["p_partkey"]
+        .to_numpy()
+    )
+    promo_ref = ray.put(np.sort(promo))
+
+    class PromoPartial:
+        """Per-batch (promo_rev, total_rev) int64-cent sums; promo
+        membership via the broadcast sorted key array (fetched once per
+        worker process)."""
+
+        def __init__(self, ref):
+            self.ref = ref
+            self.keys = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.keys is None:
+                self.keys = ray.get(self.ref)
+            rev_c = np.rint(
+                b["l_extendedprice"].to_numpy()
+                * (1.0 - b["l_discount"].to_numpy()) * 10_000
+            ).astype("int64")
+            pk = b["l_partkey"].to_numpy()
+            if len(self.keys):
+                pos = np.clip(
+                    np.searchsorted(self.keys, pk), 0, len(self.keys) - 1
+                )
+                is_promo = self.keys[pos] == pk
+            else:
+                is_promo = np.zeros(len(pk), dtype=bool)
+            return pd.DataFrame(
+                {"promo_c": [rev_c[is_promo].sum()], "total_c": [rev_c.sum()]}
+            )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= pc.scalar(np.datetime64(Q14_FROM, "us")))
+            & (pc.field("l_shipdate") < pc.scalar(np.datetime64(Q14_TO, "us")))
+        ),
+    )
+    agg = (
+        li.map_batches(arrow_out(PromoPartial(promo_ref)), batch_format="pandas")
+        .aggregate(
+            Sum("promo_c", alias_name="promo_c"),
+            Sum("total_c", alias_name="total_c"),
+        )
+    )
+    return pd.DataFrame(
+        {"promo_revenue": [round(100.0 * agg["promo_c"] / agg["total_c"], 6)]}
+    )
+
+
+Q14_SQL = f"""
+SELECT round(
+  100.0 * SUM(CASE WHEN p_type = '{Q14_PROMO_TYPE}'
+      THEN CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)
+      ELSE 0 END)
+  / SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)), 6)
+  AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_FROM} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q14_TO} 00:00:00'
+"""
+
+
+# -- Q10-ish: returned-item top customers (join chain + global top-k) ---------
+
+Q10_FROM, Q10_TO = "1996-07-01", "1996-10-01"
+Q10_K = 20
+
+
+def q10_returned_customers(sf_dir: str, k: int = Q10_K) -> pd.DataFrame:
+    """Top-k customers by returned-lineitem revenue in a quarter (TPC-H
+    q10 shape).  Both fact tables stay distributed: lineitem pre-aggregates
+    per-orderkey 'R' revenue inside map_batches (filter pushed to the
+    scan), the date-filtered orders stream joins it through the bucketed
+    hash join with the per-custkey partial fused into the buckets, and the
+    grouped per-customer sums — the only table that leaves the exchange —
+    are sorted distributed and cut to k.  Customer attributes are fetched
+    LAST, a k-row keyed lookup (attributes of the winners only; never the
+    customer table driver-side)."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pc.field("o_orderdate") >= pc.scalar(np.datetime64(Q10_FROM, "us")))
+            & (pc.field("o_orderdate") < pc.scalar(np.datetime64(Q10_TO, "us")))
+        ),
+    )
+
+    def partial_returned(b: pd.DataFrame) -> pd.DataFrame:
+        rev_c = np.rint(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 10_000
+        ).astype("int64")
+        return (
+            pd.DataFrame({"o_orderkey": b["l_orderkey"], "rev_c": rev_c})
+            .groupby("o_orderkey", sort=False).agg(rev_c=("rev_c", "sum"))
+            .reset_index()
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == "R",
+    ).map_batches(arrow_out(partial_returned), batch_format="pandas")
+
+    def by_cust(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("o_custkey", sort=False).agg(rev_c=("rev_c", "sum"))
+            .reset_index()
+        )
+
+    per_cust = hash_join(
+        orders, li, on=["o_orderkey"], how="inner", num_buckets=32,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("rev_c", pa.int64())]
+        ),
+        bucket_post=by_cust,
+    ).groupby("o_custkey").aggregate(Sum("rev_c", alias_name="rev_c"))
+
+    top = (
+        per_cust.sort(["rev_c", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()  # k rows
+    )
+
+    keys = top["o_custkey"].tolist()
+    cust = _read(
+        sf_dir, "customer",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filter=pc.field("c_custkey").isin(keys),
+    ).to_pandas()  # k rows — winners' attributes only
+    nation = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    out = (
+        top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    return pd.DataFrame(
+        {
+            "c_custkey": out["c_custkey"].astype("int64"),
+            "c_name": out["c_name"],
+            "c_acctbal": out["c_acctbal"],
+            "n_name": out["n_name"],
+            "revenue": out["rev_c"].astype("int64") / 10_000.0,
+        }
+    ).sort_values("c_custkey").reset_index(drop=True)
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0
+         AS revenue
+FROM customer
+  JOIN orders   ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation   ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '{Q10_FROM} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q10_TO} 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT {Q10_K}
+"""
+
+
+# -- Q7-ish: bi-nation shipping volume (composite-key join + year rollup) -----
+
+Q7_N1, Q7_N2 = "NATION_12", "NATION_10"
+Q7_FROM, Q7_TO = "1996-01-01", "1997-12-31"
+
+
+def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
+    """Shipping volume between two nations per year (TPC-H q7 shape).
+    The two dimension chains collapse to broadcast key artifacts filtered
+    to the two nations (supplier→nationkey, customer→nationkey — the q5
+    idiom); lineitem resolves its supplier nation MAP-SIDE and
+    pre-aggregates per (orderkey, supp_nation, year) so the one
+    large-large exchange — orders ⋈ lineitem partials — carries
+    ~distinct-orderkey rows with the pair filter and per-group partial
+    fused into the join buckets."""
+    import pyarrow as pa
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    nation = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    name_by_key = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    nkeys = set(
+        nation.loc[nation["n_name"].isin([Q7_N1, Q7_N2]), "n_nationkey"]
+    )
+
+    def _key_nat(ds, key_col, nat_col):
+        def filt(b: pd.DataFrame) -> pd.DataFrame:
+            return b.loc[b[nat_col].isin(nkeys), [key_col, nat_col]]
+
+        df = (
+            ds.map_batches(arrow_out(filt), batch_format="pandas")
+            .to_pandas().sort_values(key_col)
+        )
+        return df[key_col].to_numpy(), df[nat_col].to_numpy()
+
+    supp_ref = ray.put(
+        _key_nat(
+            _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+            "s_suppkey", "s_nationkey",
+        )
+    )
+    cust_ref = ray.put(
+        _key_nat(
+            _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+            "c_custkey", "c_nationkey",
+        )
+    )
+
+    def _resolve(keys, nats, probe):
+        """probe keys → (hit mask, nationkey per hit) via searchsorted."""
+        if not len(keys):
+            return np.zeros(len(probe), dtype=bool), np.array([], dtype=nats.dtype)
+        pos = np.clip(np.searchsorted(keys, probe), 0, len(keys) - 1)
+        hit = keys[pos] == probe
+        return hit, nats[pos[hit]]
+
+    class LiPartial:
+        def __init__(self, ref):
+            self.ref = ref
+            self.state = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.state is None:
+                self.state = ray.get(self.ref)
+            keys, nats = self.state
+            hit, supp_nat = _resolve(keys, nats, b["l_suppkey"].to_numpy())
+            rev_c = np.rint(
+                b["l_extendedprice"].to_numpy()[hit]
+                * (1.0 - b["l_discount"].to_numpy()[hit]) * 10_000
+            ).astype("int64")
+            df = pd.DataFrame(
+                {
+                    "o_orderkey": b["l_orderkey"].to_numpy()[hit],
+                    "supp_nat": supp_nat.astype("int32"),
+                    "l_year": b["l_shipdate"].dt.year.to_numpy()[hit]
+                    .astype("int64"),
+                    "rev_c": rev_c,
+                }
+            )
+            return (
+                df.groupby(["o_orderkey", "supp_nat", "l_year"], sort=False)
+                .agg(rev_c=("rev_c", "sum")).reset_index()
+            )
+
+    class OrdCustNat:
+        def __init__(self, ref):
+            self.ref = ref
+            self.state = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.state is None:
+                self.state = ray.get(self.ref)
+            keys, nats = self.state
+            hit, cust_nat = _resolve(keys, nats, b["o_custkey"].to_numpy())
+            return pd.DataFrame(
+                {
+                    "o_orderkey": b["o_orderkey"].to_numpy()[hit],
+                    "cust_nat": cust_nat.astype("int32"),
+                }
+            )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pc.scalar(np.datetime64(Q7_FROM, "us")))
+            & (pc.field("l_shipdate") <= pc.scalar(np.datetime64(Q7_TO, "us")))
+        ),
+    ).map_batches(arrow_out(LiPartial(supp_ref)), batch_format="pandas")
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(arrow_out(OrdCustNat(cust_ref)), batch_format="pandas")
+
+    def pair_rollup(b: pd.DataFrame) -> pd.DataFrame:
+        # keep only cross-nation pairs, partial-sum per (pair, year);
+        # the handful of (nation, nation, year) keys span buckets, so a
+        # tiny final groupby finishes the sum
+        b = b.loc[b["supp_nat"] != b["cust_nat"]]
+        return (
+            b.groupby(["supp_nat", "cust_nat", "l_year"], sort=False)
+            .agg(rev_c=("rev_c", "sum")).reset_index()
+        )
+
+    joined = hash_join(
+        orders, li, on=["o_orderkey"], how="inner", num_buckets=32,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("cust_nat", pa.int32())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("supp_nat", pa.int32()),
+             ("l_year", pa.int64()), ("rev_c", pa.int64())]
+        ),
+        bucket_post=pair_rollup,
+    )
+    agg = (
+        joined.groupby(["supp_nat", "cust_nat", "l_year"])
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .to_pandas()  # ≤ 2 pairs × years — bounded artifact
+    )
+    return pd.DataFrame(
+        {
+            "supp_nation": agg["supp_nat"].map(name_by_key),
+            "cust_nation": agg["cust_nat"].map(name_by_key),
+            "l_year": agg["l_year"].astype("int64"),
+            "revenue": agg["rev_c"].astype("int64") / 10_000.0,
+        }
+    ).sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0
+         AS revenue
+FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{Q7_N1}' AND n2.n_name = '{Q7_N2}')
+    OR (n1.n_name = '{Q7_N2}' AND n2.n_name = '{Q7_N1}'))
+  AND l_shipdate >= TIMESTAMP '{Q7_FROM} 00:00:00'
+  AND l_shipdate <= TIMESTAMP '{Q7_TO} 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
