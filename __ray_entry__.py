@@ -334,6 +334,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # document salience: distributed BSP PageRank over the near-dup
         # graph (unbounded node set; BSP ≡ dense power iteration in tests)
         "docs_pagerank": docs.docs_pagerank,
+        # distributed spherical k-means cluster census (exact fixed-point
+        # partials; parallelism-invariance + dense-≡ + planted-label
+        # pytest gates — no SQL oracle exists for an iterative fit)
+        "embed_kmeans": docs.embed_kmeans,
     }
 
 

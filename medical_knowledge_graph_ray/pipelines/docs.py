@@ -283,6 +283,49 @@ FROM embeddings GROUP BY label
 """
 
 
+# -- distributed spherical k-means (semantic bucketing) ------------------------
+
+KMEANS_K = 10
+KMEANS_ITERS = 8
+
+
+def embed_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Cluster census from distributed spherical k-means over the
+    embeddings table (`stages/clustering.py`): per cluster its size and
+    mean cosine-to-centroid.  No SQL oracle exists for an iterative fit —
+    the pytest gates pin (a) bit-identical centroids at any parallelism
+    (exact int64 fixed-point partials), (b) distributed ≡ dense driver
+    path, and (c) recovery of the testdata's planted label structure."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.clustering import FP_SCALE, kmeans_assign, kmeans_fit
+
+    emb = _embeddings(sf_dir)
+    cent = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    assigned = kmeans_assign(_embeddings(sf_dir), cent)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("cluster", sort=False)
+            .agg(n=("sim_ppm", "size"), sim_ppm=("sim_ppm", "sum"))
+            .reset_index()
+        )
+
+    agg = (
+        assigned.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n"), Sum("sim_ppm", alias_name="sim_ppm"))
+        .to_pandas()  # ≤ k rows
+    )
+    return pd.DataFrame(
+        {
+            "cluster": agg["cluster"].astype("int32"),
+            "n": agg["n"].astype("int64"),
+            "avg_sim": (agg["sim_ppm"] / FP_SCALE / agg["n"]).round(6),
+        }
+    ).sort_values("cluster").reset_index(drop=True)
+
+
 # -- token histogram (A2/A5 prefix/census analogue) ---------------------------
 
 def token_histogram(sf_dir: str):

@@ -1,0 +1,87 @@
+"""Distributed spherical k-means (stages/clustering.py).
+
+No SQL oracle exists for an iterative fit; these gates pin the contracts
+the query relies on instead: bit-identical centroids at any parallelism
+(exact int64 fixed-point partials), distributed ≡ dense driver path,
+monotone improvement over the init, and degenerate-input safety.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(blocks=None):
+    import ray.data as rd
+
+    kw = {"override_num_blocks": blocks} if blocks else {}
+    return rd.read_parquet(f"{SF}/embeddings.parquet", **kw)
+
+
+def test_fit_parallelism_invariant(ray_session):
+    from medical_knowledge_graph_ray.stages.clustering import kmeans_fit
+
+    c1 = kmeans_fit(_emb(1), k=6, iters=4, mode="distributed")
+    c7 = kmeans_fit(_emb(7), k=6, iters=4, mode="distributed")
+    assert np.array_equal(c1, c7)
+
+
+def test_distributed_equals_dense(ray_session):
+    from medical_knowledge_graph_ray.stages.clustering import kmeans_fit
+
+    cd = kmeans_fit(_emb(), k=6, iters=4, mode="distributed")
+    cn = kmeans_fit(_emb(), k=6, iters=4, mode="dense")
+    assert np.array_equal(cd, cn)
+
+
+def test_fit_improves_over_init(ray_session):
+    from medical_knowledge_graph_ray.stages.clustering import (
+        kmeans_assign, kmeans_fit, kmeans_init,
+    )
+
+    init = kmeans_init(_emb(), 10)
+    fit = kmeans_fit(_emb(), k=10, iters=8)
+    sim0 = kmeans_assign(_emb(), init).to_pandas()["sim_ppm"].mean()
+    sim1 = kmeans_assign(_emb(), fit).to_pandas()["sim_ppm"].mean()
+    # measured: 0.204 -> 0.290 mean cosine on the sf0.001 table
+    assert sim1 > sim0 + 50_000  # ≥ +0.05 cosine in ppm units
+
+
+def test_assign_covers_every_row_once(ray_session):
+    from medical_knowledge_graph_ray.stages.clustering import (
+        kmeans_assign, kmeans_fit,
+    )
+
+    cent = kmeans_fit(_emb(), k=5, iters=3)
+    a = kmeans_assign(_emb(), cent).to_pandas()
+    src = _emb().to_pandas()
+    assert sorted(a["vec_id"]) == sorted(src["vec_id"])
+    assert a["cluster"].between(0, 4).all()
+    assert a["sim_ppm"].between(-1_000_000, 1_000_000).all()
+
+
+def test_degenerate_more_clusters_than_rows(ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.clustering import (
+        kmeans_assign, kmeans_fit,
+    )
+
+    rows = _emb().to_pandas().head(5)
+    tiny = rd.from_pandas(rows)
+    cent = kmeans_fit(tiny, k=8, iters=2, mode="dense")
+    assert cent.shape == (8, 64)
+    assert np.isfinite(cent).all()
+    a = kmeans_assign(tiny, cent).to_pandas()
+    assert len(a) == 5
+
+
+def test_query_census_shape(ray_session):
+    from medical_knowledge_graph_ray.pipelines.docs import embed_kmeans
+
+    out = embed_kmeans(SF)
+    assert list(out.columns) == ["cluster", "n", "avg_sim"]
+    assert out["n"].sum() == 500
+    assert (out["avg_sim"] > 0).all()
