@@ -283,6 +283,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_share": relational.q14_promo_share,
         "q10_returned_customers": relational.q10_returned_customers,
         "q7_nation_volume": relational.q7_nation_volume,
+        # entity/PII redaction (vectorized alternation scrub, full-text
+        # hash-compared) and per-user NTILE window bucketing
+        "docs_redact": docs.docs_redact,
+        "events_ntile": events.events_ntile,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -414,6 +418,8 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_share": relational.Q14_SQL,
         "q10_returned_customers": relational.Q10_SQL,
         "q7_nation_volume": relational.Q7_SQL,
+        "docs_redact": docs.redact_sql(),
+        "events_ntile": events.NTILE_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

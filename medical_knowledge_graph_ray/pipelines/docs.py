@@ -1690,3 +1690,56 @@ SELECT doc_id, lang,
 FROM documents
 QUALIFY rank <= {BOTTOMK_K}
 """
+
+
+# -- entity/PII redaction (vectorized regex scrub) ------------------------------
+
+def _redact_pattern() -> str:
+    """Longest-first alternation over the gazetteer — the same pattern
+    string feeds Python re and DuckDB RE2, and both engines scan
+    leftmost-first, so match boundaries (and therefore counts and
+    rewritten text) are identical by construction."""
+    import re as _re
+
+    from ..ontology import WEBTEXT_GAZETTEER
+
+    terms = sorted(WEBTEXT_GAZETTEER, key=lambda t: (-len(t), t))
+    return r"\b(?:" + "|".join(_re.escape(t) for t in terms) + r")\b"
+
+
+REDACT_TOKEN = "[ENT]"
+
+
+def docs_redact(sf_dir: str):
+    """Scrub every gazetteer entity from the corpus text (the PII/
+    entity-anonymization shape of a training-data pipeline: one compiled
+    alternation, vectorized replace + count per batch — never a per-row
+    re-compile or a Python token loop).  Output is the full rewritten
+    text plus the per-doc hit count, both hash-compared against DuckDB's
+    regexp_replace/regexp_extract_all on the identical pattern."""
+    import re
+
+    pat = re.compile(_redact_pattern())
+
+    def redact(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_hits": b["text"].str.count(pat).astype("int64"),
+                "redacted": b["text"].str.replace(pat, REDACT_TOKEN, regex=True),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        arrow_out(redact), batch_format="pandas"
+    )
+
+
+def redact_sql() -> str:
+    pat = _redact_pattern()
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_hits,
+       regexp_replace(text, '{pat}', '{REDACT_TOKEN}', 'g') AS redacted
+FROM documents
+"""

@@ -872,3 +872,51 @@ SELECT f.cohort_week,
 FROM uw JOIN f USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# -- NTILE window (quartile bucketing per user) --------------------------------
+
+NTILE_TILES = 4
+
+
+def events_ntile(sf_dir: str, tiles: int = NTILE_TILES):
+    """Per-user NTILE(4) over (ts, event_id) order — the windowed
+    bucketing family (equal-depth tiles with the SQL size contract: the
+    first n mod t tiles get ceil(n/t) rows).  One bucketed exchange on
+    user_id; tile assignment vectorizes per bucket from cumcount + group
+    size, never a per-row loop."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def tile_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        idx = g.groupby("user_id", sort=False).cumcount().to_numpy()
+        n = (
+            g.groupby("user_id", sort=False)["event_id"]
+            .transform("size").to_numpy()
+        )
+        q, r = np.divmod(n, tiles)
+        big = r * (q + 1)  # rows covered by the leading ceil-sized tiles
+        tile = np.where(
+            idx < big,
+            idx // np.maximum(q + 1, 1),
+            r + (idx - big) // np.maximum(q, 1),
+        ) + 1
+        return pd.DataFrame(
+            {"event_id": g["event_id"].astype("int64"),
+             "user_id": g["user_id"].astype("int64"),
+             "tile": tile.astype("int64")}
+        )
+
+    return bucketed_group_map(ev, ["user_id"], tile_bucket, num_buckets=32)
+
+
+NTILE_SQL = f"""
+SELECT event_id, user_id,
+       CAST(NTILE({NTILE_TILES}) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS tile
+FROM events
+"""
