@@ -66,6 +66,12 @@ def _kg_triples_pages(sf_dir: str):
     return triples_dataset(pages_dataset(corpus_for_sf(sf_dir)))
 
 
+def _docs_llm_prep(sf_dir: str):
+    from medical_knowledge_graph_ray.pipelines.docs_prep import docs_llm_prep
+
+    return docs_llm_prep(sf_dir)
+
+
 def _kg_bio_export(sf_dir: str):
     """Char-level BIO training rows (url, sent_ord, split, bio) from the
     pages corpus — the reference's NER-training export path (S4/O10/R6)."""
@@ -342,6 +348,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partials; parallelism-invariance + dense-≡ + planted-label
         # pytest gates — no SQL oracle exists for an iterative fit)
         "embed_kmeans": docs.embed_kmeans,
+        # composed LLM-prep flagship: curate → decontaminate → split →
+        # pack → checkpointed Parquet stages with lineage manifests
+        # (components individually oracled; composition pytest-gated in
+        # tests/test_docs_prep.py incl. resume + audit)
+        "docs_llm_prep": _docs_llm_prep,
     }
 
 

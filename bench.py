@@ -60,6 +60,10 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         # sketch/prefilter chains + exact-size sampling
         "orders_bloom_semi", "docs_frequent_tokens", "docs_bottomk_sample",
         "lineitem_winsorize",
+        # composed LLM-prep flagship (curate -> decontaminate -> split ->
+        # pack -> checkpointed stages; always a fresh run — the query
+        # clears its scratch root)
+        "docs_llm_prep",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -994,50 +994,54 @@ def docs_pack_sequences(sf_dir: str):
     prepped = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         arrow_out(prep), batch_format="pandas"
     )
+    return bucketed_group_map(prepped, ["grp"], pack_bucket, num_buckets=16)
 
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        from bisect import bisect_left, insort
 
-        frames = []
-        for grp_id, sub in g.groupby("grp", sort=True):
-            sub = sub.sort_values(
-                ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
-            )
-            # open bins sorted by (remaining, pack_ord): bisect finds the
-            # FULLEST bin that still fits (best-fit; pack_ord tiebreak
-            # keeps it deterministic); n_packs/next_pos index by pack_ord
-            open_bins: list[tuple[int, int]] = []
-            next_pos: list[int] = []
-            rows = []
-            for did, nt in zip(sub["doc_id"].tolist(), sub["n_tokens"].tolist()):
-                placed = False
-                if nt <= PACK_BUDGET:
-                    i = bisect_left(open_bins, (nt, -1))
-                    if i < len(open_bins):
-                        rem, ord_ = open_bins.pop(i)
-                        rows.append((did, nt, ord_, next_pos[ord_], False))
-                        next_pos[ord_] += 1
-                        insort(open_bins, (rem - nt, ord_))
-                        placed = True
-                if not placed:
-                    ord_ = len(next_pos)
-                    next_pos.append(1)
-                    insort(open_bins, (max(0, PACK_BUDGET - nt), ord_))
-                    rows.append((did, nt, ord_, 0, nt > PACK_BUDGET))
-            out = pd.DataFrame(
-                rows, columns=["doc_id", "n_tokens", "pack_ord", "pos", "oversize"]
-            )
-            out["pack_id"] = [
-                f"p{int(grp_id):02d}_{int(o):05d}" for o in out["pack_ord"]
-            ]
-            frames.append(out[["pack_id", "doc_id", "n_tokens", "pos", "oversize"]])
-        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-            {"pack_id": pd.array([], "str"), "doc_id": pd.array([], "int64"),
-             "n_tokens": pd.array([], "int64"), "pos": pd.array([], "int64"),
-             "oversize": pd.array([], "bool")}
+def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Best-fit-decreasing packing of one shuffle bucket of (doc_id,
+    n_tokens, grp) rows — the in-bucket kernel shared by the
+    `docs_pack_sequences` query and the composed `run_docs_prep`
+    pipeline (one definition so the packing contract can't drift)."""
+    from bisect import bisect_left, insort
+
+    frames = []
+    for grp_id, sub in g.groupby("grp", sort=True):
+        sub = sub.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
         )
-
-    return bucketed_group_map(prepped, ["grp"], pack, num_buckets=16)
+        # open bins sorted by (remaining, pack_ord): bisect finds the
+        # FULLEST bin that still fits (best-fit; pack_ord tiebreak
+        # keeps it deterministic); n_packs/next_pos index by pack_ord
+        open_bins: list[tuple[int, int]] = []
+        next_pos: list[int] = []
+        rows = []
+        for did, nt in zip(sub["doc_id"].tolist(), sub["n_tokens"].tolist()):
+            placed = False
+            if nt <= PACK_BUDGET:
+                i = bisect_left(open_bins, (nt, -1))
+                if i < len(open_bins):
+                    rem, ord_ = open_bins.pop(i)
+                    rows.append((did, nt, ord_, next_pos[ord_], False))
+                    next_pos[ord_] += 1
+                    insort(open_bins, (rem - nt, ord_))
+                    placed = True
+            if not placed:
+                ord_ = len(next_pos)
+                next_pos.append(1)
+                insort(open_bins, (max(0, PACK_BUDGET - nt), ord_))
+                rows.append((did, nt, ord_, 0, nt > PACK_BUDGET))
+        out = pd.DataFrame(
+            rows, columns=["doc_id", "n_tokens", "pack_ord", "pos", "oversize"]
+        )
+        out["pack_id"] = [
+            f"p{int(grp_id):02d}_{int(o):05d}" for o in out["pack_ord"]
+        ]
+        frames.append(out[["pack_id", "doc_id", "n_tokens", "pos", "oversize"]])
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        {"pack_id": pd.array([], "str"), "doc_id": pd.array([], "int64"),
+         "n_tokens": pd.array([], "int64"), "pos": pd.array([], "int64"),
+         "oversize": pd.array([], "bool")}
+    )
 
 
 def docs_weighted_sample(sf_dir: str):
