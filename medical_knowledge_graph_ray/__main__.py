@@ -171,7 +171,7 @@ def main(argv: list[str] | None = None) -> int:
 
             eval_df = ner_eval_corpus(
                 args.corpus, heldout_only=not args.full_corpus
-            ).to_pandas()
+            )
             os.makedirs(args.out, exist_ok=True)
             eval_df.to_parquet(os.path.join(args.out, "ner_eval.parquet"))
             with open(os.path.join(args.out, "eval_dic.json"), "w") as f:

@@ -270,7 +270,11 @@ def ner_eval_corpus(corpus_dir: str, *, heldout_only: bool = True):
             return t.filter(pa.array(mask))
 
         sents = sents.map_batches(keep_heldout, batch_format="pyarrow")
-    return ner_eval_dataset(sents).sort(["model", "ent_type", "schema"])
+    return (
+        ner_eval_dataset(sents)
+        .sort_values(["model", "ent_type", "schema"])
+        .reset_index(drop=True)
+    )
 
 
 def derived_eval_artifacts(sf_dir: str):
@@ -282,7 +286,7 @@ def derived_eval_artifacts(sf_dir: str):
     broadcast-artifact pattern, not a materialization."""
     from ..stages.muc_eval import eval_matrix_from, weights_from_eval
 
-    eval_df = ner_eval_pages(sf_dir).to_pandas()
+    eval_df = ner_eval_pages(sf_dir)
     return eval_matrix_from(eval_df), weights_from_eval(eval_df)
 
 

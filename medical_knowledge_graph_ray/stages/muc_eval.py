@@ -285,20 +285,24 @@ def muc_eval_partials_batch(batch: pd.DataFrame):
     return stage(batch)
 
 
-def ner_eval_dataset(sentences, *, batch_size: int = 2048):
+def ner_eval_dataset(sentences, *, batch_size: int = 2048) -> pd.DataFrame:
     """sentence rows → evaluated (model, ent_type, schema, counts, P, R).
 
     Two-phase: task-pool count partials (Arrow out — pandas blocks make
-    the groupby ~25× slower) → tiny fixed-cardinality groupby
-    (#models × (#types+1) × 4 schemas) → finalize."""
-    from ray.data.aggregate import Sum
-
-    from ..functions.arrow import arrow_out
-
+    the groupby ~25× slower) → driver-side final sum + finalize.  The
+    partials table is BOUNDED (#models × (#types+1) × 4 schemas rows per
+    task — ~144 tiny rows each), so a distributed
+    groupby/aggregate/sort here is pure fixed cost: Ray's sort-based
+    Aggregate + Sort measured ~21 s of the sf0.1 evaluation's 12-20 s
+    wall for a 21k-row partials census that pandas finishes in
+    milliseconds.  Same collect-the-bounded-artifact posture as the q1
+    rollup and the gapfill grid."""
     partials = sentences.map_batches(
         muc_eval_partials_batch, batch_format="pandas", batch_size=batch_size
+    ).to_pandas()  # ≤ tasks × 144 count rows — bounded artifact
+    agg = (
+        partials.groupby(["model", "ent_type", "schema"], sort=True)[COUNT_COLS]
+        .sum()
+        .reset_index()
     )
-    agg = partials.groupby(["model", "ent_type", "schema"]).aggregate(
-        *[Sum(c, alias_name=c) for c in COUNT_COLS]
-    )
-    return agg.map_batches(arrow_out(finalize_eval), batch_format="pandas")
+    return finalize_eval(agg)

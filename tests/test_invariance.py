@@ -50,7 +50,7 @@ def test_ner_eval_invariant_to_batching(small_corpus):
         sents = sentences_dataset(small_corpus)
         if blocks:
             sents = sents.repartition(blocks)
-        df = ner_eval_dataset(sents, batch_size=batch_size).to_pandas()
+        df = ner_eval_dataset(sents, batch_size=batch_size)
         return df.sort_values(["model", "ent_type", "schema"]).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(run(2048), run(64, blocks=5))
