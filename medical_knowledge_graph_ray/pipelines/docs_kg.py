@@ -592,31 +592,37 @@ def kg_triangles(sf_dir: str):
 
     The distributed census is ``stages/graph.py:triangle_counts`` (degree-
     oriented wedge semi-join, pinned ≡ the dense A³ oracle by
-    ``tests/test_graph.py``); this wrapper feeds it the mined edges and
-    re-attaches entity types.  Orientation-invariance makes the result
-    identical to the SQL oracle's lexicographic 3-way self-join."""
-    from ..stages.graph import triangle_counts
+    ``tests/test_graph.py``); this wrapper mines the edges distributed and
+    finalizes dense.  Orientation-invariance makes the result identical
+    to the SQL oracle's lexicographic 3-way self-join."""
+    from ..stages.graph import triangle_counts_dense
 
-    edges = doc_cooccurrence(sf_dir).map_batches(
-        arrow_out(
-            lambda b: b[["term_a", "term_b"]].rename(
-                columns={"term_a": "src", "term_b": "dst"}
-            )
-        ),
-        batch_format="pandas",
-    )
-
-    def attach_type(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"term": pd.array(b["node"], "str"),
-             "ent_type": pd.array(
-                 [WEBTEXT_GAZETTEER[t] for t in b["node"]], "str"
-             ),
-             "triangles": b["triangles"].astype("int64")}
+    # the mining pass is the distributed work; the mined edge table is
+    # BOUNDED by |gazetteer|² (≤ 253 undirected pairs), so the census
+    # itself uses the dense finalizer — the adaptive posture shared with
+    # CC/PageRank/minhash (the distributed wedge semi-join
+    # `stages/graph.py:triangle_counts` is for unbounded node sets and is
+    # pinned ≡ dense by tests/test_graph.py; running it here measured
+    # ~6-9 s of pure fixed operator cost on a 23-node graph)
+    edges = (
+        doc_cooccurrence(sf_dir)
+        .map_batches(
+            arrow_out(
+                lambda b: b[["term_a", "term_b"]].rename(
+                    columns={"term_a": "src", "term_b": "dst"}
+                )
+            ),
+            batch_format="pandas",
         )
-
-    return triangle_counts(edges).map_batches(
-        arrow_out(attach_type), batch_format="pandas"
+        .to_pandas()
+    )
+    tri = triangle_counts_dense(edges, "src", "dst")
+    return pd.DataFrame(
+        {"term": pd.array(tri["node"], "str"),
+         "ent_type": pd.array(
+             [WEBTEXT_GAZETTEER[t] for t in tri["node"]], "str"
+         ),
+         "triangles": tri["triangles"].astype("int64")}
     )
 
 
