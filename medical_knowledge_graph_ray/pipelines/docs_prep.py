@@ -161,7 +161,50 @@ def run_docs_prep(
         m = write_stage(packs_ds, packs_dir, "packs", fp, force=not resume)
     manifests["packs"] = m
 
-    # -- stage 3: stats (bounded per-split summary) ---------------------------
+    # -- stage 3: sequences (the packed training text itself) ----------------
+    seq_dir = f"{out_root}/sequences"
+    m = _done(seq_dir)
+    if m is None:
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ..stages.joins import hash_join
+
+        pack_rows = read_stage(
+            packs_dir, columns=["pack_id", "doc_id", "pos", "split"]
+        )
+        texts = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        joined = hash_join(
+            pack_rows, texts, on=["doc_id"], how="inner", num_buckets=16,
+            left_schema=pa.schema(
+                [("doc_id", pa.int64()), ("pack_id", pa.string()),
+                 ("pos", pa.int64()), ("split", pa.string())]
+            ),
+            right_schema=pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string())]
+            ),
+        )
+
+        def assemble(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["pack_id", "pos"], kind="mergesort")
+            out = (
+                g.groupby(["pack_id", "split"], sort=False)
+                .agg(n_docs=("doc_id", "size"), text=("text", " ".join))
+                .reset_index()
+            )
+            out["n_tokens"] = (
+                out["text"].str.count(" ").astype("int64") + 1
+            )
+            return out[["pack_id", "split", "n_docs", "n_tokens", "text"]]
+
+        seq_ds = bucketed_group_map(joined, ["pack_id"], assemble,
+                                    num_buckets=16)
+        m = write_stage(seq_ds, seq_dir, "sequences", fp, force=not resume)
+    manifests["sequences"] = m
+
+    # -- stage 4: stats (bounded per-split summary) ---------------------------
     stats_dir = f"{out_root}/stats"
     m = _done(stats_dir)
     if m is not None:

@@ -86,6 +86,23 @@ def test_stats_consistent(prep):
     assert stats["n_tokens"].sum() == kept["n_tokens"].sum()
 
 
+def test_sequences_materialize_the_packs(prep):
+    _, kept, packs, _ = prep
+    seqs = pd.read_parquet(f"{OUT}/sequences")
+    per_pack = packs.groupby(["pack_id", "split"]).agg(
+        n_docs=("doc_id", "size"), n_tokens=("n_tokens", "sum")
+    ).reset_index()
+    assert sorted(seqs["pack_id"]) == sorted(per_pack["pack_id"])
+    m = seqs.merge(per_pack, on=["pack_id", "split"], suffixes=("", "_want"))
+    assert len(m) == len(seqs)
+    assert (m["n_docs"] == m["n_docs_want"]).all()
+    assert (m["n_tokens"] == m["n_tokens_want"]).all()
+    # the assembled text really carries that many whitespace tokens
+    assert (
+        seqs["text"].str.count(" ").astype("int64") + 1 == seqs["n_tokens"]
+    ).all()
+
+
 def test_resume_skips_everything(prep, ray_session):
     import time
 
@@ -103,6 +120,7 @@ def test_partial_resume_rebuilds_only_downstream(prep, ray_session):
 
     manifests, _, packs, _ = prep
     shutil.rmtree(f"{OUT}/packs")
+    shutil.rmtree(f"{OUT}/sequences")
     shutil.rmtree(f"{OUT}/stats")
     again = run_docs_prep(SF, OUT)
     assert again["kept"] == manifests["kept"]  # untouched checkpoint
