@@ -141,6 +141,13 @@ def _knn_lsh(sf_dir: str):
     return knn_cosine_lsh(_embeddings(sf_dir), _query_vec(sf_dir), k=10)
 
 
+def _knn_pq(sf_dir: str):
+    from medical_knowledge_graph_ray.pipelines.docs import _embeddings, _query_vec
+    from medical_knowledge_graph_ray.stages.similarity import knn_cosine_pq
+
+    return knn_cosine_pq(_embeddings(sf_dir), _query_vec(sf_dir), k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from medical_knowledge_graph_ray.pipelines import docs, docs_kg, events, relational
 
@@ -311,9 +318,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_extract_audit": _kg_extract_audit,
         # ---- entries below may fall outside the driver's 50-query window;
         # each is pytest-gated (accuracy/invariance) in tests/ ----
-        # LSH-bucketed + IVF ANN (scale paths; recall<1 by design)
+        # LSH-bucketed + IVF ANN (scale paths; recall<1 by design) + PQ
+        # with exact re-rank (16-byte codes; recall pytest-gated)
         "knn_cosine_lsh": _knn_lsh,
         "knn_cosine_ivf": _knn_ivf,
+        "knn_cosine_pq": _knn_pq,
         # production chain: MinHash-LSH candidates -> exact n-gram-Jaccard
         # verify (LSH recall < 1 by design, measured in tests; subsumes the
         # former minhash_pairs entry)
