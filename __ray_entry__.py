@@ -300,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-compared) and per-user NTILE window bucketing
         "docs_redact": docs.docs_redact,
         "events_ntile": events.events_ntile,
+        # cross-table integrity audit (uniqueness / FK / range checks)
+        "tables_integrity": relational.tables_integrity,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -440,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_nation_volume": relational.Q7_SQL,
         "docs_redact": docs.redact_sql(),
         "events_ntile": events.NTILE_SQL,
+        "tables_integrity": relational.TABLES_INTEGRITY_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

@@ -1415,3 +1415,128 @@ WHERE ((n1.n_name = '{Q7_N1}' AND n2.n_name = '{Q7_N2}')
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
+
+
+# -- cross-table integrity audit (data-quality checks) -------------------------
+
+def tables_integrity(sf_dir: str) -> pd.DataFrame:
+    """Constraint audit across the warehouse tables — the dbt-style test
+    suite a pipeline runs before trusting an ingest: key uniqueness,
+    referential integrity, and range constraints, each reported as a
+    (check, violations) row.
+
+    Shapes: uniqueness = per-batch key value_counts partials → bucketed
+    sum keeps only keys seen >1 (the exchange carries one row per
+    distinct key per batch — the distinct-census shape, never raw rows;
+    cross-batch duplicates make a cheaper exchange impossible without a
+    sketch pre-pass); referential checks
+    resolve membership map-side against a broadcast sorted key array (a
+    dimension-key artifact — the q5 tradeoff; swap in
+    `stages/bloom.py:bloom_semi_join(how='anti')` when the referenced key
+    set outgrows worker memory); range checks are pure pushed-down scans
+    counting one int per batch."""
+    import pyarrow as pa
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_group_map
+
+    def _count(ds, colname="n") -> int:
+        out = ds.aggregate(Sum(colname, alias_name="n"))
+        return int(out["n"]) if out and out["n"] is not None else 0
+
+    def _dup_count(table: str, key: str) -> int:
+        """Exact count of rows carrying a duplicated key value."""
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            vc = b[key].value_counts()
+            return pd.DataFrame(
+                {key: vc.index.to_numpy(), "c": vc.to_numpy().astype("int64")}
+            )
+
+        def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
+            tot = g.groupby(key, sort=False)["c"].sum()
+            dup_rows = int(tot[tot > 1].sum())
+            return pd.DataFrame({"n": pd.array([dup_rows], "int64")})
+
+        partials = _read(sf_dir, table, columns=[key]).map_batches(
+            arrow_out(partial), batch_format="pandas"
+        )
+        return _count(bucketed_group_map(partials, [key], bucket_final,
+                                         num_buckets=8))
+
+    def _orphan_count(table: str, fk: str, ref_table: str, ref_key: str) -> int:
+        ref = (
+            _read(sf_dir, ref_table, columns=[ref_key])
+            .to_pandas()[ref_key].to_numpy()
+        )
+        ref_ref = ray.put(np.sort(ref))
+
+        class Orphans:
+            def __init__(self):
+                self.keys = None
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                if self.keys is None:
+                    self.keys = ray.get(ref_ref)
+                v = b[fk].to_numpy()
+                if len(self.keys):
+                    pos = np.clip(
+                        np.searchsorted(self.keys, v), 0, len(self.keys) - 1
+                    )
+                    miss = self.keys[pos] != v
+                else:
+                    miss = np.ones(len(v), dtype=bool)
+                return pd.DataFrame({"n": pd.array([int(miss.sum())], "int64")})
+
+        return _count(
+            _read(sf_dir, table, columns=[fk]).map_batches(
+                arrow_out(Orphans()), batch_format="pandas"
+            )
+        )
+
+    def _violation_count(table: str, col: str, filt) -> int:
+        ds = _read(sf_dir, table, columns=[col], filter=filt)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"n": pd.array([len(b)], "int64")})
+
+        return _count(ds.map_batches(arrow_out(partial), batch_format="pandas"))
+
+    checks = [
+        ("customer_custkey_unique", _dup_count("customer", "c_custkey")),
+        ("orders_orderkey_unique", _dup_count("orders", "o_orderkey")),
+        ("orders_custkey_fk", _orphan_count(
+            "orders", "o_custkey", "customer", "c_custkey")),
+        ("lineitem_orderkey_fk", _orphan_count(
+            "lineitem", "l_orderkey", "orders", "o_orderkey")),
+        ("lineitem_quantity_positive", _violation_count(
+            "lineitem", "l_quantity", pc.field("l_quantity") <= 0.0)),
+        ("orders_totalprice_nonneg", _violation_count(
+            "orders", "o_totalprice", pc.field("o_totalprice") < 0.0)),
+    ]
+    return pd.DataFrame(
+        {"check": [c for c, _ in checks],
+         "violations": pd.array([v for _, v in checks], "int64")}
+    )
+
+
+TABLES_INTEGRITY_SQL = """
+SELECT 'customer_custkey_unique' AS "check",
+       CAST(COALESCE(SUM(c), 0) AS BIGINT) AS violations
+FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'orders_orderkey_unique',
+       CAST(COALESCE(SUM(c), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'orders_custkey_fk', COUNT(*) FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'lineitem_orderkey_fk', COUNT(*) FROM lineitem
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'lineitem_quantity_positive', COUNT(*) FROM lineitem WHERE l_quantity <= 0
+UNION ALL
+SELECT 'orders_totalprice_nonneg', COUNT(*) FROM orders WHERE o_totalprice < 0
+"""

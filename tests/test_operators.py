@@ -278,6 +278,41 @@ def test_pq_codebooks_deterministic_and_shaped():
         train_pq_codebooks(rng.standard_normal((10, 63)))
 
 
+def test_tables_integrity_detects_injected_violations(
+    ray_session, tmp_path_factory
+):
+    """The audit must COUNT violations, not just pass clean data: a
+    doctored warehouse with duplicate keys, orphan FKs, and range
+    breaches yields the exact expected tallies."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medical_knowledge_graph_ray.pipelines.relational import (
+        tables_integrity,
+    )
+
+    d = tmp_path_factory.mktemp("integrity")
+    pq.write_table(pa.table({
+        "c_custkey": [1, 2, 2, 3],  # custkey 2 duplicated -> 2 rows
+    }), f"{d}/customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": [10, 10, 11, 12],        # orderkey 10 dup -> 2 rows
+        "o_custkey": [1, 2, 99, 98],           # 2 orphans
+        "o_totalprice": [5.0, -1.0, 3.0, 0.0],  # 1 negative
+    }), f"{d}/orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": [10, 11, 77],            # 1 orphan
+        "l_quantity": [1.0, 0.0, 2.0],         # 1 non-positive
+    }), f"{d}/lineitem.parquet")
+    got = tables_integrity(str(d)).set_index("check")["violations"]
+    assert got["customer_custkey_unique"] == 2
+    assert got["orders_orderkey_unique"] == 2
+    assert got["orders_custkey_fk"] == 2
+    assert got["lineitem_orderkey_fk"] == 1
+    assert got["lineitem_quantity_positive"] == 1
+    assert got["orders_totalprice_nonneg"] == 1
+
+
 def test_neardup_chunked_equals_broadcast_exactly(ray_session):
     """The shipped chunk-pair self-join must reproduce the O(N)-memory
     broadcast baseline EXACTLY (same pairs, same 6-dp sims) — it is an
