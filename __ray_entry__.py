@@ -302,6 +302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": events.events_ntile,
         # cross-table integrity audit (uniqueness / FK / range checks)
         "tables_integrity": relational.tables_integrity,
+        # multi-query brute-force top-k (broadcast query MATRIX — one
+        # matmul scores every query per batch)
+        "knn_cosine_multi": docs.knn_cosine_multi_q,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -443,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_redact": docs.redact_sql(),
         "events_ntile": events.NTILE_SQL,
         "tables_integrity": relational.TABLES_INTEGRITY_SQL,
+        "knn_cosine_multi": docs.KNN_MULTI_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

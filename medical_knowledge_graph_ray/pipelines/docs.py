@@ -1747,3 +1747,48 @@ SELECT doc_id,
        regexp_replace(text, '{pat}', '{REDACT_TOKEN}', 'g') AS redacted
 FROM documents
 """
+
+
+# -- multi-query similarity search (broadcast query matrix) --------------------
+
+KNN_MULTI_QUERY_IDS = (0, 1, 2)
+
+
+def knn_cosine_multi_q(sf_dir: str, k: int = 10):
+    """Top-k neighbors for a BATCH of query vectors in one corpus pass
+    (`stages/similarity.py:knn_cosine_multi`) — the query matrix is a
+    pushed-down keyed read, never a table scan."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_cosine_multi
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(KNN_MULTI_QUERY_IDS))],
+    )
+    order = np.argsort(t["vec_id"].to_numpy())
+    qm = np.stack(
+        [np.asarray(v, np.float64) for v in t["embedding"].to_pylist()]
+    )[order]
+    qids = t["vec_id"].to_numpy()[order]
+    return knn_cosine_multi(_embeddings(sf_dir), qm, qids, k=k)
+
+
+KNN_MULTI_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN {KNN_MULTI_QUERY_IDS}
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+           AS sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, sim,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= 10
+"""

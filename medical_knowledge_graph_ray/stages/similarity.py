@@ -550,3 +550,63 @@ def knn_cosine_pq(
             "sim": pd.array(sims[order], "float64"),
         }
     ).reset_index(drop=True)
+
+
+# -- multi-query brute-force top-k (broadcast query MATRIX) --------------------
+
+def knn_cosine_multi(
+    embeddings, queries: np.ndarray, query_ids, k: int = 10,
+):
+    """Top-k cosine neighbors for EVERY row of a query matrix in one
+    corpus pass — the serving shape of similarity search (a batch of
+    queries, not one vector).  The normalized (Q, d) matrix ships once
+    via ``ray.put``; each corpus batch scores all queries with ONE
+    matmul ((n, d) @ (d, Q)) and keeps its batch-local top-k per query —
+    the exchange then carries ≤ k·Q rows per batch into the grouped
+    top-N final, which also emits the 1-based rank.  Output
+    (query_id, vec_id, sim, rank), 6-dp sims matching the single-query
+    scorer."""
+    import ray
+
+    from .shuffle import grouped_topn
+
+    qm = np.asarray(queries, np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qids = np.asarray(query_ids, np.int64)
+    ref = ray.put((qn, qids))
+
+    class MultiTopK:
+        def __init__(self):
+            self.state = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                return pd.DataFrame(
+                    {"query_id": pd.array([], "int64"),
+                     "vec_id": pd.array([], "int64"),
+                     "sim": pd.array([], "float64")}
+                )
+            if self.state is None:
+                self.state = ray.get(ref)
+            qn, qids = self.state
+            mat = _to_matrix(b["embedding"])
+            norms = np.linalg.norm(mat, axis=1)
+            sims = np.round(
+                (mat @ qn.T) / np.where(norms == 0, 1.0, norms)[:, None], 6
+            )  # (n, Q)
+            ids = b["vec_id"].to_numpy()
+            frames = []
+            for j in range(sims.shape[1]):  # loop over QUERIES, never rows
+                order = np.lexsort((ids, -sims[:, j]))[:k]
+                frames.append(pd.DataFrame(
+                    {"query_id": np.full(len(order), qids[j], "int64"),
+                     "vec_id": ids[order].astype("int64"),
+                     "sim": sims[order, j]}
+                ))
+            return pd.concat(frames, ignore_index=True)
+
+    partials = embeddings.map_batches(MultiTopK(), batch_format="pandas")
+    return grouped_topn(
+        partials, ["query_id"], "sim", k,
+        descending=True, tiebreak="vec_id", num_buckets=8,
+    )
