@@ -64,6 +64,10 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         # pack -> checkpointed stages; always a fresh run — the query
         # clears its scratch root)
         "docs_llm_prep",
+        # closing-session additions: returned-customer join chain, PII
+        # scrub, integrity audit, multi-query ANN, k-means census
+        "q10_returned_customers", "docs_redact", "tables_integrity",
+        "knn_cosine_multi", "embed_kmeans",
     ]
     qs = em.queries()
     times: dict[str, float] = {}
