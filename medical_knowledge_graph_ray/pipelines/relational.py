@@ -1425,95 +1425,89 @@ def tables_integrity(sf_dir: str) -> pd.DataFrame:
     referential integrity, and range constraints, each reported as a
     (check, violations) row.
 
-    Shapes: uniqueness = per-batch key value_counts partials → bucketed
-    sum keeps only keys seen >1 (the exchange carries one row per
-    distinct key per batch — the distinct-census shape, never raw rows;
-    cross-batch duplicates make a cheaper exchange impossible without a
-    sketch pre-pass); referential checks
-    resolve membership map-side against a broadcast sorted key array (a
-    dimension-key artifact — the q5 tradeoff; swap in
-    `stages/bloom.py:bloom_semi_join(how='anti')` when the referenced key
-    set outgrows worker memory); range checks are pure pushed-down scans
-    counting one int per batch."""
-    import pyarrow as pa
+    Execution shape: FOUR executions for six checks.  The two referenced
+    key columns (customer.c_custkey, orders.o_orderkey) are collected
+    once each — the broadcast artifact the FK checks need anyway (the
+    q5 tradeoff; swap in `stages/bloom.py:bloom_semi_join(how='anti')`
+    when a referenced key set outgrows worker memory) — and their
+    uniqueness censuses ride those same arrays for free.  Each probe
+    table then makes ONE pass computing its FK-orphan and range
+    violations together (per-batch int partials, O(num_batches)
+    exchange).  For a uniqueness check on a table whose keys are NOT
+    otherwise collected, use the distinct-census combiner
+    (`docs.token_histogram`'s shape) instead of collecting."""
     import ray
 
     from ray.data.aggregate import Sum
 
-    from ..stages.shuffle import bucketed_group_map
+    def _key_array(table: str, key: str) -> np.ndarray:
+        return _read(sf_dir, table, columns=[key]).to_pandas()[key].to_numpy()
 
-    def _count(ds, colname="n") -> int:
-        out = ds.aggregate(Sum(colname, alias_name="n"))
-        return int(out["n"]) if out and out["n"] is not None else 0
+    def _dups(keys: np.ndarray) -> int:
+        """Rows carrying a duplicated key value (driver-side — the array
+        is already collected for the FK broadcast)."""
+        _u, counts = np.unique(keys, return_counts=True)
+        return int(counts[counts > 1].sum())
 
-    def _dup_count(table: str, key: str) -> int:
-        """Exact count of rows carrying a duplicated key value."""
-        def partial(b: pd.DataFrame) -> pd.DataFrame:
-            vc = b[key].value_counts()
+    cust_keys = _key_array("customer", "c_custkey")
+    order_keys = _key_array("orders", "o_orderkey")
+    cust_ref = ray.put(np.sort(cust_keys))
+    order_ref = ray.put(np.sort(order_keys))
+
+    def _miss_count(keys: np.ndarray, probe: np.ndarray) -> int:
+        if not len(keys):
+            return len(probe)
+        pos = np.clip(np.searchsorted(keys, probe), 0, len(keys) - 1)
+        return int((keys[pos] != probe).sum())
+
+    class OrdersChecks:
+        def __init__(self):
+            self.keys = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.keys is None:
+                self.keys = ray.get(cust_ref)
             return pd.DataFrame(
-                {key: vc.index.to_numpy(), "c": vc.to_numpy().astype("int64")}
+                {"fk": pd.array(
+                    [_miss_count(self.keys, b["o_custkey"].to_numpy())], "int64"),
+                 "rng": pd.array(
+                    [int((b["o_totalprice"].to_numpy() < 0.0).sum())], "int64")}
             )
 
-        def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
-            tot = g.groupby(key, sort=False)["c"].sum()
-            dup_rows = int(tot[tot > 1].sum())
-            return pd.DataFrame({"n": pd.array([dup_rows], "int64")})
+    class LineitemChecks:
+        def __init__(self):
+            self.keys = None
 
-        partials = _read(sf_dir, table, columns=[key]).map_batches(
-            arrow_out(partial), batch_format="pandas"
-        )
-        return _count(bucketed_group_map(partials, [key], bucket_final,
-                                         num_buckets=8))
-
-    def _orphan_count(table: str, fk: str, ref_table: str, ref_key: str) -> int:
-        ref = (
-            _read(sf_dir, ref_table, columns=[ref_key])
-            .to_pandas()[ref_key].to_numpy()
-        )
-        ref_ref = ray.put(np.sort(ref))
-
-        class Orphans:
-            def __init__(self):
-                self.keys = None
-
-            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                if self.keys is None:
-                    self.keys = ray.get(ref_ref)
-                v = b[fk].to_numpy()
-                if len(self.keys):
-                    pos = np.clip(
-                        np.searchsorted(self.keys, v), 0, len(self.keys) - 1
-                    )
-                    miss = self.keys[pos] != v
-                else:
-                    miss = np.ones(len(v), dtype=bool)
-                return pd.DataFrame({"n": pd.array([int(miss.sum())], "int64")})
-
-        return _count(
-            _read(sf_dir, table, columns=[fk]).map_batches(
-                arrow_out(Orphans()), batch_format="pandas"
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.keys is None:
+                self.keys = ray.get(order_ref)
+            return pd.DataFrame(
+                {"fk": pd.array(
+                    [_miss_count(self.keys, b["l_orderkey"].to_numpy())], "int64"),
+                 "rng": pd.array(
+                    [int((b["l_quantity"].to_numpy() <= 0.0).sum())], "int64")}
             )
-        )
 
-    def _violation_count(table: str, col: str, filt) -> int:
-        ds = _read(sf_dir, table, columns=[col], filter=filt)
+    def _two(ds) -> tuple[int, int]:
+        out = ds.aggregate(Sum("fk", alias_name="fk"), Sum("rng", alias_name="rng"))
+        return (int(out["fk"] or 0), int(out["rng"] or 0))
 
-        def partial(b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"n": pd.array([len(b)], "int64")})
-
-        return _count(ds.map_batches(arrow_out(partial), batch_format="pandas"))
+    o_fk, o_rng = _two(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(arrow_out(OrdersChecks()), batch_format="pandas")
+    )
+    l_fk, l_rng = _two(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+        .map_batches(arrow_out(LineitemChecks()), batch_format="pandas")
+    )
 
     checks = [
-        ("customer_custkey_unique", _dup_count("customer", "c_custkey")),
-        ("orders_orderkey_unique", _dup_count("orders", "o_orderkey")),
-        ("orders_custkey_fk", _orphan_count(
-            "orders", "o_custkey", "customer", "c_custkey")),
-        ("lineitem_orderkey_fk", _orphan_count(
-            "lineitem", "l_orderkey", "orders", "o_orderkey")),
-        ("lineitem_quantity_positive", _violation_count(
-            "lineitem", "l_quantity", pc.field("l_quantity") <= 0.0)),
-        ("orders_totalprice_nonneg", _violation_count(
-            "orders", "o_totalprice", pc.field("o_totalprice") < 0.0)),
+        ("customer_custkey_unique", _dups(cust_keys)),
+        ("orders_orderkey_unique", _dups(order_keys)),
+        ("orders_custkey_fk", o_fk),
+        ("lineitem_orderkey_fk", l_fk),
+        ("lineitem_quantity_positive", l_rng),
+        ("orders_totalprice_nonneg", o_rng),
     ]
     return pd.DataFrame(
         {"check": [c for c, _ in checks],
