@@ -305,6 +305,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-query brute-force top-k (broadcast query MATRIX — one
         # matmul scores every query per batch)
         "knn_cosine_multi": docs.knn_cosine_multi_q,
+        # event-type transition census (LEAD window → Markov counts)
+        "events_transitions": events.events_transitions,
+        # global ordered running total over the bounded month census, and
+        # the global-scalar-then-filter (correlated-subquery) shape
+        "orders_monthly_cumrev": relational.orders_monthly_cumrev,
+        "customers_above_avg": relational.customers_above_avg,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -447,6 +453,9 @@ def oracle_sql() -> dict[str, str]:
         "events_ntile": events.NTILE_SQL,
         "tables_integrity": relational.TABLES_INTEGRITY_SQL,
         "knn_cosine_multi": docs.KNN_MULTI_SQL,
+        "events_transitions": events.TRANSITIONS_SQL,
+        "orders_monthly_cumrev": relational.MONTHLY_CUMREV_SQL,
+        "customers_above_avg": relational.ABOVE_AVG_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

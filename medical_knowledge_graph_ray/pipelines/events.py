@@ -920,3 +920,62 @@ SELECT event_id, user_id,
          PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS tile
 FROM events
 """
+
+
+# -- event-type transition census (next-event Markov counts) -------------------
+
+def events_transitions(sf_dir: str):
+    """(event_type → next event_type) transition counts across every
+    user's time-ordered stream — the Markov-chain census behind funnel
+    and path analysis (the LEAD window family).  One bucketed exchange
+    on user_id; inside each bucket the next-type column is ONE shift of
+    the (user, ts, event_id)-sorted frame (boundary rows masked where
+    the user changes), then a tiny (type, next_type) count exchange
+    finishes globally — transition keys are |types|² bounded."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        user = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = user[:-1] == user[1:]
+        df = pd.DataFrame(
+            {"event_type": et[:-1][same], "next_type": et[1:][same]}
+        )
+        return (
+            df.groupby(["event_type", "next_type"], sort=False)
+            .size().rename("n").reset_index()
+        )
+
+    pairs = bucketed_group_map(ev, ["user_id"], pair_partial, num_buckets=32)
+    agg = pairs.groupby(["event_type", "next_type"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": b["event_type"].astype(str),
+             "next_type": b["next_type"].astype(str),
+             "n": b["n"].astype("int64")}
+        )
+
+    return agg.map_batches(arrow_out(finalize), batch_format="pandas")
+
+
+TRANSITIONS_SQL = """
+WITH nxt AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, COUNT(*) AS n
+FROM nxt WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""

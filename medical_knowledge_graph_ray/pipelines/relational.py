@@ -1534,3 +1534,111 @@ SELECT 'lineitem_quantity_positive', COUNT(*) FROM lineitem WHERE l_quantity <= 
 UNION ALL
 SELECT 'orders_totalprice_nonneg', COUNT(*) FROM orders WHERE o_totalprice < 0
 """
+
+
+# -- monthly cumulative revenue (global ordered running total) -----------------
+
+def orders_monthly_cumrev(sf_dir: str) -> pd.DataFrame:
+    """Month → (revenue, cumulative revenue) over the whole order log —
+    the global ordered running-total shape: the per-month census is a
+    BOUNDED artifact (dozens of rows), so the distributed work is one
+    int64-cent combiner per batch and the cumsum is a driver-side
+    prefix over the tiny sorted census (never a global sort of rows)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # numpy month truncation keeps the µs unit (pandas to_period
+        # round-trips through ns and would diverge from the oracle dtype)
+        month = (
+            b["o_orderdate"].to_numpy()
+            .astype("datetime64[M]").astype("datetime64[us]")
+        )
+        c = np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        return (
+            pd.DataFrame({"month": month, "c": c})
+            .groupby("month", sort=False)["c"].sum().reset_index()
+        )
+
+    agg = (
+        orders.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby("month").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # ≤ #months rows — bounded artifact
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    c = agg["c"].astype("int64")
+    return pd.DataFrame(
+        {"month": agg["month"],
+         "revenue": c / 100.0,
+         "cum_revenue": c.cumsum() / 100.0}
+    )
+
+
+MONTHLY_CUMREV_SQL = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+)
+SELECT month, c/100.0 AS revenue,
+       SUM(c) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING)/100.0
+         AS cum_revenue
+FROM m ORDER BY month
+"""
+
+
+# -- customers above 2x the average spend (global scalar -> filter) ------------
+
+ABOVE_AVG_FACTOR = 2
+
+
+def customers_above_avg(sf_dir: str):
+    """Customers whose total spend exceeds 2× the all-customer average —
+    the global-scalar-then-filter shape (a correlated subquery in SQL):
+    pass 1 aggregates per-customer cent totals through the bucketed
+    combiner; the average divides two already-global integers on the
+    driver; pass 2 is a vectorized filter of the SAME per-customer
+    aggregate (kept distributed — only the two scalars move)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        return (
+            pd.DataFrame({"o_custkey": b["o_custkey"], "c": c})
+            .groupby("o_custkey", sort=False)["c"].sum().reset_index()
+        )
+
+    per_cust = (
+        orders.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby("o_custkey").aggregate(Sum("c", alias_name="c"))
+        .materialize()  # reused: global scalar + the filtered output
+    )
+    tot = per_cust.aggregate(Sum("c", alias_name="t"))
+    n = per_cust.count()
+    cutoff = ABOVE_AVG_FACTOR * tot["t"] / n  # exact: ints divided once
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        spend = b["c"].astype("int64")
+        out = b.loc[spend > cutoff]
+        return pd.DataFrame(
+            {"o_custkey": out["o_custkey"].astype("int64"),
+             "total_spend": out["c"].astype("int64") / 100.0}
+        )
+
+    return per_cust.map_batches(arrow_out(keep), batch_format="pandas")
+
+
+ABOVE_AVG_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS c
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, c/100.0 AS total_spend
+FROM per_cust
+WHERE c > {ABOVE_AVG_FACTOR} * (SELECT SUM(c) FROM per_cust)
+          / (SELECT COUNT(*) FROM per_cust)
+"""
