@@ -311,6 +311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the global-scalar-then-filter (correlated-subquery) shape
         "orders_monthly_cumrev": relational.orders_monthly_cumrev,
         "customers_above_avg": relational.customers_above_avg,
+        # exact windowed COUNT(DISTINCT) + grouped mode with tiebreak
+        "events_sliding_users": events.events_sliding_users,
+        "events_user_mode": events.events_user_mode,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -456,6 +459,8 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": events.TRANSITIONS_SQL,
         "orders_monthly_cumrev": relational.MONTHLY_CUMREV_SQL,
         "customers_above_avg": relational.ABOVE_AVG_SQL,
+        "events_sliding_users": events.SLIDING_USERS_SQL,
+        "events_user_mode": events.USER_MODE_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

@@ -979,3 +979,104 @@ SELECT event_type, next_type, COUNT(*) AS n
 FROM nxt WHERE next_type IS NOT NULL
 GROUP BY event_type, next_type
 """
+
+
+# -- sliding-window exact distinct users ---------------------------------------
+
+def events_sliding_users(sf_dir: str):
+    """Exact distinct users per 1-hour/30-min sliding window — the
+    windowed COUNT(DISTINCT) (the exact complement of the HLL sketch
+    queries): explode each event into its two windows AND dedup
+    (window, user) inside the batch (the combiner — repeat visitors
+    collapse before the exchange), then one bucketed exchange counts
+    exact distincts per window."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        half = b["ts"].dt.floor("30min")
+        frames = [
+            pd.DataFrame(
+                {"window_start": start, "user_id": b["user_id"]}
+            )
+            for start in (half - pd.Timedelta(minutes=30), half)
+        ]
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    pairs = ev.map_batches(arrow_out(partial), batch_format="pandas")
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates()
+            .groupby("window_start", sort=False)["user_id"]
+            .size().rename("n_users").reset_index()
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return bucketed_group_map(
+        pairs, ["window_start"], count_bucket, num_buckets=32
+    )
+
+
+SLIDING_USERS_SQL = """
+WITH halves AS (
+  SELECT user_id, time_bucket(INTERVAL 30 MINUTE, ts) AS half FROM events
+), exploded AS (
+  SELECT user_id, half - INTERVAL 30 MINUTE AS window_start FROM halves
+  UNION ALL
+  SELECT user_id, half FROM halves
+)
+SELECT window_start, COUNT(DISTINCT user_id) AS n_users
+FROM exploded GROUP BY window_start
+"""
+
+
+# -- per-user modal event type (grouped mode, deterministic tiebreak) ----------
+
+def events_user_mode(sf_dir: str):
+    """Each user's most frequent event type (ties → lexicographically
+    first type) — the grouped-mode shape: per-(user, type) counts
+    combine per batch, then ONE bucketed exchange on user_id finishes
+    the counts and takes the per-user argmax vectorized."""
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["user_id", "event_type"], sort=False)
+            .size().rename("n").reset_index()
+        )
+
+    counts = ev.map_batches(arrow_out(partial), batch_format="pandas")
+
+    def mode_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            g.groupby(["user_id", "event_type"], sort=False)["n"]
+            .sum().reset_index()
+        )
+        s = tot.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        top = s.groupby("user_id", sort=False).head(1)
+        return pd.DataFrame(
+            {"user_id": top["user_id"].astype("int64"),
+             "mode_type": top["event_type"].astype(str),
+             "n": top["n"].astype("int64")}
+        )
+
+    return bucketed_group_map(counts, ["user_id"], mode_bucket, num_buckets=32)
+
+
+USER_MODE_SQL = """
+SELECT user_id, event_type AS mode_type, COUNT(*) AS n
+FROM events
+GROUP BY user_id, event_type
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) = 1
+"""
