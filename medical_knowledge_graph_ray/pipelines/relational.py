@@ -1642,3 +1642,80 @@ FROM per_cust
 WHERE c > {ABOVE_AVG_FACTOR} * (SELECT SUM(c) FROM per_cust)
           / (SELECT COUNT(*) FROM per_cust)
 """
+
+
+# -- grouped moments (mean / stddev via mergeable integer partials) ------------
+
+def lineitem_qty_stats(sf_dir: str):
+    """Per-(returnflag, linestatus) quantity mean and sample stddev — the
+    mergeable-moments shape (the (n, Σx, Σx²) triple is associative, so
+    partials combine at any parallelism with NO precision drift: all
+    three moments are EXACT int64 on the cent-scaled domain, and the
+    float appears exactly once in the final formula).  x ≤ 50·100 cents
+    ⇒ Σx² ≤ ~1.5e13 — well inside int64; for wide-domain columns scale
+    down or use the histogram-quantile machinery instead."""
+    from ray.data.aggregate import Sum
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b["l_quantity"].to_numpy() * 100).astype("int64")
+        df = pd.DataFrame(
+            {"l_returnflag": b["l_returnflag"],
+             "l_linestatus": b["l_linestatus"],
+             "s1": c, "s2": c * c}
+        )
+        return (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(n=("s1", "size"), s1=("s1", "sum"), s2=("s2", "sum"))
+            .reset_index()
+        )
+
+    agg = (
+        li.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].astype("int64")
+        # n·Σx² − (Σx)² overflows int64 once a group holds ~1e7 rows;
+        # the final table is ≤ |flag|·|status| rows, so Python big ints
+        # here are free and match DuckDB's HUGEINT arithmetic exactly
+        var = [
+            float((int(nn) * int(b) - int(a) * int(a)))
+            / (int(nn) * (int(nn) - 1)) / 10_000.0
+            for nn, a, b in zip(df["n"], df["s1"], df["s2"])
+        ]
+        mean = (df["s1"].astype("int64") / n / 100.0).round(6)
+        return pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"],
+             "l_linestatus": df["l_linestatus"],
+             "n": n,
+             "avg_qty": mean,
+             "stddev_qty": np.round(np.sqrt(np.asarray(var)), 6)}
+        )
+
+    return agg.map_batches(arrow_out(finalize), batch_format="pandas")
+
+
+QTY_STATS_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       round(SUM(CAST(round(l_quantity*100) AS BIGINT))/COUNT(*)/100.0, 6)
+         AS avg_qty,
+       round(sqrt(
+         (COUNT(*)*SUM(CAST(round(l_quantity*100) AS BIGINT)
+                       * CAST(round(l_quantity*100) AS BIGINT))
+          - SUM(CAST(round(l_quantity*100) AS BIGINT))
+            * SUM(CAST(round(l_quantity*100) AS BIGINT)))
+         / (COUNT(*)*(COUNT(*)-1)) / 10000.0), 6) AS stddev_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
