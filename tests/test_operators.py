@@ -1035,6 +1035,37 @@ def test_read_table_dispatches_formats(ray_session, tmp_path):
         read_table(str(tmp_path / "t.csv"), filter=pc.field("a") > 1)
 
 
+def test_write_jsonl_roundtrip_with_manifest(ray_session, tmp_path):
+    """The JSONL sink shards per block, writes an auditable manifest, and
+    round-trips through read_table."""
+    import pandas as pd
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.sources.tables import (
+        read_table, write_jsonl,
+    )
+
+    df = pd.DataFrame({"pack_id": [f"p{i}" for i in range(20)],
+                       "n_tokens": list(range(20))})
+    out = str(tmp_path / "export")
+    m = write_jsonl(rd.from_pandas(df).repartition(4), out)
+    assert m["rows"] == 20
+    assert len(m["files"]) >= 1
+    assert sum(f["rows"] for f in m["files"]) == 20
+    # every shard round-trips through the dispatching reader
+    parts = [
+        read_table(f"{out}/{f['file']}").to_pandas() for f in m["files"]
+    ]
+    whole = (
+        pd.concat(parts, ignore_index=True)
+        .sort_values("n_tokens").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        whole[["pack_id", "n_tokens"]],
+        df.sort_values("n_tokens").reset_index(drop=True),
+    )
+
+
 def test_count_min_never_underestimates_and_is_linear():
     """CM point estimates are ≥ the true counts (the superset guarantee
     the heavy-hitter chain rests on) and batch sketches SUM to the
