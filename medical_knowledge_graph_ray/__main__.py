@@ -84,6 +84,22 @@ def main(argv: list[str] | None = None) -> int:
         help="evaluate every sentence instead of the held-out splits",
     )
 
+    pr = sub.add_parser(
+        "prep",
+        help="composed LLM-prep flagship: documents table → kept/packs/"
+        "sequences/stats checkpoints (curate ⊖ decontaminate → split → "
+        "pack); optionally export the packed sequences as sharded JSONL",
+    )
+    pr.add_argument("--sf-dir", required=True,
+                    help="directory holding documents.parquet")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--no-resume", action="store_true")
+    pr.add_argument(
+        "--export-jsonl", action="store_true",
+        help="also write <out>/sequences_jsonl/ (the training-export "
+        "format; sharded, with an auditable manifest)",
+    )
+
     au = sub.add_parser(
         "audit",
         help="audit a run_kg output root: every manifest vs the actual "
@@ -163,6 +179,24 @@ def main(argv: list[str] | None = None) -> int:
             ).map_batches(dedup_mentions_batch, batch_format="pyarrow")
             write_bio_corpus(deduped, args.out)
             print(json.dumps({"out": args.out}))
+        elif args.cmd == "prep":
+            from .pipelines.docs_prep import run_docs_prep
+
+            m = run_docs_prep(args.sf_dir, args.out,
+                              resume=not args.no_resume)
+            out = {"out": args.out,
+                   "rows": {k: v["rows"] for k, v in m.items()}}
+            if args.export_jsonl:
+                from .sources.tables import write_jsonl
+                from .state.manifests import read_stage
+
+                jm = write_jsonl(
+                    read_stage(f"{args.out}/sequences"),
+                    f"{args.out}/sequences_jsonl",
+                )
+                out["jsonl"] = {"rows": jm["rows"],
+                                "files": len(jm["files"])}
+            print(json.dumps(out))
         elif args.cmd == "ner-eval":
             import os
 
