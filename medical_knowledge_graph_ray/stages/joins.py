@@ -15,7 +15,10 @@ The engine's join ladder, in preference order:
 
 Skew note: one hot key cannot overload a bucket beyond its own row count;
 for extreme key skew, pre-aggregate the probe side per (key, batch) first
-(the engine's standard combiner shape) or salt the build side.
+(the engine's standard combiner shape) or SALT the hot keys —
+``hash_join(..., hot_keys=detect_hot_keys(ds, on), salt=8)`` splits each
+hot key's bucket work ``salt`` ways with a row-identical result (hot left
+rows spread, hot right rows replicate, cold rows untouched).
 
 This Ray version also ships a native ``Dataset.join`` (hash-partitioned;
 measured 4.6 s vs 5.6 s for this module's explicit join on a 600 k-row
@@ -46,6 +49,8 @@ def hash_join(
     left_schema=None,
     right_schema=None,
     bucket_post=None,
+    hot_keys=None,
+    salt: int = 8,
 ):
     """Partitioned hash join of two Datasets on equality keys.
 
@@ -71,9 +76,29 @@ def hash_join(
     exact and FUSES with the join — no second exchange (the reference's
     join→groupby chains, clean_and_save.py:1039-1083, all have this
     shape).
+
+    ``hot_keys`` + ``salt``: EXTREME-SKEW handling.  A single hot key
+    lands all its rows from both sides in one bucket, making that
+    bucket's merge the straggler.  Pass the hot key set (scalars for a
+    single-column ``on``, tuples otherwise — ``detect_hot_keys`` mines
+    one) and the bucket space splits ``salt`` ways for those keys: hot
+    LEFT rows spread uniformly over the salt shards, hot RIGHT rows
+    replicate to every shard, cold rows of both sides stay on shard 0 —
+    so every (left, right) row pair still meets exactly once and the
+    result is row-identical to the unsalted join.  Not valid for
+    ``how='full'`` (replicated unmatched right rows would emit per
+    shard).  With ``bucket_post``, a hot key's merged rows now span
+    ``salt`` buckets, so the post must be a re-aggregatable PARTIAL
+    (every engine bucket_post already is — a final groupby finishes).
     """
     if how not in ("inner", "left", "full", "semi", "anti"):
         raise ValueError(f"unsupported join type: {how}")
+    if hot_keys is not None and salt > 1 and how == "full":
+        raise ValueError(
+            "salted join cannot run FULL OUTER: replicated unmatched "
+            "right rows would be emitted once per salt shard"
+        )
+    hot_keys = frozenset(hot_keys) if hot_keys else None
 
     # capture each side's columns/dtypes at plan time from the Arrow
     # schema.  The unioned bucket frame null-fills the other side's
@@ -115,8 +140,52 @@ def hash_join(
         fn.__name__ = f"tag_side_{side}"
         return fn
 
-    l_tagged = left.map_batches(arrow_out(_tag(0)), batch_format="pandas")
-    r_tagged = right.map_batches(arrow_out(_tag(1)), batch_format="pandas")
+    def _hot_mask(b: pd.DataFrame):
+        import numpy as np
+
+        if len(on) == 1:
+            return b[on[0]].isin(hot_keys).to_numpy()
+        return np.asarray(pd.MultiIndex.from_frame(b[on]).isin(hot_keys))
+
+    def _tag_salted(side: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            base = (
+                pd.util.hash_pandas_object(b[on], index=False).to_numpy()
+                % num_buckets
+            ).astype("int64")
+            hot = _hot_mask(b)
+            if side == 0:
+                # salt assignment is batch-positional: which shard a hot
+                # left row lands in is arbitrary (any shard sees the full
+                # replicated right side), so the OUTPUT row set is
+                # invariant to batching even though routing isn't
+                salt_id = np.where(hot, np.arange(len(b)) % salt, 0)
+                out = b.copy()
+                out[BUCKET_COL] = (base * salt + salt_id).astype("int32")
+                out[_SIDE_COL] = 0
+                return out
+            cold = b[~hot].copy()
+            cold[BUCKET_COL] = (base[~hot] * salt).astype("int32")
+            cold[_SIDE_COL] = 1
+            frames = [cold]
+            hot_rows = b[hot]
+            if len(hot_rows):
+                base_hot = base[hot]
+                for s in range(salt):
+                    rep = hot_rows.copy()
+                    rep[BUCKET_COL] = (base_hot * salt + s).astype("int32")
+                    rep[_SIDE_COL] = 1
+                    frames.append(rep)
+            return pd.concat(frames, ignore_index=True)
+
+        fn.__name__ = f"tag_salted_side_{side}"
+        return fn
+
+    tag = _tag_salted if (hot_keys is not None and salt > 1) else _tag
+    l_tagged = left.map_batches(arrow_out(tag(0)), batch_format="pandas")
+    r_tagged = right.map_batches(arrow_out(tag(1)), batch_format="pandas")
     both = l_tagged.union(r_tagged)
 
     def _restore(frame: pd.DataFrame, names: list[str], dtypes: dict) -> pd.DataFrame:
@@ -157,3 +226,36 @@ def hash_join(
     return both.groupby(BUCKET_COL).map_groups(
         arrow_out(_merge), batch_format="pandas"
     )
+
+
+def detect_hot_keys(ds, on: list[str], *, min_frac: float = 0.05,
+                    topk_per_batch: int = 16) -> frozenset:
+    """Approximate hot-key mining for the salted join: per-batch top-k
+    ``value_counts`` partials (≤ k rows cross per batch) fold
+    driver-side; keys holding ≥ ``min_frac`` of the captured mass are
+    hot.  The captured mass underestimates the true total (cold tails
+    are dropped per batch), so the fraction OVER-estimates — the
+    detector errs toward salting more keys, which is harmless: salting
+    is result-invariant, it only splits bucket work.  Returns scalars
+    for a single-column ``on``, tuples otherwise."""
+    from ..functions.arrow import arrow_out as _ao
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {**{c: b[c].iloc[:0] for c in on},
+                 "cnt": pd.array([], "int64")}
+            )
+        vc = b[on].value_counts().head(topk_per_batch)
+        out = vc.rename("cnt").reset_index()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    folded = (
+        ds.map_batches(_ao(partial), batch_format="pandas").to_pandas()
+    )
+    if not len(folded):
+        return frozenset()
+    tot = folded.groupby(on)["cnt"].sum()
+    hot = tot[tot >= min_frac * folded["cnt"].sum()]
+    return frozenset(hot.index)

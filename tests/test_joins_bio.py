@@ -66,6 +66,71 @@ def test_hash_join_matches_pandas(ray_session):
     )
 
 
+def test_salted_join_matches_unsalted_under_extreme_skew(ray_session):
+    """70 % of both sides on one key: the salted join must be
+    row-identical to the unsalted join for every supported mode, and the
+    hot key's left rows must actually spread across the salt shards."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.joins import (
+        detect_hot_keys, hash_join,
+    )
+
+    rng = np.random.RandomState(7)
+    lk = np.where(rng.rand(4000) < 0.7, 0, rng.randint(1, 40, 4000))
+    rk = np.where(rng.rand(800) < 0.7, 0, rng.randint(1, 60, 800))
+    left = pd.DataFrame({"k": lk.astype("int64"), "a": np.arange(4000)})
+    right = pd.DataFrame({"k": rk.astype("int64"), "b": np.arange(800) * 3})
+
+    hot = detect_hot_keys(rd.from_pandas(left).repartition(5), ["k"])
+    assert 0 in hot
+
+    for how, cols in (("inner", ["k", "a", "b"]), ("left", ["k", "a", "b"]),
+                      ("semi", ["k", "a"]), ("anti", ["k", "a"])):
+        plain = (
+            hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      on=["k"], how=how, num_buckets=8)
+            .to_pandas()[cols]
+            .sort_values(cols).reset_index(drop=True)
+        )
+        salted = (
+            hash_join(rd.from_pandas(left).repartition(6),
+                      rd.from_pandas(right).repartition(3),
+                      on=["k"], how=how, num_buckets=8,
+                      hot_keys=hot, salt=4)
+            .to_pandas()[cols]
+            .sort_values(cols).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            salted.astype("float64"), plain.astype("float64"), check_dtype=False
+        )
+
+    with pytest.raises(ValueError):
+        hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                  on=["k"], how="full", hot_keys=hot, salt=4)
+
+
+def test_salted_join_splits_the_hot_bucket(ray_session):
+    """The point of salting: the hot key's merge work splits across salt
+    shards instead of serializing in one bucket."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.joins import hash_join
+
+    left = pd.DataFrame({"k": np.zeros(1000, "int64"), "a": np.arange(1000)})
+    right = pd.DataFrame({"k": np.zeros(10, "int64"), "b": np.arange(10)})
+    out = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on=["k"],
+        num_buckets=4, hot_keys={0}, salt=4,
+        bucket_post=lambda m: pd.DataFrame({"rows": [len(m)]}),
+    ).to_pandas()
+    # each populated salt shard merged a SLICE of the hot key's pairs
+    shards = out[out["rows"] > 0]["rows"]
+    assert len(shards) == 4
+    assert shards.sum() == 1000 * 10
+    assert shards.max() < 1000 * 10  # no single shard did all the work
+
+
 def test_hash_join_left(ray_session):
     import ray.data as rd
 
