@@ -148,6 +148,21 @@ def _knn_pq(sf_dir: str):
     return knn_cosine_pq(_embeddings(sf_dir), _query_vec(sf_dir), k=10)
 
 
+def _knn_pq_indexed(sf_dir: str):
+    import os
+
+    from medical_knowledge_graph_ray.pipelines.docs import _embeddings, _query_vec
+    from medical_knowledge_graph_ray.stages.similarity import (
+        build_pq_index,
+        knn_cosine_pq_indexed,
+    )
+
+    src = f"{sf_dir}/embeddings.parquet"
+    idx = f"/tmp/mkg_pq_index/{os.path.basename(os.path.normpath(sf_dir))}"
+    build_pq_index(_embeddings(sf_dir), idx)  # checkpointed — resumes
+    return knn_cosine_pq_indexed(idx, src, _query_vec(sf_dir), k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from medical_knowledge_graph_ray.pipelines import docs, docs_kg, events, relational
 
@@ -339,6 +354,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": _knn_lsh,
         "knn_cosine_ivf": _knn_ivf,
         "knn_cosine_pq": _knn_pq,
+        # persisted-index serve path: scan ONLY the 16-byte code table,
+        # pushdown keyed fetch for the re-rank candidates (≡ inline PQ,
+        # pytest-pinned)
+        "knn_cosine_pq_indexed": _knn_pq_indexed,
         # production chain: MinHash-LSH candidates -> exact n-gram-Jaccard
         # verify (LSH recall < 1 by design, measured in tests; subsumes the
         # former minhash_pairs entry)

@@ -610,3 +610,137 @@ def knn_cosine_multi(
         partials, ["query_id"], "sim", k,
         descending=True, tiebreak="vec_id", num_buckets=8,
     )
+
+
+# -- persisted PQ index (build once, serve many) --------------------------------
+
+def build_pq_index(
+    embeddings, out_dir: str, *, train_limit: int = 4096,
+    resume: bool = True,
+) -> dict:
+    """Materialize the PQ index: a checkpointed (vec_id, codes) table —
+    16 bytes per vector instead of 512 — plus the codebooks alongside.
+    This is the serve-path split: the corpus is encoded ONCE (the write
+    is a resumable `write_stage` checkpoint) and every later query scans
+    only the code table (`knn_cosine_pq_indexed`), never the vectors,
+    fetching true vectors for its final re-rank candidates by a
+    pushed-down keyed read."""
+    import ray
+
+    from ..state.manifests import stage_complete, write_stage
+
+    fp = f"pq_index|m={PQ_M}|k={PQ_K}|train={train_limit}"
+    book_path = f"{out_dir}/codebooks.npy"
+    if resume and stage_complete(f"{out_dir}/codes", fp):
+        import json
+        import os
+
+        with open(os.path.join(out_dir, "codes", "_MANIFEST.json")) as f:
+            return json.load(f)
+
+    n_total = embeddings.count()
+    stride = max(1, n_total // train_limit)
+
+    def _stride_sample(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["vec_id"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            keep = ((ids * _CHUNK_MIX) >> np.uint64(33)) % np.uint64(stride) == 0
+        return b[keep]
+
+    sample = (
+        embeddings.map_batches(_stride_sample, batch_format="pandas")
+        .to_pandas().sort_values("vec_id")
+    )
+    books = train_pq_codebooks(_to_matrix(sample["embedding"]))
+    m, kk, dsub = books.shape
+    books_ref = ray.put(books)
+
+    class Encode:
+        def __init__(self):
+            self.books = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                return pd.DataFrame(
+                    {"vec_id": pd.array([], "int64"),
+                     "codes": pd.Series([], dtype=object)}
+                )
+            if self.books is None:
+                self.books = ray.get(books_ref)
+            mat = _to_matrix(b["embedding"])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            unit = mat / np.where(norms == 0, 1.0, norms)
+            sub = unit.reshape(len(unit), m, dsub)
+            d2 = ((sub[:, :, None, :] - self.books[None, :, :, :]) ** 2).sum(-1)
+            codes = d2.argmin(-1).astype(np.uint8)  # (n, m)
+            return pd.DataFrame(
+                {"vec_id": pd.array(b["vec_id"].to_numpy(), "int64"),
+                 "codes": pd.Series([c.tobytes() for c in codes],
+                                    dtype=object)}
+            )
+
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(book_path, books)
+    codes_ds = embeddings.map_batches(Encode(), batch_format="pandas")
+    return write_stage(codes_ds, f"{out_dir}/codes", "pq_codes", fp)
+
+
+def knn_cosine_pq_indexed(
+    index_dir: str, embeddings_path: str, query: np.ndarray, k: int = 10,
+    *, rerank: int = PQ_RERANK,
+) -> pd.DataFrame:
+    """Serve-path ANN over the persisted PQ index: scan ONLY the 16-byte
+    code table (the I/O win the index exists for), ADC-score with the
+    query LUT, keep per-batch top-``rerank`` candidates, then fetch the
+    candidates' TRUE vectors by a pushed-down keyed Parquet read (row
+    groups without candidate ids never leave storage) and re-rank
+    exactly.  Output contract identical to ``knn_cosine_pq``."""
+    import pyarrow.parquet as pq
+
+    from ..state.manifests import read_stage
+
+    books = np.load(f"{index_dir}/codebooks.npy")
+    m, kk, dsub = books.shape
+    q = np.asarray(query, np.float64)
+    q = q / np.linalg.norm(q)
+    lut = np.einsum("mkd,md->mk", books, q.reshape(m, dsub))
+
+    def adc(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"vec_id": pd.array([], "int64"),
+                 "sim_adc": pd.array([], "float64")}
+            )
+        codes = np.stack(
+            [np.frombuffer(c, np.uint8) for c in b["codes"]]
+        ).astype(np.int64)
+        sims = lut[np.arange(m)[None, :], codes].sum(1)
+        order = np.lexsort((b["vec_id"].to_numpy(), -sims))[:rerank]
+        return pd.DataFrame(
+            {"vec_id": pd.array(b["vec_id"].to_numpy()[order], "int64"),
+             "sim_adc": pd.array(sims[order], "float64")}
+        )
+
+    cand = (
+        read_stage(f"{index_dir}/codes")
+        .map_batches(adc, batch_format="pandas")
+        .to_pandas()  # ≤ rerank × batches — bounded
+        .sort_values(["sim_adc", "vec_id"], ascending=[False, True],
+                     kind="mergesort")
+        .head(rerank)
+    )
+    keys = cand["vec_id"].tolist()
+    t = pq.read_table(
+        embeddings_path, columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", keys)],
+    ).to_pandas()
+    mat = _to_matrix(t["embedding"])
+    norms = np.linalg.norm(mat, axis=1)
+    sims = np.round((mat @ q) / np.where(norms == 0, 1.0, norms), 6)
+    order = np.lexsort((t["vec_id"].to_numpy(), -sims))[:k]
+    return pd.DataFrame(
+        {"vec_id": pd.array(t["vec_id"].to_numpy()[order], "int64"),
+         "sim": pd.array(sims[order], "float64")}
+    ).reset_index(drop=True)

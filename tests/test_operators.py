@@ -263,6 +263,33 @@ def test_pq_parallelism_invariant(ray_session):
     pd.testing.assert_frame_equal(run(2), run(11))
 
 
+def test_pq_index_build_serve_matches_inline(ray_session, tmp_path):
+    """The persisted index (build once, serve from 16-byte codes +
+    pushdown candidate fetch) must return exactly what the inline PQ
+    path returns; rebuilding resumes from the checkpoint."""
+    import time
+
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.similarity import (
+        build_pq_index, knn_cosine_pq, knn_cosine_pq_indexed,
+    )
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    df = pd.read_parquet(src)
+    q = np.asarray(df["embedding"].iloc[3], np.float64)
+    idx = str(tmp_path / "pq")
+    m1 = build_pq_index(rd.read_parquet(src), idx)
+    assert m1["rows"] == len(df)
+    t0 = time.perf_counter()
+    m2 = build_pq_index(rd.read_parquet(src), idx)
+    assert time.perf_counter() - t0 < 1.0  # manifest read only
+    assert m2 == m1
+    served = knn_cosine_pq_indexed(idx, src, q, k=10, rerank=200)
+    inline = knn_cosine_pq(rd.read_parquet(src), q, k=10, rerank=200)
+    pd.testing.assert_frame_equal(served, inline)
+
+
 def test_pq_codebooks_deterministic_and_shaped():
     from medical_knowledge_graph_ray.stages.similarity import (
         train_pq_codebooks,
