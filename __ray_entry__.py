@@ -331,6 +331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_mode": events.events_user_mode,
         # grouped mean/stddev via mergeable exact-integer moments
         "lineitem_qty_stats": relational.lineitem_qty_stats,
+        # per-user TIME-weighted average (interval-weighted aggregate)
+        "events_twa": events.events_twa,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -483,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_users": events.SLIDING_USERS_SQL,
         "events_user_mode": events.USER_MODE_SQL,
         "lineitem_qty_stats": relational.QTY_STATS_SQL,
+        "events_twa": events.TWA_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

@@ -1080,3 +1080,65 @@ GROUP BY user_id, event_type
 QUALIFY row_number() OVER (
   PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) = 1
 """
+
+
+# -- per-user time-weighted average (interval-weighted aggregation) -------------
+
+def events_twa(sf_dir: str):
+    """Per-user TIME-weighted average of ``value`` — the metrics-system
+    aggregate where each reading holds until the next one (numerator
+    Σ value·Δt, denominator Σ Δt over the user's ordered stream; the
+    last reading has no interval and is excluded, users with zero total
+    duration are dropped — mirrored in the oracle's HAVING).
+
+    Exact contract: value in int cents, Δt in whole seconds via the SAME
+    integer floor-division both engines compute ((µs_next − µs) //
+    1e6), so both sums are exact int64 (product ≤ ~1e11/row) and the
+    ONE float division happens on identical integers.  One bucketed
+    exchange on user_id; the shift/mask/sums vectorize per bucket."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def twa_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        user = g["user_id"].to_numpy()
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        vc = np.rint(g["value"].to_numpy() * 100).astype("int64")
+        same = user[:-1] == user[1:]
+        dt_s = (us[1:] - us[:-1]) // 1_000_000
+        d = pd.DataFrame(
+            {"user_id": user[:-1][same],
+             "num": vc[:-1][same] * dt_s[same],
+             "den": dt_s[same]}
+        )
+        agg = d.groupby("user_id", sort=False).agg(
+            num=("num", "sum"), den=("den", "sum")
+        ).reset_index()
+        agg = agg[agg["den"] > 0]
+        return pd.DataFrame(
+            {"user_id": agg["user_id"].astype("int64"),
+             "twa_value": np.round(
+                 agg["num"].to_numpy() / (100.0 * agg["den"].to_numpy()), 6
+             )}
+        )
+
+    return bucketed_group_map(ev, ["user_id"], twa_bucket, num_buckets=32)
+
+
+TWA_SQL = """
+WITH x AS (
+  SELECT user_id, value, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), d AS (
+  SELECT user_id,
+         CAST(round(value*100) AS BIGINT) AS vc,
+         (epoch_us(nxt) - epoch_us(ts)) // 1000000 AS dt_s
+  FROM x WHERE nxt IS NOT NULL
+)
+SELECT user_id, round(SUM(vc*dt_s) / (100.0 * SUM(dt_s)), 6) AS twa_value
+FROM d GROUP BY user_id HAVING SUM(dt_s) > 0
+"""
