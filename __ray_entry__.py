@@ -333,6 +333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_stats": relational.lineitem_qty_stats,
         # per-user TIME-weighted average (interval-weighted aggregate)
         "events_twa": events.events_twa,
+        # wide→long UNPIVOT (inverse of the per-user type pivot)
+        "events_type_unpivot": events.events_type_unpivot,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -486,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_mode": events.USER_MODE_SQL,
         "lineitem_qty_stats": relational.QTY_STATS_SQL,
         "events_twa": events.TWA_SQL,
+        "events_type_unpivot": events.TYPE_UNPIVOT_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

@@ -1142,3 +1142,35 @@ WITH x AS (
 SELECT user_id, round(SUM(vc*dt_s) / (100.0 * SUM(dt_s)), 6) AS twa_value
 FROM d GROUP BY user_id HAVING SUM(dt_s) > 0
 """
+
+
+# -- wide→long UNPIVOT (the inverse of the per-user type pivot) -----------------
+
+def events_type_unpivot(sf_dir: str):
+    """Melt the wide per-user type-count table back to long
+    (user_id, event_type, n) rows, dropping zero cells — the UNPIVOT
+    half of the reshape pair.  The melt is a pure per-batch flat
+    transform over the pivot's output (no additional exchange beyond
+    the pivot's own), so the chain is pivot-exchange + map."""
+    wide = events_user_type_pivot(sf_dir)
+
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        long = b.melt(
+            id_vars=["user_id"],
+            value_vars=[f"n_{t}" for t in PIVOT_TYPES],
+            var_name="event_type", value_name="n",
+        )
+        long = long[long["n"] > 0]
+        return pd.DataFrame(
+            {"user_id": long["user_id"].astype("int64"),
+             "event_type": long["event_type"].str.removeprefix("n_"),
+             "n": long["n"].astype("int64")}
+        )
+
+    return wide.map_batches(arrow_out(melt), batch_format="pandas")
+
+
+TYPE_UNPIVOT_SQL = """
+SELECT user_id, event_type, COUNT(*) AS n
+FROM events GROUP BY user_id, event_type
+"""
