@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_twa": events.events_twa,
         # wide→long UNPIVOT (inverse of the per-user type pivot)
         "events_type_unpivot": events.events_type_unpivot,
+        # percentile_cont: interpolated quantiles, still shuffle-free
+        "lineitem_quantiles_cont": relational.lineitem_quantiles_cont,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -489,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_qty_stats": relational.QTY_STATS_SQL,
         "events_twa": events.TWA_SQL,
         "events_type_unpivot": events.TYPE_UNPIVOT_SQL,
+        "lineitem_quantiles_cont": relational.LINEITEM_QUANTILES_CONT_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

@@ -1719,3 +1719,37 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+def lineitem_quantiles_cont(sf_dir: str):
+    """INTERPOLATED quantiles (percentile_cont semantics) of
+    l_extendedprice — same shuffle-free histogram narrowing as the disc
+    form (`stages/quantiles.py:quantiles_cont_int`), two neighbor ranks
+    per target, linear interpolation with the identical IEEE (n−1)·q
+    fraction DuckDB computes; 6-dp rounding absorbs the one
+    domain-rescale difference (cents here, raw dollars there — ~1e-11
+    relative vs a 1e-6 absolute round)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.arrow import arrow_out
+    from ..stages.quantiles import quantiles_cont_int
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": np.rint(b["l_extendedprice"].to_numpy() * 100).astype("int64")}
+        )
+
+    ints = li.map_batches(arrow_out(to_cents), batch_format="pandas")
+    out = quantiles_cont_int(ints, QUANTILE_QS)
+    out["value"] = (out["value"] / 100.0).round(6)
+    return out
+
+
+LINEITEM_QUANTILES_CONT_SQL = "\nUNION ALL\n".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q, "
+    f"round(quantile_cont(l_extendedprice, {q}), 6) AS value FROM lineitem"
+    for q in QUANTILE_QS
+)

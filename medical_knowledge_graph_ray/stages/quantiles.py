@@ -66,18 +66,17 @@ def _stats_pass(ints_ds):
     return int(p["n"].sum()), lo, hi
 
 
-def quantiles_disc_int(ints_ds, qs: list[float]) -> pd.DataFrame:
-    """Exact discrete quantiles of the int64 column ``v`` of ``ints_ds``.
-
-    Returns a DataFrame (q float64, value int64) — one row per requested
-    quantile, DuckDB ``quantile_disc`` semantics (rank uses the same IEEE
-    double product ``q·n`` DuckDB computes, so edge cases agree).
-    """
+def values_at_ranks(ints_ds, ranks: list[int]) -> list[int]:
+    """Exact values at the given 1-based global ranks of the int64
+    column ``v`` — the rank-targeted core the disc and cont quantile
+    fronts share (same histogram-narrowing rounds, one interval per
+    requested rank)."""
     n, g_lo, g_hi = _stats_pass(ints_ds)
-    # per-target state: inclusive interval [lo, hi] + residual 1-based rank
+    if any(r < 1 or r > n for r in ranks):
+        raise ValueError(f"rank out of range 1..{n}")
     state = [
-        {"q": q, "lo": g_lo, "hi": g_hi, "rank": max(1, math.ceil(q * n))}
-        for q in qs
+        {"q": float(r), "lo": g_lo, "hi": g_hi, "rank": int(r)}
+        for r in ranks
     ]
 
     while any(s["hi"] > s["lo"] for s in state):
@@ -132,7 +131,49 @@ def quantiles_disc_int(ints_ds, qs: list[float]) -> pd.DataFrame:
             s["lo"] = lo + b * step
             s["hi"] = min(hi, lo + (b + 1) * step - 1)
 
+    return [int(s["lo"]) for s in state]
+
+
+def quantiles_disc_int(ints_ds, qs: list[float]) -> pd.DataFrame:
+    """Exact discrete quantiles of the int64 column ``v`` of ``ints_ds``.
+
+    Returns a DataFrame (q float64, value int64) — one row per requested
+    quantile, DuckDB ``quantile_disc`` semantics (rank uses the same IEEE
+    double product ``q·n`` DuckDB computes, so edge cases agree)."""
+    n, _lo, _hi = _stats_pass(ints_ds)
+    ranks = [max(1, math.ceil(q * n)) for q in qs]
+    vals = values_at_ranks(ints_ds, ranks)
     return pd.DataFrame(
-        {"q": np.asarray([s["q"] for s in state], np.float64),
-         "value": np.asarray([s["lo"] for s in state], np.int64)}
+        {"q": np.asarray(qs, np.float64),
+         "value": np.asarray(vals, np.int64)}
+    )
+
+
+def quantiles_cont_int(ints_ds, qs: list[float]) -> pd.DataFrame:
+    """Exact INTERPOLATED quantiles (DuckDB ``quantile_cont`` semantics):
+    h = (n−1)·q in IEEE double — identical on both engines — then
+    linear interpolation between the int values at ranks ⌊h⌋+1 and
+    ⌊h⌋+2.  Returns (q float64, value float64 in the int domain); the
+    caller applies its own descaling/rounding.  Costs the same narrowing
+    rounds as disc with up to 2 intervals per quantile."""
+    n, _lo, _hi = _stats_pass(ints_ds)
+    hs = [(n - 1) * q for q in qs]
+    need: list[int] = []
+    for h in hs:
+        lo_r = int(math.floor(h)) + 1
+        need.append(lo_r)
+        if h > math.floor(h):
+            need.append(lo_r + 1)
+    uniq = sorted(set(need))
+    vals = dict(zip(uniq, values_at_ranks(ints_ds, uniq)))
+    out = []
+    for h in hs:
+        lo_r = int(math.floor(h)) + 1
+        frac = h - math.floor(h)
+        v_lo = vals[lo_r]
+        v = v_lo + frac * (vals[lo_r + 1] - v_lo) if frac > 0 else float(v_lo)
+        out.append(v)
+    return pd.DataFrame(
+        {"q": np.asarray(qs, np.float64),
+         "value": np.asarray(out, np.float64)}
     )
