@@ -337,6 +337,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_unpivot": events.events_type_unpivot,
         # percentile_cont: interpolated quantiles, still shuffle-free
         "lineitem_quantiles_cont": relational.lineitem_quantiles_cont,
+        # GROUP BY CUBE (all 2^k subtotal levels) + INTERSECT key sets
+        "q1_cube": relational.q1_cube,
+        "events_users_both": events.events_users_both,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -492,6 +495,8 @@ def oracle_sql() -> dict[str, str]:
         "events_twa": events.TWA_SQL,
         "events_type_unpivot": events.TYPE_UNPIVOT_SQL,
         "lineitem_quantiles_cont": relational.LINEITEM_QUANTILES_CONT_SQL,
+        "q1_cube": relational.Q1_CUBE_SQL,
+        "events_users_both": events.USERS_BOTH_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

@@ -1174,3 +1174,46 @@ TYPE_UNPIVOT_SQL = """
 SELECT user_id, event_type, COUNT(*) AS n
 FROM events GROUP BY user_id, event_type
 """
+
+
+# -- INTERSECT of per-user type key sets ----------------------------------------
+
+def events_users_both(sf_dir: str, type_a: str = "click",
+                      type_b: str = "purchase"):
+    """Users present in BOTH event types — the INTERSECT shape: the read
+    prunes to the two types via Parquet row-filter pushdown, each batch
+    emits its distinct (user, has_a, has_b) flag partials, one bucketed
+    exchange ORs the flags per user and keeps the conjunction."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import bucketed_group_map
+
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"],
+        filter=pc.field("event_type").isin([type_a, type_b]),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.assign(
+            has_a=(b["event_type"] == type_a),
+            has_b=(b["event_type"] == type_b),
+        ).groupby("user_id", sort=False)[["has_a", "has_b"]].any().reset_index()
+        return g
+
+    flags = ev.map_batches(arrow_out(partial), batch_format="pandas")
+
+    def conj(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("user_id", sort=False)[["has_a", "has_b"]].any()
+        keep = t[t["has_a"] & t["has_b"]].reset_index()
+        return pd.DataFrame({"user_id": keep["user_id"].astype("int64")})
+
+    return bucketed_group_map(flags, ["user_id"], conj, num_buckets=16)
+
+
+USERS_BOTH_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""

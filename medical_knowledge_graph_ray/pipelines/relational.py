@@ -1753,3 +1753,76 @@ LINEITEM_QUANTILES_CONT_SQL = "\nUNION ALL\n".join(
     f"round(quantile_cont(l_extendedprice, {q}), 6) AS value FROM lineitem"
     for q in QUANTILE_QS
 )
+
+
+# -- CUBE grouping sets (all 2^k subtotal levels) -------------------------------
+
+def q1_cube(sf_dir: str) -> pd.DataFrame:
+    """q1 pricing sums at ALL FOUR grouping levels of (returnflag,
+    linestatus) — GROUP BY CUBE.  Same posture as `q1_rollup`: the
+    detail aggregate is computed ONCE distributed, every coarser level
+    (including the (ALL, status) level ROLLUP lacks) derives from the
+    ≤|flag|·|status| bounded detail artifact driver-side; int64 cents
+    throughout, one division at the end."""
+    from ray.data.aggregate import Sum
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_shipdate"],
+        filter=pc.field("l_shipdate") <= pc.scalar(np.datetime64(Q1_CUTOFF, "us")),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"l_returnflag": b["l_returnflag"],
+             "l_linestatus": b["l_linestatus"],
+             "qty_c": np.rint(b["l_quantity"].to_numpy() * 100).astype("int64"),
+             "price_c": np.rint(
+                 b["l_extendedprice"].to_numpy() * 100).astype("int64")}
+        )
+        return (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(qty_c=("qty_c", "sum"), price_c=("price_c", "sum"),
+                 n=("qty_c", "size"))
+            .reset_index()
+        )
+
+    base = (
+        li.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty_c", alias_name="qty_c"),
+                   Sum("price_c", alias_name="price_c"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()  # bounded detail artifact
+    )
+    levels = [base]
+    for keep in (["l_returnflag"], ["l_linestatus"], []):
+        lvl = (
+            base.groupby(keep)[["qty_c", "price_c", "n"]].sum().reset_index()
+            if keep else base[["qty_c", "price_c", "n"]].sum().to_frame().T
+        )
+        for col in ("l_returnflag", "l_linestatus"):
+            if col not in lvl.columns:
+                lvl[col] = "ALL"
+        levels.append(lvl)
+    out = pd.concat(levels, ignore_index=True)
+    return pd.DataFrame(
+        {"l_returnflag": pd.array(out["l_returnflag"], "str"),
+         "l_linestatus": pd.array(out["l_linestatus"], "str"),
+         "sum_qty": out["qty_c"].astype("int64") / 100.0,
+         "sum_base_price": out["price_c"].astype("int64") / 100.0,
+         "count_order": out["n"].astype("int64")}
+    ).sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q1_CUBE_SQL = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       SUM(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
