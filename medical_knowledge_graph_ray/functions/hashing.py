@@ -232,3 +232,21 @@ def md5_int_vec(strings, bits: int = 32):
 def stable_bucket_vec(strings, n: int):
     """Vectorized ``stable_bucket``: int64 bucket per string in [0, n)."""
     return (md5_int_vec(strings, bits=32) % n).astype("int64")
+
+
+def md5_int_vec_prefixed(prefix: str, values, bits: int = 32):
+    """Vectorized ``md5_int(f"{prefix}|{v}")`` over a column of values —
+    the message strings build ARROW-side (``binary_join_element_wise``,
+    the split_heldout_mask idiom), so no per-row Python f-string touches
+    a corpus-scale stream.  Bit-exact vs the scalar form for any value
+    whose ``str()`` equals its Arrow string cast (ints, strings)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array(np.asarray(values))
+    msg = pc.binary_join_element_wise(
+        pa.scalar(prefix), pc.cast(values, pa.string()), pa.scalar("|")
+    )
+    return md5_int_vec(msg, bits=bits)

@@ -373,14 +373,14 @@ def docs_split(sf_dir: str):
     """doc_id → split by md5 hash-mod (1/80 val, 1/90 test, rest train) —
     the content-stable replacement for the reference's positional
     i%80/i%90 split (generation.py:446-455)."""
-    from ..functions.hashing import md5_int
+    import numpy as np
+
+    from ..functions.hashing import md5_int_vec_prefixed
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
-        hs = [md5_int(f"split|{d}", bits=32) for d in b["doc_id"]]
-        split = [
-            "val" if h % 80 == 0 else ("test" if h % 90 == 0 else "train")
-            for h in hs
-        ]
+        h = md5_int_vec_prefixed("split", b["doc_id"].to_numpy(), bits=32)
+        split = np.where(h % 80 == 0, "val",
+                         np.where(h % 90 == 0, "test", "train"))
         return pd.DataFrame({"doc_id": b["doc_id"], "split": split})
 
     return _docs(sf_dir, ["doc_id"]).map_batches(assign, batch_format="pandas")
@@ -485,12 +485,13 @@ def docs_sample(sf_dir: str):
     replacement for the reference's positional ``np.random.choice``
     (``multi_source_ner.py:854-858``) — same stable-hash idiom as the R6
     split, so the sample is identical at any parallelism."""
-    from ..functions.hashing import md5_int
+    from ..functions.hashing import md5_int_vec_prefixed
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
-        mask = [
-            md5_int(f"sample|{d}", bits=32) % 20 == 0 for d in b["doc_id"]
-        ]
+        mask = (
+            md5_int_vec_prefixed("sample", b["doc_id"].to_numpy(), bits=32)
+            % 20 == 0
+        )
         return b.loc[mask, ["doc_id", "source", "n_chars"]]
 
     return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
@@ -975,16 +976,16 @@ def docs_pack_sequences(sf_dir: str):
     exactly-once and parallelism-invariance contracts are pytest-gated."""
     import numpy as np
 
-    from ..functions.hashing import md5_int
+    from ..functions.hashing import md5_int_vec_prefixed
     from ..stages.shuffle import bucketed_group_map
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
         texts = b["text"].astype(str).tolist()
         n_tokens = np.array([t.count(" ") + 1 for t in texts], dtype=np.int64)
-        grp = np.array(
-            [md5_int(f"pack|{d}", bits=32) % PACK_GROUPS for d in b["doc_id"]],
-            dtype=np.int64,
-        )
+        grp = (
+            md5_int_vec_prefixed("pack", b["doc_id"].to_numpy(), bits=32)
+            % np.uint64(PACK_GROUPS)
+        ).astype("int64")
         return pd.DataFrame(
             {"doc_id": pd.array(b["doc_id"].to_numpy(), "int64"),
              "n_tokens": pd.array(n_tokens, "int64"),
@@ -1055,15 +1056,14 @@ def docs_weighted_sample(sf_dir: str):
     keep ⟺ md5_32('wsample|'||doc_id) < floor(quality · 2^32)."""
     import numpy as np
 
-    from ..functions.hashing import md5_int
+    from ..functions.hashing import md5_int_vec_prefixed
     from ..stages.text_stats import quality_score_batch
 
     def pick(b: pd.DataFrame) -> pd.DataFrame:
         q = quality_score_batch(b)
-        h = np.array(
-            [md5_int(f"wsample|{d}", bits=32) for d in q["doc_id"]],
-            dtype=np.int64,
-        )
+        h = md5_int_vec_prefixed(
+            "wsample", q["doc_id"].to_numpy(), bits=32
+        ).astype("int64")
         thr = np.floor(q["quality"].to_numpy() * 4294967296.0).astype("int64")
         keep = h < thr
         return pd.DataFrame(
@@ -1666,8 +1666,10 @@ def docs_bottomk_sample(sf_dir: str):
     docs = _docs(sf_dir, ["doc_id", "lang"])
 
     def with_hash(b: pd.DataFrame) -> pd.DataFrame:
-        h = md5_int_vec(
-            [f"bk|{d}" for d in b["doc_id"].tolist()], bits=32
+        from ..functions.hashing import md5_int_vec_prefixed
+
+        h = md5_int_vec_prefixed(
+            "bk", b["doc_id"].to_numpy(), bits=32
         ).astype("int64")
         return pd.DataFrame(
             {"doc_id": b["doc_id"].astype("int64"),

@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 
 from ..functions.arrow import arrow_out
-from ..functions.hashing import md5_int_vec
+from ..functions.hashing import md5_int_vec_prefixed
 from ..stages.shuffle import bucketed_group_map
 from ..state.manifests import write_stage
 
@@ -43,7 +43,7 @@ def _split_of_ids(doc_ids: np.ndarray) -> np.ndarray:
     """Vectorized content-stable split (same value contract as the
     oracled `docs.docs_split`: md5_32('split|'||id), 1/80 val, 1/90
     test)."""
-    h = md5_int_vec([f"split|{d}" for d in doc_ids], bits=32)
+    h = md5_int_vec_prefixed("split", doc_ids, bits=32)
     return np.where(
         h % 80 == 0, "val", np.where(h % 90 == 0, "test", "train")
     )
@@ -127,7 +127,7 @@ def run_docs_prep(
         def prep_groups(b: pd.DataFrame) -> pd.DataFrame:
             ids = b["doc_id"].to_numpy()
             grp = (
-                md5_int_vec([f"pack|{d}" for d in ids], bits=32)
+                md5_int_vec_prefixed("pack", ids, bits=32)
                 % np.uint64(eff_groups)
             ).astype("int64")
             return pd.DataFrame(
