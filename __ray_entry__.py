@@ -340,6 +340,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GROUP BY CUBE (all 2^k subtotal levels) + INTERSECT key sets
         "q1_cube": relational.q1_cube,
         "events_users_both": events.events_users_both,
+        # TPC-H remainder family (adapted to the slimmed schema — see
+        # pipelines/relational.py): EXISTS with a cross-table predicate,
+        # CASE-share over a 5-way join, left-join count distribution,
+        # argmax-with-ties, correlated per-group average, disjunctive
+        # OR-of-ANDs, scalar-subquery + NOT-EXISTS census
+        "q4_order_priority": relational.q4_order_priority,
+        "q8_market_share": relational.q8_market_share,
+        "q13_custdist": relational.q13_custdist,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q17_small_qty_revenue": relational.q17_small_qty_revenue,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "q22_global_sales": relational.q22_global_sales,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -497,6 +509,13 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_quantiles_cont": relational.LINEITEM_QUANTILES_CONT_SQL,
         "q1_cube": relational.Q1_CUBE_SQL,
         "events_users_both": events.USERS_BOTH_SQL,
+        "q4_order_priority": relational.Q4_SQL,
+        "q8_market_share": relational.Q8_SQL,
+        "q13_custdist": relational.Q13_SQL,
+        "q15_top_supplier": relational.Q15_SQL,
+        "q17_small_qty_revenue": relational.Q17_SQL,
+        "q19_disjunctive_revenue": relational.Q19_SQL,
+        "q22_global_sales": relational.Q22_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

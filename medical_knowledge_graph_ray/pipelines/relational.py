@@ -1826,3 +1826,675 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
 GROUP BY CUBE(l_returnflag, l_linestatus)
 """
+
+
+# =============================================================================
+# TPC-H remainder family (q4/q8/q13/q15/q17/q19/q22 shapes, adapted to the
+# slimmed testdata schema: no partsupp table, no comment / commitdate /
+# shipmode columns — each query keeps its ORIGINAL distributed shape and
+# swaps only the predicate columns).  Reference parity: these exercise the
+# same join→aggregate chains as clean_and_save.py:1039-1083 and the
+# merge-table censuses of structurize_files.py, at TPC-H shapes.
+# =============================================================================
+
+Q4_FROM, Q4_TO = "1996-07-01", "1996-10-01"
+Q4_LATE_DAYS = 60
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H q4 shape: EXISTS semi-join with a CROSS-TABLE predicate
+    (l_shipdate > o_orderdate + 60 days — the slimmed schema has no
+    commitdate/receiptdate pair, so "late" is measured against the order
+    date the same way).  Because the predicate needs columns from BOTH
+    sides, the semi cannot collapse to a key-set broadcast: it runs as a
+    partitioned inner hash join whose ``bucket_post`` applies the
+    predicate, dedups order keys (exact — every key lands in exactly one
+    bucket) and pre-counts per priority, so only 5-row partials leave
+    the exchange."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(
+            (pc.field("o_orderdate") >= pc.scalar(np.datetime64(Q4_FROM, "us")))
+            & (pc.field("o_orderdate") < pc.scalar(np.datetime64(Q4_TO, "us")))
+        ),
+    )
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).map_batches(
+        arrow_out(lambda b: b.rename(columns={"l_orderkey": "o_orderkey"})),
+        batch_format="pandas",
+    )
+
+    def count_late(m: pd.DataFrame) -> pd.DataFrame:
+        late = m[m["l_shipdate"] > m["o_orderdate"] + pd.Timedelta(days=Q4_LATE_DAYS)]
+        cnt = (
+            late.drop_duplicates("o_orderkey")
+            .groupby("o_orderpriority", sort=False).size()
+        )
+        return pd.DataFrame(
+            {"o_orderpriority": pd.array(cnt.index, "str"),
+             "order_count": pd.array(cnt.to_numpy(), "int64")}
+        )
+
+    j = hash_join(
+        orders, li, on=["o_orderkey"], how="inner", bucket_post=count_late,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+             ("o_orderpriority", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("l_shipdate", pa.timestamp("us"))]
+        ),
+    )
+    return j.groupby("o_orderpriority").aggregate(
+        Sum("order_count", alias_name="order_count")
+    )
+
+
+Q4_SQL = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_FROM} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q4_TO} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority
+"""
+
+
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def q13_custdist(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q13 shape: distribution of per-customer order counts
+    INCLUDING zero-order customers (the filtered LEFT JOIN + two-level
+    GROUP BY).  Orders pre-count per custkey map-side, the per-customer
+    totals resolve inside coarse hash buckets (never a per-key groupby),
+    and each bucket emits its LOCAL count-of-counts — so the global
+    exchange carries only O(buckets × distinct counts) rows.  The zero
+    bucket needs no join at all: it is #customers − #customers-with-
+    orders, two metadata-cheap counts."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_group_map
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") != Q13_EXCLUDED_PRIORITY,
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cnt = b.groupby("o_custkey", sort=False).size()
+        return pd.DataFrame(
+            {"o_custkey": pd.array(cnt.index, "int64"),
+             "n": pd.array(cnt.to_numpy(), "int64")}
+        )
+
+    partials = orders.map_batches(arrow_out(partial), batch_format="pandas")
+
+    def dist_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("o_custkey", sort=False)["n"].sum()
+        dist = per_cust.value_counts()
+        return pd.DataFrame(
+            {"c_count": pd.array(dist.index, "int64"),
+             "custdist": pd.array(dist.to_numpy(), "int64")}
+        )
+
+    dist = (
+        bucketed_group_map(partials, ["o_custkey"], dist_of_bucket, num_buckets=32)
+        .groupby("c_count").aggregate(Sum("custdist", alias_name="custdist"))
+        .to_pandas()  # bounded: one row per distinct order count
+    )
+    n_customers = _read(sf_dir, "customer", columns=["c_custkey"]).count()
+    zero = n_customers - int(dist["custdist"].sum())
+    if zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    return pd.DataFrame(
+        {"c_count": dist["c_count"].astype("int64"),
+         "custdist": dist["custdist"].astype("int64")}
+    ).sort_values("c_count").reset_index(drop=True)
+
+
+Q13_SQL = f"""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+Q15_FROM, Q15_TO = "1996-01-01", "1996-04-01"
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q15 shape: argmax-with-ties over a grouped aggregate (the
+    revenue view + scalar MAX).  Per-supplier cent totals combine
+    map-side then in coarse hash buckets (supplier cardinality grows
+    with the data — never a per-key groupby, never a driver collect of
+    the totals); the scalar max is a Dataset aggregate, the tie filter
+    is a vectorized map over the SAME materialized per-supplier
+    Dataset, and supplier attributes are fetched LAST by winner key."""
+    from ray.data.aggregate import Max
+
+    from ..stages.shuffle import bucketed_group_map
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= pc.scalar(np.datetime64(Q15_FROM, "us")))
+            & (pc.field("l_shipdate") < pc.scalar(np.datetime64(Q15_TO, "us")))
+        ),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev_c = np.rint(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 10_000
+        ).astype("int64")
+        g = (
+            pd.DataFrame({"l_suppkey": b["l_suppkey"], "rev_c": rev_c})
+            .groupby("l_suppkey", sort=False)["rev_c"].sum()
+        )
+        return pd.DataFrame(
+            {"l_suppkey": pd.array(g.index, "int64"),
+             "rev_c": pd.array(g.to_numpy(), "int64")}
+        )
+
+    partials = li.map_batches(arrow_out(partial), batch_format="pandas")
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("l_suppkey", sort=False)["rev_c"].sum()
+        return pd.DataFrame(
+            {"l_suppkey": pd.array(s.index, "int64"),
+             "total_c": pd.array(s.to_numpy(), "int64")}
+        )
+
+    per_supp = bucketed_group_map(
+        partials, ["l_suppkey"], sum_bucket, num_buckets=32
+    ).materialize()  # reused: scalar max + the tie filter
+    best = per_supp.aggregate(Max("total_c", alias_name="m"))["m"]
+
+    winners = per_supp.map_batches(
+        arrow_out(lambda b: b[b["total_c"] == best]), batch_format="pandas"
+    ).to_pandas()  # ties only — one row per co-leader
+
+    supp = _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name"],
+        filter=pc.field("s_suppkey").isin(winners["l_suppkey"].tolist()),
+    ).to_pandas()
+    out = winners.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    return pd.DataFrame(
+        {"s_suppkey": out["s_suppkey"].astype("int64"),
+         "s_name": pd.array(out["s_name"], "str"),
+         "total_revenue": out["total_c"].astype("int64") / 10_000.0}
+    ).sort_values("s_suppkey").reset_index(drop=True)
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+           AS total_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_FROM} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{Q15_TO} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_c/10000.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_c = (SELECT max(total_c) FROM rev)
+"""
+
+
+Q17_BRAND = "Brand#13"
+
+
+def q17_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q17 shape: rows filtered against THEIR OWN group's average
+    (the correlated-subquery aggregate).  The brand's part keys broadcast
+    as a sorted array (membership-only, the q14 idiom), the surviving
+    lineitems make ONE bucketed exchange co-locating each partkey, and
+    the in-bucket kernel computes per-part (Σqty, n) vectorized and
+    filters ``qty < 0.2·avg`` in exact integers (5·qty_c·n < Σqty_c —
+    no float division anywhere near the comparison)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_group_map
+
+    keys = (
+        _read(sf_dir, "part", columns=["p_partkey"],
+              filter=pc.field("p_brand") == Q17_BRAND)
+        .to_pandas()["p_partkey"].to_numpy()
+    )
+    keys_ref = ray.put(np.sort(keys))
+
+    class FilterToBrand:
+        def __init__(self, ref):
+            self.ref = ref
+            self.keys = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.keys is None:
+                self.keys = ray.get(self.ref)
+            pk = b["l_partkey"].to_numpy()
+            if len(self.keys):
+                pos = np.clip(np.searchsorted(self.keys, pk), 0, len(self.keys) - 1)
+                m = self.keys[pos] == pk
+            else:
+                m = np.zeros(len(pk), dtype=bool)
+            qty_c = np.rint(b["l_quantity"].to_numpy() * 100).astype("int64")
+            price_c = np.rint(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+            return pd.DataFrame(
+                {"l_partkey": pd.array(pk[m], "int64"),
+                 "qty_c": pd.array(qty_c[m], "int64"),
+                 "price_c": pd.array(price_c[m], "int64")}
+            )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(arrow_out(FilterToBrand(keys_ref)), batch_format="pandas")
+
+    def small_qty_sum(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("l_partkey", sort=False)["qty_c"]
+        sum_c = grp.transform("sum").to_numpy()
+        cnt = grp.transform("size").to_numpy()
+        keep = 5 * g["qty_c"].to_numpy() * cnt < sum_c
+        return pd.DataFrame({"price_c": [int(g.loc[keep, "price_c"].sum())]})
+
+    total = bucketed_group_map(
+        li, ["l_partkey"], small_qty_sum, num_buckets=16
+    ).aggregate(Sum("price_c", alias_name="price_c"))
+    return pd.DataFrame(
+        {"avg_yearly": [total["price_c"] / 100.0 / 7.0]}
+    )
+
+
+Q17_SQL = f"""
+WITH perpart AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sum_c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0/7.0 AS avg_yearly
+FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN perpart USING (l_partkey)
+WHERE p_brand = '{Q17_BRAND}'
+  AND 5 * CAST(round(l_quantity*100) AS BIGINT) * cnt < sum_c
+"""
+
+
+Q19_CLAUSES = [
+    # (p_brand, size_lo, size_hi, qty_lo, qty_hi) — OR-of-ANDs
+    ("Brand#13", 1, 15, 1, 20),
+    ("Brand#22", 10, 30, 10, 30),
+    ("Brand#25", 20, 50, 20, 40),
+]
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q19 shape: disjunctive OR-of-ANDs predicates spanning both
+    join sides.  The part side pre-evaluates its half of every clause
+    into a per-key uint8 BITMASK (parts matching no clause never leave
+    the scan) broadcast as sorted-key + mask arrays; lineitem resolves
+    its quantity ranges vectorized and ANDs them against the looked-up
+    mask — one scan, zero exchange beyond one-row partials."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def mask_parts(b: pd.DataFrame) -> pd.DataFrame:
+        size = b["p_size"].to_numpy()
+        brand = b["p_brand"].to_numpy()
+        mask = np.zeros(len(b), dtype=np.uint8)
+        for i, (br, lo, hi, _, _) in enumerate(Q19_CLAUSES):
+            mask |= ((brand == br) & (size >= lo) & (size <= hi)).astype(np.uint8) << i
+        keep = mask > 0
+        return pd.DataFrame(
+            {"p_partkey": pd.array(b["p_partkey"].to_numpy()[keep], "int64"),
+             "mask": pd.array(mask[keep], "int64")}
+        )
+
+    parts = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+        .map_batches(arrow_out(mask_parts), batch_format="pandas")
+        .to_pandas()  # bounded: matching part keys only
+        .sort_values("p_partkey")
+    )
+    keys_ref = ray.put(
+        (parts["p_partkey"].to_numpy(), parts["mask"].to_numpy().astype(np.uint8))
+    )
+
+    class RevPartial:
+        def __init__(self, ref):
+            self.ref = ref
+            self.state = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.state is None:
+                self.state = ray.get(self.ref)
+            keys, masks = self.state
+            pk = b["l_partkey"].to_numpy()
+            if len(keys):
+                pos = np.clip(np.searchsorted(keys, pk), 0, len(keys) - 1)
+                hit = keys[pos] == pk
+                mask = np.where(hit, masks[np.clip(pos, 0, len(masks) - 1)], 0)
+            else:
+                mask = np.zeros(len(pk), dtype=np.uint8)
+            qty = b["l_quantity"].to_numpy()
+            keep = np.zeros(len(pk), dtype=bool)
+            for i, (_, _, _, qlo, qhi) in enumerate(Q19_CLAUSES):
+                keep |= ((mask & (1 << i)) > 0) & (qty >= qlo) & (qty <= qhi)
+            rev_c = np.rint(
+                b["l_extendedprice"].to_numpy()
+                * (1.0 - b["l_discount"].to_numpy()) * 10_000
+            ).astype("int64")
+            return pd.DataFrame({"rev_c": [int(rev_c[keep].sum())]})
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    agg = li.map_batches(
+        arrow_out(RevPartial(keys_ref)), batch_format="pandas"
+    ).aggregate(Sum("rev_c", alias_name="rev_c"))
+    return pd.DataFrame({"revenue": [agg["rev_c"] / 10_000.0]})
+
+
+Q19_SQL = "\nSELECT SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS revenue\nFROM lineitem JOIN part ON p_partkey = l_partkey\nWHERE " + "\n   OR ".join(
+    f"(p_brand = '{br}' AND p_size BETWEEN {slo} AND {shi} "
+    f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+    for br, slo, shi, qlo, qhi in Q19_CLAUSES
+)
+
+
+Q22_RECENT = "2000-01-01"
+
+
+def q22_global_sales(sf_dir: str):
+    """TPC-H q22 shape: scalar-subquery average + NOT-EXISTS anti join +
+    grouped census.  The above-average filter compares in EXACT integers
+    (acctbal_c·n > Σacctbal_c — both global scalars from one Dataset
+    aggregate); survivors anti-join the recent-orders stream through the
+    PARTITIONED hash join (the orders side scales — no key-set
+    broadcast), with the per-nation census fused into the join buckets
+    so only 25-row partials leave the exchange."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b["c_acctbal"].to_numpy() * 100).astype("int64")
+        pos = c[c > 0]
+        return pd.DataFrame({"sum_c": [int(pos.sum())], "n": [len(pos)]})
+
+    g = cust.map_batches(arrow_out(bal_partial), batch_format="pandas").aggregate(
+        Sum("sum_c", alias_name="sum_c"), Sum("n", alias_name="n")
+    )
+    sum_c, n_pos = int(g["sum_c"]), int(g["n"])
+
+    def above_avg(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b["c_acctbal"].to_numpy() * 100).astype("int64")
+        keep = c * n_pos > sum_c
+        return pd.DataFrame(
+            {"c_custkey": pd.array(b["c_custkey"].to_numpy()[keep], "int64"),
+             "c_nationkey": pd.array(
+                 b["c_nationkey"].to_numpy()[keep].astype("int64"), "int64"
+             ),
+             "bal_c": pd.array(c[keep], "int64")}
+        )
+
+    rich = cust.map_batches(arrow_out(above_avg), batch_format="pandas")
+    recent = _read(
+        sf_dir, "orders", columns=["o_custkey"],
+        filter=pc.field("o_orderdate") >= pc.scalar(np.datetime64(Q22_RECENT, "us")),
+    ).map_batches(
+        arrow_out(lambda b: b.rename(columns={"o_custkey": "c_custkey"})),
+        batch_format="pandas",
+    )
+
+    def census(m: pd.DataFrame) -> pd.DataFrame:
+        agg = m.groupby("c_nationkey", sort=False).agg(
+            numcust=("c_custkey", "size"), bal_c=("bal_c", "sum")
+        ).reset_index()
+        return pd.DataFrame(
+            {"cntrycode": pd.array(agg["c_nationkey"], "int64"),
+             "numcust": pd.array(agg["numcust"], "int64"),
+             "bal_c": pd.array(agg["bal_c"], "int64")}
+        )
+
+    j = hash_join(
+        rich, recent, on=["c_custkey"], how="anti", bucket_post=census,
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_nationkey", pa.int64()),
+             ("bal_c", pa.int64())]
+        ),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    )
+    out = (
+        j.groupby("cntrycode")
+        .aggregate(Sum("numcust", alias_name="numcust"),
+                   Sum("bal_c", alias_name="bal_c"))
+        .to_pandas()  # bounded: one row per nation
+    )
+    return pd.DataFrame(
+        {"cntrycode": out["cntrycode"].astype("int64"),
+         "numcust": out["numcust"].astype("int64"),
+         "totacctbal": out["bal_c"].astype("int64") / 100.0}
+    ).sort_values("cntrycode").reset_index(drop=True)
+
+
+Q22_SQL = f"""
+WITH avgbal AS (
+  SELECT SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS sum_c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer WHERE round(c_acctbal*100) > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       SUM(CAST(round(c_acctbal*100) AS BIGINT))/100.0 AS totacctbal
+FROM customer, avgbal
+WHERE CAST(round(c_acctbal*100) AS BIGINT) * n > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_RECENT} 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+Q8_TYPE = "ECONOMY"
+Q8_NATION = "NATION_13"
+Q8_REGION = "EUROPE"
+Q8_FROM, Q8_TO = "1996-01-01", "1998-01-01"
+
+
+def q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q8 shape: one nation's share of a region's market by order
+    year (the CASE-share aggregate over a 5-way join).  Scale plan: the
+    three small sides collapse to broadcast KEY artifacts (typed part
+    keys; supplier keys + a target-nation flag; the region's customer
+    keys — the documented q5/q9 dimension-key tradeoff), lineitem
+    resolves all three map-side and pre-aggregates (Σall, Σnation) cents
+    per orderkey, and the only exchange is the partitioned
+    orders⋈partials join with the per-year rollup fused into its
+    buckets."""
+    import pyarrow as pa
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    part_keys = np.sort(
+        _read(sf_dir, "part", columns=["p_partkey"],
+              filter=pc.field("p_type") == Q8_TYPE)
+        .to_pandas()["p_partkey"].to_numpy()
+    )
+
+    supp = (
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+        .to_pandas().sort_values("s_suppkey")
+    )
+    nation = _read_dim(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read_dim(sf_dir, "region", ["r_regionkey", "r_name"])
+    target_key = int(nation.loc[nation["n_name"] == Q8_NATION, "n_nationkey"].iloc[0])
+    region_keys = nation.merge(
+        region[region["r_name"] == Q8_REGION],
+        left_on="n_regionkey", right_on="r_regionkey",
+    )["n_nationkey"].to_numpy()
+
+    cust_keys = np.sort(
+        _read(sf_dir, "customer", columns=["c_custkey"],
+              filter=pc.field("c_nationkey").isin([int(k) for k in region_keys]))
+        .to_pandas()["c_custkey"].to_numpy()
+    )
+
+    bcast = ray.put(
+        (part_keys,
+         supp["s_suppkey"].to_numpy(),
+         (supp["s_nationkey"].to_numpy() == target_key),
+         cust_keys)
+    )
+
+    def _member(sorted_keys, vals):
+        if not len(sorted_keys):
+            return np.zeros(len(vals), dtype=bool)
+        pos = np.clip(np.searchsorted(sorted_keys, vals), 0, len(sorted_keys) - 1)
+        return sorted_keys[pos] == vals
+
+    class LiPartial:
+        def __init__(self, ref):
+            self.ref = ref
+            self.state = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.state is None:
+                self.state = ray.get(self.ref)
+            pk, sk, s_is_target, _ = self.state
+            m = _member(pk, b["l_partkey"].to_numpy())
+            if not m.any():
+                return pd.DataFrame(
+                    {"o_orderkey": pd.array([], "int64"),
+                     "all_c": pd.array([], "int64"),
+                     "nat_c": pd.array([], "int64")}
+                )
+            sub = b.loc[m]
+            rev_c = np.rint(
+                sub["l_extendedprice"].to_numpy()
+                * (1.0 - sub["l_discount"].to_numpy()) * 10_000
+            ).astype("int64")
+            spos = np.clip(
+                np.searchsorted(sk, sub["l_suppkey"].to_numpy()), 0, len(sk) - 1
+            )
+            is_nat = s_is_target[spos] & (sk[spos] == sub["l_suppkey"].to_numpy())
+            g = (
+                pd.DataFrame(
+                    {"o_orderkey": sub["l_orderkey"].to_numpy(),
+                     "all_c": rev_c, "nat_c": np.where(is_nat, rev_c, 0)}
+                )
+                .groupby("o_orderkey", sort=False).agg(
+                    all_c=("all_c", "sum"), nat_c=("nat_c", "sum")
+                ).reset_index()
+            )
+            g["o_orderkey"] = g["o_orderkey"].astype("int64")
+            return g
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(arrow_out(LiPartial(bcast)), batch_format="pandas")
+
+    class OrderYears:
+        def __init__(self, ref):
+            self.ref = ref
+            self.keys = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.keys is None:
+                self.keys = ray.get(self.ref)[3]
+            m = _member(self.keys, b["o_custkey"].to_numpy())
+            sub = b.loc[m]
+            return pd.DataFrame(
+                {"o_orderkey": pd.array(sub["o_orderkey"].to_numpy(), "int64"),
+                 "o_year": pd.array(
+                     sub["o_orderdate"].dt.year.to_numpy().astype("int64"), "int64"
+                 )}
+            )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pc.field("o_orderdate") >= pc.scalar(np.datetime64(Q8_FROM, "us")))
+            & (pc.field("o_orderdate") < pc.scalar(np.datetime64(Q8_TO, "us")))
+        ),
+    ).map_batches(arrow_out(OrderYears(bcast)), batch_format="pandas")
+
+    def per_year(m: pd.DataFrame) -> pd.DataFrame:
+        return (
+            m.groupby("o_year", sort=False)
+            .agg(all_c=("all_c", "sum"), nat_c=("nat_c", "sum")).reset_index()
+        )
+
+    j = hash_join(
+        orders, li, on=["o_orderkey"], how="inner", bucket_post=per_year,
+        left_schema=pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("all_c", pa.int64()),
+             ("nat_c", pa.int64())]
+        ),
+    )
+    out = (
+        j.groupby("o_year")
+        .aggregate(Sum("all_c", alias_name="all_c"), Sum("nat_c", alias_name="nat_c"))
+        .to_pandas()  # one row per order year
+    )
+    return pd.DataFrame(
+        {"o_year": out["o_year"].astype("int64"),
+         "mkt_share": [
+             round(n / a, 6) for n, a in zip(out["nat_c"], out["all_c"])
+         ]}
+    ).sort_values("o_year").reset_index(drop=True)
+
+
+Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(
+         SUM(CASE WHEN n2.n_name = '{Q8_NATION}'
+             THEN CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)
+             ELSE 0 END)
+         / SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)),
+         6) AS mkt_share
+FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+  AND o_orderdate >= TIMESTAMP '{Q8_FROM} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q8_TO} 00:00:00'
+GROUP BY 1
+"""
