@@ -127,6 +127,12 @@ def _ner_eval(sf_dir: str):
     return ner_eval_pages(sf_dir)
 
 
+def _ner_train(sf_dir: str):
+    from medical_knowledge_graph_ray.pipelines.ner_train import ner_train_pages
+
+    return ner_train_pages(sf_dir)
+
+
 def _knn_ivf(sf_dir: str):
     from medical_knowledge_graph_ray.pipelines.docs import _embeddings, _query_vec
     from medical_knowledge_graph_ray.stages.similarity import knn_cosine_ivf
@@ -383,6 +389,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verify (LSH recall < 1 by design, measured in tests; subsumes the
         # former minhash_pairs entry)
         "minhash_verified_pairs": docs.docs_minhash_verified,
+        # model-training loop: distributed batch-perceptron learning
+        # curve over the dictionary-labeled corpus (exact-integer BSP;
+        # convergence + parallelism-invariance pytest-gated)
+        "ner_train": _ner_train,
         # grouped + global HLL sketches (approximate; <2%-error and
         # split-invariance pytest gates vs the exact counts)
         "events_type_approx_users": events.events_type_approx_users,
