@@ -358,6 +358,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": relational.q17_small_qty_revenue,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "q22_global_sales": relational.q22_global_sales,
+        # boolean-AND retrieval through the persisted token-bucketed
+        # inverted index (build-once/serve-many; bucket-pruned reads)
+        "docs_search_indexed": docs.docs_search_indexed,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -526,6 +529,7 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_qty_revenue": relational.Q17_SQL,
         "q19_disjunctive_revenue": relational.Q19_SQL,
         "q22_global_sales": relational.Q22_SQL,
+        "docs_search_indexed": docs.SEARCH_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

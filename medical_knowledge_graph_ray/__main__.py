@@ -13,10 +13,14 @@ import json
 import sys
 
 
-def _init_ray(num_cpus: int | None):
+def _init_ray(num_cpus: int | None) -> bool:
+    """Init Ray if nobody has; returns True iff THIS call owns the
+    session (an embedding caller's session — e.g. the pytest fixture —
+    must never be shut down underneath it)."""
     import ray
 
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         ray.init(
             address="local",
             num_cpus=num_cpus,
@@ -29,6 +33,7 @@ def _init_ray(num_cpus: int | None):
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.preserve_order = False
+    return owned
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -100,6 +105,17 @@ def main(argv: list[str] | None = None) -> int:
         "format; sharded, with an auditable manifest)",
     )
 
+    tr = sub.add_parser(
+        "train",
+        help="distributed batch-perceptron NER training over the "
+        "dictionary-labeled corpus → sparse weights Parquet + model.json "
+        "+ learning-curve Parquet (the model-training loop; exact-integer "
+        "BSP, bit-identical at any parallelism)",
+    )
+    tr.add_argument("--corpus", required=True)
+    tr.add_argument("--out", required=True)
+    tr.add_argument("--rounds", type=int, default=4)
+
     au = sub.add_parser(
         "audit",
         help="audit a run_kg output root: every manifest vs the actual "
@@ -114,7 +130,7 @@ def main(argv: list[str] | None = None) -> int:
         report = audit_run(args.out)
         print(json.dumps(report))
         return 0 if report["ok"] else 1
-    _init_ray(args.num_cpus)
+    owns_ray = _init_ray(args.num_cpus)
     import ray
 
     try:
@@ -213,8 +229,24 @@ def main(argv: list[str] | None = None) -> int:
             with open(os.path.join(args.out, "model_weights.json"), "w") as f:
                 json.dump(weights_from_eval(eval_df), f, indent=1)
             print(json.dumps({"out": args.out, "rows": len(eval_df)}))
+        elif args.cmd == "train":
+            import os
+
+            from .pipelines.ner_train import ner_train_fit
+            from .stages.perceptron import save_tagger
+
+            curve, W = ner_train_fit(args.corpus, rounds=args.rounds)
+            meta = save_tagger(W, args.out)
+            curve.to_parquet(os.path.join(args.out, "learning_curve.parquet"))
+            final = curve.iloc[-1]
+            print(json.dumps(
+                {"out": args.out, "rounds": args.rounds, "nnz": meta["nnz"],
+                 "val_token_acc": float(final["val_token_acc"]),
+                 "val_span_f1": float(final["val_span_f1"])}
+            ))
     finally:
-        ray.shutdown()
+        if owns_ray:
+            ray.shutdown()
     return 0
 
 

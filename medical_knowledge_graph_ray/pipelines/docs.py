@@ -1794,3 +1794,29 @@ SELECT query_id, vec_id, sim,
 FROM s
 QUALIFY rank <= 10
 """
+
+
+# -- boolean search over a persisted inverted index ---------------------------
+
+SEARCH_TERMS = ["dup", "spark", "vector"]  # one rare + two common terms
+
+
+def docs_search_indexed(sf_dir: str):
+    """Boolean-AND retrieval through the build-once/serve-many inverted
+    index (`stages/search.py`): the index materializes to a token-
+    bucketed Parquet postings directory (manifest-keyed resume — the
+    second query pays only the serve path), and the serve reads ONLY the
+    query terms' buckets with the token filter pushed to the scan."""
+    import os
+
+    from ..stages.search import build_inverted_index, search_and
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/mkg_search_idx/{tag}"
+    build_inverted_index(_docs(sf_dir, ["doc_id", "text"]), index_dir)
+    return search_and(index_dir, SEARCH_TERMS)
+
+
+SEARCH_SQL = "SELECT doc_id FROM documents WHERE " + " AND ".join(
+    f"list_contains(string_split(text, ' '), '{t}')" for t in SEARCH_TERMS
+)

@@ -25,22 +25,21 @@ def train_positions_dataset(corpus_dir: str):
     ).materialize()  # bounded: sampled train + val positions only
 
 
-def ner_train_corpus(
+def ner_train_fit(
     corpus_dir: str, *, rounds: int = 4, eval_every_round: bool = False
-) -> pd.DataFrame:
-    """Train ``rounds`` BSP rounds — returns the learning-curve table
-    (round, train_mistakes, val token accuracy, strict-span P/R/F1).
-    Held-out metrics are computed for the FINAL weights by default (each
-    eval is its own bucketed execution; per-round evals are a test/debug
-    luxury, ``eval_every_round=True``) — the per-round mistake counts
-    already trace convergence for free."""
+):
+    """Train ``rounds`` BSP rounds — returns (learning-curve table,
+    final weight matrix).  Held-out metrics are computed for the FINAL
+    weights by default (each eval is its own bucketed execution;
+    per-round evals are a test/debug luxury, ``eval_every_round=True``)
+    — the per-round mistake counts already trace convergence for free."""
     from ..stages.perceptron import eval_tagger, train_rounds
 
     feats = train_positions_dataset(corpus_dir)
     train = feats.filter(expr="role == 0")
     val = feats.filter(expr="role == 1")
 
-    rows = []
+    rows, W = [], None
     for r, mistakes, W in train_rounds(train, rounds=rounds):
         if eval_every_round or r == rounds - 1:
             m = eval_tagger(val, W)
@@ -55,7 +54,18 @@ def ner_train_corpus(
     out = pd.DataFrame(rows)
     for c in ("round", "train_mistakes"):
         out[c] = out[c].astype("int64")
-    return out
+    return out, W
+
+
+def ner_train_corpus(
+    corpus_dir: str, *, rounds: int = 4, eval_every_round: bool = False
+) -> pd.DataFrame:
+    """Learning-curve table only (the driver-query face of
+    ``ner_train_fit``)."""
+    curve, _W = ner_train_fit(
+        corpus_dir, rounds=rounds, eval_every_round=eval_every_round
+    )
+    return curve
 
 
 def ner_train_pages(sf_dir: str, *, rounds: int = 4) -> pd.DataFrame:

@@ -324,3 +324,44 @@ def eval_tagger(val_positions, W) -> dict:
         "token_acc": round(correct / total, 6) if total else 0.0,
         "span_p": round(p, 6), "span_r": round(r, 6), "span_f1": round(f1, 6),
     }
+
+
+def save_tagger(W: np.ndarray, out_dir: str) -> dict:
+    """Persist trained weights as a SPARSE Parquet artifact (one row per
+    nonzero (feature, tag) cell) + a JSON sidecar with the layout
+    contract — the build-once/serve-many posture of the PQ index."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    feat, tag = np.nonzero(W)
+    table = pa.table(
+        {"feat": pa.array(feat.astype(np.int32)),
+         "tag": pa.array(tag.astype(np.int8)),
+         "w": pa.array(W[feat, tag].astype(np.int32))}
+    )
+    pq.write_table(table, os.path.join(out_dir, "weights.parquet"))
+    meta = {"dim": int(W.shape[0]), "n_tags": int(W.shape[1]),
+            "n_feats": N_FEATS, "tags": tag_vocab(), "nnz": len(feat)}
+    with open(os.path.join(out_dir, "model.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    return meta
+
+
+def load_tagger(out_dir: str) -> np.ndarray:
+    """Reload a ``save_tagger`` artifact into the dense weight matrix."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(out_dir, "model.json")) as fh:
+        meta = json.load(fh)
+    t = pq.read_table(os.path.join(out_dir, "weights.parquet"))
+    W = np.zeros((meta["dim"], meta["n_tags"]), dtype=np.int32)
+    W[t.column("feat").to_numpy(), t.column("tag").to_numpy()] = (
+        t.column("w").to_numpy()
+    )
+    return W

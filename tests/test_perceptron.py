@@ -118,3 +118,24 @@ def test_ner_train_query_schema(ray_session):
     assert len(df) == 4
     assert df["train_mistakes"].iloc[-1] < df["train_mistakes"].iloc[0]
     assert df["val_token_acc"].iloc[-1] > 0.9
+
+
+def test_save_load_roundtrip_and_cli_train(ray_session, corpus, tmp_path):
+    from medical_knowledge_graph_ray.__main__ import main
+    from medical_knowledge_graph_ray.stages.perceptron import (
+        load_tagger, save_tagger,
+    )
+
+    W = np.zeros((1 << 17, 21), dtype=np.int32)
+    W[5, 3], W[100, 0], W[77, 20] = 7, -2, 1
+    save_tagger(W, str(tmp_path / "m"))
+    assert np.array_equal(load_tagger(str(tmp_path / "m")), W)
+
+    out = str(tmp_path / "model")
+    rc = main(["train", "--corpus", corpus, "--out", out, "--rounds", "2"])
+    assert rc == 0
+    W2 = load_tagger(out)
+    assert (W2 != 0).any()
+    curve = pd.read_parquet(f"{out}/learning_curve.parquet")
+    assert len(curve) == 2
+    assert curve["train_mistakes"].iloc[1] < curve["train_mistakes"].iloc[0]

@@ -1,0 +1,75 @@
+"""Inverted-index gates: serve ≡ brute membership, manifest-keyed
+resume, bucket pruning, and vocabulary-miss semantics."""
+
+import json
+import os
+import sys
+import time
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.search import build_inverted_index
+
+    d = str(tmp_path_factory.mktemp("idx"))
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    build_inverted_index(docs, d)
+    return d
+
+
+def _brute(terms):
+    df = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    keep = df["text"].map(lambda t: set(terms) <= set(str(t).split(" ")))
+    return sorted(df.loc[keep, "doc_id"].astype("int64"))
+
+
+def test_search_matches_brute_membership(index_dir):
+    from medical_knowledge_graph_ray.stages.search import search_and
+
+    for terms in (["dup"], ["spark", "vector"], ["dup", "spark", "vector"]):
+        got = search_and(index_dir, terms)["doc_id"].tolist()
+        assert got == _brute(terms), terms
+
+
+def test_rebuild_is_manifest_keyed_noop(index_dir, ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.search import build_inverted_index
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    m = build_inverted_index(docs, index_dir)
+    assert time.perf_counter() - t0 < 0.5  # manifest read only
+    assert m["rows"] > 0 and m["buckets"]
+
+
+def test_serve_reads_only_term_buckets(index_dir):
+    import numpy as np
+
+    from medical_knowledge_graph_ray.functions.hashing import stable_bucket_vec
+    from medical_knowledge_graph_ray.stages.search import N_SEARCH_BUCKETS
+
+    with open(os.path.join(index_dir, "_MANIFEST.json")) as fh:
+        m = json.load(fh)
+    # every bucket file exists; a 1-term query's candidate file set is
+    # exactly its hash bucket
+    b = int(stable_bucket_vec(np.array(["dup"]), N_SEARCH_BUCKETS)[0])
+    assert any(e["bucket"] == b for e in m["buckets"])
+    assert len(m["buckets"]) <= N_SEARCH_BUCKETS
+
+
+def test_unknown_term_and_empty_query(index_dir):
+    from medical_knowledge_graph_ray.stages.search import search_and
+
+    assert len(search_and(index_dir, ["zzz_not_a_token"])) == 0
+    assert len(search_and(index_dir, ["dup", "zzz_not_a_token"])) == 0
+    assert len(search_and(index_dir, [])) == 0
