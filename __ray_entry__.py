@@ -361,6 +361,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # boolean-AND retrieval through the persisted token-bucketed
         # inverted index (build-once/serve-many; bucket-pruned reads)
         "docs_search_indexed": docs.docs_search_indexed,
+        # q21 multi-EXISTS self-join attribution, q2-shaped argmin-per-
+        # group join, FIRST/LAST_VALUE extremum partials
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "part_cheapest_supplier": relational.part_cheapest_supplier,
+        "events_first_last": events.events_first_last,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -530,6 +535,9 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive_revenue": relational.Q19_SQL,
         "q22_global_sales": relational.Q22_SQL,
         "docs_search_indexed": docs.SEARCH_SQL,
+        "q21_waiting_suppliers": relational.Q21_SQL,
+        "part_cheapest_supplier": relational.CHEAPEST_SQL,
+        "events_first_last": events.FIRST_LAST_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

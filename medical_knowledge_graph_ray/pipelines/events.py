@@ -1217,3 +1217,67 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
 INTERSECT
 SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 """
+
+
+# -- FIRST_VALUE / LAST_VALUE per partition ------------------------------------
+
+def events_first_last(sf_dir: str):
+    """Per-user first and last event type by (ts, event_id) — the
+    FIRST_VALUE/LAST_VALUE window pair as mergeable extremum partials:
+    each batch keeps its local first/last row per user (the combiner),
+    one bucketed exchange picks the global extrema — order-by state
+    never leaves the batch, no global sort."""
+    import numpy as np
+
+    from ..functions.arrow import arrow_out
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def extrema_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = s.groupby("user_id", sort=False)
+        first = g.head(1).assign(kind="f")
+        last = g.tail(1).assign(kind="l")
+        out = pd.concat([first, last], ignore_index=True)
+        return pd.DataFrame(
+            {"user_id": out["user_id"].astype("int64"),
+             "event_id": out["event_id"].astype("int64"),
+             "ts": out["ts"],
+             "event_type": pd.array(out["event_type"], "str"),
+             "kind": pd.array(out["kind"], "str")}
+        )
+
+    partials = ev.map_batches(arrow_out(extrema_partial), batch_format="pandas")
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        f = s[s["kind"] == "f"].groupby("user_id", sort=False).head(1)
+        l = s[s["kind"] == "l"].groupby("user_id", sort=False).tail(1)
+        m = f[["user_id", "event_type"]].rename(
+            columns={"event_type": "first_type"}
+        ).merge(
+            l[["user_id", "event_type"]].rename(
+                columns={"event_type": "last_type"}
+            ),
+            on="user_id",
+        )
+        return pd.DataFrame(
+            {"user_id": m["user_id"].astype("int64"),
+             "first_type": pd.array(m["first_type"], "str"),
+             "last_type": pd.array(m["last_type"], "str")}
+        )
+
+    return bucketed_group_map(partials, ["user_id"], pick, num_buckets=32)
+
+
+FIRST_LAST_SQL = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS last_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

@@ -2498,3 +2498,165 @@ WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
   AND o_orderdate <  TIMESTAMP '{Q8_TO} 00:00:00'
 GROUP BY 1
 """
+
+
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H q21 shape: EXISTS + NOT-EXISTS over a fact SELF-join — the
+    "sole blocking supplier" attribution.  Instead of three correlated
+    lineitem scans, ONE partitioned orders⋈lineitem join co-locates each
+    order's lines; the bucket kernel computes (distinct suppliers,
+    distinct LATE suppliers) per order vectorized, keeps multi-supplier
+    orders whose late set is a singleton, and pre-counts per supplier —
+    so the global exchange is a |suppliers|-bounded census.  Supplier
+    names resolve through a second partitioned join (supplier cardinality
+    grows with the data; no broadcast)."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(
+        arrow_out(lambda b: b.rename(columns={"l_orderkey": "o_orderkey"})),
+        batch_format="pandas",
+    )
+
+    def attribute(m: pd.DataFrame) -> pd.DataFrame:
+        late = m["l_shipdate"] > m["o_orderdate"] + pd.Timedelta(days=Q4_LATE_DAYS)
+        supp = m[["o_orderkey", "l_suppkey"]].drop_duplicates()
+        n_supp = supp.groupby("o_orderkey", sort=False).size()
+        late_supp = m.loc[late, ["o_orderkey", "l_suppkey"]].drop_duplicates()
+        n_late = late_supp.groupby("o_orderkey", sort=False).size()
+        sole = n_late[n_late == 1].index.intersection(n_supp[n_supp >= 2].index)
+        winners = late_supp[late_supp["o_orderkey"].isin(sole)]
+        cnt = winners.groupby("l_suppkey", sort=False).size()
+        return pd.DataFrame(
+            {"s_suppkey": pd.array(cnt.index, "int64"),
+             "numwait": pd.array(cnt.to_numpy(), "int64")}
+        )
+
+    waits = hash_join(
+        orders, li, on=["o_orderkey"], how="inner", bucket_post=attribute,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("l_shipdate", pa.timestamp("us"))]
+        ),
+    ).groupby("s_suppkey").aggregate(Sum("numwait", alias_name="numwait"))
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return hash_join(
+        waits, supp, on=["s_suppkey"], how="inner",
+        left_schema=pa.schema([("s_suppkey", pa.int64()), ("numwait", pa.int64())]),
+        right_schema=pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())]),
+    )
+
+
+Q21_SQL = f"""
+SELECT s_suppkey, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS numwait, s_name
+FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+  JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+                    ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate
+                                        + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY s_suppkey, s_name
+"""
+
+
+CHEAPEST_FROM, CHEAPEST_TO = "1996-01-01", "1997-01-01"
+
+
+def part_cheapest_supplier(sf_dir: str):
+    """TPC-H q2 shape without the partsupp table: per part, the supplier
+    with the LOWEST average sale price over a year (argmin-per-group on
+    a two-level aggregate, tie → smaller suppkey).  The winner contract
+    is integer floor-scaled micro-price ``sum_c·10⁴ // n`` on BOTH
+    engines, so no float enters the ordering; per-(part, supplier) cent
+    partials combine map-side, the argmin resolves inside partkey
+    buckets, and winner names come through a partitioned join."""
+    import pyarrow as pa
+
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import bucketed_group_map
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        filter=(
+            (pc.field("l_shipdate") >= pc.scalar(np.datetime64(CHEAPEST_FROM, "us")))
+            & (pc.field("l_shipdate") < pc.scalar(np.datetime64(CHEAPEST_TO, "us")))
+        ),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        g = (
+            pd.DataFrame(
+                {"l_partkey": b["l_partkey"], "l_suppkey": b["l_suppkey"], "c": c}
+            )
+            .groupby(["l_partkey", "l_suppkey"], sort=False)
+            .agg(sum_c=("c", "sum"), n=("c", "size")).reset_index()
+        )
+        for col in ("l_partkey", "l_suppkey", "sum_c", "n"):
+            g[col] = g[col].astype("int64")
+        return g
+
+    partials = li.map_batches(arrow_out(partial), batch_format="pandas")
+
+    def argmin_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["l_partkey", "l_suppkey"], sort=False)
+            .agg(sum_c=("sum_c", "sum"), n=("n", "sum")).reset_index()
+        )
+        agg["avg6"] = agg["sum_c"] * 10_000 // agg["n"]
+        win = (
+            agg.sort_values(["l_partkey", "avg6", "l_suppkey"], kind="mergesort")
+            .groupby("l_partkey", sort=False).head(1)
+        )
+        return pd.DataFrame(
+            {"p_partkey": win["l_partkey"].astype("int64"),
+             "s_suppkey": win["l_suppkey"].astype("int64"),
+             "avg_price": win["avg6"].astype("int64") / 1_000_000.0}
+        )
+
+    winners = bucketed_group_map(partials, ["l_partkey"], argmin_bucket,
+                                 num_buckets=32)
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return hash_join(
+        winners, supp, on=["s_suppkey"], how="inner",
+        left_schema=pa.schema(
+            [("p_partkey", pa.int64()), ("s_suppkey", pa.int64()),
+             ("avg_price", pa.float64())]
+        ),
+        right_schema=pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())]),
+    )
+
+
+CHEAPEST_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{CHEAPEST_FROM} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{CHEAPEST_TO} 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+       (sum_c * 10000 // n) / 1000000.0 AS avg_price, s_name
+FROM ps JOIN supplier ON s_suppkey = l_suppkey
+QUALIFY row_number() OVER (
+  PARTITION BY l_partkey ORDER BY sum_c * 10000 // n, l_suppkey) = 1
+"""
