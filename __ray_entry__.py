@@ -401,6 +401,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curve over the dictionary-labeled corpus (exact-integer BSP;
         # convergence + parallelism-invariance pytest-gated)
         "ner_train": _ner_train,
+        # SemDeDup: cluster-restricted semantic dedup (k-means buckets →
+        # within-cluster cosine pairs → component min-id election);
+        # brute-force-equivalence + invariance pytest-gated
+        "embed_semdedup": docs.embed_semdedup,
         # grouped + global HLL sketches (approximate; <2%-error and
         # split-invariance pytest gates vs the exact counts)
         "events_type_approx_users": events.events_type_approx_users,

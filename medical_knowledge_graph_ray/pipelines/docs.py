@@ -1820,3 +1820,99 @@ def docs_search_indexed(sf_dir: str):
 SEARCH_SQL = "SELECT doc_id FROM documents WHERE " + " AND ".join(
     f"list_contains(string_split(text, ' '), '{t}')" for t in SEARCH_TERMS
 )
+
+
+# -- SemDeDup: cluster-restricted semantic dedup -------------------------------
+
+SEMDEDUP_T = 0.42  # cosine threshold (testdata max pairwise ≈ 0.48)
+
+
+def semdedup_removed(
+    emb, *, k: int = KMEANS_K, threshold: float = SEMDEDUP_T,
+    iters: int = KMEANS_ITERS,
+):
+    """SemDeDup (Abbas et al. 2023, public): k-means clusters →
+    WITHIN-cluster pairwise cosine ≥ t → drop all but the min-id member
+    of each semantic-dup component.  The cluster restriction is the
+    scale contract: pairwise work is O(Σ|cluster|²) ≈ n²/k instead of
+    n², and each cluster's matrix lives in exactly one bucket worker
+    (document the assumption: max cluster must fit a worker — raise k,
+    or chunk like `neardup_pairs_chunked`, when it can't).  Returns the
+    REMOVED (vec_id, comp) table."""
+    import numpy as np
+    import ray
+
+    from ..stages.clustering import _to_matrix, _unit, kmeans_fit
+    from ..stages.components import connected_components
+    from ..stages.shuffle import bucketed_group_map
+
+    cent = kmeans_fit(emb, k=k, iters=iters)
+    cent_ref = ray.put(cent)
+
+    class AssignKeepVec:
+        def __init__(self):
+            self.cent = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.cent is None:
+                self.cent = ray.get(cent_ref)
+            if not len(b):
+                return pd.DataFrame(
+                    {"vec_id": pd.array([], "int64"),
+                     "cluster": pd.array([], "int32"), "embedding": []}
+                )
+            unit = _unit(_to_matrix(b["embedding"]))
+            cluster = (unit @ self.cent.T).argmax(axis=1)
+            return pd.DataFrame(
+                {"vec_id": b["vec_id"].to_numpy().astype("int64"),
+                 "cluster": cluster.astype("int32"),
+                 "embedding": list(unit)}
+            )
+
+    assigned = emb.map_batches(AssignKeepVec(), batch_format="pandas")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _c, sub in g.groupby("cluster", sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sub["vec_id"].to_numpy()
+            m = np.stack(sub["embedding"].to_numpy())
+            sims = m @ m.T
+            ai, bi = np.nonzero(np.triu(sims >= threshold, 1))
+            a, b = ids[ai], ids[bi]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.array([], "int64"), "doc_b": pd.array([], "int64")}
+            )
+        return pd.DataFrame(
+            {"doc_a": pd.array(np.concatenate(out_a), "int64"),
+             "doc_b": pd.array(np.concatenate(out_b), "int64")}
+        )
+
+    pairs = bucketed_group_map(assigned, ["cluster"], pairs_in_bucket,
+                               num_buckets=min(16, k))
+    comps = connected_components(pairs)  # (node, component_id)
+
+    def removed(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b["node"] != b["component_id"]]
+        return pd.DataFrame(
+            {"vec_id": out["node"].astype("int64"),
+             "comp": out["component_id"].astype("int64")}
+        )
+
+    return comps.map_batches(arrow_out(removed), batch_format="pandas")
+
+
+def embed_semdedup(sf_dir: str) -> pd.DataFrame:
+    """Driver query: the removed-vector table (semantic duplicates that
+    lost their component's min-id election), sorted."""
+    out = semdedup_removed(_embeddings(sf_dir)).to_pandas()
+    if "vec_id" not in out.columns:  # zero-block to_pandas schema drop
+        return pd.DataFrame(
+            {"vec_id": pd.array([], "int64"), "comp": pd.array([], "int64")}
+        )
+    return out.sort_values("vec_id").reset_index(drop=True)
