@@ -1916,3 +1916,48 @@ def embed_semdedup(sf_dir: str) -> pd.DataFrame:
             {"vec_id": pd.array([], "int64"), "comp": pd.array([], "int64")}
         )
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def docs_search_ranked(sf_dir: str):
+    """BM25 top-10 over the same persisted inverted index (disjunctive
+    semantics): df comes free from the bucket-local posting counts, dl
+    rides on every posting row, corpus stats live in the manifest —
+    serving never touches the documents table."""
+    import os
+
+    from ..stages.search import build_inverted_index, search_and, search_ranked
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/mkg_search_idx/{tag}"
+    build_inverted_index(_docs(sf_dir, ["doc_id", "text"]), index_dir)
+    return search_ranked(index_dir, SEARCH_TERMS, k=10)
+
+
+def _search_ranked_sql() -> str:
+    from ..stages.search import BM25_B, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN ({terms}) GROUP BY 1, 2
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, SUM(dl) AS total_tf FROM dl
+), df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), addend AS (
+  SELECT doc_id,
+         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * tf * ({BM25_K1} + 1)
+               / (tf + {BM25_K1} * (1 - {BM25_B}
+                                    + {BM25_B} * dl / (total_tf / n_docs))),
+               6) AS w
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
+)
+SELECT doc_id, round(SUM(w), 6) AS score FROM addend GROUP BY doc_id
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10
+"""

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 
 N_SEARCH_BUCKETS = 32
-_INDEX_VERSION = "v1"
+_INDEX_VERSION = "v2"  # v2: postings carry (tf, dl) for BM25 serving
 
 
 def _fingerprint() -> str:
@@ -36,26 +36,37 @@ def _fingerprint() -> str:
 
 
 def _explode_tokens(b: pd.DataFrame) -> pd.DataFrame:
-    """documents batch → DISTINCT (token, doc_id, bucket) rows.
+    """documents batch → one (token, doc_id, tf, dl, bucket) row per
+    distinct (token, doc) pair.
 
-    Vectorized split + repeat; the per-batch ``drop_duplicates`` is the
-    map-side combiner (a token repeated in one doc exchanges once)."""
+    Vectorized split + repeat; the per-batch (token, doc) groupby is the
+    map-side combiner.  ``dl`` (the doc's token count) is exact here —
+    each documents row carries its FULL text — so BM25 length
+    normalization needs no separate lengths table."""
     from ..functions.hashing import stable_bucket_vec
 
     if not len(b):
         return pd.DataFrame(
             {"token": pd.array([], "str"), "doc_id": pd.array([], "int64"),
+             "tf": pd.array([], "int64"), "dl": pd.array([], "int64"),
              "bucket": pd.array([], "int32")}
         )
     toks = b["text"].astype(str).str.split(" ")
     counts = toks.str.len().to_numpy()
     flat = np.concatenate(toks.to_numpy())
     doc = np.repeat(b["doc_id"].to_numpy().astype("int64"), counts)
-    df = pd.DataFrame({"token": flat, "doc_id": doc}).drop_duplicates()
+    dl = np.repeat(counts.astype("int64"), counts)
+    df = (
+        pd.DataFrame({"token": flat, "doc_id": doc, "dl": dl})
+        .groupby(["token", "doc_id", "dl"], sort=False).size()
+        .reset_index(name="tf")
+    )
     df = df[df["token"] != ""]
     return pd.DataFrame(
         {"token": pd.array(df["token"].to_numpy(), "str"),
          "doc_id": pd.array(df["doc_id"].to_numpy(), "int64"),
+         "tf": pd.array(df["tf"].to_numpy().astype("int64"), "int64"),
+         "dl": pd.array(df["dl"].to_numpy().astype("int64"), "int64"),
          "bucket": pd.array(
              stable_bucket_vec(df["token"].to_numpy(), N_SEARCH_BUCKETS), "int32"
          )}
@@ -83,11 +94,12 @@ def build_inverted_index(docs, out_dir: str, *, resume: bool = True) -> dict:
 
         if not len(g):
             return pd.DataFrame(
-                {"bucket": pd.array([], "int32"), "rows": pd.array([], "int64")}
+                {"bucket": pd.array([], "int32"), "rows": pd.array([], "int64"),
+                 "tf_sum": pd.array([], "int64")}
             )
         bucket = int(g["bucket"].iloc[0])
         part = g.sort_values(["token", "doc_id"], kind="mergesort")[
-            ["token", "doc_id"]
+            ["token", "doc_id", "tf", "dl"]
         ]
         pq.write_table(
             pa.Table.from_pandas(part, preserve_index=False),
@@ -96,7 +108,8 @@ def build_inverted_index(docs, out_dir: str, *, resume: bool = True) -> dict:
         )
         return pd.DataFrame(
             {"bucket": pd.array([bucket], "int32"),
-             "rows": pd.array([len(part)], "int64")}
+             "rows": pd.array([len(part)], "int64"),
+             "tf_sum": pd.array([int(part["tf"].sum())], "int64")}
         )
 
     postings = docs.map_batches(arrow_out(_explode_tokens), batch_format="pandas")
@@ -108,6 +121,10 @@ def build_inverted_index(docs, out_dir: str, *, resume: bool = True) -> dict:
     m = {
         "fingerprint": _fingerprint(),
         "rows": int(written["rows"].sum()),
+        # BM25 corpus stats: total token count (Σ tf ≡ Σ doc lengths)
+        # and the doc census, both free at build time
+        "total_tf": int(written["tf_sum"].sum()),
+        "n_docs": int(docs.count()),
         "buckets": [
             {"bucket": int(r.bucket), "rows": int(r.rows)}
             for r in written.itertuples()
@@ -169,3 +186,106 @@ def search_and(index_dir: str, terms: list[str]) -> pd.DataFrame:
     if "doc_id" not in out.columns:  # Ray 2.49: zero-block to_pandas drops schema
         return pd.DataFrame({"doc_id": pd.array([], "int64")})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def search_ranked(
+    index_dir: str, terms: list[str], *, k: int = 10,
+    k1: float = BM25_K1, b: float = BM25_B,
+) -> pd.DataFrame:
+    """BM25 top-k over the postings index (disjunctive semantics — a doc
+    matching any term scores).
+
+    Two passes over the SAME bucket-pruned, token-filtered read
+    (materialized once — it is bounded by the terms' posting lists):
+    a |terms|-row df census (every token's postings live wholly in its
+    hash bucket, so the filtered row count per token IS its global df),
+    then vectorized per-row BM25 addends.  Float contract: each addend
+    rounds to 6 dp BEFORE the per-doc sum — the true sum is then an
+    exact multiple of 1e-6, so the final 6-dp round is immune to
+    summation order on both engines."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.arrow import arrow_out
+    from ..functions.hashing import stable_bucket_vec
+    from .shuffle import bucketed_group_map
+
+    terms = sorted(set(terms))
+    empty = pd.DataFrame(
+        {"doc_id": pd.array([], "int64"), "score": pd.array([], "float64")}
+    )
+    if not terms:
+        return empty
+    with open(os.path.join(index_dir, "_MANIFEST.json")) as fh:
+        m = json.load(fh)
+    n_docs, total_tf = m["n_docs"], m["total_tf"]
+    avgdl = total_tf / n_docs
+
+    buckets = sorted(set(stable_bucket_vec(np.array(terms), N_SEARCH_BUCKETS)))
+    files = [
+        f
+        for bk in buckets
+        if os.path.exists(
+            f := os.path.join(index_dir, f"bucket={int(bk):04d}.parquet")
+        )
+    ]
+    if not files:
+        return empty
+    postings = rd.read_parquet(
+        files, columns=["token", "doc_id", "tf", "dl"],
+        filter=pc.field("token").isin(terms),
+    ).materialize()  # bounded by the query terms' posting lists
+
+    def df_partial(t: pd.DataFrame) -> pd.DataFrame:
+        c = t.groupby("token", sort=False).size()
+        return pd.DataFrame(
+            {"token": pd.array(c.index, "str"),
+             "n": pd.array(c.to_numpy(), "int64")}
+        )
+
+    census = postings.map_batches(
+        arrow_out(df_partial), batch_format="pandas"
+    ).to_pandas()  # ≤ |terms| rows per batch
+    if not len(census) or "token" not in census.columns:
+        return empty
+    df_map = census.groupby("token")["n"].sum().to_dict()
+    idf = {
+        t: math.log((n_docs - d + 0.5) / (d + 0.5) + 1)
+        for t, d in df_map.items()
+    }
+
+    def addends(t: pd.DataFrame) -> pd.DataFrame:
+        tf = t["tf"].to_numpy().astype("float64")
+        dl = t["dl"].to_numpy().astype("float64")
+        idf_arr = t["token"].map(idf).to_numpy().astype("float64")
+        # expression order mirrors the SQL oracle exactly (left-assoc)
+        w = idf_arr * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        g = (
+            pd.DataFrame({"doc_id": t["doc_id"].astype("int64"),
+                          "w": np.round(w, 6)})
+            .groupby("doc_id", sort=False)["w"].sum().reset_index()
+        )
+        return g
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", sort=False)["w"].sum()
+        return pd.DataFrame(
+            {"doc_id": pd.array(s.index, "int64"),
+             "score": np.round(s.to_numpy(), 6)}
+        )
+
+    scored = bucketed_group_map(
+        postings.map_batches(arrow_out(addends), batch_format="pandas"),
+        ["doc_id"], per_doc, num_buckets=8,
+    ).to_pandas()
+    if "doc_id" not in scored.columns:
+        return empty
+    return (
+        scored.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k).reset_index(drop=True)
+    )

@@ -73,3 +73,44 @@ def test_unknown_term_and_empty_query(index_dir):
     assert len(search_and(index_dir, ["zzz_not_a_token"])) == 0
     assert len(search_and(index_dir, ["dup", "zzz_not_a_token"])) == 0
     assert len(search_and(index_dir, [])) == 0
+
+
+def test_search_ranked_bm25_brute_parity(index_dir):
+    import math
+
+    import numpy as np
+
+    from medical_knowledge_graph_ray.stages.search import (
+        BM25_B, BM25_K1, search_ranked,
+    )
+
+    terms = ["dup", "spark", "vector"]
+    got = search_ranked(index_dir, terms, k=10)
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    toks = docs["text"].astype(str).str.split(" ")
+    n_docs = len(docs)
+    dl = toks.str.len().to_numpy().astype("float64")
+    avgdl = float(dl.sum()) / n_docs
+    rows = {}
+    df_map = {
+        t: int(sum(t in set(tk) for tk in toks)) for t in terms
+    }
+    for i, tk in enumerate(toks):
+        s = 0.0
+        for t in sorted(terms):
+            tf = float(tk.count(t))
+            if tf == 0:
+                continue
+            d = df_map[t]
+            idf = math.log((n_docs - d + 0.5) / (d + 0.5) + 1)
+            w = idf * tf * (BM25_K1 + 1) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * dl[i] / avgdl)
+            )
+            s += np.round(w, 6)
+        if s > 0:
+            rows[int(docs["doc_id"].iloc[i])] = round(float(np.round(s, 6)), 6)
+    want = sorted(rows.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got["doc_id"].tolist() == [d for d, _ in want]
+    assert got["score"].to_numpy() == pytest.approx(
+        [s for _, s in want], abs=1e-9
+    )
