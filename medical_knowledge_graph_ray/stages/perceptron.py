@@ -365,3 +365,40 @@ def load_tagger(out_dir: str) -> np.ndarray:
         t.column("w").to_numpy()
     )
     return W
+
+
+def predict_sentences(W: np.ndarray, sentences: list[str]):
+    """Ad-hoc serve path (the ``EnsembleNER.predict_sentences`` contract
+    for the TRAINED model): greedy per-char decode under weights W →
+    [[(start, end, type), ...]] per sentence.  Same featurizer and span
+    convention ([start, end) exclusive) as training/eval — one resident
+    weight matrix scores any number of sentences without Ray."""
+    from .ner import TYPE_LIST
+
+    out = []
+    for s in sentences:
+        if not s:
+            out.append([])
+            continue
+        codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        sent = np.zeros(len(codes), dtype=np.int64)
+        fids = _feature_ids(codes, sent)
+        scores = W[fids[:, 0]].astype(np.int64)
+        for f in range(1, N_FEATS):
+            scores += W[fids[:, f]]
+        pred = scores.argmax(axis=1)
+        ty = (pred + 1) // 2
+        is_b = (pred % 2) == 1
+        inside = ty > 0
+        start = inside & (is_b | (np.roll(ty, 1) != ty))
+        if len(start):
+            start[0] = inside[0]
+        spans = []
+        sid = np.cumsum(start)
+        for g in np.unique(sid[inside]):
+            pos = np.nonzero(inside & (sid == g))[0]
+            spans.append(
+                (int(pos[0]), int(pos[-1]) + 1, TYPE_LIST[int(ty[pos[0]]) - 1])
+            )
+        out.append(spans)
+    return out

@@ -139,3 +139,39 @@ def test_save_load_roundtrip_and_cli_train(ray_session, corpus, tmp_path):
     curve = pd.read_parquet(f"{out}/learning_curve.parquet")
     assert len(curve) == 2
     assert curve["train_mistakes"].iloc[1] < curve["train_mistakes"].iloc[0]
+
+
+def test_predict_sentences_recovers_gazetteer_spans(positions, corpus):
+    """Serve path: the trained tagger's ad-hoc predictions recover most
+    gazetteer spans on fresh sentences (train→serve loop closed)."""
+    from medical_knowledge_graph_ray.ontology import MEDICAL_GAZETTEER
+    from medical_knowledge_graph_ray.stages.ner import GazetteerMatcher
+    from medical_knowledge_graph_ray.stages.perceptron import (
+        predict_sentences, train_rounds,
+    )
+
+    train = positions.filter(expr="role == 0")
+    W = None
+    for _r, _m, W in train_rounds(train, rounds=4):
+        pass
+    matcher = GazetteerMatcher(MEDICAL_GAZETTEER)
+    sents = ["儿童慎用阿司匹林", "适用于肝硬化的治疗", "孕妇禁用阿莫西林"]
+    preds = predict_sentences(W, sents)
+    assert predict_sentences(W, [""]) == [[]]
+    # char-majority recovery: a gold span counts as recovered when more
+    # than half its chars carry the right predicted type (the greedy
+    # local-feature tagger can fray span edges; type identity is the
+    # serve-path contract being exercised here)
+    tp = total = 0
+    for s, p in zip(sents, preds):
+        char_type = {}
+        for st, en, ty in p:
+            for i in range(st, en):
+                char_type[i] = ty
+        for st, en, surf in matcher.find(s):
+            total += 1
+            ty = matcher.types[surf]
+            hit = sum(char_type.get(i) == ty for i in range(st, en))
+            tp += hit * 2 > (en - st)
+    assert total > 0
+    assert tp / total >= 0.8, (tp, total, preds)
