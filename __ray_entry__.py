@@ -368,6 +368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_last": events.events_first_last,
         # BM25 top-k over the same persisted index (disjunctive)
         "docs_search_ranked": docs.docs_search_ranked,
+        # PPMI relation scoring over the co-occurrence graph
+        "kg_ppmi": docs_kg.kg_ppmi,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -545,6 +547,7 @@ def oracle_sql() -> dict[str, str]:
         "part_cheapest_supplier": relational.CHEAPEST_SQL,
         "events_first_last": events.FIRST_LAST_SQL,
         "docs_search_ranked": docs._search_ranked_sql(),
+        "kg_ppmi": docs_kg.ppmi_sql(),
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

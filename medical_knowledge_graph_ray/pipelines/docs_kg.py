@@ -794,3 +794,91 @@ def typo_candidates_sql() -> str:
         "FROM toks, g\n"
         f"WHERE levenshtein(token, term) <= {TYPO_MAX_D} AND token <> term"
     )
+
+
+# -- PPMI relation scoring over the co-occurrence graph ------------------------
+
+def kg_ppmi(sf_dir: str):
+    """Positive PMI edge weights over the doc-level co-occurrence graph —
+    the standard association score separating 'these entities co-occur
+    because both are common' from genuine affinity (relation-scoring
+    stage of a KG pipeline).
+
+    Composition: the existing pair census (bucketed) + a per-term doc
+    census (gazetteer-bounded → a broadcast dict, the q9 artifact
+    pattern) + one vectorized scoring map.  Float contract: the PMI
+    argument is ONE double division of two exact int products on both
+    engines (positivity is decided in exact ints: n_pair·N > dₐ·d_b), so
+    round-6 parity is safe."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_total = docs.count()
+
+    def term_partial(b: pd.DataFrame) -> pd.DataFrame:
+        per_doc = _KERNEL.counts(b["text"].astype(str).tolist())
+        c: dict[str, int] = {}
+        for counts in per_doc:
+            for t in counts:
+                c[t] = c.get(t, 0) + 1
+        return pd.DataFrame(
+            {"term": pd.array(sorted(c), "str"),
+             "d": pd.array([c[t] for t in sorted(c)], "int64")}
+        )
+
+    tdocs = (
+        bucketed_group_map(
+            docs.map_batches(arrow_out(term_partial), batch_format="pandas"),
+            ["term"],
+            lambda g: g.groupby("term", sort=False)["d"].sum().reset_index(),
+            num_buckets=4,
+        )
+        .to_pandas()  # gazetteer-bounded census
+        .set_index("term")["d"].to_dict()
+    )
+
+    pairs = doc_cooccurrence(sf_dir)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"term_a": pd.array([], "str"), "term_b": pd.array([], "str"),
+                 "n_docs": pd.array([], "int64"),
+                 "ppmi": pd.array([], "float64")}
+            )
+        da = b["term_a"].map(tdocs).to_numpy().astype("int64")
+        db = b["term_b"].map(tdocs).to_numpy().astype("int64")
+        n_pair = b["n_docs"].to_numpy().astype("int64")
+        keep = n_pair * n_total > da * db  # PPMI > 0 in exact ints
+        arg = (n_pair[keep] * n_total) / (da[keep] * db[keep])
+        return pd.DataFrame(
+            {"term_a": pd.array(b["term_a"].to_numpy()[keep], "str"),
+             "term_b": pd.array(b["term_b"].to_numpy()[keep], "str"),
+             "n_docs": pd.array(n_pair[keep], "int64"),
+             "ppmi": np.round(np.log(arg), 6)}
+        )
+
+    return pairs.map_batches(arrow_out(score), batch_format="pandas")
+
+
+def ppmi_sql() -> str:
+    return (
+        f"WITH mentions AS ({mentions_sql()}),\n"
+        "tdocs AS (SELECT term, CAST(count(*) AS BIGINT) AS d "
+        "FROM mentions GROUP BY 1),\n"
+        "pairs AS (SELECT a.term AS term_a, b.term AS term_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM mentions a JOIN mentions b "
+        "ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1, 2),\n"
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)\n"
+        "SELECT term_a, term_b, n_docs,\n"
+        "       round(ln((n_docs * n_total) / (da.d * db.d)), 6) AS ppmi\n"
+        "FROM pairs JOIN tdocs da ON da.term = term_a "
+        "JOIN tdocs db ON db.term = term_b, n\n"
+        "WHERE n_docs * n_total > da.d * db.d"
+    )

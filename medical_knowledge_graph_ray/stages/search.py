@@ -289,3 +289,70 @@ def search_ranked(
         scored.sort_values(["score", "doc_id"], ascending=[False, True])
         .head(k).reset_index(drop=True)
     )
+
+
+def merge_indexes(parts: list[str], out_dir: str, *, resume: bool = True) -> dict:
+    """Incremental index maintenance (the ``merge_graph_runs`` analogue):
+    fold several postings indexes over DISJOINT doc sets into one, per
+    bucket — the same token hashes to the same bucket in every part, so
+    the merge is an embarrassingly parallel per-bucket concat + re-sort
+    with NO exchange.  ``merge(build(A), build(B)) == build(A ∪ B)``
+    exactly (postings rows are per (token, doc); doc sets are disjoint),
+    pinned by pytest.  Corpus-append without re-tokenizing old docs."""
+    import ray
+
+    manifest_path = os.path.join(out_dir, "_MANIFEST.json")
+    metas = []
+    for p in parts:
+        with open(os.path.join(p, "_MANIFEST.json")) as fh:
+            metas.append(json.load(fh))
+    for m in metas:
+        if m["fingerprint"] != _fingerprint():
+            raise ValueError(f"index version mismatch: {m['fingerprint']}")
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            m = json.load(fh)
+        if m.get("fingerprint") == _fingerprint() and m.get("merged_from") == parts:
+            return m
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def merge_bucket(bucket: int) -> tuple[int, int, int]:
+        import pyarrow.parquet as pq_
+
+        name = f"bucket={bucket:04d}.parquet"
+        tables = [
+            pq_.read_table(os.path.join(p, name))
+            for p in parts
+            if os.path.exists(os.path.join(p, name))
+        ]
+        if not tables:
+            return bucket, 0, 0
+        merged = (
+            pd.concat([t.to_pandas() for t in tables], ignore_index=True)
+            .sort_values(["token", "doc_id"], kind="mergesort")
+        )
+        import pyarrow as pa_
+
+        pq_.write_table(
+            pa_.Table.from_pandas(merged, preserve_index=False),
+            os.path.join(out_dir, name), row_group_size=8192,
+        )
+        return bucket, len(merged), int(merged["tf"].sum())
+
+    results = ray.get(
+        [merge_bucket.remote(b) for b in range(N_SEARCH_BUCKETS)]
+    )
+    written = [(b, r, s) for b, r, s in results if r > 0]
+    m = {
+        "fingerprint": _fingerprint(),
+        "merged_from": parts,
+        "rows": int(sum(r for _b, r, _s in written)),
+        "total_tf": int(sum(s for _b, _r, s in written)),
+        "n_docs": int(sum(meta["n_docs"] for meta in metas)),
+        "buckets": [{"bucket": b, "rows": r} for b, r, _s in written],
+    }
+    with open(manifest_path, "w") as fh:
+        json.dump(m, fh, indent=1)
+    return m

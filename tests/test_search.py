@@ -114,3 +114,34 @@ def test_search_ranked_bm25_brute_parity(index_dir):
     assert got["score"].to_numpy() == pytest.approx(
         [s for _, s in want], abs=1e-9
     )
+
+
+def test_merge_indexes_equals_full_build(ray_session, tmp_path):
+    """merge(build(A), build(B)) ≡ build(A ∪ B) exactly — manifests,
+    per-bucket files, and BM25 serving all agree."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.search import (
+        build_inverted_index, merge_indexes, search_ranked,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    a, b = docs[docs["doc_id"] % 2 == 0], docs[docs["doc_id"] % 2 == 1]
+    da, db, dm, dfull = (str(tmp_path / x) for x in ("a", "b", "m", "full"))
+    build_inverted_index(rd.from_pandas(a), da)
+    build_inverted_index(rd.from_pandas(b), db)
+    merged = merge_indexes([da, db], dm)
+    full = build_inverted_index(rd.from_pandas(docs), dfull)
+    assert merged["rows"] == full["rows"]
+    assert merged["total_tf"] == full["total_tf"]
+    assert merged["n_docs"] == full["n_docs"]
+    for e in full["buckets"]:
+        fm = pd.read_parquet(f"{dm}/bucket={e['bucket']:04d}.parquet")
+        ff = pd.read_parquet(f"{dfull}/bucket={e['bucket']:04d}.parquet")
+        pd.testing.assert_frame_equal(
+            fm.reset_index(drop=True), ff.reset_index(drop=True)
+        )
+    terms = ["dup", "spark", "vector"]
+    pd.testing.assert_frame_equal(
+        search_ranked(dm, terms), search_ranked(dfull, terms)
+    )
