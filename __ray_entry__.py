@@ -370,6 +370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search_ranked": docs.docs_search_ranked,
         # PPMI relation scoring over the co-occurrence graph
         "kg_ppmi": docs_kg.kg_ppmi,
+        # exact phrase retrieval over the positional postings (v3)
+        "docs_search_phrase": docs.docs_search_phrase,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -548,6 +550,7 @@ def oracle_sql() -> dict[str, str]:
         "events_first_last": events.FIRST_LAST_SQL,
         "docs_search_ranked": docs._search_ranked_sql(),
         "kg_ppmi": docs_kg.ppmi_sql(),
+        "docs_search_phrase": docs.PHRASE_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

@@ -1961,3 +1961,26 @@ WITH toks AS (
 SELECT doc_id, round(SUM(w), 6) AS score FROM addend GROUP BY doc_id
 QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10
 """
+
+
+PHRASE_QUERY = ["spark", "window"]
+
+
+def docs_search_phrase(sf_dir: str):
+    """Exact phrase retrieval over the positional postings index —
+    offset-shifted position-set intersection, the classic positional-
+    index algorithm; same build-once cache as the other search queries."""
+    import os
+
+    from ..stages.search import build_inverted_index, search_phrase
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/mkg_search_idx/{tag}"
+    build_inverted_index(_docs(sf_dir, ["doc_id", "text"]), index_dir)
+    return search_phrase(index_dir, PHRASE_QUERY)
+
+
+PHRASE_SQL = (
+    "SELECT doc_id FROM documents WHERE ' ' || text || ' ' LIKE '% "
+    + " ".join(PHRASE_QUERY) + " %'"
+)

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 
 N_SEARCH_BUCKETS = 32
-_INDEX_VERSION = "v2"  # v2: postings carry (tf, dl) for BM25 serving
+_INDEX_VERSION = "v3"  # v2: +(tf, dl) for BM25; v3: +positions for phrases
 
 
 def _fingerprint() -> str:
@@ -36,8 +36,9 @@ def _fingerprint() -> str:
 
 
 def _explode_tokens(b: pd.DataFrame) -> pd.DataFrame:
-    """documents batch → one (token, doc_id, tf, dl, bucket) row per
-    distinct (token, doc) pair.
+    """documents batch → one (token, doc_id, tf, dl, pos, bucket) row per
+    distinct (token, doc) pair; ``pos`` is the sorted in-doc position
+    list (the positional-index payload phrase queries intersect).
 
     Vectorized split + repeat; the per-batch (token, doc) groupby is the
     map-side combiner.  ``dl`` (the doc's token count) is exact here —
@@ -49,6 +50,7 @@ def _explode_tokens(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"token": pd.array([], "str"), "doc_id": pd.array([], "int64"),
              "tf": pd.array([], "int64"), "dl": pd.array([], "int64"),
+             "pos": pd.Series([], dtype=object),
              "bucket": pd.array([], "int32")}
         )
     toks = b["text"].astype(str).str.split(" ")
@@ -56,17 +58,24 @@ def _explode_tokens(b: pd.DataFrame) -> pd.DataFrame:
     flat = np.concatenate(toks.to_numpy())
     doc = np.repeat(b["doc_id"].to_numpy().astype("int64"), counts)
     dl = np.repeat(counts.astype("int64"), counts)
+    # in-doc token position (empty tokens keep their slot so positions
+    # mirror the original token stream — phrase adjacency stays exact)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(counts.sum(), dtype=np.int64) - np.repeat(starts, counts)
     df = (
-        pd.DataFrame({"token": flat, "doc_id": doc, "dl": dl})
-        .groupby(["token", "doc_id", "dl"], sort=False).size()
-        .reset_index(name="tf")
+        pd.DataFrame({"token": flat, "doc_id": doc, "dl": dl, "pos": pos})
+        .groupby(["token", "doc_id", "dl"], sort=False)["pos"]
+        .agg(list)  # an ndarray return here trips pandas' agg check
+        .reset_index()
     )
     df = df[df["token"] != ""]
+    pos_list = [np.sort(np.asarray(p, dtype=np.int32)) for p in df["pos"]]
     return pd.DataFrame(
         {"token": pd.array(df["token"].to_numpy(), "str"),
          "doc_id": pd.array(df["doc_id"].to_numpy(), "int64"),
-         "tf": pd.array(df["tf"].to_numpy().astype("int64"), "int64"),
+         "tf": pd.array([len(p) for p in pos_list], "int64"),
          "dl": pd.array(df["dl"].to_numpy().astype("int64"), "int64"),
+         "pos": pd.Series(pos_list, dtype=object),
          "bucket": pd.array(
              stable_bucket_vec(df["token"].to_numpy(), N_SEARCH_BUCKETS), "int32"
          )}
@@ -99,7 +108,7 @@ def build_inverted_index(docs, out_dir: str, *, resume: bool = True) -> dict:
             )
         bucket = int(g["bucket"].iloc[0])
         part = g.sort_values(["token", "doc_id"], kind="mergesort")[
-            ["token", "doc_id", "tf", "dl"]
+            ["token", "doc_id", "tf", "dl", "pos"]
         ]
         pq.write_table(
             pa.Table.from_pandas(part, preserve_index=False),
@@ -356,3 +365,61 @@ def merge_indexes(parts: list[str], out_dir: str, *, resume: bool = True) -> dic
     with open(manifest_path, "w") as fh:
         json.dump(m, fh, indent=1)
     return m
+
+
+def search_phrase(index_dir: str, phrase: list[str]) -> pd.DataFrame:
+    """Exact phrase serve over the positional (v3) postings: doc_ids
+    where the phrase tokens appear CONSECUTIVELY.
+
+    Positional adjacency via offset-shifted position-set intersection
+    (``∩ᵢ (posᵢ − i)``), the classic positional-index algorithm — one
+    bucket-pruned, token-filtered read, one doc-co-locating exchange
+    bounded by the phrase terms' posting lists.  Repeated phrase tokens
+    intersect the SAME posting list at different offsets, so e.g.
+    'batch batch' works without special-casing."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.arrow import arrow_out
+    from ..functions.hashing import stable_bucket_vec
+    from .shuffle import bucketed_group_map
+
+    empty = pd.DataFrame({"doc_id": pd.array([], "int64")})
+    phrase = [t for t in phrase if t]
+    if not phrase:
+        return empty
+    uniq = sorted(set(phrase))
+    buckets = sorted(set(stable_bucket_vec(np.array(uniq), N_SEARCH_BUCKETS)))
+    files = [
+        f
+        for bk in buckets
+        if os.path.exists(
+            f := os.path.join(index_dir, f"bucket={int(bk):04d}.parquet")
+        )
+    ]
+    if not files:
+        return empty
+    postings = rd.read_parquet(
+        files, columns=["token", "doc_id", "pos"],
+        filter=pc.field("token").isin(uniq),
+    )
+
+    def check(g: pd.DataFrame) -> pd.DataFrame:
+        hits = []
+        for doc, sub in g.groupby("doc_id", sort=False):
+            by_tok = dict(zip(sub["token"], sub["pos"]))
+            if any(t not in by_tok for t in phrase):
+                continue
+            cand = set(np.asarray(by_tok[phrase[0]], dtype=np.int64))
+            for i, t in enumerate(phrase[1:], start=1):
+                cand &= set(np.asarray(by_tok[t], dtype=np.int64) - i)
+                if not cand:
+                    break
+            if cand:
+                hits.append(int(doc))
+        return pd.DataFrame({"doc_id": pd.array(sorted(hits), "int64")})
+
+    out = bucketed_group_map(postings, ["doc_id"], check, num_buckets=8).to_pandas()
+    if "doc_id" not in out.columns:  # zero-block to_pandas schema drop
+        return empty
+    return out.sort_values("doc_id").reset_index(drop=True)

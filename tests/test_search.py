@@ -145,3 +145,38 @@ def test_merge_indexes_equals_full_build(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         search_ranked(dm, terms), search_ranked(dfull, terms)
     )
+
+
+def test_phrase_search_adjacency_and_repeats(ray_session, tmp_path):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.search import (
+        build_inverted_index, search_phrase,
+    )
+
+    docs = pd.DataFrame(
+        {"doc_id": pd.array([1, 2, 3, 4], "int64"),
+         "text": ["a b c", "b a c", "x batch batch y", "batch x batch"]}
+    )
+    d = str(tmp_path / "pidx")
+    build_inverted_index(rd.from_pandas(docs), d)
+    assert search_phrase(d, ["a", "b"])["doc_id"].tolist() == [1]
+    assert search_phrase(d, ["b", "a"])["doc_id"].tolist() == [2]
+    assert search_phrase(d, ["a", "b", "c"])["doc_id"].tolist() == [1]
+    # repeated phrase token: same posting list at two offsets
+    assert search_phrase(d, ["batch", "batch"])["doc_id"].tolist() == [3]
+    assert search_phrase(d, ["a", "z"])["doc_id"].tolist() == []
+    assert search_phrase(d, [])["doc_id"].tolist() == []
+
+
+def test_phrase_search_matches_like_oracle(index_dir):
+    from medical_knowledge_graph_ray.stages.search import search_phrase
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    want = sorted(
+        int(r.doc_id)
+        for r in docs.itertuples()
+        if " spark window " in f" {r.text} "
+    )
+    got = search_phrase(index_dir, ["spark", "window"])["doc_id"].tolist()
+    assert got == want and len(want) > 0
