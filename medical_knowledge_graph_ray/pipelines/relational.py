@@ -2517,21 +2517,41 @@ def q21_waiting_suppliers(sf_dir: str):
     from ..stages.joins import hash_join
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # "supplier s shipped late in order o" depends only on s's LATEST
+        # ship date in o, so lineitem pre-aggregates map-side to one row
+        # per (order, supplier).  On TPC-H-uniform data that's ~1 line
+        # per pair (9.0 → 8.4 s measured, exchange barely shrinks); on
+        # real corpora where a supplier ships many lines per order this
+        # is the combiner that keeps the exchange per-pair, not per-line
+        g = (
+            b.groupby(["l_orderkey", "l_suppkey"], sort=False)
+            .agg(max_ship=("l_shipdate", "max")).reset_index()
+            .rename(columns={"l_orderkey": "o_orderkey"})
+        )
+        g["o_orderkey"] = g["o_orderkey"].astype("int64")
+        g["l_suppkey"] = g["l_suppkey"].astype("int64")
+        return g
+
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
-    ).map_batches(
-        arrow_out(lambda b: b.rename(columns={"l_orderkey": "o_orderkey"})),
-        batch_format="pandas",
-    )
+    ).map_batches(arrow_out(li_partial), batch_format="pandas")
 
     def attribute(m: pd.DataFrame) -> pd.DataFrame:
-        late = m["l_shipdate"] > m["o_orderdate"] + pd.Timedelta(days=Q4_LATE_DAYS)
-        supp = m[["o_orderkey", "l_suppkey"]].drop_duplicates()
-        n_supp = supp.groupby("o_orderkey", sort=False).size()
-        late_supp = m.loc[late, ["o_orderkey", "l_suppkey"]].drop_duplicates()
-        n_late = late_supp.groupby("o_orderkey", sort=False).size()
-        sole = n_late[n_late == 1].index.intersection(n_supp[n_supp >= 2].index)
-        winners = late_supp[late_supp["o_orderkey"].isin(sole)]
+        # partials may repeat per (order, supplier) across batches: keep
+        # the max ship date, then decide lateness once per pair
+        agg = (
+            m.groupby(["o_orderkey", "l_suppkey"], sort=False)
+            .agg(max_ship=("max_ship", "max"), odate=("o_orderdate", "first"))
+            .reset_index()
+        )
+        agg["late"] = agg["max_ship"] > agg["odate"] + pd.Timedelta(days=Q4_LATE_DAYS)
+        per_order = agg.groupby("o_orderkey", sort=False)["late"].agg(
+            n_supp="size", n_late="sum"
+        )
+        sole = per_order[(per_order["n_late"] == 1) & (per_order["n_supp"] >= 2)]
+        winners = agg[agg["late"] & agg["o_orderkey"].isin(sole.index)]
         cnt = winners.groupby("l_suppkey", sort=False).size()
         return pd.DataFrame(
             {"s_suppkey": pd.array(cnt.index, "int64"),
@@ -2545,7 +2565,7 @@ def q21_waiting_suppliers(sf_dir: str):
         ),
         right_schema=pa.schema(
             [("o_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
-             ("l_shipdate", pa.timestamp("us"))]
+             ("max_ship", pa.timestamp("us"))]
         ),
     ).groupby("s_suppkey").aggregate(Sum("numwait", alias_name="numwait"))
 
