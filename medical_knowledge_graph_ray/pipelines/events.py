@@ -1281,3 +1281,32 @@ SELECT DISTINCT user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+def events_cume_dist(sf_dir: str):
+    """Per-user CUME_DIST of event value — rank(method='max')/n, the
+    ≤-inclusive sibling of events_percent_rank.  Same exact float
+    contract (ONE division of the same two integers on both engines) and
+    the same single bucketed user_id exchange."""
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "value"])
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("user_id", sort=False)["value"].rank(method="max")
+        n = g.groupby("user_id", sort=False)["value"].transform("size")
+        return pd.DataFrame(
+            {"event_id": g["event_id"].astype("int64"),
+             "user_id": g["user_id"].astype("int64"),
+             "value": g["value"].astype("float64"),
+             "cume": (r.to_numpy() / n.to_numpy()).astype("float64")}
+        )
+
+    return bucketed_group_map(ev, ["user_id"], rank_bucket, num_buckets=32)
+
+
+CUME_DIST_SQL = """
+SELECT event_id, user_id, value,
+       CUME_DIST() OVER (PARTITION BY user_id ORDER BY value) AS cume
+FROM events
+"""
