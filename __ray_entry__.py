@@ -409,6 +409,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curve over the dictionary-labeled corpus (exact-integer BSP;
         # convergence + parallelism-invariance pytest-gated)
         "ner_train": _ner_train,
+        # one-pass approximate quantiles (fixed-grid histogram sketch;
+        # error ≤ half a bin width vs the exact core, pytest-pinned)
+        "lineitem_quantiles_sketch": relational.lineitem_quantiles_sketch,
         # SemDeDup: cluster-restricted semantic dedup (k-means buckets →
         # within-cluster cosine pairs → component min-id election);
         # brute-force-equivalence + invariance pytest-gated

@@ -2680,3 +2680,26 @@ FROM ps JOIN supplier ON s_suppkey = l_suppkey
 QUALIFY row_number() OVER (
   PARTITION BY l_partkey ORDER BY sum_c * 10000 // n, l_suppkey) = 1
 """
+
+
+def lineitem_quantiles_sketch(sf_dir: str):
+    """ONE-pass approximate quantiles of l_extendedprice via the fixed-
+    grid histogram sketch (`stages/quantiles.py:quantiles_sketch_int`) —
+    the single-scan scale path next to the exact narrowing core; error
+    bounded by half a bin width, pytest-pinned against the exact
+    answers."""
+    import numpy as np
+
+    from ..stages.quantiles import quantiles_sketch_int
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": np.rint(b["l_extendedprice"].to_numpy() * 100).astype("int64")}
+        )
+
+    ints = li.map_batches(arrow_out(to_cents), batch_format="pandas")
+    out = quantiles_sketch_int(ints, QUANTILE_QS)
+    out["approx"] = out["approx"] / 100.0
+    return out

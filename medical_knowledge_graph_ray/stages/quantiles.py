@@ -177,3 +177,55 @@ def quantiles_cont_int(ints_ds, qs: list[float]) -> pd.DataFrame:
         {"q": np.asarray(qs, np.float64),
          "value": np.asarray(out, np.float64)}
     )
+
+
+def quantiles_sketch_int(
+    ints_ds, qs: list[float], *, bins: int = 4096
+) -> pd.DataFrame:
+    """ONE-pass approximate quantiles: a single fixed-grid histogram
+    sketch over [min, max] — the mergeable-sketch member of the quantile
+    family (the exact narrowing core above re-scans O(log_B range)
+    times; this trades a bounded error for a single data pass after the
+    (n, min, max) stats pass).
+
+    The partial is a (bin, count) vector — associative, mergeable, and
+    batch-boundary-invariant like the engine's HLL/CMS partials.  The
+    estimate returns the CENTER of the bin holding rank ceil(q·n), so
+    the absolute error is ≤ half the bin width ((max−min)/bins); with
+    cent-scaled int64 domains and B=4096 that's ≤ 0.0125% of the range.
+    Returns (q, approx) with approx still in the int domain (float)."""
+    import numpy as np
+
+    n, lo, hi = _stats_pass(ints_ds)
+    width = max(1, -(-(hi - lo + 1) // bins))  # ceil; ≥1 int per bin
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["v"].to_numpy()
+        if not len(v):
+            return pd.DataFrame(
+                {"bin": pd.array([], "int64"), "n": pd.array([], "int64")}
+            )
+        idx = (v - lo) // width
+        counts = np.bincount(idx, minlength=1)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame(
+            {"bin": pd.array(nz.astype("int64"), "int64"),
+             "n": pd.array(counts[nz].astype("int64"), "int64")}
+        )
+
+    p = ints_ds.map_batches(
+        arrow_out(hist_partial), batch_format="pandas"
+    ).to_pandas()  # ≤ blocks × bins tiny rows — sketch-sized artifact
+    hist = np.zeros(bins + 1, dtype=np.int64)
+    np.add.at(hist, p["bin"].to_numpy(), p["n"].to_numpy())
+    cum = np.cumsum(hist)
+    out = []
+    for q in qs:
+        rank = max(1, -(-int(q * n * 1_000_000) // 1_000_000))  # ceil(q·n)
+        b = int(np.searchsorted(cum, rank))
+        approx = lo + b * width + width / 2.0
+        out.append((q, float(approx)))
+    return pd.DataFrame(
+        {"q": pd.array([q for q, _ in out], "float64"),
+         "approx": pd.array([a for _, a in out], "float64")}
+    )

@@ -1118,3 +1118,36 @@ def test_count_min_never_underestimates_and_is_linear():
     from medical_knowledge_graph_ray.stages.sketches import CM_W
 
     assert (est - true).max() <= 8 * len(toks) // CM_W
+
+
+def test_quantile_sketch_error_bound_and_invariance(ray_session):
+    """One-pass sketch vs the exact narrowing core: |approx − exact| ≤
+    half a bin width, and the (bin, count) partials are batch-boundary
+    invariant."""
+    import numpy as np
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.functions.arrow import arrow_out
+    from medical_knowledge_graph_ray.stages.quantiles import (
+        quantiles_disc_int, quantiles_sketch_int,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 1_000_000, size=20_000).astype("int64")
+    qs = [0.25, 0.5, 0.9, 0.99]
+
+    def ints(ds):
+        return ds.map_batches(
+            arrow_out(lambda b: b[["v"]]), batch_format="pandas"
+        )
+
+    ds = rd.from_pandas(__import__("pandas").DataFrame({"v": vals}))
+    exact = quantiles_disc_int(ints(ds), qs)["value"].to_numpy()
+    approx = quantiles_sketch_int(ints(ds), qs)["approx"].to_numpy()
+    width = (vals.max() - vals.min() + 1) / 4096 + 1
+    assert np.all(np.abs(approx - exact) <= width), (approx, exact)
+    # batch-boundary invariance: different partitioning, identical sketch
+    approx2 = quantiles_sketch_int(
+        ints(ds.repartition(13)), qs
+    )["approx"].to_numpy()
+    assert np.array_equal(approx, approx2)
