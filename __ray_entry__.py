@@ -374,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search_phrase": docs.docs_search_phrase,
         # CUME_DIST: the ≤-inclusive sibling of percent_rank
         "events_cume_dist": events.events_cume_dist,
+        # ordered string aggregation (per-user event path)
+        "events_user_path": events.events_user_path,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -557,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppmi": docs_kg.ppmi_sql(),
         "docs_search_phrase": docs.PHRASE_SQL,
         "events_cume_dist": events.CUME_DIST_SQL,
+        "events_user_path": events.USER_PATH_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

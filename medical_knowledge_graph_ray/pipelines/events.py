@@ -1310,3 +1310,31 @@ SELECT event_id, user_id, value,
        CUME_DIST() OVER (PARTITION BY user_id ORDER BY value) AS cume
 FROM events
 """
+
+
+def events_user_path(sf_dir: str):
+    """Per-user ordered event-type path (ORDERED string aggregation —
+    the `string_agg(... ORDER BY ...)` shape): one bucketed user_id
+    exchange, per-bucket mergesort by (ts, event_id) then a grouped
+    join — order state never crosses buckets because a user's rows are
+    co-located."""
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def path_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        p = s.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        return pd.DataFrame(
+            {"user_id": pd.array(p.index, "int64"),
+             "path": pd.array(p.to_numpy(), "str")}
+        )
+
+    return bucketed_group_map(ev, ["user_id"], path_bucket, num_buckets=32)
+
+
+USER_PATH_SQL = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM events GROUP BY user_id
+"""
