@@ -116,6 +116,16 @@ def main(argv: list[str] | None = None) -> int:
     tr.add_argument("--out", required=True)
     tr.add_argument("--rounds", type=int, default=4)
 
+    co = sub.add_parser(
+        "compact",
+        help="bin-pack small parquet files under --in into ~target-MB "
+        "outputs (metadata-only planning, one Ray task per bin, "
+        "content-addressed idempotent outputs, manifest resume)",
+    )
+    co.add_argument("--in", dest="in_dir", required=True)
+    co.add_argument("--out", required=True)
+    co.add_argument("--target-mb", type=int, default=128)
+
     au = sub.add_parser(
         "audit",
         help="audit a run_kg output root: every manifest vs the actual "
@@ -243,6 +253,14 @@ def main(argv: list[str] | None = None) -> int:
                 {"out": args.out, "rounds": args.rounds, "nnz": meta["nnz"],
                  "val_token_acc": float(final["val_token_acc"]),
                  "val_span_f1": float(final["val_span_f1"])}
+            ))
+        elif args.cmd == "compact":
+            from .stages.compact import compact_parquet
+
+            m = compact_parquet(args.in_dir, args.out, target_mb=args.target_mb)
+            print(json.dumps(
+                {"out": args.out, "input_files": m["input_files"],
+                 "output_files": m["output_files"], "rows": m["rows"]}
             ))
     finally:
         if owns_ray:
