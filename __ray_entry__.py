@@ -376,6 +376,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cume_dist": events.events_cume_dist,
         # ordered string aggregation (per-user event path)
         "events_user_path": events.events_user_path,
+        # deterministic global shuffle with an explicit ROW_NUMBER
+        # (range-ordered hash buckets + prefix-sum offsets, no sort op)
+        "docs_global_shuffle": docs.docs_global_shuffle,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -560,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_search_phrase": docs.PHRASE_SQL,
         "events_cume_dist": events.CUME_DIST_SQL,
         "events_user_path": events.USER_PATH_SQL,
+        "docs_global_shuffle": docs.GLOBAL_SHUFFLE_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

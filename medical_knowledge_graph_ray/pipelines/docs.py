@@ -1984,3 +1984,85 @@ PHRASE_SQL = (
     "SELECT doc_id FROM documents WHERE ' ' || text || ' ' LIKE '% "
     + " ".join(PHRASE_QUERY) + " %'"
 )
+
+
+# -- deterministic global shuffle rank (distributed ROW_NUMBER) ----------------
+
+SHUFFLE_BUCKET_BITS = 6  # 64 range-ordered buckets on the top hash bits
+
+
+def docs_global_shuffle(sf_dir: str):
+    """Deterministic global shuffle order with an EXPLICIT global
+    ROW_NUMBER — the training-data shuffle that is reproducible across
+    runs and resumable by rank range.
+
+    No monolithic sort: the md5 hash is uniform, so its TOP BITS define
+    range-ordered buckets (bucket order IS global hash order — the
+    finalize_graph_write idiom).  Pass 1 exchanges only per-bucket
+    counts (driver prefix-sums them into offsets); pass 2 sorts within
+    each bucket and adds the offset.  Global rank = offset[bucket] +
+    local rank, exact at any parallelism."""
+    import numpy as np
+    import ray
+
+    from ..functions.hashing import md5_int_vec_prefixed
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    # h travels as int64 (Arrow blocks): subtract 2^63 so UNSIGNED hash
+    # order is preserved under signed comparison
+    def with_bucket_safe(b: pd.DataFrame) -> pd.DataFrame:
+        h = md5_int_vec_prefixed("shuf", b["doc_id"].to_numpy(), bits=64)
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "h": pd.array(
+                 (h - np.uint64(1 << 63)).view(np.int64), "int64"
+             ),
+             "bucket": pd.array(
+                 (h >> np.uint64(64 - SHUFFLE_BUCKET_BITS)).astype("int32"),
+                 "int32",
+             )}
+        )
+
+    keyed = docs.map_batches(arrow_out(with_bucket_safe), batch_format="pandas")
+    keyed = keyed.materialize()  # two passes over the keyed rows
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.groupby("bucket", sort=False).size()
+        return pd.DataFrame(
+            {"bucket": pd.array(c.index, "int32"),
+             "n": pd.array(c.to_numpy(), "int64")}
+        )
+
+    counts = (
+        keyed.map_batches(arrow_out(count_partial), batch_format="pandas")
+        .to_pandas()  # ≤ blocks × 64 tiny rows
+        .groupby("bucket")["n"].sum().sort_index()
+    )
+    offsets = counts.cumsum().shift(fill_value=0).to_dict()
+    off_ref = ray.put(offsets)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        s = g.sort_values(["h", "doc_id"], kind="mergesort")
+        base = int(off[int(s["bucket"].iloc[0])])
+        return pd.DataFrame(
+            {"doc_id": s["doc_id"].astype("int64"),
+             "shuffle_rank": pd.array(
+                 base + np.arange(1, len(s) + 1, dtype=np.int64), "int64"
+             )}
+        )
+
+    return keyed.groupby("bucket").map_groups(
+        arrow_out(rank_bucket), batch_format="pandas"
+    )
+
+
+GLOBAL_SHUFFLE_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY ('0x' || substr(md5('shuf|' || doc_id), 1, 16))::UBIGINT,
+                  doc_id
+       ) AS BIGINT) AS shuffle_rank
+FROM documents
+"""
