@@ -114,7 +114,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     tr.add_argument("--corpus", required=True)
     tr.add_argument("--out", required=True)
-    tr.add_argument("--rounds", type=int, default=4)
+    tr.add_argument("--rounds", type=int, default=6)
 
     co = sub.add_parser(
         "compact",

@@ -26,7 +26,7 @@ def train_positions_dataset(corpus_dir: str):
 
 
 def ner_train_fit(
-    corpus_dir: str, *, rounds: int = 4, eval_every_round: bool = False
+    corpus_dir: str, *, rounds: int = 6, eval_every_round: bool = False
 ):
     """Train ``rounds`` BSP rounds — returns (learning-curve table,
     final weight matrix).  Held-out metrics are computed for the FINAL
@@ -58,7 +58,7 @@ def ner_train_fit(
 
 
 def ner_train_corpus(
-    corpus_dir: str, *, rounds: int = 4, eval_every_round: bool = False
+    corpus_dir: str, *, rounds: int = 6, eval_every_round: bool = False
 ) -> pd.DataFrame:
     """Learning-curve table only (the driver-query face of
     ``ner_train_fit``)."""
@@ -68,7 +68,7 @@ def ner_train_corpus(
     return curve
 
 
-def ner_train_pages(sf_dir: str, *, rounds: int = 4) -> pd.DataFrame:
+def ner_train_pages(sf_dir: str, *, rounds: int = 6) -> pd.DataFrame:
     """Driver query: learning curve over the sf-scaled page corpus."""
     from .kg import corpus_for_sf
 

@@ -115,7 +115,7 @@ def test_ner_train_query_schema(ray_session):
         "round", "train_mistakes", "val_token_acc", "val_span_p",
         "val_span_r", "val_span_f1",
     ]
-    assert len(df) == 4
+    assert len(df) == 6
     assert df["train_mistakes"].iloc[-1] < df["train_mistakes"].iloc[0]
     assert df["val_token_acc"].iloc[-1] > 0.9
 
