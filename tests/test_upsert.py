@@ -1,0 +1,83 @@
+"""Keyed upsert table gates: MERGE semantics vs pandas reference,
+idempotent re-apply, deletes, touched-bucket-only rewrites, pruned
+lookups."""
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+def _df(rows):
+    return pd.DataFrame(rows, columns=["k", "v"]).astype({"k": "int64", "v": "str"})
+
+
+@pytest.fixture()
+def table(ray_session, tmp_path):
+    from medical_knowledge_graph_ray.stages.upsert import init_keyed_table
+
+    d = str(tmp_path / "t")
+    init_keyed_table(d, "k")
+    return d
+
+
+def test_upsert_merge_semantics_match_pandas(table):
+    from medical_knowledge_graph_ray.stages.upsert import (
+        read_keyed_table, upsert,
+    )
+
+    base = _df([(i, f"v{i}") for i in range(200)])
+    upsert(table, base)
+    # overwrite some, insert some, and within-batch last-row-wins
+    b2 = _df([(5, "old5"), (5, "new5"), (7, "new7"), (500, "v500")])
+    upsert(table, b2)
+
+    ref = base.set_index("k")
+    for k, v in [(5, "new5"), (7, "new7"), (500, "v500")]:
+        ref.loc[k] = v
+    want = ref.sort_index().reset_index()
+
+    got = (
+        read_keyed_table(table).to_pandas()
+        .sort_values("k").reset_index(drop=True)[["k", "v"]]
+    )
+    pd.testing.assert_frame_equal(got, want.astype({"k": "int64", "v": "str"}))
+
+
+def test_upsert_idempotent_and_deletes(table):
+    from medical_knowledge_graph_ray.stages.upsert import (
+        lookup, read_keyed_table, upsert,
+    )
+
+    upsert(table, _df([(1, "a"), (2, "b"), (3, "c")]))
+    m1 = upsert(table, _df([(2, "B")]), delete_keys=[3])
+    m2 = upsert(table, _df([(2, "B")]), delete_keys=[3])  # same batch again
+    assert m2["version"] == m1["version"]  # no-op re-apply
+    got = read_keyed_table(table).to_pandas().sort_values("k")
+    assert got["k"].tolist() == [1, 2]
+    assert got.loc[got["k"] == 2, "v"].iloc[0] == "B"
+    hit = lookup(table, [2, 3, 99])
+    assert hit["k"].tolist() == [2] and hit["v"].tolist() == ["B"]
+
+
+def test_upsert_rewrites_only_touched_buckets(table):
+    from medical_knowledge_graph_ray.stages.upsert import (
+        _bucket_of, _bucket_file, upsert,
+    )
+
+    upsert(table, _df([(i, f"v{i}") for i in range(300)]))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(table, f))
+        for f in os.listdir(table) if f.endswith(".parquet")
+    }
+    touched_bucket = int(_bucket_of([7])[0])
+    upsert(table, _df([(7, "NEW")]))
+    for f, t0 in mtimes.items():
+        t1 = os.path.getmtime(os.path.join(table, f))
+        if f == os.path.basename(_bucket_file(table, touched_bucket)):
+            assert t1 >= t0
+        else:
+            assert t1 == t0, f"untouched bucket {f} was rewritten"
