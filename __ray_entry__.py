@@ -414,6 +414,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curve over the dictionary-labeled corpus (exact-integer BSP;
         # convergence + parallelism-invariance pytest-gated)
         "ner_train": _ner_train,
+        # DSIR importance resampling (hashed-bucket LM log-ratio weights
+        # + content-stable acceptance; target-slice-mean + invariance
+        # pytest-gated)
+        "docs_dsir": docs.docs_dsir,
         # one-pass approximate quantiles (fixed-grid histogram sketch;
         # error ≤ half a bin width vs the exact core, pytest-pinned)
         "lineitem_quantiles_sketch": relational.lineitem_quantiles_sketch,

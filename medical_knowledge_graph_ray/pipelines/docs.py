@@ -2066,3 +2066,92 @@ SELECT doc_id,
        ) AS BIGINT) AS shuffle_rank
 FROM documents
 """
+
+
+# -- DSIR-style importance resampling ------------------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "zh"
+
+
+def docs_dsir(sf_dir: str, *, target_lang: str = DSIR_TARGET_LANG):
+    """DSIR-style importance weights + deterministic resample (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — public): hashed unigram bucket LMs for the TARGET
+    slice (here ``lang == target_lang``) vs the full SOURCE corpus;
+    per-doc log importance = Σ_token ln(p_tgt[b]/p_src[b]).
+
+    Scale shape: pass 1 is a mergeable 256-bucket census (per-batch
+    ``np.bincount`` partials, driver fold — the HLL/CMS artifact size);
+    pass 2 scores each doc vectorized against the broadcast 256-float
+    log-ratio vector and applies the content-stable acceptance rule
+    ``keep ⟺ md5_32('dsir|'‖id)/2³² < exp(logw − max logw)`` (importance
+    resampling normalized by the global max, so acceptance is a pure
+    function of content at any parallelism).  Returns
+    (doc_id, lang, logw, keep)."""
+    import numpy as np
+    from ray.data.aggregate import Max
+
+    from ..functions.arrow import arrow_out
+    from ..functions.hashing import md5_int_vec_prefixed, stable_bucket_vec
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"]).materialize()
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.split(" ")
+        counts = toks.str.len().to_numpy()
+        flat = np.concatenate(toks.to_numpy()) if len(b) else np.array([], str)
+        buckets = stable_bucket_vec(flat, DSIR_BUCKETS).astype("int64")
+        is_tgt = np.repeat(
+            (b["lang"].to_numpy() == target_lang), counts
+        )
+        n_src = np.bincount(buckets, minlength=DSIR_BUCKETS)
+        n_tgt = np.bincount(buckets[is_tgt], minlength=DSIR_BUCKETS)
+        nz = np.nonzero(n_src)[0]
+        return pd.DataFrame(
+            {"bucket": pd.array(nz.astype("int64"), "int64"),
+             "n_src": pd.array(n_src[nz].astype("int64"), "int64"),
+             "n_tgt": pd.array(n_tgt[nz].astype("int64"), "int64")}
+        )
+
+    cen = (
+        docs.map_batches(arrow_out(census), batch_format="pandas")
+        .to_pandas()  # ≤ blocks × 256 tiny rows
+        .groupby("bucket")[["n_src", "n_tgt"]].sum()
+        .reindex(range(DSIR_BUCKETS), fill_value=0)
+    )
+    # add-1 smoothing on both LMs so empty buckets stay finite
+    p_src = (cen["n_src"].to_numpy() + 1.0) / (cen["n_src"].sum() + DSIR_BUCKETS)
+    p_tgt = (cen["n_tgt"].to_numpy() + 1.0) / (cen["n_tgt"].sum() + DSIR_BUCKETS)
+    log_ratio = np.log(p_tgt / p_src)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.split(" ")
+        counts = toks.str.len().to_numpy()
+        flat = np.concatenate(toks.to_numpy()) if len(b) else np.array([], str)
+        buckets = stable_bucket_vec(flat, DSIR_BUCKETS).astype("int64")
+        doc_idx = np.repeat(np.arange(len(b)), counts)
+        logw = np.zeros(len(b), dtype=np.float64)
+        np.add.at(logw, doc_idx, log_ratio[buckets])
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "lang": pd.array(b["lang"], "str"),
+             "logw": np.round(logw, 6)}
+        )
+
+    scored = docs.map_batches(
+        arrow_out(score), batch_format="pandas"
+    ).materialize()  # reused: global max + the acceptance pass
+    w_max = scored.aggregate(Max("logw", alias_name="m"))["m"]
+
+    def accept(b: pd.DataFrame) -> pd.DataFrame:
+        u = (
+            md5_int_vec_prefixed("dsir", b["doc_id"].to_numpy(), bits=32)
+            .astype("float64") / 4294967296.0
+        )
+        keep = u < np.exp(b["logw"].to_numpy() - w_max)
+        out = b.copy()
+        out["keep"] = keep
+        return out
+
+    return scored.map_batches(arrow_out(accept), batch_format="pandas")

@@ -84,3 +84,29 @@ def test_semdedup_impossible_threshold_removes_nothing(ray_session):
     emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
     out = semdedup_removed(emb, threshold=1.01).to_pandas()
     assert len(out) == 0
+
+
+def test_dsir_weights_favor_target_and_are_invariant(ray_session):
+    """DSIR gates: target-language docs score higher on average, the
+    acceptance rule is monotone in logw for a fixed doc hash, and the
+    result is identical at any parallelism."""
+    import numpy as np
+
+    import __ray_entry__ as em
+
+    df = em.queries()["docs_dsir"](SF_DIR).to_pandas()
+    assert set(df.columns) == {"doc_id", "lang", "logw", "keep"}
+    tgt = df[df["lang"] == "zh"]["logw"].mean()
+    other = df[df["lang"] != "zh"]["logw"].mean()
+    assert tgt > other, (tgt, other)
+    # the max-logw doc is always accepted (u < exp(0) = 1 for u in [0,1))
+    assert bool(df.loc[df["logw"].idxmax(), "keep"])
+    assert 0 < df["keep"].sum() < len(df)
+
+    from medical_knowledge_graph_ray.pipelines.docs import docs_dsir
+
+    again = docs_dsir(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
