@@ -116,6 +116,21 @@ def main(argv: list[str] | None = None) -> int:
     tr.add_argument("--out", required=True)
     tr.add_argument("--rounds", type=int, default=6)
 
+    se = sub.add_parser(
+        "search",
+        help="build (once) the positional inverted index over a "
+        "documents table and serve a query: --mode and|ranked|phrase",
+    )
+    se.add_argument("--sf-dir", required=True,
+                    help="directory holding documents.parquet")
+    se.add_argument("--index", required=True,
+                    help="index directory (built + manifest-resumed here)")
+    se.add_argument("--terms", nargs="+", required=True)
+    se.add_argument("--mode", choices=["and", "ranked", "phrase"],
+                    default="and")
+    se.add_argument("--k", type=int, default=10,
+                    help="top-k for --mode ranked")
+
     co = sub.add_parser(
         "compact",
         help="bin-pack small parquet files under --in into ~target-MB "
@@ -253,6 +268,27 @@ def main(argv: list[str] | None = None) -> int:
                 {"out": args.out, "rounds": args.rounds, "nnz": meta["nnz"],
                  "val_token_acc": float(final["val_token_acc"]),
                  "val_span_f1": float(final["val_span_f1"])}
+            ))
+        elif args.cmd == "search":
+            import ray.data as rd
+
+            from .stages.search import (
+                build_inverted_index, search_and, search_phrase, search_ranked,
+            )
+
+            docs = rd.read_parquet(
+                f"{args.sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+            build_inverted_index(docs, args.index)
+            if args.mode == "and":
+                out = search_and(args.index, args.terms)
+            elif args.mode == "phrase":
+                out = search_phrase(args.index, args.terms)
+            else:
+                out = search_ranked(args.index, args.terms, k=args.k)
+            print(json.dumps(
+                {"mode": args.mode, "terms": args.terms, "hits": len(out),
+                 "rows": out.to_dict(orient="records")}
             ))
         elif args.cmd == "compact":
             from .stages.compact import compact_parquet
