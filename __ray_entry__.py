@@ -379,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic global shuffle with an explicit ROW_NUMBER
         # (range-ordered hash buckets + prefix-sum offsets, no sort op)
         "docs_global_shuffle": docs.docs_global_shuffle,
+        # CCNet-style unigram LM quality score (round-addends contract)
+        "docs_unigram_logprob": docs.docs_unigram_logprob,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -568,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cume_dist": events.CUME_DIST_SQL,
         "events_user_path": events.USER_PATH_SQL,
         "docs_global_shuffle": docs.GLOBAL_SHUFFLE_SQL,
+        "docs_unigram_logprob": docs.UNIGRAM_LOGPROB_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

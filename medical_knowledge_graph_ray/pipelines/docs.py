@@ -2155,3 +2155,68 @@ def docs_dsir(sf_dir: str, *, target_lang: str = DSIR_TARGET_LANG):
         return out
 
     return scored.map_batches(arrow_out(accept), batch_format="pandas")
+
+
+def docs_unigram_logprob(sf_dir: str):
+    """Per-doc average unigram log-probability — the CCNet-style
+    LM-perplexity quality filter (docs far from the corpus distribution
+    score low).  One exact token census (the docs_frequent_tokens
+    combiner pattern; the vocabulary→log-p map broadcasts — for an
+    unbounded vocabulary use the hashed-bucket variant, `docs_dsir`),
+    then a vectorized scoring pass.  Float contract: each token addend
+    ln(n/total) rounds to 6 dp BEFORE the per-doc SUM (the BM25
+    contract — the true sum is an exact multiple of 1e-6, immune to
+    summation order).  Emits (sum_logp, n_tokens) rather than the mean:
+    a final division lands on 0.5e-6 ties where numpy (half-even) and
+    DuckDB (half-away) disagree — measured on exactly one doc at
+    sf0.001."""
+    import numpy as np
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.split(" ")
+        flat = np.concatenate(toks.to_numpy()) if len(b) else np.array([], str)
+        u, c = np.unique(flat, return_counts=True)
+        return pd.DataFrame(
+            {"tok": pd.array(u, "str"), "n": pd.array(c.astype("int64"), "int64")}
+        )
+
+    cen = (
+        docs.map_batches(arrow_out(census), batch_format="pandas")
+        .to_pandas()  # vocabulary-bounded artifact
+        .groupby("tok")["n"].sum()
+    )
+    total = float(cen.sum())
+    logp = {t: float(np.round(np.log(n / total), 6)) for t, n in cen.items()}
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.split(" ")
+        counts = toks.str.len().to_numpy()
+        flat = np.concatenate(toks.to_numpy()) if len(b) else np.array([], str)
+        vals = pd.Series(flat).map(logp).to_numpy(dtype=np.float64)
+        sums = np.zeros(len(b), dtype=np.float64)
+        np.add.at(sums, np.repeat(np.arange(len(b)), counts), vals)
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "sum_logp": np.round(sums, 6),
+             "n_tokens": pd.array(counts.astype("int64"), "int64")}
+        )
+
+    return docs.map_batches(arrow_out(score), batch_format="pandas")
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), cen AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS t FROM cen
+)
+SELECT doc_id,
+       round(SUM(round(ln(n / t), 6)), 6) AS sum_logp,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM toks JOIN cen USING (tok), tot
+GROUP BY doc_id
+"""
