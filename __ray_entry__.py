@@ -381,6 +381,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_global_shuffle": docs.docs_global_shuffle,
         # CCNet-style unigram LM quality score (round-addends contract)
         "docs_unigram_logprob": docs.docs_unigram_logprob,
+        # one-pass approximate quantiles (fixed-grid histogram sketch) —
+        # the estimate is a pure integer-arithmetic function, so the SQL
+        # oracle reproduces it bit-for-bit (plus the error-bound pytest)
+        "lineitem_quantiles_sketch": relational.lineitem_quantiles_sketch,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -420,9 +424,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + content-stable acceptance; target-slice-mean + invariance
         # pytest-gated)
         "docs_dsir": docs.docs_dsir,
-        # one-pass approximate quantiles (fixed-grid histogram sketch;
-        # error ≤ half a bin width vs the exact core, pytest-pinned)
-        "lineitem_quantiles_sketch": relational.lineitem_quantiles_sketch,
         # SemDeDup: cluster-restricted semantic dedup (k-means buckets →
         # within-cluster cosine pairs → component min-id election);
         # brute-force-equivalence + invariance pytest-gated
@@ -571,6 +572,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_path": events.USER_PATH_SQL,
         "docs_global_shuffle": docs.GLOBAL_SHUFFLE_SQL,
         "docs_unigram_logprob": docs.UNIGRAM_LOGPROB_SQL,
+        "lineitem_quantiles_sketch": relational.LINEITEM_QUANTILES_SKETCH_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

@@ -2703,3 +2703,38 @@ def lineitem_quantiles_sketch(sf_dir: str):
     out = quantiles_sketch_int(ints, QUANTILE_QS)
     out["approx"] = out["approx"] / 100.0
     return out
+
+
+def _sketch_rank_sql(q: float) -> str:
+    from fractions import Fraction
+
+    f = Fraction(str(q))
+    return f"GREATEST(1, (n * {f.numerator} + {f.denominator - 1}) // {f.denominator})"
+
+
+LINEITEM_QUANTILES_SKETCH_SQL = (
+    """
+WITH v AS (
+  SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v FROM lineitem
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, min(v) AS lo, max(v) AS hi FROM v
+), w AS (
+  SELECT n, lo, GREATEST(1, (hi - lo + 1 + 4095) // 4096) AS width FROM s
+), h AS (
+  SELECT (v.v - w.lo) // w.width AS bin, count(*) AS c FROM v, w GROUP BY 1
+), c AS (
+  SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM h
+), r AS (
+"""
+    + "\n  UNION ALL\n".join(
+        f"  SELECT CAST({q} AS DOUBLE) AS q, {_sketch_rank_sql(q)} AS rank FROM w"
+        for q in QUANTILE_QS
+    )
+    + """
+)
+SELECT r.q,
+       (w.lo + (SELECT min(bin) FROM c WHERE cum >= r.rank) * w.width
+        + w.width / 2.0) / 100.0 AS approx
+FROM r, w
+"""
+)

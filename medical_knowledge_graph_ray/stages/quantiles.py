@@ -218,10 +218,18 @@ def quantiles_sketch_int(
     ).to_pandas()  # ≤ blocks × bins tiny rows — sketch-sized artifact
     hist = np.zeros(bins + 1, dtype=np.int64)
     np.add.at(hist, p["bin"].to_numpy(), p["n"].to_numpy())
+    from fractions import Fraction
+
     cum = np.cumsum(hist)
     out = []
     for q in qs:
-        rank = max(1, -(-int(q * n * 1_000_000) // 1_000_000))  # ceil(q·n)
+        # EXACT rational ceil(q·n): float ceil(q*n) can land one off when
+        # the product sits a ulp above an integer (0.9 is inexact in
+        # binary) — the decimal-string fraction makes the rank identical
+        # to the SQL oracle's (n*num + den - 1) // den by construction
+        frac = Fraction(str(q))
+        rank = max(1, (n * frac.numerator + frac.denominator - 1)
+                   // frac.denominator)
         b = int(np.searchsorted(cum, rank))
         approx = lo + b * width + width / 2.0
         out.append((q, float(approx)))
