@@ -385,6 +385,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the estimate is a pure integer-arithmetic function, so the SQL
         # oracle reproduces it bit-for-bit (plus the error-bound pytest)
         "lineitem_quantiles_sketch": relational.lineitem_quantiles_sketch,
+        # DSIR importance resampling — pre-rounded bucket log-ratios
+        # make the per-doc sums order-immune, so the full chain (md5
+        # buckets, smoothed LMs, acceptance compare) oracles exactly
+        "docs_dsir": docs.docs_dsir,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -420,10 +424,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curve over the dictionary-labeled corpus (exact-integer BSP;
         # convergence + parallelism-invariance pytest-gated)
         "ner_train": _ner_train,
-        # DSIR importance resampling (hashed-bucket LM log-ratio weights
-        # + content-stable acceptance; target-slice-mean + invariance
-        # pytest-gated)
-        "docs_dsir": docs.docs_dsir,
         # SemDeDup: cluster-restricted semantic dedup (k-means buckets →
         # within-cluster cosine pairs → component min-id election);
         # brute-force-equivalence + invariance pytest-gated
@@ -573,6 +573,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_global_shuffle": docs.GLOBAL_SHUFFLE_SQL,
         "docs_unigram_logprob": docs.UNIGRAM_LOGPROB_SQL,
         "lineitem_quantiles_sketch": relational.LINEITEM_QUANTILES_SKETCH_SQL,
+        "docs_dsir": docs.dsir_sql(),
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

@@ -2120,10 +2120,12 @@ def docs_dsir(sf_dir: str, *, target_lang: str = DSIR_TARGET_LANG):
         .groupby("bucket")[["n_src", "n_tgt"]].sum()
         .reindex(range(DSIR_BUCKETS), fill_value=0)
     )
-    # add-1 smoothing on both LMs so empty buckets stay finite
+    # add-1 smoothing on both LMs so empty buckets stay finite; each
+    # bucket's log-ratio PRE-rounds to 6 dp so per-doc sums are exact
+    # multiples of 1e-6 — summation-order-immune and SQL-oracle-equal
     p_src = (cen["n_src"].to_numpy() + 1.0) / (cen["n_src"].sum() + DSIR_BUCKETS)
     p_tgt = (cen["n_tgt"].to_numpy() + 1.0) / (cen["n_tgt"].sum() + DSIR_BUCKETS)
-    log_ratio = np.log(p_tgt / p_src)
+    log_ratio = np.round(np.log(p_tgt / p_src), 6)
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
         toks = b["text"].astype(str).str.split(" ")
@@ -2219,4 +2221,40 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens
 FROM toks JOIN cen USING (tok), tot
 GROUP BY doc_id
+"""
+
+
+def dsir_sql() -> str:
+    """DuckDB oracle for ``docs_dsir`` — the identical arithmetic:
+    md5%256 buckets, add-1-smoothed LMs, pre-rounded bucket log-ratios,
+    per-doc sum, and the content-stable acceptance compare."""
+    B = DSIR_BUCKETS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % {B} AS BIGINT)
+           AS bucket
+  FROM toks
+), cen AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_src,
+         CAST(count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS BIGINT)
+           AS n_tgt
+  FROM b GROUP BY 1
+), tot AS (
+  SELECT SUM(n_src) AS ts, SUM(n_tgt) AS tt FROM cen
+), lr AS (
+  SELECT bucket,
+         round(ln(((n_tgt + 1.0) / (tt + {B}))
+                  / ((n_src + 1.0) / (ts + {B}))), 6) AS lw
+  FROM cen, tot
+), doc AS (
+  SELECT doc_id, lang, round(SUM(lw), 6) AS logw
+  FROM b JOIN lr USING (bucket) GROUP BY 1, 2
+), m AS (SELECT max(logw) AS mx FROM doc)
+SELECT doc_id, lang, logw,
+       (('0x' || substr(md5('dsir|' || doc_id), 1, 8))::UBIGINT
+        / 4294967296.0) < exp(logw - mx) AS keep
+FROM doc, m
 """
