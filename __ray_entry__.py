@@ -385,6 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the estimate is a pure integer-arithmetic function, so the SQL
         # oracle reproduces it bit-for-bit (plus the error-bound pytest)
         "lineitem_quantiles_sketch": relational.lineitem_quantiles_sketch,
+        # RATIO_TO_REPORT: per-type share of total value
+        "events_share_of_total": events.events_share_of_total,
         # DSIR importance resampling — pre-rounded bucket log-ratios
         # make the per-doc sums order-immune, so the full chain (md5
         # buckets, smoothed LMs, acceptance compare) oracles exactly
@@ -574,6 +576,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_unigram_logprob": docs.UNIGRAM_LOGPROB_SQL,
         "lineitem_quantiles_sketch": relational.LINEITEM_QUANTILES_SKETCH_SQL,
         "docs_dsir": docs.dsir_sql(),
+        "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
         "simhash_neardup_pairs": docs.simhash_neardup_sql(),

@@ -1338,3 +1338,50 @@ SELECT user_id,
        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
 FROM events GROUP BY user_id
 """
+
+
+def events_share_of_total(sf_dir: str):
+    """Per-event-type share of total value (the RATIO_TO_REPORT /
+    percent-of-total window shape): exact int-cent sums per type via the
+    batch combiner, one tiny groupby, one float division of two exact
+    integers per row — the engine's ratio contract."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b["value"].to_numpy() * 100).astype("int64")
+        g = (
+            pd.DataFrame({"event_type": b["event_type"], "c": c})
+            .groupby("event_type", sort=False)["c"].sum()
+        )
+        return pd.DataFrame(
+            {"event_type": pd.array(g.index, "str"),
+             "c": pd.array(g.to_numpy(), "int64")}
+        )
+
+    agg = (
+        ev.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby("event_type").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # one row per event type
+    )
+    total = int(agg["c"].sum())
+    return pd.DataFrame(
+        {"event_type": pd.array(agg["event_type"], "str"),
+         "total_value": agg["c"].astype("int64") / 100.0,
+         "share": np.round(agg["c"].to_numpy().astype("float64") / total, 6)}
+    ).sort_values("event_type").reset_index(drop=True)
+
+
+SHARE_OF_TOTAL_SQL = """
+WITH t AS (
+  SELECT event_type,
+         SUM(CAST(round(value*100) AS BIGINT)) AS c
+  FROM events GROUP BY 1
+)
+SELECT event_type, c/100.0 AS total_value,
+       round(c / (SELECT SUM(c) FROM t), 6) AS share
+FROM t
+"""
