@@ -1914,12 +1914,14 @@ Q13_EXCLUDED_PRIORITY = "1-URGENT"
 def q13_custdist(sf_dir: str) -> pd.DataFrame:
     """TPC-H q13 shape: distribution of per-customer order counts
     INCLUDING zero-order customers (the filtered LEFT JOIN + two-level
-    GROUP BY).  Orders pre-count per custkey map-side, the per-customer
-    totals resolve inside coarse hash buckets (never a per-key groupby),
-    and each bucket emits its LOCAL count-of-counts — so the global
-    exchange carries only O(buckets × distinct counts) rows.  The zero
-    bucket needs no join at all: it is #customers − #customers-with-
-    orders, two metadata-cheap counts."""
+    GROUP BY).  Orders pre-count per custkey map-side; customer keys ride
+    the SAME bucketed exchange as zero-count partials carrying an
+    is-customer indicator, so the in-bucket fold reproduces exact LEFT
+    JOIN semantics (orphan order custkeys absent from customer are
+    excluded, zero-order customers counted) with no FK-cleanliness
+    assumption and no driver-side subtraction.  Each bucket emits its
+    LOCAL count-of-counts, so the final exchange carries only
+    O(buckets × distinct counts) rows."""
     from ray.data.aggregate import Sum
 
     from ..stages.shuffle import bucketed_group_map
@@ -1933,14 +1935,29 @@ def q13_custdist(sf_dir: str) -> pd.DataFrame:
         cnt = b.groupby("o_custkey", sort=False).size()
         return pd.DataFrame(
             {"o_custkey": pd.array(cnt.index, "int64"),
-             "n": pd.array(cnt.to_numpy(), "int64")}
+             "n": pd.array(cnt.to_numpy(), "int64"),
+             "is_cust": pd.array(np.zeros(len(cnt), "int64"), "int64")}
         )
 
-    partials = orders.map_batches(arrow_out(partial), batch_format="pandas")
+    def cust_partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy("int64")
+        return pd.DataFrame(
+            {"o_custkey": pd.array(k, "int64"),
+             "n": pd.array(np.zeros(len(k), "int64"), "int64"),
+             "is_cust": pd.array(np.ones(len(k), "int64"), "int64")}
+        )
+
+    partials = orders.map_batches(arrow_out(partial), batch_format="pandas").union(
+        _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+            arrow_out(cust_partial), batch_format="pandas"
+        )
+    )
 
     def dist_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        per_cust = g.groupby("o_custkey", sort=False)["n"].sum()
-        dist = per_cust.value_counts()
+        agg = g.groupby("o_custkey", sort=False).agg(
+            n=("n", "sum"), is_cust=("is_cust", "sum")
+        )
+        dist = agg.loc[agg["is_cust"] > 0, "n"].value_counts()
         return pd.DataFrame(
             {"c_count": pd.array(dist.index, "int64"),
              "custdist": pd.array(dist.to_numpy(), "int64")}
@@ -1951,13 +1968,6 @@ def q13_custdist(sf_dir: str) -> pd.DataFrame:
         .groupby("c_count").aggregate(Sum("custdist", alias_name="custdist"))
         .to_pandas()  # bounded: one row per distinct order count
     )
-    n_customers = _read(sf_dir, "customer", columns=["c_custkey"]).count()
-    zero = n_customers - int(dist["custdist"].sum())
-    if zero > 0:
-        dist = pd.concat(
-            [dist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
-            ignore_index=True,
-        )
     return pd.DataFrame(
         {"c_count": dist["c_count"].astype("int64"),
          "custdist": dist["custdist"].astype("int64")}

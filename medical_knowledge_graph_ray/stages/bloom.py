@@ -88,6 +88,9 @@ def bloom_semi_join(
         w = bloom_words(b[key].to_numpy("int64"), m_bits, k_hashes)
         return pd.DataFrame({"words": [w.tobytes()]})
 
+    # consumed twice (bitmap fold + exact-join right side): pin the blocks
+    # once so the upstream key-derivation plan doesn't re-execute
+    filter_keys = filter_keys.materialize()
     parts = filter_keys.map_batches(
         arrow_out(partial), batch_format="pandas"
     ).to_pandas()  # ≤ #batches rows of m/8 bytes

@@ -73,15 +73,27 @@ def compact_parquet(
 
     @ray.remote
     def write_bin(paths: list[str]) -> tuple[str, int, int]:
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tables = [pq.read_table(p) for p in paths]
-        merged = pa.concat_tables(tables)
         digest = hashlib.md5("\n".join(paths).encode()).hexdigest()[:16]
         name = f"part-{digest}.parquet"
-        pq.write_table(merged, os.path.join(out_dir, name))
-        return name, merged.num_rows, os.path.getsize(os.path.join(out_dir, name))
+        out_path = os.path.join(out_dir, name)
+        # stream row groups through a ParquetWriter — a 128 MB-target bin
+        # can decompress to several× that on wide string tables, so never
+        # hold the whole bin in memory at once
+        schema = pq.read_schema(paths[0])
+        rows = 0
+        writer = pq.ParquetWriter(out_path, schema)
+        try:
+            for p in paths:
+                f = pq.ParquetFile(p)
+                for rg in range(f.num_row_groups):
+                    t = f.read_row_group(rg).cast(schema)
+                    writer.write_table(t)
+                    rows += t.num_rows
+        finally:
+            writer.close()
+        return name, rows, os.path.getsize(out_path)
 
     results = ray.get([write_bin.remote(b) for b in bins])
     m = {

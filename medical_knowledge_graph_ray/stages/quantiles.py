@@ -66,12 +66,14 @@ def _stats_pass(ints_ds):
     return int(p["n"].sum()), lo, hi
 
 
-def values_at_ranks(ints_ds, ranks: list[int]) -> list[int]:
+def values_at_ranks(ints_ds, ranks: list[int], *, stats=None) -> list[int]:
     """Exact values at the given 1-based global ranks of the int64
     column ``v`` — the rank-targeted core the disc and cont quantile
     fronts share (same histogram-narrowing rounds, one interval per
-    requested rank)."""
-    n, g_lo, g_hi = _stats_pass(ints_ds)
+    requested rank).  ``stats`` takes a precomputed ``(n, lo, hi)``
+    triple so callers that already ran ``_stats_pass`` (to derive the
+    ranks from n) don't pay a second full scan of the input."""
+    n, g_lo, g_hi = stats if stats is not None else _stats_pass(ints_ds)
     if any(r < 1 or r > n for r in ranks):
         raise ValueError(f"rank out of range 1..{n}")
     state = [
@@ -140,9 +142,10 @@ def quantiles_disc_int(ints_ds, qs: list[float]) -> pd.DataFrame:
     Returns a DataFrame (q float64, value int64) — one row per requested
     quantile, DuckDB ``quantile_disc`` semantics (rank uses the same IEEE
     double product ``q·n`` DuckDB computes, so edge cases agree)."""
-    n, _lo, _hi = _stats_pass(ints_ds)
+    stats = _stats_pass(ints_ds)
+    n = stats[0]
     ranks = [max(1, math.ceil(q * n)) for q in qs]
-    vals = values_at_ranks(ints_ds, ranks)
+    vals = values_at_ranks(ints_ds, ranks, stats=stats)
     return pd.DataFrame(
         {"q": np.asarray(qs, np.float64),
          "value": np.asarray(vals, np.int64)}
@@ -156,7 +159,8 @@ def quantiles_cont_int(ints_ds, qs: list[float]) -> pd.DataFrame:
     ⌊h⌋+2.  Returns (q float64, value float64 in the int domain); the
     caller applies its own descaling/rounding.  Costs the same narrowing
     rounds as disc with up to 2 intervals per quantile."""
-    n, _lo, _hi = _stats_pass(ints_ds)
+    stats = _stats_pass(ints_ds)
+    n = stats[0]
     hs = [(n - 1) * q for q in qs]
     need: list[int] = []
     for h in hs:
@@ -165,7 +169,7 @@ def quantiles_cont_int(ints_ds, qs: list[float]) -> pd.DataFrame:
         if h > math.floor(h):
             need.append(lo_r + 1)
     uniq = sorted(set(need))
-    vals = dict(zip(uniq, values_at_ranks(ints_ds, uniq)))
+    vals = dict(zip(uniq, values_at_ranks(ints_ds, uniq, stats=stats)))
     out = []
     for h in hs:
         lo_r = int(math.floor(h)) + 1

@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 
 N_UPSERT_BUCKETS = 32
+APPLIED_FP_WINDOW = 256  # retries land close to the original apply
 
 
 def _bucket_of(keys) -> np.ndarray:
@@ -77,8 +78,12 @@ def upsert(
     key = m["key"]
     delete_keys = list(delete_keys or [])
 
+    # fingerprint covers column names + dtypes, not just row values —
+    # identical values under renamed/retyped columns must NOT be skipped
+    schema_sig = json.dumps([[c, str(batch.dtypes[c])] for c in batch.columns])
     fp = hashlib.md5(
-        pd.util.hash_pandas_object(batch, index=False).to_numpy().tobytes()
+        schema_sig.encode()
+        + pd.util.hash_pandas_object(batch, index=False).to_numpy().tobytes()
         + json.dumps(sorted(map(str, delete_keys))).encode()
     ).hexdigest()
     if fp in m["applied"]:
@@ -123,7 +128,9 @@ def upsert(
         elif os.path.exists(_bucket_file(table_dir, b)):
             rows += pq.read_metadata(_bucket_file(table_dir, b)).num_rows
     m["version"] += 1
-    m["applied"].append(fp)
+    # keep the applied-fingerprint window bounded: idempotency only needs
+    # to catch retries of RECENT batches, not the table's full history
+    m["applied"] = (m["applied"] + [fp])[-APPLIED_FP_WINDOW:]
     m["rows"] = int(rows)
     with open(_manifest_path(table_dir), "w") as fh:
         json.dump(m, fh, indent=1)
