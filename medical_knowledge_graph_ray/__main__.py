@@ -7,6 +7,7 @@ Owns its Ray session (library code never calls ray.init — see
 """
 
 from __future__ import annotations
+from medical_knowledge_graph_ray.functions.arrow import read_parquet_clean
 
 import argparse
 import json
@@ -276,7 +277,7 @@ def main(argv: list[str] | None = None) -> int:
                 build_inverted_index, search_and, search_phrase, search_ranked,
             )
 
-            docs = rd.read_parquet(
+            docs = read_parquet_clean(
                 f"{args.sf_dir}/documents.parquet", columns=["doc_id", "text"]
             )
             build_inverted_index(docs, args.index)

@@ -37,3 +37,59 @@ def arrow_out(fn: Callable[..., pd.DataFrame]) -> Callable[..., pa.Table]:
 
     wrapper.__name__ = getattr(fn, "__name__", type(fn).__name__)
     return wrapper
+
+
+def _first_parquet_file(path) -> str | None:
+    """First .parquet file under ``path`` (file / flat dir / list)."""
+    import os
+
+    if isinstance(path, (list, tuple)):
+        path = path[0] if path else None
+    if path is None:
+        return None
+    path = str(path)
+    if os.path.isdir(path):
+        for root, dirs, names in os.walk(path):
+            if any("=" in d for d in dirs):
+                return None  # hive-partitioned: path-derived columns
+            for n in sorted(names):
+                if n.endswith((".parquet", ".pq")):
+                    return os.path.join(root, n)
+        return None
+    return path
+
+
+def read_parquet_clean(path, *, columns=None, filter=None, **kwargs):
+    """``ray.data.read_parquet`` with an explicit METADATA-FREE schema.
+
+    Parquet written through pandas carries ``b'pandas'`` schema metadata;
+    a ``pa.Schema`` with metadata is UNHASHABLE, so Ray's fragment-schema
+    dedup logs ``Failed to hash the schemas (for deduplication)`` from
+    every read task, burying real warnings in bench/driver logs.  Reading
+    the footer once driver-side (metadata-only) and passing the pruned,
+    metadata-free schema explicitly silences the spam and skips the
+    per-fragment schema unification.  Falls back to a plain read for
+    filtered reads (the filter binds against the pruned schema and would
+    miss columns excluded from ``columns``), hive-partitioned directories
+    (path-derived columns aren't in the footer), or unreadable footers."""
+    import ray.data as rd
+
+    schema = None
+    f = _first_parquet_file(path) if filter is None else None
+    if f is not None:
+        try:
+            import pyarrow.parquet as pq
+
+            full = pq.read_schema(f)
+            names = list(columns) if columns is not None else list(full.names)
+            schema = pa.schema(
+                [
+                    pa.field(n, full.field(n).type, full.field(n).nullable)
+                    for n in names
+                ]
+            )
+        except Exception:
+            schema = None
+    return rd.read_parquet(
+        path, columns=columns, filter=filter, schema=schema, **kwargs
+    )

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from ..functions.arrow import arrow_out
+from ..functions.arrow import arrow_out, read_parquet_clean
 from ..ontology import EN_STOPWORDS
 from ..stages.dedup import (
     fingerprint_cluster_partial,
@@ -25,7 +25,7 @@ from ..stages.text_stats import (
 def _docs(sf_dir: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def docs_stats(sf_dir: str):
@@ -199,7 +199,7 @@ def docs_ngram_jaccard(sf_dir: str, threshold: float = 0.3):
 def _embeddings(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
 def _query_vec(sf_dir: str):

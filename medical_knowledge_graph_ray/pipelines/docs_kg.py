@@ -22,7 +22,7 @@ import re
 
 import pandas as pd
 
-from ..functions.arrow import arrow_out
+from ..functions.arrow import arrow_out, read_parquet_clean
 from ..ontology import WEBTEXT_GAZETTEER
 
 MULTI_TERMS: list[str] = sorted(
@@ -197,7 +197,7 @@ def doc_mentions_batch_sweep(batch: pd.DataFrame) -> pd.DataFrame:
 def doc_mentions(sf_dir: str):
     import ray.data as rd
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
     )
     return docs.map_batches(arrow_out(doc_mentions_batch), batch_format="pandas")
@@ -322,7 +322,7 @@ def doc_cooccurrence(sf_dir: str):
 
     from ..stages.shuffle import bucketed_group_map
 
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     partials = docs.map_batches(
@@ -508,7 +508,7 @@ def gazetteer_unseen(sf_dir: str):
             seen.update(term_set.intersection(text.split(" ")))
         return pd.DataFrame({"term": pd.array(sorted(seen), "str")})
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
     partials = docs.map_batches(arrow_out(seen_partial), batch_format="pandas")
     seen_ds = bucketed_group_map(
         partials, ["term"],
@@ -780,7 +780,7 @@ def docs_typo_candidates(sf_dir: str):
 
     from ..stages.fuzzy import fuzzy_match_terms
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
     return fuzzy_match_terms(docs, list(SINGLE_TERMS), max_d=TYPO_MAX_D)
 
 
@@ -817,7 +817,7 @@ def kg_ppmi(sf_dir: str):
 
     from ..stages.shuffle import bucketed_group_map
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_total = docs.count()
 
     def term_partial(b: pd.DataFrame) -> pd.DataFrame:

@@ -30,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..functions.arrow import arrow_out
+from ..functions.arrow import arrow_out, read_parquet_clean
 from ..functions.hashing import md5_int_vec_prefixed
 from ..stages.shuffle import bucketed_group_map
 from ..state.manifests import write_stage
@@ -173,7 +173,7 @@ def run_docs_prep(
         pack_rows = read_stage(
             packs_dir, columns=["pack_id", "doc_id", "pos", "split"]
         )
-        texts = rd.read_parquet(
+        texts = read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         joined = hash_join(

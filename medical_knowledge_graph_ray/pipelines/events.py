@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from ..functions.arrow import arrow_out
+from ..functions.arrow import arrow_out, read_parquet_clean
 from ..stages.windows import (
     argmax_finalize,
     argmax_partial_batch,
@@ -20,7 +20,7 @@ from ..stages.windows import (
 def _events(sf_dir: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def events_tumbling(sf_dir: str):
@@ -437,7 +437,7 @@ def events_orders_reconcile(sf_dir: str):
         "n_purchases",
     )
     orders = _counted(
-        rd.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/orders.parquet",
             columns=["o_custkey", "o_orderpriority"],
         ),
@@ -756,7 +756,7 @@ def events_conversion(sf_dir: str, days: int = 7):
     import pyarrow.compute as pc
     import ray.data as rd
 
-    ev = rd.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "event_type", "ts"],
         filter=pc.field("event_type").isin(["signup", "purchase"]),
@@ -1190,7 +1190,7 @@ def events_users_both(sf_dir: str, type_a: str = "click",
 
     import ray.data as rd
 
-    ev = rd.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"],
         filter=pc.field("event_type").isin([type_a, type_b]),
     )

@@ -25,6 +25,7 @@ import os
 
 import pyarrow.compute as pc
 
+from ..functions.arrow import read_parquet_clean
 from ..sources.pages import generate_pages
 from ..stages.canonicalize import (
     finalize_edges,
@@ -71,7 +72,7 @@ def pages_dataset(corpus_dir: str):
     input)."""
     import ray.data as rd
 
-    return rd.read_parquet(
+    return read_parquet_clean(
         corpus_dir,
         columns=["url", "html", "lang"],
         filter=pc.equal(pc.field("lang"), "zh"),
@@ -135,7 +136,7 @@ class MentionStage:
         mdf = dedup_mentions_df(mdf)
         mdf = confidence_rules_df(mdf)
         out = emit_triples_df(mdf)
-        return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
+        return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False).replace_schema_metadata(None)
 
 
 def triples_dataset(
@@ -714,7 +715,7 @@ def active_learning_seeds(sf_dir: str, n: int = 200):
     import numpy as np
     import pandas as pd
 
-    from ..functions.arrow import arrow_out
+    from ..functions.arrow import arrow_out, read_parquet_clean
     from ..stages.ner import MODEL_NAMES
     from ..stages.shuffle import grouped_topn
 

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow.compute as pc
 
-from ..functions.arrow import arrow_out
+from ..functions.arrow import arrow_out, read_parquet_clean
 
 Q1_CUTOFF = "2001-09-01"
 Q3_SEGMENT = "BUILDING"
@@ -31,7 +31,7 @@ Q5_FROM, Q5_TO = "1996-01-01", "1999-01-01"
 def _read(sf_dir: str, table: str, columns=None, filter=None):
     import ray.data as rd
 
-    return rd.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/{table}.parquet", columns=columns, filter=filter
     )
 

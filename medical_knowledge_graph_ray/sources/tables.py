@@ -15,6 +15,7 @@ because silently scanning everything is the 100-TB mistake.
 """
 
 from __future__ import annotations
+from medical_knowledge_graph_ray.functions.arrow import read_parquet_clean
 
 
 def read_table(path: str, *, columns=None, filter=None):
@@ -25,7 +26,7 @@ def read_table(path: str, *, columns=None, filter=None):
 
     low = path.lower()
     if low.endswith(".parquet") or low.endswith(".pq"):
-        return rd.read_parquet(path, columns=columns, filter=filter)
+        return read_parquet_clean(path, columns=columns, filter=filter)
     if filter is not None:
         raise ValueError(
             "row-filter pushdown is Parquet-only; filter CSV/JSON reads "

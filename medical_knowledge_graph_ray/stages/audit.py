@@ -55,17 +55,17 @@ def audit_batch(batch: pa.Table) -> pa.Table:
         status = "ok" if n_sent else "no_sentences"
         rows.append((url, status, n_blocks, n_sent))
     df = pd.DataFrame(rows, columns=["url", "status", "n_blocks", "n_sentences"])
-    return pa.Table.from_pandas(df, schema=AUDIT_SCHEMA, preserve_index=False)
+    return pa.Table.from_pandas(df, schema=AUDIT_SCHEMA, preserve_index=False).replace_schema_metadata(None)
 
 
 def extraction_audit(corpus_dir: str):
     """Corpus → per-status page counts (the dead-letter census)."""
     import ray.data as rd
 
-    from ..functions.arrow import arrow_out
+    from ..functions.arrow import arrow_out, read_parquet_clean
     from .shuffle import bucketed_group_map
 
-    pages = rd.read_parquet(corpus_dir, columns=["url", "html", "lang"])
+    pages = read_parquet_clean(corpus_dir, columns=["url", "html", "lang"])
     audited = pages.map_batches(audit_batch, batch_format="pyarrow")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -90,8 +90,8 @@ def extraction_audit(corpus_dir: str):
 def dead_letters(corpus_dir: str):
     """The non-ok page rows themselves (url + reason) — written alongside
     outputs so every dropped page is traceable (no silent drops)."""
-    import ray.data as rd
+    from ..functions.arrow import read_parquet_clean
 
-    pages = rd.read_parquet(corpus_dir, columns=["url", "html", "lang"])
+    pages = read_parquet_clean(corpus_dir, columns=["url", "html", "lang"])
     audited = pages.map_batches(audit_batch, batch_format="pyarrow")
     return audited.filter(expr="status != 'ok'")

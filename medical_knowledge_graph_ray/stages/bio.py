@@ -240,7 +240,7 @@ def bio_export_batch(batch: pa.Table) -> pa.Table:
             (url, int(ordn), split_of(url, int(ordn)), bio_encode(sentence, taken))
         )
     out = pd.DataFrame(rows, columns=["url", "sent_ord", "split", "bio"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 def write_bio_corpus(mentions_ds, out_dir: str) -> None:

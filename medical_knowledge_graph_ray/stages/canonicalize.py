@@ -93,7 +93,7 @@ def _ids_for(norm: pd.Series, etype: pd.Series) -> pd.Series:
 def partial_nodes_batch(batch: pa.Table) -> pa.Table:
     """Triple batch → partial node rows (both endpoints), combined per key."""
     part = _partial_nodes_df(batch.to_pandas())
-    return pa.Table.from_pandas(part, schema=NODE_SCHEMA, preserve_index=False)
+    return pa.Table.from_pandas(part, schema=NODE_SCHEMA, preserve_index=False).replace_schema_metadata(None)
 
 
 def _partial_nodes_df(df: pd.DataFrame) -> pd.DataFrame:
@@ -121,7 +121,7 @@ def _partial_nodes_df(df: pd.DataFrame) -> pd.DataFrame:
 def partial_edges_batch(batch: pa.Table) -> pa.Table:
     """Triple batch → partial edge rows, combined per (subj, pred, obj)."""
     part = _partial_edges_df(batch.to_pandas())
-    return pa.Table.from_pandas(part, schema=EDGE_SCHEMA, preserve_index=False)
+    return pa.Table.from_pandas(part, schema=EDGE_SCHEMA, preserve_index=False).replace_schema_metadata(None)
 
 
 def _partial_edges_df(df: pd.DataFrame) -> pd.DataFrame:
@@ -180,7 +180,7 @@ def partial_graph_batch(batch: pa.Table) -> pa.Table:
         ],
         ignore_index=True,
     )
-    return pa.Table.from_pandas(both, schema=GRAPH_PARTIAL_SCHEMA, preserve_index=False)
+    return pa.Table.from_pandas(both, schema=GRAPH_PARTIAL_SCHEMA, preserve_index=False).replace_schema_metadata(None)
 
 
 def _kind_slice(partials, kind: str, rename: dict[str, str], drop: list[str]):
@@ -336,7 +336,7 @@ def finalize_graph_write(
                 }
             )
             pq.write_table(
-                pa.Table.from_pandas(nt, schema=NODE_SCHEMA, preserve_index=False),
+                pa.Table.from_pandas(nt, schema=NODE_SCHEMA, preserve_index=False).replace_schema_metadata(None),
                 os.path.join(tmp["nodes"], f"part-{bucket:04d}.parquet"),
             )
             out.append(("nodes", bucket, len(nt)))
@@ -354,7 +354,7 @@ def finalize_graph_write(
                 }
             )
             pq.write_table(
-                pa.Table.from_pandas(et, schema=EDGE_SCHEMA, preserve_index=False),
+                pa.Table.from_pandas(et, schema=EDGE_SCHEMA, preserve_index=False).replace_schema_metadata(None),
                 os.path.join(tmp["edges"], f"part-{bucket:04d}.parquet"),
             )
             out.append(("edges", bucket, len(et)))

@@ -187,7 +187,7 @@ def confidence_rules_batch(batch):
 
     df = batch.to_pandas() if isinstance(batch, pa.Table) else batch
     out = confidence_rules_df(df)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 # -- O16: taboo relation classification --------------------------------------

@@ -264,7 +264,7 @@ class MucEvalStage:
             .sum()
             .reset_index()
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 _STAGE_CACHE: dict = {}

@@ -86,7 +86,7 @@ def build_inverted_index(docs, out_dir: str, *, resume: bool = True) -> dict:
     """Materialize the postings index: one token-sorted Parquet file per
     md5 token bucket + an auditable manifest.  Rebuilds are manifest-keyed
     no-ops (``resume=True``)."""
-    from ..functions.arrow import arrow_out
+    from ..functions.arrow import arrow_out, read_parquet_clean
 
     manifest_path = os.path.join(out_dir, "_MANIFEST.json")
     if resume and os.path.exists(manifest_path):
@@ -111,7 +111,7 @@ def build_inverted_index(docs, out_dir: str, *, resume: bool = True) -> dict:
             ["token", "doc_id", "tf", "dl", "pos"]
         ]
         pq.write_table(
-            pa.Table.from_pandas(part, preserve_index=False),
+            pa.Table.from_pandas(part, preserve_index=False).replace_schema_metadata(None),
             os.path.join(out_dir, f"bucket={bucket:04d}.parquet"),
             row_group_size=8192,  # token-sorted → min/max stats prune IN terms
         )
@@ -154,7 +154,7 @@ def search_and(index_dir: str, terms: list[str]) -> pd.DataFrame:
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from ..functions.arrow import arrow_out
+    from ..functions.arrow import arrow_out, read_parquet_clean
     from ..functions.hashing import stable_bucket_vec
     from .shuffle import bucketed_group_map
 
@@ -170,7 +170,7 @@ def search_and(index_dir: str, terms: list[str]) -> pd.DataFrame:
     ]
     if not files:
         return pd.DataFrame({"doc_id": pd.array([], "int64")})
-    postings = rd.read_parquet(
+    postings = read_parquet_clean(
         files, columns=["token", "doc_id"],
         filter=pc.field("token").isin(terms),
     )
@@ -220,7 +220,7 @@ def search_ranked(
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from ..functions.arrow import arrow_out
+    from ..functions.arrow import arrow_out, read_parquet_clean
     from ..functions.hashing import stable_bucket_vec
     from .shuffle import bucketed_group_map
 
@@ -245,7 +245,7 @@ def search_ranked(
     ]
     if not files:
         return empty
-    postings = rd.read_parquet(
+    postings = read_parquet_clean(
         files, columns=["token", "doc_id", "tf", "dl"],
         filter=pc.field("token").isin(terms),
     ).materialize()  # bounded by the query terms' posting lists
@@ -345,7 +345,7 @@ def merge_indexes(parts: list[str], out_dir: str, *, resume: bool = True) -> dic
         import pyarrow as pa_
 
         pq_.write_table(
-            pa_.Table.from_pandas(merged, preserve_index=False),
+            pa_.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None),
             os.path.join(out_dir, name), row_group_size=8192,
         )
         return bucket, len(merged), int(merged["tf"].sum())
@@ -380,7 +380,7 @@ def search_phrase(index_dir: str, phrase: list[str]) -> pd.DataFrame:
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from ..functions.arrow import arrow_out
+    from ..functions.arrow import arrow_out, read_parquet_clean
     from ..functions.hashing import stable_bucket_vec
     from .shuffle import bucketed_group_map
 
@@ -399,7 +399,7 @@ def search_phrase(index_dir: str, phrase: list[str]) -> pd.DataFrame:
     ]
     if not files:
         return empty
-    postings = rd.read_parquet(
+    postings = read_parquet_clean(
         files, columns=["token", "doc_id", "pos"],
         filter=pc.field("token").isin(uniq),
     )

@@ -81,7 +81,7 @@ def clean_mentions_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(
         clean_mentions_df(batch.to_pandas()), schema=batch.schema,
         preserve_index=False,
-    )
+    ).replace_schema_metadata(None)
 
 
 def dedup_mentions_df(df: pd.DataFrame) -> pd.DataFrame:
@@ -99,7 +99,7 @@ def dedup_mentions_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(
         dedup_mentions_df(batch.to_pandas()), schema=batch.schema,
         preserve_index=False,
-    )
+    ).replace_schema_metadata(None)
 
 
 def emit_triples_batch(batch: pa.Table) -> pa.Table:
@@ -115,7 +115,7 @@ def emit_triples_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(
         emit_triples_df(batch.to_pandas()), schema=TRIPLE_SCHEMA,
         preserve_index=False,
-    )
+    ).replace_schema_metadata(None)
 
 
 def emit_triples_df(df: pd.DataFrame) -> pd.DataFrame:

@@ -22,6 +22,7 @@ point lookups via the bucket function).
 """
 
 from __future__ import annotations
+from medical_knowledge_graph_ray.functions.arrow import read_parquet_clean
 
 import json
 import os
@@ -112,7 +113,7 @@ def upsert(
             merged = new
         merged = merged.sort_values(key, kind="mergesort").reset_index(drop=True)
         tmp = path + ".tmp"
-        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
+        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None), tmp)
         os.replace(tmp, path)
         return b, len(merged)
 
@@ -148,7 +149,7 @@ def read_keyed_table(table_dir: str):
     ]
     if not files:
         return rd.from_items([])
-    return rd.read_parquet(files)
+    return read_parquet_clean(files)
 
 
 def lookup(table_dir: str, keys: list) -> pd.DataFrame:

@@ -14,6 +14,7 @@ resume.  This engine formalizes it (north_rule resumability requirement):
 """
 
 from __future__ import annotations
+from medical_knowledge_graph_ray.functions.arrow import read_parquet_clean
 
 import json
 import os
@@ -113,7 +114,7 @@ def read_stage(out_dir: str, columns: list[str] | None = None):
         for n in sorted(names):
             if n.endswith(".parquet"):
                 files.append(os.path.join(root, n))
-    return rd.read_parquet(files, columns=columns)
+    return read_parquet_clean(files, columns=columns)
 
 
 def audit_stage(out_dir: str) -> dict:
