@@ -23,6 +23,11 @@ Knobs (reference analogues):
   ``generation.py:304-340``).
 * ``ner_batch_size`` / ``ner_concurrency`` — physical tuning
   (actor-pool bounds per the north_star).
+* ``ner_num_gpus`` — per-actor GPU reservation for the NER scorer pool
+  (the reference moves its models to CUDA when available,
+  ``multi_source_ner.py:819-825``).  ``None`` (default) requests no
+  GPUs — a no-op in CPU-only sessions; on a GPU cluster set e.g. 0.5
+  to pack two scorer actors per device.
 """
 
 from __future__ import annotations
@@ -39,6 +44,7 @@ class EngineConfig:
     merging: bool = True
     ner_batch_size: int | None = None
     ner_concurrency: int | tuple[int, int] | None = None
+    ner_num_gpus: float | None = None
     extras: dict = field(default_factory=dict)
 
     @classmethod
@@ -68,7 +74,7 @@ class EngineConfig:
             conc = tuple(conc)
         known = {
             "gazetteer", "prediction_models", "ner_on", "merging",
-            "ner_batch_size", "ner_concurrency",
+            "ner_batch_size", "ner_concurrency", "ner_num_gpus",
         }
         return cls(
             gazetteer=gaz,
@@ -77,5 +83,6 @@ class EngineConfig:
             merging=raw.get("merging", True),
             ner_batch_size=raw.get("ner_batch_size"),
             ner_concurrency=conc,
+            ner_num_gpus=raw.get("ner_num_gpus"),
             extras={k: v for k, v in raw.items() if k not in known},
         )

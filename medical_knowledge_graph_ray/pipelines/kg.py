@@ -169,6 +169,15 @@ def triples_dataset(
     sents = text.map_batches(split_batch, batch_format="pyarrow")
     if sentence_tee is not None:
         sents = sents.map_batches(sentence_tee, batch_format="pyarrow")
+    # GPU-aware scorer pool: a per-actor GPU reservation (no-op when the
+    # config leaves it None — this CPU sandbox — but on a GPU cluster the
+    # pool schedules onto GPU nodes exactly like the reference's
+    # model.cuda() path, multi_source_ner.py:819-825)
+    gpu_kw = (
+        {"num_gpus": config.ner_num_gpus}
+        if config is not None and config.ner_num_gpus
+        else {}
+    )
     return sents.map_batches(
         MentionStage,
         fn_constructor_kwargs={"config": config} if config is not None else None,
@@ -176,6 +185,7 @@ def triples_dataset(
         batch_size=batch_size,
         concurrency=conc,
         num_cpus=1,
+        **gpu_kw,
     )
 
 

@@ -44,7 +44,7 @@ def hash_join(
     on: list[str],
     *,
     how: str = "inner",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     suffixes: tuple[str, str] = ("_l", "_r"),
     left_schema=None,
     right_schema=None,
@@ -93,6 +93,10 @@ def hash_join(
     """
     if how not in ("inner", "left", "full", "semi", "anti"):
         raise ValueError(f"unsupported join type: {how}")
+    if num_buckets is None:
+        from .shuffle import default_num_buckets
+
+        num_buckets = default_num_buckets()
     if hot_keys is not None and salt > 1 and how == "full":
         raise ValueError(
             "salted join cannot run FULL OUTER: replicated unmatched "

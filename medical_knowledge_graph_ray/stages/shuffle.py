@@ -32,6 +32,24 @@ from ..functions.arrow import arrow_out
 BUCKET_COL = "_bucket"
 
 
+def default_num_buckets(*, lo: int = 16, hi: int = 1024) -> int:
+    """Coarse-bucket default derived from the cluster CPU count (one
+    bucket per CPU, floored at 16 so small sessions keep enough key
+    spread, capped at 1024 so a huge cluster doesn't explode tiny
+    exchanges).  q5's A/B (16 vs 32 buckets at 32 CPUs = 1.5× spread)
+    showed the hardcoded 32 was only right for 32-CPU sessions; at 8
+    CPUs fewer/larger buckets win, at 256 nodes 32 buckets would leave
+    most CPUs idle through every exchange.  Call sites with a MEASURED
+    explicit count keep it — this only replaces the hardcoded default."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(lo, min(hi, cpus))
+
+
 def add_bucket(batch: pd.DataFrame, keys: list[str], num_buckets: int) -> pd.DataFrame:
     """Vectorized deterministic bucket assignment from the key columns."""
     h = pd.util.hash_pandas_object(batch[keys], index=False)
@@ -46,7 +64,7 @@ def first_non_null_agg(
     order_col: str,
     value_cols: list[str],
     *,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ):
     """A1 group-merge (``structurize_files.py:662-681``): per group, per
     value column INDEPENDENTLY, the first non-null value — "first" defined
@@ -109,11 +127,14 @@ def bucketed_group_map(
     keys: list[str],
     bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
     *,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Run ``bucket_fn`` once per coarse bucket with all rows of every key
     co-located.  ``bucket_fn`` receives the bucket as a DataFrame (bucket
-    column already dropped) and must handle its keys vectorized."""
+    column already dropped) and must handle its keys vectorized.
+    ``num_buckets=None`` (default) derives the count from the cluster CPU
+    census (``default_num_buckets``)."""
+    num_buckets = num_buckets or default_num_buckets()
 
     def _assign(b: pd.DataFrame) -> pd.DataFrame:
         return add_bucket(b, keys, num_buckets)
@@ -135,7 +156,7 @@ def grouped_topn(
     *,
     descending: bool = True,
     tiebreak: str | None = None,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ):
     """Top-``n`` rows per group — the distributed form of
     ``row_number() OVER (PARTITION BY keys ORDER BY order_col) <= n``.

@@ -99,3 +99,18 @@ def test_run_kg_config_invalidates_checkpoints(ray_session, tmp_path):
         config=EngineConfig(ner_on=False, merging=False),
     )
     assert dict_only["triples"]["rows"] < full["triples"]["rows"]
+
+
+def test_config_gpu_option_plumbs_and_defaults_noop(tmp_path):
+    """ner_num_gpus parses from file, is a tuning field (fingerprint
+    unchanged), and defaults to None so CPU-only sessions never request
+    GPUs."""
+    import json
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({"ner_num_gpus": 0.5}))
+    cfg = EngineConfig.from_file(str(cfg_path))
+    assert cfg.ner_num_gpus == 0.5
+    assert EngineConfig().ner_num_gpus is None
+    # physical tuning only: must NOT invalidate triple checkpoints
+    assert _config_fingerprint(EngineConfig(ner_num_gpus=1.0)) == "default"
