@@ -28,7 +28,12 @@ import numpy as np
 import pandas as pd
 
 N_SEARCH_BUCKETS = 32
+N_SERVE_BUCKETS = 8  # doc-side buckets of the serve exchanges
 _INDEX_VERSION = "v3"  # v2: +(tf, dl) for BM25; v3: +positions for phrases
+
+# observability: row count the driver collected on the LAST serve call
+# (per path) — pytest pins the ≤ buckets×k bound on common-token queries
+LAST_SERVE_COLLECTED: dict[str, int] = {}
 
 
 def _fingerprint() -> str:
@@ -144,13 +149,23 @@ def build_inverted_index(docs, out_dir: str, *, resume: bool = True) -> dict:
     return m
 
 
-def search_and(index_dir: str, terms: list[str]) -> pd.DataFrame:
+def search_and(
+    index_dir: str, terms: list[str], *, limit: int | None = None
+) -> pd.DataFrame:
     """Boolean-AND serve: doc_ids containing EVERY term.
 
     Reads only the buckets the terms hash to, filters ``token IN terms``
     at the scan, and counts distinct terms per doc through one bucketed
     exchange — the exchange payload is bounded by the posting lists of
-    the query terms, never the index."""
+    the query terms, never the index.
+
+    ``limit``: with a limit, each doc bucket emits only its ``limit``
+    smallest matching doc_ids, so the driver collects ≤ buckets×limit
+    rows even for a corpus-wide common-token query (result = the
+    globally smallest ``limit`` matches — deterministic).  ``None``
+    returns the full match set: that is the operator's SEMANTICS, but at
+    web scale the caller owns the O(df) result; pass a limit for
+    interactive serving."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -185,16 +200,21 @@ def search_and(index_dir: str, terms: list[str]) -> pd.DataFrame:
 
     def and_filter(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby("doc_id", sort=False)["n"].sum()
-        hit = s[s == k]
-        return pd.DataFrame({"doc_id": pd.array(hit.index, "int64")})
+        hit = s[s == k].index.to_numpy()
+        hit = np.sort(hit)
+        if limit is not None:
+            hit = hit[:limit]  # bucket-local head: ≤ limit rows leave
+        return pd.DataFrame({"doc_id": pd.array(hit, "int64")})
 
     out = bucketed_group_map(
         postings.map_batches(arrow_out(partial), batch_format="pandas"),
-        ["doc_id"], and_filter, num_buckets=8,
-    ).to_pandas()  # bounded by the smallest term's posting list
+        ["doc_id"], and_filter, num_buckets=N_SERVE_BUCKETS,
+    ).to_pandas()  # ≤ buckets×limit rows (or the match set when no limit)
+    LAST_SERVE_COLLECTED["and"] = len(out)
     if "doc_id" not in out.columns:  # Ray 2.49: zero-block to_pandas drops schema
         return pd.DataFrame({"doc_id": pd.array([], "int64")})
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out.head(limit).reset_index(drop=True) if limit is not None else out
 
 
 BM25_K1, BM25_B = 1.2, 0.75
@@ -282,16 +302,25 @@ def search_ranked(
         return g
 
     def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket-local top-k: every doc_id lives wholly in one bucket, so
+        # the global top-k is a subset of the per-bucket top-k's — the
+        # driver collects ≤ buckets×k rows even when a corpus-frequency
+        # token matches millions of docs (the old full-candidate collect
+        # returned O(df) rows to the driver)
         s = g.groupby("doc_id", sort=False)["w"].sum()
-        return pd.DataFrame(
+        d = pd.DataFrame(
             {"doc_id": pd.array(s.index, "int64"),
              "score": np.round(s.to_numpy(), 6)}
         )
+        return d.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
 
     scored = bucketed_group_map(
         postings.map_batches(arrow_out(addends), batch_format="pandas"),
-        ["doc_id"], per_doc, num_buckets=8,
-    ).to_pandas()
+        ["doc_id"], per_doc, num_buckets=N_SERVE_BUCKETS,
+    ).to_pandas()  # ≤ buckets×k rows by construction
+    LAST_SERVE_COLLECTED["ranked"] = len(scored)
     if "doc_id" not in scored.columns:
         return empty
     return (
@@ -367,7 +396,9 @@ def merge_indexes(parts: list[str], out_dir: str, *, resume: bool = True) -> dic
     return m
 
 
-def search_phrase(index_dir: str, phrase: list[str]) -> pd.DataFrame:
+def search_phrase(
+    index_dir: str, phrase: list[str], *, limit: int | None = None
+) -> pd.DataFrame:
     """Exact phrase serve over the positional (v3) postings: doc_ids
     where the phrase tokens appear CONSECUTIVELY.
 
@@ -376,7 +407,12 @@ def search_phrase(index_dir: str, phrase: list[str]) -> pd.DataFrame:
     bucket-pruned, token-filtered read, one doc-co-locating exchange
     bounded by the phrase terms' posting lists.  Repeated phrase tokens
     intersect the SAME posting list at different offsets, so e.g.
-    'batch batch' works without special-casing."""
+    'batch batch' works without special-casing.
+
+    ``limit``: bucket-local head — each doc bucket emits only its
+    ``limit`` smallest matching doc_ids (driver collects ≤ buckets×limit
+    rows; result = globally smallest ``limit`` matches).  ``None``
+    returns the full match set (the operator's semantics)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -417,9 +453,16 @@ def search_phrase(index_dir: str, phrase: list[str]) -> pd.DataFrame:
                     break
             if cand:
                 hits.append(int(doc))
-        return pd.DataFrame({"doc_id": pd.array(sorted(hits), "int64")})
+        hits = sorted(hits)
+        if limit is not None:
+            hits = hits[:limit]  # bucket-local head: ≤ limit rows leave
+        return pd.DataFrame({"doc_id": pd.array(hits, "int64")})
 
-    out = bucketed_group_map(postings, ["doc_id"], check, num_buckets=8).to_pandas()
+    out = bucketed_group_map(
+        postings, ["doc_id"], check, num_buckets=N_SERVE_BUCKETS
+    ).to_pandas()
+    LAST_SERVE_COLLECTED["phrase"] = len(out)
     if "doc_id" not in out.columns:  # zero-block to_pandas schema drop
         return empty
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out.head(limit).reset_index(drop=True) if limit is not None else out

@@ -180,3 +180,42 @@ def test_phrase_search_matches_like_oracle(index_dir):
     )
     got = search_phrase(index_dir, ["spark", "window"])["doc_id"].tolist()
     assert got == want and len(want) > 0
+
+
+def test_serve_collects_bounded_rows_on_common_token(index_dir):
+    """Distributed top-k: the driver must collect ≤ serve-buckets×k rows
+    even when a query term matches a large fraction of the corpus — the
+    truncation happens inside the doc buckets, not driver-side."""
+    from medical_knowledge_graph_ray.stages.search import (
+        LAST_SERVE_COLLECTED,
+        N_SERVE_BUCKETS,
+        search_and,
+        search_phrase,
+        search_ranked,
+    )
+
+    # most common token of the corpus = the worst-case posting list
+    df = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+    common = (
+        df["text"].str.split(" ").explode().value_counts().index[0]
+    )
+    n_match = int(
+        df["text"].map(lambda t: common in set(str(t).split(" "))).sum()
+    )
+    k = 10
+    assert n_match > N_SERVE_BUCKETS * k  # the bound must actually bite
+
+    top = search_ranked(index_dir, [common], k=k)
+    assert len(top) == k
+    assert LAST_SERVE_COLLECTED["ranked"] <= N_SERVE_BUCKETS * k
+
+    full = search_and(index_dir, [common])
+    lim = search_and(index_dir, [common], limit=k)
+    assert LAST_SERVE_COLLECTED["and"] <= N_SERVE_BUCKETS * k
+    # limited result = globally smallest k matches of the full set
+    assert lim["doc_id"].tolist() == full["doc_id"].head(k).tolist()
+
+    pfull = search_phrase(index_dir, [common])
+    plim = search_phrase(index_dir, [common], limit=k)
+    assert LAST_SERVE_COLLECTED["phrase"] <= N_SERVE_BUCKETS * k
+    assert plim["doc_id"].tolist() == pfull["doc_id"].head(k).tolist()
