@@ -133,6 +133,14 @@ def _ner_train(sf_dir: str):
     return ner_train_pages(sf_dir)
 
 
+def _kg_flagship_trained(sf_dir: str):
+    from medical_knowledge_graph_ray.pipelines.ner_train import (
+        kg_flagship_trained,
+    )
+
+    return kg_flagship_trained(sf_dir)
+
+
 def _knn_ivf(sf_dir: str):
     from medical_knowledge_graph_ray.pipelines.docs import _embeddings, _query_vec
     from medical_knowledge_graph_ray.stages.similarity import knn_cosine_ivf
@@ -396,6 +404,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-repo oracle e2e golden test)
         "kg_triples_pages": _kg_triples_pages,
         "kg_edges_pages": _kg_edges_pages,
+        # M2 fully closed: flagship with the TRAINED perceptron tagger
+        # voting in the ensemble (train→held-out eval→derived eval
+        # matrix→run; exact-span corroboration keeps e2e triple P/R vs
+        # the default-ensemble graph ≥ 0.95 — tests/test_trained_ensemble)
+        "kg_flagship_trained": _kg_flagship_trained,
         # MUC-style NER evaluation (strict/exact/partial/ent_type P&R per
         # model per type — the reference's quality gate; gold+preds are
         # engine-computed, golden-tested in tests/test_muc_eval.py)

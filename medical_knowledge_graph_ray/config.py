@@ -28,6 +28,15 @@ Knobs (reference analogues):
   ``multi_source_ner.py:819-825``).  ``None`` (default) requests no
   GPUs — a no-op in CPU-only sessions; on a GPU cluster set e.g. 0.5
   to pack two scorer actors per device.
+* ``trained_model_dir`` — a ``stages/perceptron.save_tagger`` artifact
+  directory; when set, the TRAINED tagger joins the ensemble as a real
+  voting member (the reference's trained-models + dictionary ensemble,
+  ``EnsemblePredict_all.py:436-441``).  Must be on storage visible to
+  every worker (each scorer actor loads it once in ``__init__``).
+* ``eval_override`` — ``{model: {etype: [strict, partial, exact, type]}}``
+  precision matrix derived from held-out evaluation
+  (``stages/muc_eval.eval_matrix_from``) replacing the default artifact —
+  the computed ``eval_dic.json`` of ``multi_ner_prediction.py:595-606``.
 """
 
 from __future__ import annotations
@@ -45,6 +54,8 @@ class EngineConfig:
     ner_batch_size: int | None = None
     ner_concurrency: int | tuple[int, int] | None = None
     ner_num_gpus: float | None = None
+    trained_model_dir: str | None = None
+    eval_override: dict | None = None
     extras: dict = field(default_factory=dict)
 
     @classmethod
@@ -75,6 +86,7 @@ class EngineConfig:
         known = {
             "gazetteer", "prediction_models", "ner_on", "merging",
             "ner_batch_size", "ner_concurrency", "ner_num_gpus",
+            "trained_model_dir", "eval_override",
         }
         return cls(
             gazetteer=gaz,
@@ -84,5 +96,7 @@ class EngineConfig:
             ner_batch_size=raw.get("ner_batch_size"),
             ner_concurrency=conc,
             ner_num_gpus=raw.get("ner_num_gpus"),
+            trained_model_dir=raw.get("trained_model_dir"),
+            eval_override=raw.get("eval_override"),
             extras={k: v for k, v in raw.items() if k not in known},
         )

@@ -110,7 +110,19 @@ class MentionStage:
         gaz = gazetteer if gazetteer is not None else cfg.gazetteer
         # ner_on=False (reference switch): dictionary-only labeling
         members = cfg.prediction_models if cfg.ner_on else ()
-        self.ner = EnsembleNER(gaz, members=members)
+        # trained tagger as a voting member (M2): each actor loads the
+        # sparse weight artifact once in __init__ (shared-FS path, same
+        # visibility requirement as run_kg's sinks)
+        trained_w = None
+        if cfg.trained_model_dir and cfg.ner_on:
+            from ..stages.perceptron import load_tagger
+
+            trained_w = load_tagger(cfg.trained_model_dir)
+        self.ner = EnsembleNER(
+            gaz, members=members,
+            eval_override=cfg.eval_override,
+            trained_weights=trained_w,
+        )
         self.rules = RulesMerge(gaz) if cfg.merging else None
 
     def __call__(self, batch):
@@ -256,7 +268,10 @@ def ner_eval_pages(sf_dir: str, *, heldout_only: bool = True):
     return ner_eval_corpus(corpus_for_sf(sf_dir), heldout_only=heldout_only)
 
 
-def ner_eval_corpus(corpus_dir: str, *, heldout_only: bool = True):
+def ner_eval_corpus(
+    corpus_dir: str, *, heldout_only: bool = True,
+    trained_model_dir: str | None = None,
+):
     """MUC-style evaluation table over a page corpus: every ensemble
     member + ensemble_strong scored against the gazetteer gold span set —
     the reference's quality gate as a first-class distributed operator
@@ -282,7 +297,7 @@ def ner_eval_corpus(corpus_dir: str, *, heldout_only: bool = True):
 
         sents = sents.map_batches(keep_heldout, batch_format="pyarrow")
     return (
-        ner_eval_dataset(sents)
+        ner_eval_dataset(sents, trained_model_dir=trained_model_dir)
         .sort_values(["model", "ent_type", "schema"])
         .reset_index(drop=True)
     )
@@ -326,13 +341,23 @@ def _config_fingerprint(config) -> str:
 
     if config is None:
         return "default"
+    ev = config.eval_override
+    # trained model identity = CONTENT (weights file digest), not path —
+    # retraining into the same directory must invalidate checkpoints
+    trained_sig = None
+    if config.trained_model_dir:
+        wpath = os.path.join(config.trained_model_dir, "weights.parquet")
+        trained_sig = f"{wpath}:{os.path.getsize(wpath)}:{int(os.path.getmtime(wpath))}"
     sem = (
         sorted((config.gazetteer or {}).items()) if config.gazetteer else None,
         config.prediction_models,
         config.ner_on,
         config.merging,
+        trained_sig,
+        # eval_override changes every mention's confidence → results
+        sorted((m, sorted(v.items())) for m, v in ev.items()) if ev else None,
     )
-    if sem == (None, None, True, True):  # semantically the default config
+    if sem == (None, None, True, True, None, None):  # semantically default
         return "default"  # (a tuning-only config must NOT invalidate)
     return hashlib.md5(repr(sem).encode()).hexdigest()[:12]
 

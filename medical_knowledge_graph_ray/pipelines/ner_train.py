@@ -73,3 +73,102 @@ def ner_train_pages(sf_dir: str, *, rounds: int = 6) -> pd.DataFrame:
     from .kg import corpus_for_sf
 
     return ner_train_corpus(corpus_for_sf(sf_dir), rounds=rounds)
+
+
+def ensure_trained_tagger(
+    corpus_dir: str, *, model_root: str = "/tmp/mkg_models", rounds: int = 6
+) -> str:
+    """Train-once-per-corpus checkpointing for the tagger artifact: the
+    model directory is keyed by (corpus fingerprint, rounds, feature-space
+    version), so a re-run with the same corpus returns the existing
+    artifact without touching Ray — the same manifest-keyed posture as
+    the search/PQ indexes.  Returns the model directory (must live on
+    shared storage for multi-node serving — each scorer actor loads it)."""
+    import json
+    import os
+
+    from ..stages.perceptron import DIM, save_tagger
+    from .kg import _corpus_fingerprint
+
+    fp = f"perceptron|dim={DIM}|rounds={rounds}|corpus={_corpus_fingerprint(corpus_dir)}"
+    out_dir = os.path.join(
+        model_root,
+        f"tagger_{__import__('hashlib').md5(fp.encode()).hexdigest()[:16]}",
+    )
+    meta_path = os.path.join(out_dir, "model.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if json.load(fh).get("fingerprint") == fp:
+                return out_dir
+    curve, W = ner_train_fit(corpus_dir, rounds=rounds)
+    meta = save_tagger(W, out_dir)
+    meta["fingerprint"] = fp
+    meta["learning_curve"] = curve.to_dict(orient="records")
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    return out_dir
+
+
+def trained_kg_config(corpus_dir: str, *, rounds: int = 6):
+    """The full reference loop, composed: train (checkpointed) → evaluate
+    the ensemble INCLUDING the trained member on the held-out split →
+    derive the eval matrix (``multi_ner_prediction.py:139-159`` →
+    ``EnsemblePredict_all.py:453-462``) → an EngineConfig whose scorer
+    pool votes with the trained tagger under those derived precisions."""
+    from ..config import EngineConfig
+    from ..stages.muc_eval import eval_matrix_from
+    from .kg import ner_eval_corpus
+
+    model_dir = ensure_trained_tagger(corpus_dir, rounds=rounds)
+    eval_df = ner_eval_corpus(corpus_dir, trained_model_dir=model_dir)
+    ev = eval_matrix_from(eval_df)
+    # the derived matrix covers members + ensemble_strong + trained;
+    # EnsembleNER zero-fills any missing cell itself
+    ev.pop("ensemble_strong", None)
+    return EngineConfig(trained_model_dir=model_dir, eval_override=ev)
+
+
+def kg_flagship_trained(sf_dir: str, *, out_root: str | None = None):
+    """Flagship KG run with the TRAINED tagger voting in the ensemble
+    (M2 fully closed).  Returns the (subj_type, pred, obj_type) triple
+    census — a bounded (types × predicates), deterministic summary of
+    the trained-ensemble graph; trained-member contribution itself is
+    pinned at mention level by ``tests/test_trained_ensemble.py``."""
+    import os
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrow import arrow_out
+    from ..state.manifests import read_stage
+    from .kg import corpus_for_sf, run_kg
+
+    corpus = corpus_for_sf(sf_dir)
+    cfg = trained_kg_config(corpus)
+    out = out_root or os.path.join(
+        "/tmp/mkg_kg_trained", os.path.basename(os.path.normpath(sf_dir))
+    )
+    run_kg(corpus, out, config=cfg)
+    tri = read_stage(
+        os.path.join(out, "triples"),
+        columns=["subj_type", "pred", "obj_type"],
+    )
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.groupby(["subj_type", "pred", "obj_type"], sort=False).size()
+        out_ = c.reset_index()
+        out_.columns = ["subj_type", "pred", "obj_type", "n_triples"]
+        out_["n_triples"] = out_["n_triples"].astype("int64")
+        return out_
+
+    out_df = (
+        tri.map_batches(arrow_out(census), batch_format="pandas")
+        .groupby(["subj_type", "pred", "obj_type"])
+        .aggregate(Sum("n_triples", alias_name="n_triples"))
+        .to_pandas()  # ≤ types × predicates × types rows
+    )
+    out_df["n_triples"] = out_df["n_triples"].astype("int64")
+    return out_df.sort_values(
+        ["subj_type", "pred", "obj_type"]
+    ).reset_index(drop=True)

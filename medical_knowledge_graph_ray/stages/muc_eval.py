@@ -210,11 +210,22 @@ class MucEvalStage:
     ``simplified_models + ["ensemble_strong"]`` evaluation loop
     (``multi_ner_prediction.py:588-606``)."""
 
-    def __init__(self, gazetteer: dict[str, str] | None = None):
+    def __init__(
+        self,
+        gazetteer: dict[str, str] | None = None,
+        trained_model_dir: str | None = None,
+    ):
         from ..ontology import MEDICAL_GAZETTEER
         from .ner import TYPE_LIST, EnsembleNER
 
-        self.ner = EnsembleNER(gazetteer or MEDICAL_GAZETTEER)
+        trained_w = None
+        if trained_model_dir:
+            from .perceptron import load_tagger
+
+            trained_w = load_tagger(trained_model_dir)
+        self.ner = EnsembleNER(
+            gazetteer or MEDICAL_GAZETTEER, trained_weights=trained_w
+        )
         self.types = TYPE_LIST
 
     def _sentence_spans(self, sentence: str) -> tuple[list[Span], dict[str, list[Span]]]:
@@ -270,7 +281,7 @@ class MucEvalStage:
 _STAGE_CACHE: dict = {}
 
 
-def muc_eval_partials_batch(batch: pd.DataFrame):
+class _EvalPartials:
     """Task-pool form of ``MucEvalStage`` with per-process cached state.
 
     A fixed actor pool here STARVES the downstream shuffle: Ray fuses the
@@ -278,14 +289,30 @@ def muc_eval_partials_batch(batch: pd.DataFrame):
     the pool's reserved CPUs aren't available to the aggregate's sort
     tasks — measured 18.9 s (28-actor pool) vs 10.3 s (8) vs task pool
     (elastic) for the identical sf0.1 evaluation.  Ray reuses worker
-    processes, so the matcher build still happens once per worker."""
-    stage = _STAGE_CACHE.get("stage")
-    if stage is None:
-        stage = _STAGE_CACHE["stage"] = MucEvalStage()
-    return stage(batch)
+    processes, so the matcher (and trained-weight load) still happens
+    once per worker — the cache key is the trained-model dir."""
+
+    def __init__(self, trained_model_dir: str | None = None):
+        self.key = trained_model_dir
+
+    def __call__(self, batch: pd.DataFrame):
+        stage = _STAGE_CACHE.get(self.key)
+        if stage is None:
+            stage = _STAGE_CACHE[self.key] = MucEvalStage(
+                trained_model_dir=self.key
+            )
+        return stage(batch)
 
 
-def ner_eval_dataset(sentences, *, batch_size: int = 2048) -> pd.DataFrame:
+def muc_eval_partials_batch(batch: pd.DataFrame):
+    """Back-compat default-ensemble form (no trained member)."""
+    return _EvalPartials(None)(batch)
+
+
+def ner_eval_dataset(
+    sentences, *, batch_size: int = 2048,
+    trained_model_dir: str | None = None,
+) -> pd.DataFrame:
     """sentence rows → evaluated (model, ent_type, schema, counts, P, R).
 
     Two-phase: task-pool count partials (Arrow out — pandas blocks make
@@ -298,7 +325,8 @@ def ner_eval_dataset(sentences, *, batch_size: int = 2048) -> pd.DataFrame:
     milliseconds.  Same collect-the-bounded-artifact posture as the q1
     rollup and the gapfill grid."""
     partials = sentences.map_batches(
-        muc_eval_partials_batch, batch_format="pandas", batch_size=batch_size
+        _EvalPartials(trained_model_dir), batch_format="pandas",
+        batch_size=batch_size,
     ).to_pandas()  # ≤ tasks × 144 count rows — bounded artifact
     agg = (
         partials.groupby(["model", "ent_type", "schema"], sort=True)[COUNT_COLS]

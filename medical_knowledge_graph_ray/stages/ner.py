@@ -95,6 +95,98 @@ class GazetteerMatcher:
         return [(m.start(), m.end(), m.group(0)) for m in self._re.finditer(sentence)]
 
 
+TRAINED_MODEL_NAME = "trained"
+# per-char confidence of trained-tagger spans: a CONSTANT keeps the fit
+# deterministic (the perceptron has no calibrated probabilities; real
+# per-span calibration comes from the eval matrix the caller derives on
+# held-out data — the multi_ner_prediction.py:139-159 loop)
+TRAINED_CHAR_PROB = 0.80
+# standalone trained-member rows require EXACT-SPAN corroboration (another
+# member or the dictionary found the same [start, end) span).  The trained
+# tagger still votes fully — union fill, strong-span support counts, char
+# probs, vote weights — but its boundary errors (span F1 ≈ 0.92 on silver
+# labels) would otherwise each mint a NEW truncated/shifted surface as a
+# graph triple: measured e2e triple precision of the trained-ensemble
+# graph vs the default-ensemble graph was 0.92 ungated, 0.94
+# overlap-gated, and 0.999 exact-gated (recall 1.0 throughout; 300
+# pages / 6 rounds) — the ≥ 0.95 bar only holds with the exact gate.
+TRAINED_REQUIRE_SUPPORT = True
+# eval-matrix row used when no derived eval_override covers the trained
+# member (zero rows would silently drop every trained mention downstream)
+TRAINED_DEFAULT_EVAL = [0.85, 0.90, 0.88, 0.90]
+
+
+class TrainedMember:
+    """The TRAINED perceptron tagger as a first-class ensemble member —
+    the reference's actual ensemble is trained models + dictionary voting
+    (``EnsemblePredict_all.py:436-441``, ``multi_source_ner.py:140-372``);
+    this closes the loop with weights from ``stages/perceptron.py``.
+
+    Exposes the same ``spans(sentence)`` contract as ``_Member`` plus a
+    vectorized ``mega_decode(mega)`` for the batch path.  Decoding the
+    batch's "\\x00"-joined mega string is EXACTLY equivalent to decoding
+    each sentence alone: the featurizer masks cross-boundary neighbors to
+    codepoint 0, and the joiner IS codepoint 0 — so every real char sees
+    identical features either way; joiner positions are then forced to O
+    so no span can bridge sentences (pinned by
+    ``test_batch_equals_per_sentence``)."""
+
+    def __init__(self, W):
+        self.name = TRAINED_MODEL_NAME
+        self.W = np.ascontiguousarray(W)
+
+    def _pred(self, codes: np.ndarray) -> np.ndarray:
+        """Char codepoints → BIO tag ids (greedy per-char decode)."""
+        from .perceptron import N_FEATS, _feature_ids
+
+        fids = _feature_ids(codes, np.zeros(len(codes), dtype=np.int64))
+        scores = self.W[fids[:, 0]].astype(np.int64)
+        for f in range(1, N_FEATS):
+            scores += self.W[fids[:, f]]
+        return scores.argmax(axis=1)
+
+    @staticmethod
+    def _bio_spans(pred: np.ndarray) -> list[tuple[int, int, int]]:
+        """BIO tag ids → [(start, end, tid)] with B- starting a new span
+        (same convention as the trainer's eval, ``perceptron._EvalBucket``)."""
+        ty = (pred + 1) // 2  # 0 = O, else 1-based type id == _TID value
+        is_b = (pred % 2) == 1
+        inside = ty > 0
+        start = inside & (is_b | (np.roll(ty, 1) != ty))
+        if len(start):
+            start[0] = inside[0]
+        out = []
+        sid = np.cumsum(start)
+        df_pos = np.flatnonzero(inside)
+        if not len(df_pos):
+            return out
+        import itertools
+
+        for _g, grp in itertools.groupby(df_pos, key=lambda i: sid[i]):
+            pos = list(grp)
+            out.append((int(pos[0]), int(pos[-1]) + 1, int(ty[pos[0]])))
+        return out
+
+    def mega_decode(self, mega: str) -> np.ndarray:
+        """Whole-batch decode: BIO tag ids per char of the joined string,
+        with joiner positions forced to O."""
+        codes = np.frombuffer(mega.encode("utf-32-le"), dtype=np.uint32)
+        if not len(codes):
+            return np.zeros(0, dtype=np.int64)
+        pred = self._pred(codes)
+        pred[codes == 0] = 0  # joiners can never carry a tag
+        return pred
+
+    def spans(self, sentence: str) -> list[tuple[int, int, int, float]]:
+        """[(start, end, type_id, char_prob)] — the ``_Member`` contract."""
+        if not sentence:
+            return []
+        pred = self.mega_decode(sentence)
+        return [
+            (s, e, tid, TRAINED_CHAR_PROB) for s, e, tid in self._bio_spans(pred)
+        ]
+
+
 class _Member:
     """One deterministic ensemble member (stand-in for a BiLSTM-CRF model;
     output contract mirrors ``multi_source_ner.py:803-844``: spans with
@@ -158,6 +250,7 @@ class EnsembleNER:
         gazetteer: dict[str, str] | None = None,
         eval_override: dict[str, dict[str, list[float]]] | None = None,
         members: tuple[str, ...] | None = None,
+        trained_weights=None,
     ):
         gaz = gazetteer or MEDICAL_GAZETTEER
         # members: the config-selected ensemble (the reference's
@@ -170,6 +263,11 @@ class EnsembleNER:
         if unknown:
             raise ValueError(f"unknown ensemble members: {unknown}")
         self.members = [_Member(m, gaz) for m in names]
+        # trained tagger votes LAST (union fill starts from member "a",
+        # reference :290-315 order; the trained model fills remaining O
+        # chars and counts toward span support like any member)
+        if trained_weights is not None:
+            self.members.append(TrainedMember(trained_weights))
         self.dictionary = GazetteerMatcher(gaz)
         # eval_override: a REAL eval matrix computed from a labeled dataset
         # (stages/muc_eval.py:eval_matrix_from); the default hash-fabricated
@@ -178,10 +276,18 @@ class EnsembleNER:
         # would poison artifacts it later persists (eval_dic.json).
         src = eval_override or eval_matrix()
         self.eval = {m: dict(v) for m, v in src.items()}
-        for m in names:  # every (member, type) cell must exist
+        for m in [mem.name for mem in self.members]:  # every cell must exist
             ev = self.eval.setdefault(m, {})
+            # the trained member's fallback row is a nonzero default —
+            # zero precision would silently drop every trained mention;
+            # derived eval_override rows (muc_eval on held-out data)
+            # replace it in the production path
+            fallback = (
+                TRAINED_DEFAULT_EVAL if m == TRAINED_MODEL_NAME
+                else [0.0, 0.0, 0.0, 0.0]
+            )
             for t in TYPE_LIST:
-                ev.setdefault(t, [0.0, 0.0, 0.0, 0.0])
+                ev.setdefault(t, list(fallback))
         self.num_models = len(self.members)
 
     # -- per-sentence ensemble ------------------------------------------------
@@ -195,6 +301,7 @@ class EnsembleNER:
         member_spans = {m.name: m.spans(sentence) for m in self.members}
         member_tids: dict[str, np.ndarray] = {}
         prob_combined = np.full(L, BASE_CHAR_PROB, dtype=np.float64)
+        dict_matches = self.dictionary.find(sentence)
 
         # single-member mentions + char arrays
         for m in self.members:
@@ -203,6 +310,8 @@ class EnsembleNER:
             member_tids[m.name] = tids
             nz = tids != 0
             np.maximum(prob_combined, np.where(nz, probs, 0.0), out=prob_combined)
+            if isinstance(m, TrainedMember) and TRAINED_REQUIRE_SUPPORT:
+                continue  # standalone rows gated below (voting unaffected)
             ev = self.eval[m.name]
             for s, e, tid, p in spans:
                 ety = TYPE_LIST[tid - 1]
@@ -211,6 +320,28 @@ class EnsembleNER:
                     (m.name, sentence[s:e], ety, s, e,
                      p * pr[0], p * pr[1], p * pr[2], p * pr[3], 1)
                 )
+
+        # corroboration-gated standalone trained rows (batch-path parity):
+        # exact-span match against any other member or the dictionary
+        if TRAINED_REQUIRE_SUPPORT:
+            for m in self.members:
+                if not isinstance(m, TrainedMember):
+                    continue
+                corroborated = {
+                    (s, e)
+                    for other in self.members if other is not m
+                    for s, e, _tid, _p in member_spans[other.name]
+                } | {(s, e) for s, e, _surf in dict_matches}
+                ev = self.eval[m.name]
+                for s, e, tid, p in member_spans[m.name]:
+                    if (s, e) not in corroborated:
+                        continue
+                    ety = TYPE_LIST[tid - 1]
+                    pr = ev[ety]
+                    out.append(
+                        (m.name, sentence[s:e], ety, s, e,
+                         p * pr[0], p * pr[1], p * pr[2], p * pr[3], 1)
+                    )
 
         # union (V2) + strong (V3) via the shared shipped-semantics helper
         tid_list = [member_tids[m.name] for m in self.members]
@@ -227,7 +358,7 @@ class EnsembleNER:
             out.append(("ensemble_strong", sentence[s:e], ety, s, e, *ps, k))
 
         # dictionary pass (STEP2 analogue)
-        for s, e, surf in self.dictionary.find(sentence):
+        for s, e, surf in dict_matches:
             out.append(
                 ("dictionary", surf, self.dictionary.types[surf], s, e,
                  *DICT_PROBS, 1)
@@ -274,14 +405,18 @@ class EnsembleNER:
         non-O member probs (the reference's min-fusion; its appended
         score-probs are dead code truncated by the zip at ``:254``).
         Returns [(surface, type, start, end, prob_min)]."""
-        from ..state.artifacts import model_weights
-
         if not hasattr(self, "_vote_w"):
-            w = model_weights(self.eval)
+            # per-type strict-precision-normalized weights over the
+            # SELECTED members (A4, multi_ner_prediction.py:139-159) —
+            # computed from self.eval directly so a trained member's
+            # derived precisions weight its vote like any other's
             self._vote_w = np.zeros((len(self.members), len(TYPE_LIST) + 1))
-            for mi, m in enumerate(self.members):
-                for t, ety in enumerate(TYPE_LIST):
-                    self._vote_w[mi, t + 1] = w[m.name][ety]
+            for t, ety in enumerate(TYPE_LIST):
+                total = sum(self.eval[m.name][ety][0] for m in self.members)
+                for mi, m in enumerate(self.members):
+                    self._vote_w[mi, t + 1] = (
+                        self.eval[m.name][ety][0] / total if total else 0.0
+                    )
         L = len(sentence)
         scores = np.zeros((len(TYPE_LIST) + 1, L))
         prob_min = None  # starts from member "a"'s path probs (reference :252)
@@ -358,17 +493,28 @@ class EnsembleNER:
         prob_combined = np.full(L, BASE_CHAR_PROB)
         rows_model, rows_gs, rows_ge, rows_tid, rows_p = [], [], [], [], []
         for mi, m in enumerate(self.members):
-            found = m.matcher._re.finditer(mega) if m.matcher._re else ()
-            gs_l, ge_l, tid_l, p_l = [], [], [], []
-            types, probs, jits = m.matcher.types, m.prob, m.jitter
-            for match in found:
-                surf = match.group(0)
-                s = match.start()
-                e = match.end() - jits[surf]
-                gs_l.append(s)
-                ge_l.append(e)
-                tid_l.append(_TID[types[surf]])
-                p_l.append(probs[surf])
+            if isinstance(m, TrainedMember):
+                # one vectorized whole-batch decode (see TrainedMember:
+                # the \x00 joiner IS the featurizer's boundary mask value,
+                # so mega decode ≡ per-sentence decode exactly)
+                pred = m.mega_decode(mega)
+                bio = m._bio_spans(pred)
+                gs_l = [s for s, _e, _t in bio]
+                ge_l = [e for _s, e, _t in bio]
+                tid_l = [t for _s, _e, t in bio]
+                p_l = [TRAINED_CHAR_PROB] * len(bio)
+            else:
+                found = m.matcher._re.finditer(mega) if m.matcher._re else ()
+                gs_l, ge_l, tid_l, p_l = [], [], [], []
+                types, probs, jits = m.matcher.types, m.prob, m.jitter
+                for match in found:
+                    surf = match.group(0)
+                    s = match.start()
+                    e = match.end() - jits[surf]
+                    gs_l.append(s)
+                    ge_l.append(e)
+                    tid_l.append(_TID[types[surf]])
+                    p_l.append(probs[surf])
             gs = np.asarray(gs_l, dtype=np.int64)
             ge = np.asarray(ge_l, dtype=np.int64)
             tid = np.asarray(tid_l, dtype=np.int16)
@@ -427,6 +573,28 @@ class EnsembleNER:
         d_gs = np.asarray(d_gs_l, dtype=np.int64)
         d_ge = np.asarray(d_ge_l, dtype=np.int64)
         d_tid = np.asarray(d_tid_l, dtype=np.int16)
+
+        # corroboration gate on standalone trained rows (see
+        # TRAINED_REQUIRE_SUPPORT): keep a trained span iff another member
+        # or the dictionary found EXACTLY the same [start, end) span
+        if TRAINED_REQUIRE_SUPPORT:
+            for ti, m in enumerate(self.members):
+                if not isinstance(m, TrainedMember):
+                    continue
+                other_keys = [
+                    rows_gs[mi] * np.int64(L) + rows_ge[mi]
+                    for mi in range(len(rows_gs)) if mi != ti
+                ] + [d_gs * np.int64(L) + d_ge]
+                corroborated = (
+                    np.unique(np.concatenate(other_keys))
+                    if other_keys else np.zeros(0, np.int64)
+                )
+                keys = rows_gs[ti] * np.int64(L) + rows_ge[ti]
+                keep = np.isin(keys, corroborated)
+                rows_gs[ti] = rows_gs[ti][keep]
+                rows_ge[ti] = rows_ge[ti][keep]
+                rows_tid[ti] = rows_tid[ti][keep]
+                rows_p[ti] = rows_p[ti][keep]
 
         # assemble output columns
         model_names = [m.name for m in self.members]

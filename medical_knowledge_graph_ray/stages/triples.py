@@ -23,6 +23,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -70,8 +71,14 @@ def clean_mentions_df(df: pd.DataFrame) -> pd.DataFrame:
             )
         ]
         df.loc[idx, "ent_name"] = [f[0] for f in fixed]
-        df.loc[idx, "start"] = [f[1] for f in fixed]
-        df.loc[idx, "end"] = [f[2] for f in fixed]
+        # keep the column dtype (int32): a bare Python-int list assignment
+        # warns (and will raise) on dtype widening in future pandas
+        df.loc[idx, "start"] = np.asarray(
+            [f[1] for f in fixed], dtype=df["start"].dtype
+        )
+        df.loc[idx, "end"] = np.asarray(
+            [f[2] for f in fixed], dtype=df["end"].dtype
+        )
     keep = df["ent_name"].str.len() >= 2
     return df[keep & ~dirty]
 
