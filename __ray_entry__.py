@@ -183,7 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER CONTRACT: the driver verifies only the FIRST 50 entries, so
     # every SQL-oracled query comes first (nothing verifiable may fall
     # outside the window), then rows-only entries ranked by value.
-    return {
+    q = {
         # ---- SQL-oracled block (every key here has an oracle_sql entry) ----
         # KG over the driver documents table
         "kg_doc_mentions": docs_kg.doc_mentions,
@@ -479,6 +479,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tests/test_docs_prep.py incl. resume + audit)
         "docs_llm_prep": _docs_llm_prep,
     }
+
+    # DRIVER-WINDOW ROTATION (VERDICT r3 item 8): the driver gate checks
+    # only the first 50 entries; swap a handful of the NEWEST oracled
+    # queries into the window each round so CORRECTNESS_r{N} — not just
+    # the local gate — exercises recent work.  Swaps are oracled⇄oracled,
+    # so the oracled-before-rows-only contract is untouched; the demoted
+    # entries stay oracled and locally gated (tools/check_correctness.py).
+    _promote = [
+        "docs_search_indexed", "docs_search_ranked", "docs_search_phrase",
+        "kg_ppmi", "docs_dsir", "q13_custdist", "q21_waiting_suppliers",
+        "events_cume_dist",
+    ]
+    _demote = [
+        "events_sliding", "events_lag_diff", "events_rolling_avg",
+        "events_user_type_pivot", "simhash_fingerprints", "docs_sample",
+        "docs_weighted_sample", "docs_langid",
+    ]
+    order = list(q)
+    for out_k, in_k in zip(_demote, _promote):
+        i, j = order.index(out_k), order.index(in_k)
+        order[i], order[j] = order[j], order[i]
+    return {k: q[k] for k in order}
 
 
 def oracle_sql() -> dict[str, str]:
