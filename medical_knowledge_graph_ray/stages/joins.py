@@ -36,6 +36,9 @@ from ..functions.arrow import arrow_out
 from .shuffle import BUCKET_COL, add_bucket
 
 _SIDE_COL = "_join_side"
+# skew="auto" prefix-sample size: big enough that a ≥5%-mass hot key is
+# seen thousands of times, small enough that mining is a sub-second pass
+SKEW_SAMPLE_ROWS = 500_000
 
 
 def hash_join(
@@ -51,6 +54,7 @@ def hash_join(
     bucket_post=None,
     hot_keys=None,
     salt: int = 8,
+    skew: str | None = None,
 ):
     """Partitioned hash join of two Datasets on equality keys.
 
@@ -90,13 +94,32 @@ def hash_join(
     shard).  With ``bucket_post``, a hot key's merged rows now span
     ``salt`` buckets, so the post must be a re-aggregatable PARTIAL
     (every engine bucket_post already is — a final groupby finishes).
+    ``skew``: ADAPTIVE skew handling.  ``"auto"`` mines hot keys from a
+    bounded prefix sample of the LEFT side's key columns
+    (``detect_hot_keys`` over ``SKEW_SAMPLE_ROWS`` rows — one cheap
+    column-pruned pass) and salts them; ``"off"`` disables; ``None``
+    (default) reads the ``MKG_JOIN_SKEW`` env var so every production
+    call site becomes adaptive with one switch.  Detection errors are
+    graceful in BOTH directions: salting a cold key only splits bucket
+    work (row-identical result), missing a hot key is the status quo.
+    ``how='full'`` ignores auto (salting is invalid there).  Explicit
+    ``hot_keys`` wins over ``skew``.
     """
+    import os
+
     if how not in ("inner", "left", "full", "semi", "anti"):
         raise ValueError(f"unsupported join type: {how}")
     if num_buckets is None:
         from .shuffle import default_num_buckets
 
         num_buckets = default_num_buckets()
+    if skew is None:
+        skew = os.environ.get("MKG_JOIN_SKEW", "off")
+    if skew not in ("off", "auto"):
+        raise ValueError(f"unknown skew mode: {skew!r} (off|auto)")
+    if hot_keys is None and skew == "auto" and how != "full":
+        sample = left.select_columns(on).limit(SKEW_SAMPLE_ROWS)
+        hot_keys = detect_hot_keys(sample, on)
     if hot_keys is not None and salt > 1 and how == "full":
         raise ValueError(
             "salted join cannot run FULL OUTER: replicated unmatched "

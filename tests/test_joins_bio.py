@@ -568,3 +568,44 @@ def test_bloom_semi_join_exact_and_prefilter_superset(ray_session):
     member = bloom_contains(w, probe["k"].to_numpy(), 1 << 8, 3)
     truly = probe["k"].isin(set(fkeys["k"])).to_numpy()
     assert (member | ~truly).all()
+
+
+def test_skew_auto_matches_off_and_mines_hot_keys(ray_session, monkeypatch):
+    """skew='auto' (and the MKG_JOIN_SKEW env default) must mine the hot
+    key from the left prefix sample and produce row-identical results to
+    the plain join — the adaptive path is pure performance."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.joins import hash_join
+
+    rng = np.random.RandomState(11)
+    lk = np.where(rng.rand(5000) < 0.5, 7, rng.randint(100, 400, 5000))
+    rk = np.arange(400).astype("int64")
+    left = pd.DataFrame({"k": lk.astype("int64"), "a": np.arange(5000)})
+    right = pd.DataFrame({"k": rk, "b": rk * 3})
+    cols = ["k", "a", "b"]
+
+    plain = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                  on=["k"], how="inner", num_buckets=8, skew="off")
+        .to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    )
+    auto = (
+        hash_join(rd.from_pandas(left).repartition(6), rd.from_pandas(right),
+                  on=["k"], how="inner", num_buckets=8, skew="auto")
+        .to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(auto, plain)
+
+    # env-var default: skew=None resolves to MKG_JOIN_SKEW
+    monkeypatch.setenv("MKG_JOIN_SKEW", "auto")
+    via_env = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                  on=["k"], how="inner", num_buckets=8)
+        .to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(via_env, plain)
+
+    with pytest.raises(ValueError):
+        hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                  on=["k"], skew="bogus")
