@@ -399,6 +399,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # make the per-doc sums order-immune, so the full chain (md5
         # buckets, smoothed LMs, acceptance compare) oracles exactly
         "docs_dsir": docs.docs_dsir,
+        # time-RANGE window frame (value-based, peers included) — two
+        # vectorized searchsorteds per bucket, no per-user loop
+        "events_rolling_time": events.events_rolling_time,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -439,6 +442,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curve over the dictionary-labeled corpus (exact-integer BSP;
         # convergence + parallelism-invariance pytest-gated)
         "ner_train": _ner_train,
+        # BPE tokenizer TRAINING (distributed word census → driver-side
+        # merge learning on the bounded artifact; Sennrich-example +
+        # invariance pytest-gated) and the encode serving pass
+        "docs_bpe_vocab": docs.docs_bpe_vocab,
+        "docs_bpe_encoded": docs.docs_bpe_encoded,
         # SemDeDup: cluster-restricted semantic dedup (k-means buckets →
         # within-cluster cosine pairs → component min-id election);
         # brute-force-equivalence + invariance pytest-gated
@@ -611,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_unigram_logprob": docs.UNIGRAM_LOGPROB_SQL,
         "lineitem_quantiles_sketch": relational.LINEITEM_QUANTILES_SKETCH_SQL,
         "docs_dsir": docs.dsir_sql(),
+        "events_rolling_time": events.ROLLING_TIME_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

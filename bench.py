@@ -76,6 +76,11 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         # BM25/phrase serve over the cached index, PPMI scoring, SemDeDup
         "docs_search_ranked", "docs_search_phrase", "kg_ppmi",
         "embed_semdedup",
+        # round-4: the trained-ensemble flagship loop (train → held-out
+        # eval → derived eval matrix → full KG run; 45 s cold at sf0.1,
+        # ~6 s on checkpoint resume — model + graph keyed by corpus
+        # fingerprint under /tmp)
+        "kg_flagship_trained",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

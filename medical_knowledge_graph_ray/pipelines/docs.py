@@ -2258,3 +2258,30 @@ SELECT doc_id, lang, logw,
         / 4294967296.0) < exp(logw - mx) AS keep
 FROM doc, m
 """
+
+
+BPE_MERGES = 256
+
+
+def docs_bpe_vocab(sf_dir: str):
+    """Trained BPE merge table over the documents corpus (distributed
+    word census → driver-side merge learning on the bounded artifact —
+    `stages/bpe.py`).  Deterministic at any parallelism (exact integer
+    census + lexicographic tie-break), pytest-pinned."""
+    from ..stages.bpe import train_bpe
+
+    return train_bpe(_docs(sf_dir, ["text"]), n_merges=BPE_MERGES)
+
+
+def docs_bpe_encoded(sf_dir: str):
+    """Per-doc BPE token counts under the corpus-trained vocabulary —
+    train (bounded census) then one encode pass with per-process word
+    caching."""
+    from ..functions.arrow import arrow_out
+    from ..stages.bpe import BpeEncoder, train_bpe
+
+    merges = train_bpe(_docs(sf_dir, ["text"]), n_merges=BPE_MERGES)
+    enc = BpeEncoder(merges)
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        arrow_out(enc), batch_format="pandas"
+    )

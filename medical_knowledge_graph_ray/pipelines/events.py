@@ -1385,3 +1385,72 @@ SELECT event_type, c/100.0 AS total_value,
        round(c / (SELECT SUM(c) FROM t), 6) AS share
 FROM t
 """
+
+
+RANGE_WINDOW_MINUTES = 10
+
+
+def events_rolling_time(sf_dir: str):
+    """Time-RANGE windowed aggregate per user: for every event, the count
+    and exact cent-sum of that user's events in the trailing
+    ``RANGE_WINDOW_MINUTES`` interval — the ``RANGE BETWEEN INTERVAL x
+    PRECEDING AND CURRENT ROW`` frame (value-based, peers included), as
+    distinct from the engine's row-based rolling and fixed tumbling /
+    sliding windows.
+
+    In-bucket the whole frame is TWO ``np.searchsorted`` calls: rows sort
+    by (user, ts); a composite int64 key ``user_rank·2^45 + Δts_µs``
+    makes every user's events one contiguous strictly-keyed run (a year
+    of microseconds < 2^45, so windows can never cross users), the
+    window's low edge is ``searchsorted(keys, key − 10min)`` and its high
+    edge ``searchsorted(keys, key, side='right')`` — the right side
+    includes ts-PEERS exactly like the SQL RANGE frame — and the sums
+    fall out of one cumulative-sum difference.  No Python loop per user
+    or per row; exchange = one user-bucketed pass."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    delta_us = RANGE_WINDOW_MINUTES * 60 * 1_000_000
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = s["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        ts_rel = ts_us - (ts_us.min() if len(ts_us) else 0)
+        # contiguous user ranks in sorted order (codes of a factorize on
+        # the already-sorted column are monotonic)
+        u = s["user_id"].to_numpy()
+        new_user = np.empty(len(u), dtype=bool)
+        if len(u):
+            new_user[0] = True
+            new_user[1:] = u[1:] != u[:-1]
+        ranks = np.cumsum(new_user) - 1 if len(u) else np.array([], np.int64)
+        if len(ts_rel) and int(ts_rel.max()) >= (1 << 45) - delta_us:
+            # composite-key guard: ~1.1 years of µs per bucket; wider
+            # spans need a coarser tick or a per-user segment loop
+            raise ValueError("events_rolling_time: ts span exceeds 2^45 µs")
+        keys = ranks.astype(np.int64) * (1 << 45) + ts_rel
+        lo = np.searchsorted(keys, keys - delta_us, side="left")
+        hi = np.searchsorted(keys, keys, side="right")
+        cents = np.rint(s["value"].to_numpy() * 100).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        out = s[["event_id"]].copy()
+        out["event_id"] = out["event_id"].astype("int64")
+        out["n_window"] = pd.array((hi - lo).astype("int64"), "int64")
+        out["sum_cents"] = pd.array(csum[hi] - csum[lo], "int64")
+        return out
+
+    return bucketed_group_map(ev, ["user_id"], bucket)
+
+
+ROLLING_TIME_SQL = f"""
+SELECT event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS sum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL {RANGE_WINDOW_MINUTES} MINUTES PRECEDING
+             AND CURRENT ROW)
+"""
