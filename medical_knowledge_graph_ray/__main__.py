@@ -73,6 +73,18 @@ def main(argv: list[str] | None = None) -> int:
         help="DataContext.target_max_block_size in MiB (explicit target "
         "block size; default Ray's 128)",
     )
+    run.add_argument(
+        "--trained", action="store_true",
+        help="vote with the TRAINED perceptron tagger: train once per "
+        "corpus fingerprint (checkpointed under --model-root), derive "
+        "the eval matrix on the held-out split, then run the flagship "
+        "with the trained member in the ensemble (M2 loop)",
+    )
+    run.add_argument(
+        "--model-root", default="/tmp/mkg_models",
+        help="checkpoint root for --trained tagger artifacts "
+        "(shared storage on multi-node)",
+    )
 
     bio = sub.add_parser("export-bio", help="BIO training-data export")
     bio.add_argument("--corpus", required=True)
@@ -186,6 +198,30 @@ def main(argv: list[str] | None = None) -> int:
                 from .config import EngineConfig
 
                 cfg = EngineConfig.from_file(args.config)
+            if args.trained:
+                if cfg is not None and (
+                    cfg.trained_model_dir or cfg.eval_override
+                ):
+                    raise SystemExit(
+                        "--trained conflicts with a --config that already "
+                        "sets trained_model_dir/eval_override"
+                    )
+                import dataclasses
+
+                from .pipelines.ner_train import trained_kg_config
+
+                tcfg = trained_kg_config(
+                    args.corpus, model_root=args.model_root
+                )
+                cfg = (
+                    dataclasses.replace(
+                        cfg,
+                        trained_model_dir=tcfg.trained_model_dir,
+                        eval_override=tcfg.eval_override,
+                    )
+                    if cfg is not None
+                    else tcfg
+                )
             m = run_kg(
                 args.corpus,
                 args.out,

@@ -109,7 +109,10 @@ def ensure_trained_tagger(
     return out_dir
 
 
-def trained_kg_config(corpus_dir: str, *, rounds: int = 6):
+def trained_kg_config(
+    corpus_dir: str, *, rounds: int = 6,
+    model_root: str = "/tmp/mkg_models",
+):
     """The full reference loop, composed: train (checkpointed) → evaluate
     the ensemble INCLUDING the trained member on the held-out split →
     derive the eval matrix (``multi_ner_prediction.py:139-159`` →
@@ -119,7 +122,9 @@ def trained_kg_config(corpus_dir: str, *, rounds: int = 6):
     from ..stages.muc_eval import eval_matrix_from
     from .kg import ner_eval_corpus
 
-    model_dir = ensure_trained_tagger(corpus_dir, rounds=rounds)
+    model_dir = ensure_trained_tagger(
+        corpus_dir, model_root=model_root, rounds=rounds
+    )
     eval_df = ner_eval_corpus(corpus_dir, trained_model_dir=model_dir)
     ev = eval_matrix_from(eval_df)
     # the derived matrix covers members + ensemble_strong + trained;
