@@ -402,6 +402,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time-RANGE window frame (value-based, peers included) — two
         # vectorized searchsorteds per bucket, no per-user loop
         "events_rolling_time": events.events_rolling_time,
+        # COUNT(DISTINCT) over a large-large join (q16 shape): bucket_post
+        # collapses join buckets to distinct triples before the exchange
+        "q16_brand_suppliers": relational.q16_brand_suppliers,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -620,6 +623,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_quantiles_sketch": relational.LINEITEM_QUANTILES_SKETCH_SQL,
         "docs_dsir": docs.dsir_sql(),
         "events_rolling_time": events.ROLLING_TIME_SQL,
+        "q16_brand_suppliers": relational.Q16_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -2748,3 +2748,113 @@ SELECT r.q,
 FROM r, w
 """
 )
+
+
+Q16_MAX_SIZE = 15
+Q16_EXCLUDED_TYPE = "STANDARD"
+Q16_BAD_BAL = 0.0
+
+
+def q16_brand_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-q16-shaped supplier census: per (p_brand, p_size) over the
+    selected parts, how many DISTINCT suppliers ship them — the
+    COUNT(DISTINCT) OVER A LARGE-LARGE JOIN pattern (adapted to this
+    testdata: lineitem is the part⇄supplier bridge in place of partsupp,
+    and the "complaints" NOT IN becomes negative-balance suppliers).
+
+    Scale shape: the excluded-supplier key set is a filtered,
+    column-pruned read broadcast into the lineitem scan (it is a small
+    FRACTION of suppliers; swap in `stages/bloom.py` when it outgrows
+    memory — same ladder as docs_decontaminate); lineitem⋈part is a
+    partitioned hash join whose ``bucket_post`` immediately collapses
+    each bucket to its DISTINCT (brand, size, suppkey) triples, so the
+    second exchange carries distinct triples, never lineitem rows; each
+    triple lives in exactly one bucket of that exchange, so the
+    per-(brand, size) count partials sum exactly."""
+    import pyarrow as pa
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrow import arrow_out
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import bucketed_group_map
+
+    bad = _read_dim(
+        sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]
+    )
+    bad_keys = ray.put(
+        frozenset(bad.loc[bad["s_acctbal"] < Q16_BAD_BAL, "s_suppkey"]
+                  .astype("int64"))
+    )
+
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_size", "p_type"],
+        filter=(pc.field("p_size") <= Q16_MAX_SIZE)
+        & (pc.field("p_type") != Q16_EXCLUDED_TYPE),
+    ).map_batches(
+        arrow_out(lambda b: b[["p_partkey", "p_brand", "p_size"]]),
+        batch_format="pandas",
+    )
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def drop_bad(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        keys = _ray.get(bad_keys)
+        if keys:
+            b = b[~b["l_suppkey"].isin(keys)]
+        return b.rename(columns={"l_partkey": "p_partkey"})
+
+    li = li.map_batches(arrow_out(drop_bad), batch_format="pandas")
+
+    def distinct_triples(m: pd.DataFrame) -> pd.DataFrame:
+        return m[["p_brand", "p_size", "l_suppkey"]].drop_duplicates()
+
+    joined = hash_join(
+        li, part, on=["p_partkey"], how="inner",
+        left_schema=pa.schema(
+            [("p_partkey", pa.int64()), ("l_suppkey", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("p_partkey", pa.int64()), ("p_brand", pa.string()),
+             ("p_size", pa.int32())]
+        ),
+        bucket_post=distinct_triples,
+    )
+
+    def count_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()  # triples from different join buckets
+        c = d.groupby(["p_brand", "p_size"], sort=False).size()
+        out = c.reset_index()
+        out.columns = ["p_brand", "p_size", "supplier_cnt"]
+        out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+        out["p_size"] = out["p_size"].astype("int32")
+        return out
+
+    counts = (
+        bucketed_group_map(
+            joined, ["p_brand", "p_size", "l_suppkey"], count_partial,
+        )
+        .groupby(["p_brand", "p_size"])
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+        .to_pandas()  # ≤ brands × sizes rows
+    )
+    counts["supplier_cnt"] = counts["supplier_cnt"].astype("int64")
+    counts["p_size"] = counts["p_size"].astype("int32")
+    return counts.sort_values(
+        ["supplier_cnt", "p_brand", "p_size"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+
+
+Q16_SQL = f"""
+SELECT p_brand, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size <= {Q16_MAX_SIZE} AND p_type <> '{Q16_EXCLUDED_TYPE}'
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < {Q16_BAD_BAL}
+  )
+GROUP BY p_brand, p_size
+"""
