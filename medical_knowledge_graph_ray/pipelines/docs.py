@@ -741,7 +741,12 @@ def docs_tfidf_top(sf_dir: str, k: int = 5):
     # tokenize ONCE: tf is materialized and the df census derives from it
     # (tf rows are globally unique per (doc, token), so df(token) is a
     # plain row count — batch-split-safe with no nunique and no second
-    # pass over the corpus text)
+    # pass over the corpus text).  TRADE-OFF KNOB: this materialize keeps
+    # a corpus-sized (doc, token, tf) table resident in the object store
+    # (spilling bounds it); at 100-TB scale prefer the streaming
+    # alternative — tokenize TWICE (one pass feeds the df census, a
+    # second pass feeds the join probe) so nothing corpus-sized pins the
+    # store — at the cost of a second full text scan.
     tf = docs.map_batches(arrow_out(tf_batch), batch_format="pandas").materialize()
 
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
