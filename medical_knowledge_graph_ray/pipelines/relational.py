@@ -1963,10 +1963,18 @@ def q13_custdist(sf_dir: str) -> pd.DataFrame:
              "custdist": pd.array(dist.to_numpy(), "int64")}
         )
 
+    # per-bucket count-of-counts are a BOUNDED artifact (≤ buckets ×
+    # distinct order counts): fold driver-side — the distributed
+    # groupby.aggregate it replaces was pure fixed cost (~0.5 s of a 3 s
+    # query at sf0.1).  The remaining gap vs the old FK-assuming form
+    # (~2.9 s vs ~1.5 s) is the customer branch + union itself: the
+    # price of exact LEFT JOIN semantics (advisor fix r4).
+    per_bucket = bucketed_group_map(
+        partials, ["o_custkey"], dist_of_bucket, num_buckets=32
+    ).to_pandas()
     dist = (
-        bucketed_group_map(partials, ["o_custkey"], dist_of_bucket, num_buckets=32)
-        .groupby("c_count").aggregate(Sum("custdist", alias_name="custdist"))
-        .to_pandas()  # bounded: one row per distinct order count
+        per_bucket.groupby("c_count", sort=False)["custdist"]
+        .sum().reset_index()
     )
     return pd.DataFrame(
         {"c_count": dist["c_count"].astype("int64"),

@@ -112,7 +112,7 @@ def hash_join(
     if num_buckets is None:
         from .shuffle import default_num_buckets
 
-        num_buckets = default_num_buckets()
+        num_buckets = default_num_buckets(per_cpu=1)
     if skew is None:
         skew = os.environ.get("MKG_JOIN_SKEW", "off")
     if skew not in ("off", "auto"):

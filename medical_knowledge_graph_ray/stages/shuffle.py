@@ -32,22 +32,24 @@ from ..functions.arrow import arrow_out
 BUCKET_COL = "_bucket"
 
 
-def default_num_buckets(*, lo: int = 16, hi: int = 1024) -> int:
-    """Coarse-bucket default derived from the cluster CPU count (one
-    bucket per CPU, floored at 16 so small sessions keep enough key
-    spread, capped at 1024 so a huge cluster doesn't explode tiny
-    exchanges).  q5's A/B (16 vs 32 buckets at 32 CPUs = 1.5× spread)
-    showed the hardcoded 32 was only right for 32-CPU sessions; at 8
-    CPUs fewer/larger buckets win, at 256 nodes 32 buckets would leave
-    most CPUs idle through every exchange.  Call sites with a MEASURED
-    explicit count keep it — this only replaces the hardcoded default."""
+def default_num_buckets(*, per_cpu: int = 2, lo: int = 16, hi: int = 2048) -> int:
+    """Coarse-bucket default derived from the cluster CPU count,
+    ``per_cpu`` buckets per CPU (floored at 16 so small sessions keep
+    enough key spread, capped so a huge cluster doesn't explode tiny
+    exchanges).  Measured at 32 CPUs: group-map exchanges want 2
+    buckets/CPU (64 vs 32 = kg_doc_edges 2.76 vs 3.28 s — the second
+    wave smooths map_groups stragglers), joins want 1/CPU (q5's 16-vs-32
+    A/B, and join buckets carry two sides' rows each).  At 8 CPUs the
+    floor keeps key spread; at 256 nodes a hardcoded 32/64 would idle
+    most CPUs through every exchange.  Call sites with a MEASURED
+    explicit count keep it — this only replaces the hardcoded defaults."""
     try:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(lo, min(hi, cpus))
+    return max(lo, min(hi, per_cpu * cpus))
 
 
 def add_bucket(batch: pd.DataFrame, keys: list[str], num_buckets: int) -> pd.DataFrame:
