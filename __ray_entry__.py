@@ -405,6 +405,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # COUNT(DISTINCT) over a large-large join (q16 shape): bucket_post
         # collapses join buckets to distinct triples before the exchange
         "q16_brand_suppliers": relational.q16_brand_suppliers,
+        # conditional counts over a joined fact (q12 shape): lineitem
+        # pre-counted per (order, flag) map-side, orders ship one int64
+        # indicator, bucket_post emits ≤|flags| partials per bucket
+        "q12_priority_lines": relational.q12_priority_lines,
+        # nested two-level aggregate + semi join (q20 shape): per-part
+        # majority suppliers decided entirely inside join buckets
+        "q20_dominant_suppliers": relational.q20_dominant_suppliers,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -624,6 +631,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_dsir": docs.dsir_sql(),
         "events_rolling_time": events.ROLLING_TIME_SQL,
         "q16_brand_suppliers": relational.Q16_SQL,
+        "q12_priority_lines": relational.Q12_SQL,
+        "q20_dominant_suppliers": relational.Q20_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

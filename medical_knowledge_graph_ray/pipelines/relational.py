@@ -2866,3 +2866,226 @@ WHERE p_size <= {Q16_MAX_SIZE} AND p_type <> '{Q16_EXCLUDED_TYPE}'
   )
 GROUP BY p_brand, p_size
 """
+
+
+# -- Q12: conditional counts over an orders⋈lineitem join ---------------------
+
+Q12_FROM, Q12_TO = "1996-01-01", "1997-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_lines(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-q12-shaped conditional aggregation over a large-large join
+    (reference analogue: the join→pivoted-count chains in
+    clean_and_save.py:1039-1083).  The slimmed schema has no
+    ``l_shipmode``, so ``l_returnflag`` plays the mode axis: per flag,
+    how many shipped line items belong to high- vs low-priority orders.
+
+    Scale shape: lineitem is pre-counted per (orderkey, returnflag)
+    inside ``map_batches`` (a combiner — the join exchange carries at
+    most one row per key per batch, never raw line items); orders ship
+    only an int64 is-high indicator; ``bucket_post`` collapses each join
+    bucket to ≤ |flags| partial rows, so the final exchange is tiny."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pc.scalar(np.datetime64(Q12_FROM, "us")))
+            & (pc.field("l_shipdate") < pc.scalar(np.datetime64(Q12_TO, "us")))
+        ),
+    )
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cnt = b.groupby(["l_orderkey", "l_returnflag"], sort=False).size()
+        out = cnt.reset_index()
+        out.columns = ["o_orderkey", "l_returnflag", "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def orders_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderkey": pd.array(b["o_orderkey"].to_numpy("int64"), "int64"),
+             "is_high": pd.array(
+                 b["o_orderpriority"].isin(Q12_HIGH).to_numpy("int64"), "int64"
+             )}
+        )
+
+    li_counts = li.map_batches(arrow_out(li_partial), batch_format="pandas")
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(arrow_out(orders_partial), batch_format="pandas")
+
+    def flag_partial(m: pd.DataFrame) -> pd.DataFrame:
+        n = m["n"].to_numpy("int64")
+        hi = m["is_high"].to_numpy("int64")
+        g = pd.DataFrame(
+            {"l_returnflag": m["l_returnflag"],
+             "high_line_count": n * hi,
+             "low_line_count": n * (1 - hi)}
+        ).groupby("l_returnflag", sort=False).sum().reset_index()
+        g["high_line_count"] = g["high_line_count"].astype("int64")
+        g["low_line_count"] = g["low_line_count"].astype("int64")
+        return g
+
+    j = hash_join(
+        li_counts, orders, on=["o_orderkey"], how="inner",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("l_returnflag", pa.string()),
+             ("n", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("is_high", pa.int64())]
+        ),
+        bucket_post=flag_partial,
+    )
+    out = (
+        j.groupby("l_returnflag")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+        .to_pandas()  # ≤ |flags| rows
+    )
+    out["high_line_count"] = out["high_line_count"].astype("int64")
+    out["low_line_count"] = out["low_line_count"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q12_SQL = f"""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_FROM} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q12_TO} 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+# -- Q20: dominant-share suppliers (two-level aggregate + semi join) ----------
+
+Q20_NAME_PREFIX = "blue"
+Q20_DOM_MULT = 2  # dominant = shipped > MULT × the part's per-supplier mean
+
+
+def q20_dominant_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-q20-shaped supplier promotion: suppliers who shipped MORE
+    THAN ``Q20_DOM_MULT``× the average per-supplier quantity of some
+    filtered part — the nested two-level aggregate + semi-join pattern
+    (availqty vs half of shipped quantity in the original; lineitem is
+    the part⇄supplier bridge since the slimmed schema has no partsupp,
+    and the threshold is relative to the part's supplier census so the
+    predicate stays non-degenerate at every scale factor).
+
+    Scale shape: lineitem pre-aggregates qty per (partkey, suppkey) in
+    ``map_batches``; the partitioned join with the filtered part keys
+    buckets by partkey, so EVERY row of a part lands in one bucket —
+    ``bucket_post`` finishes the per-(part, supplier) sums, computes the
+    per-part totals + supplier counts, applies the dominance test and
+    emits DISTINCT winning suppkeys, all without a second exchange.  The
+    winner set is bounded by |suppliers| (and in practice ≪), so it
+    broadcasts into the supplier scan; quantities are exactly-scaled
+    int64 so the strict ``qty·cnt > MULT·total`` comparison is
+    bit-identical to the SQL oracle (pure integer arithmetic)."""
+    import pyarrow as pa
+    import ray
+
+    from ..stages.joins import hash_join
+
+    part_keys = _read(
+        sf_dir, "part", columns=["p_partkey", "p_name"],
+        filter=pc.match_substring_regex(
+            pc.field("p_name"), f"^{Q20_NAME_PREFIX}"
+        ),
+    ).map_batches(
+        arrow_out(lambda b: b[["p_partkey"]]), batch_format="pandas"
+    )
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(b["l_quantity"].to_numpy()).astype("int64")
+        g = pd.DataFrame(
+            {"p_partkey": b["l_partkey"].to_numpy("int64"),
+             "l_suppkey": b["l_suppkey"].to_numpy("int64"),
+             "qty": q}
+        ).groupby(["p_partkey", "l_suppkey"], sort=False).sum().reset_index()
+        g["qty"] = g["qty"].astype("int64")
+        return g
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"]
+    ).map_batches(arrow_out(li_partial), batch_format="pandas")
+
+    def winners(m: pd.DataFrame) -> pd.DataFrame:
+        ps = (
+            m.groupby(["p_partkey", "l_suppkey"], sort=False)["qty"]
+            .sum().reset_index()
+        )
+        grp = ps.groupby("p_partkey", sort=False)["qty"]
+        total = grp.transform("sum").to_numpy("int64")
+        cnt = grp.transform("size").to_numpy("int64")
+        qty = ps["qty"].to_numpy("int64")
+        win = ps.loc[qty * cnt > Q20_DOM_MULT * total, "l_suppkey"]
+        return pd.DataFrame(
+            {"l_suppkey": pd.array(
+                win.drop_duplicates().to_numpy("int64"), "int64"
+            )}
+        )
+
+    j = hash_join(
+        li, part_keys, on=["p_partkey"], how="inner",
+        left_schema=pa.schema(
+            [("p_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("qty", pa.int64())]
+        ),
+        right_schema=pa.schema([("p_partkey", pa.int64())]),
+        bucket_post=winners,
+    )
+    won = j.to_pandas()  # ≤ buckets × |suppliers| rows, ≪ in practice
+    # Ray 2.49 to_pandas on a zero-block dataset drops the schema
+    winners_set = (
+        frozenset(won["l_suppkey"].astype("int64"))
+        if "l_suppkey" in won.columns else frozenset()
+    )
+    key_ref = ray.put(winners_set)
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        keys = _ray.get(key_ref)
+        return b[b["s_suppkey"].isin(keys)][["s_name", "s_acctbal"]]
+
+    out = (
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_acctbal"])
+        .map_batches(arrow_out(pick), batch_format="pandas")
+        .to_pandas()  # the answer itself
+    )
+    return out.sort_values("s_name").reset_index(drop=True)
+
+
+Q20_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(round(l_quantity) AS BIGINT)) AS qty
+  FROM lineitem
+  WHERE l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_NAME_PREFIX}%'
+  )
+  GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey, SUM(qty) AS total, COUNT(*) AS cnt
+  FROM ps GROUP BY l_partkey
+)
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT ps.l_suppkey FROM ps JOIN tot ON ps.l_partkey = tot.l_partkey
+  WHERE ps.qty * tot.cnt > {Q20_DOM_MULT} * tot.total
+)
+"""
