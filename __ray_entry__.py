@@ -412,6 +412,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nested two-level aggregate + semi join (q20 shape): per-part
         # majority suppliers decided entirely inside join buckets
         "q20_dominant_suppliers": relational.q20_dominant_suppliers,
+        # trained-model operator with an end-to-end SQL gate: Naive
+        # Bayes training is pure counting, so the census AND the argmax
+        # inference both oracle exactly (hashed buckets, 6dp log contract)
+        "docs_nb_langid": docs.docs_nb_langid,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -633,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_brand_suppliers": relational.Q16_SQL,
         "q12_priority_lines": relational.Q12_SQL,
         "q20_dominant_suppliers": relational.Q20_SQL,
+        "docs_nb_langid": docs.nb_langid_sql(),
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -2290,3 +2290,147 @@ def docs_bpe_encoded(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         arrow_out(enc), batch_format="pandas"
     )
+
+
+# -- Naive Bayes language classifier: distributed training, SQL-oracled ------
+
+NB_BUCKETS = 256
+
+
+def docs_nb_langid(sf_dir: str):
+    """Multinomial Naive Bayes language classifier whose TRAINING is a
+    distributed pipeline stage: hashed-unigram features (md5 % B — the
+    DSIR bucket function, so the vocabulary is bounded and the whole
+    model is SQL-expressible), per-class add-1-smoothed bucket LMs,
+    doc-count priors, then one vectorized scoring pass that predicts
+    ``argmax_c  ln P(c) + Σ_tok ln P(bucket(tok) | c)`` per document.
+
+    Because NB training is pure counting, BOTH the training pass and the
+    inference pass oracle exactly against DuckDB — a trained-model
+    operator with an end-to-end SQL correctness gate (contrast
+    ``ner_train``, whose perceptron is only pytest-gated).
+
+    Float contract (the ``docs_dsir`` precedent): every per-(class,
+    bucket) log-probability and the class prior pre-round to 6 dp, so
+    per-doc class scores are sums of identical doubles on both engines;
+    the final score re-rounds to 6 dp and ties break on ascending class
+    name.  Scale shape: the census partials are ≤ |classes| × (B+1)
+    rows per batch (driver fold is a model-sized artifact, the HLL/CMS
+    pattern); scoring broadcasts the (C × B) log-prob matrix and runs
+    one ``np.add.at`` per batch — no exchange anywhere."""
+    import numpy as np
+
+    from ..functions.arrow import arrow_out
+    from ..functions.hashing import stable_bucket_vec
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"]).materialize()
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        langs = b["lang"].astype(str)
+        toks = b["text"].astype(str).str.split(" ")
+        counts = toks.str.len().to_numpy()
+        flat = np.concatenate(toks.to_numpy()) if len(b) else np.array([], str)
+        buckets = stable_bucket_vec(flat, NB_BUCKETS).astype("int64")
+        tok_lang = np.repeat(langs.to_numpy(), counts)
+        tf = (
+            pd.DataFrame({"c": tok_lang, "bucket": buckets})
+            .groupby(["c", "bucket"], sort=False).size().reset_index(name="n")
+        )
+        # bucket = -1 rows carry the per-class DOCUMENT counts (priors)
+        dc = langs.value_counts()
+        pri = pd.DataFrame(
+            {"c": dc.index.astype(str),
+             "bucket": np.full(len(dc), -1, "int64"),
+             "n": dc.to_numpy("int64")}
+        )
+        out = pd.concat([tf, pri], ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        out["bucket"] = out["bucket"].astype("int64")
+        return out
+
+    cen = (
+        docs.map_batches(arrow_out(census), batch_format="pandas")
+        .to_pandas()  # ≤ blocks × classes × (B+1) tiny rows
+        .groupby(["c", "bucket"])["n"].sum().reset_index()
+    )
+    classes = np.array(sorted(cen["c"].unique()))
+    c_idx = {c: i for i, c in enumerate(classes)}
+    C = len(classes)
+    doc_counts = np.zeros(C, "int64")
+    tok_counts = np.zeros((C, NB_BUCKETS), "int64")
+    for c, bucket, n in cen.itertuples(index=False):  # model-sized loop
+        if bucket < 0:
+            doc_counts[c_idx[c]] = n
+        else:
+            tok_counts[c_idx[c], bucket] = n
+    totals = tok_counts.sum(axis=1)
+    log_p = np.round(
+        np.log((tok_counts + 1.0) / (totals[:, None] + float(NB_BUCKETS))), 6
+    )
+    prior = np.round(np.log(doc_counts / doc_counts.sum()), 6)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.split(" ")
+        counts = toks.str.len().to_numpy()
+        flat = np.concatenate(toks.to_numpy()) if len(b) else np.array([], str)
+        buckets = stable_bucket_vec(flat, NB_BUCKETS).astype("int64")
+        doc_idx = np.repeat(np.arange(len(b)), counts)
+        acc = np.tile(prior, (len(b), 1))
+        np.add.at(acc, doc_idx, log_p[:, buckets].T)
+        acc = np.round(acc, 6)
+        best = acc.argmax(axis=1)  # first max → ascending-class tiebreak
+        return pd.DataFrame(
+            {"doc_id": pd.array(b["doc_id"].to_numpy("int64"), "int64"),
+             "lang": pd.array(b["lang"].astype(str), "str"),
+             "pred_lang": pd.array(classes[best], "str"),
+             "score": acc[np.arange(len(b)), best]}
+        )
+
+    return docs.map_batches(arrow_out(score), batch_format="pandas")
+
+
+def nb_langid_sql() -> str:
+    """DuckDB oracle for ``docs_nb_langid`` — identical arithmetic:
+    md5%B buckets, add-1-smoothed per-class LMs with 6-dp pre-rounded
+    log-probs, 6-dp rounded priors and final scores, ascending-class
+    tie-break on the argmax."""
+    B = NB_BUCKETS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % {B} AS BIGINT)
+           AS bucket
+  FROM toks
+), cls AS (
+  SELECT lang AS c, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY 1
+), nd AS (SELECT SUM(n_docs) AS total FROM cls),
+cen AS (
+  SELECT d.lang AS c, b.bucket, CAST(count(*) AS BIGINT) AS n
+  FROM b JOIN documents d USING (doc_id) GROUP BY 1, 2
+), tot AS (SELECT c, SUM(n) AS t FROM cen GROUP BY 1),
+lp AS (
+  SELECT cls.c, g.bucket,
+         round(ln((COALESCE(cen.n, 0) + 1.0) / (tot.t + {B})), 6) AS lw
+  FROM cls
+  CROSS JOIN (SELECT unnest(range(0, {B})) AS bucket) g
+  JOIN tot ON tot.c = cls.c
+  LEFT JOIN cen ON cen.c = cls.c AND cen.bucket = g.bucket
+), prior AS (
+  SELECT c, round(ln(n_docs * 1.0 / total), 6) AS pw FROM cls, nd
+), docscore AS (
+  SELECT b.doc_id, lp.c, round(prior.pw + SUM(lp.lw), 6) AS score
+  FROM b JOIN lp USING (bucket) JOIN prior ON prior.c = lp.c
+  GROUP BY b.doc_id, lp.c, prior.pw
+), ranked AS (
+  SELECT s.doc_id, s.c, s.score,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY s.score DESC, s.c ASC) AS rn
+  FROM docscore s
+)
+SELECT r.doc_id, d.lang, r.c AS pred_lang, r.score
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rn = 1
+"""
