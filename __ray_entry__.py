@@ -416,6 +416,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Bayes training is pure counting, so the census AND the argmax
         # inference both oracle exactly (hashed buckets, 6dp log contract)
         "docs_nb_langid": docs.docs_nb_langid,
+        # global-share filter (q11 shape): parts-sized aggregate
+        # materialized once, consumed by the scalar total + the filter
+        "q11_part_value_share": relational.q11_part_value_share,
+        # skyline / Pareto-dominance filter — perfect combiner (batch-
+        # local skyline), vectorized prefix-max kernel, bounded final
+        "part_skyline": relational.part_skyline,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -638,6 +644,8 @@ def oracle_sql() -> dict[str, str]:
         "q12_priority_lines": relational.Q12_SQL,
         "q20_dominant_suppliers": relational.Q20_SQL,
         "docs_nb_langid": docs.nb_langid_sql(),
+        "q11_part_value_share": relational.Q11_SQL,
+        "part_skyline": relational.SKYLINE_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -3089,3 +3089,185 @@ WHERE s_suppkey IN (
   WHERE ps.qty * tot.cnt > {Q20_DOM_MULT} * tot.total
 )
 """
+
+
+# -- Q11: global-share filter (value > fraction of a global total) ------------
+
+Q11_REGION = "ASIA"
+Q11_FRAC_DEN = 1000  # keep parts with value > total/1000
+
+
+def q11_part_value_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-q11-shaped global-share filter: per-part revenue from
+    suppliers of one region, keeping parts whose value exceeds a
+    FRACTION OF THE GLOBAL TOTAL — the scalar-subquery-over-an-aggregate
+    pattern (partsupp value becomes lineitem revenue in the slimmed
+    schema).
+
+    Scale shape: the region's supplier keys are a filtered broadcast
+    set (÷25 of suppliers — the q16 ladder; swap in ``stages/bloom.py``
+    beyond memory); lineitem pre-sums revenue cents per partkey inside
+    ``map_batches`` and one bucketed exchange finishes exact per-part
+    values.  That parts-sized aggregate is materialized ONCE and
+    consumed twice (global total, then the share filter) — the
+    aggregate, never the fact table.  All arithmetic is exact int64
+    basis-point cents (``value·DEN > total`` — at extreme totals where
+    int64 would saturate, DuckDB's HUGEINT side still compares exactly;
+    the engine side would need the int128 ladder, noted here for the
+    100-TB reader)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_group_map
+
+    nations = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = _read_dim(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    rkey = int(region.loc[region["r_name"] == Q11_REGION, "r_regionkey"].iloc[0])
+    nkeys = set(nations.loc[nations["n_regionkey"] == rkey, "n_nationkey"])
+
+    sup = _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"],
+        filter=pc.field("s_nationkey").isin(sorted(nkeys)),
+    ).map_batches(
+        arrow_out(lambda b: b[["s_suppkey"]]), batch_format="pandas"
+    ).to_pandas()
+    sup_ref = ray.put(
+        frozenset(sup["s_suppkey"].astype("int64"))
+        if "s_suppkey" in sup.columns else frozenset()
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        keys = _ray.get(sup_ref)
+        b = b[b["l_suppkey"].isin(keys)]
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 10_000
+        ).astype("int64")
+        g = pd.DataFrame(
+            {"p_partkey": b["l_partkey"].to_numpy("int64"), "value_c": cents}
+        ).groupby("p_partkey", sort=False).sum().reset_index()
+        g["value_c"] = g["value_c"].astype("int64")
+        return g
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(arrow_out(partial), batch_format="pandas")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("p_partkey", sort=False)["value_c"].sum().reset_index()
+        out["value_c"] = out["value_c"].astype("int64")
+        return out
+
+    per_part = bucketed_group_map(li, ["p_partkey"], finish).materialize()
+    total = int(per_part.aggregate(Sum("value_c", alias_name="t"))["t"] or 0)
+
+    def share_filter(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["value_c"].to_numpy("int64") * Q11_FRAC_DEN > total
+        out = b[keep].copy()
+        out["value"] = out["value_c"] / 10_000.0
+        return out[["p_partkey", "value"]]
+
+    res = per_part.map_batches(
+        arrow_out(share_filter), batch_format="pandas"
+    ).to_pandas()  # the (small) answer
+    if "p_partkey" not in res.columns:  # zero-block to_pandas schema drop
+        return pd.DataFrame(
+            {"p_partkey": pd.array([], "int64"),
+             "value": pd.array([], "float64")}
+        )
+    return res.sort_values(
+        ["value", "p_partkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+Q11_SQL = f"""
+WITH sup AS (
+  SELECT s_suppkey FROM supplier
+  WHERE s_nationkey IN (
+    SELECT n_nationkey FROM nation
+    WHERE n_regionkey = (SELECT r_regionkey FROM region
+                         WHERE r_name = '{Q11_REGION}'))
+), ps AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS value_c
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM sup)
+  GROUP BY 1
+), tot AS (SELECT SUM(value_c) AS t FROM ps)
+SELECT p_partkey, value_c / 10000.0 AS value
+FROM ps, tot
+WHERE value_c * {Q11_FRAC_DEN} > t
+"""
+
+
+# -- Skyline (Pareto-dominance filter) ----------------------------------------
+
+
+def part_skyline(sf_dir: str) -> pd.DataFrame:
+    """Skyline operator: the Pareto-optimal parts under (minimize
+    p_retailprice, maximize p_size) — no other part is at-least-as-good
+    on both axes and strictly better on one (Börzsönyi et al. 2001,
+    "The Skyline Operator", public).
+
+    Scale shape: the skyline has a PERFECT COMBINER — a row dominated
+    inside any batch is dominated globally, so each batch keeps only
+    its local skyline (vectorized prefix-max over the price-sorted
+    frame, no quadratic pass) and the final pass re-runs the same
+    kernel on the union of partials.  For uniformly random data the
+    local skyline is O(log n) rows, so the final input is tiny;
+    perfectly anti-correlated axes degrade toward O(batch) partials —
+    the known worst case, at which point the bucketed-by-price-range
+    variant applies (partition by price quantile; bucket i's survivors
+    only need checking against the running max size of buckets < i)."""
+
+    def local_skyline(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["p_partkey", "p_retailprice", "p_size"]]
+        s = b.sort_values(
+            ["p_retailprice", "p_size"], ascending=[True, False],
+            kind="mergesort",
+        )
+        size = s["p_size"].to_numpy()
+        price = s["p_retailprice"].to_numpy()
+        # group max per equal-price run, prefix max over CHEAPER prices
+        new_price = np.empty(len(s), dtype=bool)
+        if len(s):
+            new_price[0] = True
+            new_price[1:] = price[1:] != price[:-1]
+        grp = np.cumsum(new_price) - 1
+        # first row of each price group carries the group max (sorted desc);
+        # running prefix max over ALL strictly-cheaper groups
+        grp_max = size[new_price]
+        run = np.maximum.accumulate(grp_max)
+        cheaper_max = np.concatenate(
+            ([np.iinfo("int64").min], run[:-1])
+        )[grp]
+        is_grp_max = size == grp_max[grp]
+        keep = is_grp_max & (size > cheaper_max)
+        return s[keep]
+
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+    partials = part.map_batches(
+        arrow_out(local_skyline), batch_format="pandas"
+    ).to_pandas()  # union of batch-local skylines — bounded
+    out = local_skyline(partials)
+    return out.sort_values("p_partkey").reset_index(drop=True)[
+        ["p_partkey", "p_retailprice", "p_size"]
+    ]
+
+
+SKYLINE_SQL = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""

@@ -1151,3 +1151,40 @@ def test_quantile_sketch_error_bound_and_invariance(ray_session):
         ints(ds.repartition(13)), qs
     )["approx"].to_numpy()
     assert np.array_equal(approx, approx2)
+
+
+def test_skyline_kernel_matches_brute_and_combines():
+    """The full skyline path (batch-local kernel + combiner final) ≡ the
+    O(n²) dominance brute force, on a coarse grid that forces plenty of
+    exact ties on both axes."""
+    from medical_knowledge_graph_ray.pipelines.relational import part_skyline
+
+    rng = np.random.RandomState(11)
+    n = 400
+    df = pd.DataFrame(
+        {"p_partkey": np.arange(n, dtype="int64"),
+         # coarse grids force plenty of exact ties on both axes
+         "p_retailprice": rng.randint(0, 12, n) * 1.5,
+         "p_size": rng.randint(0, 10, n).astype("int32")}
+    )
+
+    def brute(d: pd.DataFrame) -> set:
+        keep = set()
+        rows = list(d.itertuples(index=False))
+        for p in rows:
+            dominated = any(
+                q.p_retailprice <= p.p_retailprice and q.p_size >= p.p_size
+                and (q.p_retailprice < p.p_retailprice or q.p_size > p.p_size)
+                for q in rows
+            )
+            if not dominated:
+                keep.add(p.p_partkey)
+        return keep
+
+    import tempfile, os
+    import pyarrow as pa, pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(td, "part.parquet"))
+        got = part_skyline(td)
+    assert set(got["p_partkey"]) == brute(df)
