@@ -422,6 +422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # skyline / Pareto-dominance filter — perfect combiner (batch-
         # local skyline), vectorized prefix-max kernel, bounded final
         "part_skyline": relational.part_skyline,
+        # LAG-gap suppression of rapid-fire same-key events (debounce)
+        "events_debounce": events.events_debounce,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -646,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_nb_langid": docs.nb_langid_sql(),
         "q11_part_value_share": relational.Q11_SQL,
         "part_skyline": relational.SKYLINE_SQL,
+        "events_debounce": events.DEBOUNCE_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

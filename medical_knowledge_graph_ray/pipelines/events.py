@@ -1454,3 +1454,53 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL {RANGE_WINDOW_MINUTES} MINUTES PRECEDING
              AND CURRENT ROW)
 """
+
+
+# -- Debounce: suppress rapid-fire same-key repeats ---------------------------
+
+DEBOUNCE_GAP_US = 86_400_000_000  # 1 day
+
+
+def events_debounce(sf_dir: str):
+    """Gap-based event suppression: keep an event iff it is the first of
+    its (user, type) stream or arrived more than ``DEBOUNCE_GAP_US``
+    after the PREVIOUS EVENT of that stream — the LAG-gap filter
+    analytics pipelines run to collapse rapid-fire duplicates
+    (instrumentation retries, double-clicks) before sessionization.
+
+    Contract note: this is the SQL-expressible LAG semantics (gap from
+    the previous event, kept or not).  The stricter recurrence variant —
+    gap from the previous KEPT event — is sessionization in disguise:
+    compose ``events_sessionize``'s gap-chain kernel and keep session
+    heads if that's the need.  Shape: one bucketed exchange on user_id,
+    in-bucket sort + grouped shift, fully vectorized."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        prev = s.groupby(["user_id", "event_type"], sort=False)["ts"].shift()
+        gap = (s["ts"] - prev) // pd.Timedelta(microseconds=1)
+        keep = prev.isna().to_numpy() | (gap.to_numpy() > DEBOUNCE_GAP_US)
+        return s.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+
+    return bucketed_group_map(ev, ["user_id"], bucket)
+
+
+DEBOUNCE_SQL = f"""
+SELECT event_id, user_id, event_type, ts
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS gap
+  FROM events
+)
+WHERE gap IS NULL OR gap > CAST({DEBOUNCE_GAP_US} AS BIGINT)
+"""
