@@ -424,6 +424,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": relational.part_skyline,
         # LAG-gap suppression of rapid-fire same-key events (debounce)
         "events_debounce": events.events_debounce,
+        # ExactSubstr-style duplicated-SPAN removal (overlapping grams,
+        # all occurrences scrubbed, per-doc interval-mask reconstruction)
+        "docs_dupspans": docs.docs_dupspans,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -649,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_part_value_share": relational.Q11_SQL,
         "part_skyline": relational.SKYLINE_SQL,
         "events_debounce": events.DEBOUNCE_SQL,
+        "docs_dupspans": docs.DUPSPANS_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -1561,6 +1561,176 @@ FROM kept GROUP BY doc_id
 """
 
 
+# -- duplicated-span removal (ExactSubstr-style, overlapping n-grams) ---------
+
+DUPSPAN_K = 6  # overlapping gram width (tokens); dup iff the gram repeats
+
+
+def docs_dupspans(sf_dir: str):
+    """Duplicated-SPAN removal — the overlapping-n-gram sibling of
+    ``docs_chunk_dedup`` (Lee et al., *Deduplicating Training Data Makes
+    Language Models Better*): a token is removed iff ANY of the
+    ``DUPSPAN_K``-token grams covering it occurs more than once in the
+    corpus (ALL occurrences are scrubbed, unlike keep-first chunk dedup
+    — repeated boilerplate disappears everywhere).
+
+    Contract (exact SQL parity): grams keyed by the 64-bit md5 of the
+    gram TEXT on BOTH engines (the oracle partitions by the identical
+    ``('0x'||substr(md5(g),1,16))::UBIGINT``), so even a hash collision
+    yields the same answer.  Output per document: ``n_tokens``,
+    ``n_removed`` and the surviving tokens rejoined (empty string when
+    everything is boilerplate).
+
+    Distributed shape — exactly TWO bucketed exchanges, no join:
+
+    1. gram instances ``(h, doc_id, pos)`` bucket by hash; the in-bucket
+       dup filter (``count>1``) needs the instances anyway, so census and
+       flagging share ONE exchange (a count-only combiner would need a
+       second semi-join exchange to recover the positions);
+    2. flagged positions UNION the original docs (``pos=-1`` sentinel
+       rows carry the text) bucket by doc_id → per-doc interval mask via
+       a difference array (no merge row-amplification: the text crosses
+       the exchange exactly once per doc, never once per flag).
+
+    The gram strings build Arrow-side (``binary_join_element_wise`` over
+    ``K`` shifted token slices) feeding the vectorized md5 — no per-row
+    Python in the hot path.  At 100 TB the exchange carries one row per
+    token (~20 B), the inherent cost of exact-substring dedup without a
+    distributed suffix array (which trades it for a global sort)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_int_vec
+    from ..stages.shuffle import bucketed_group_map
+
+    K = DUPSPAN_K
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"h": pd.array([], "uint64"),
+             "doc_id": pd.array([], "int64"),
+             "pos": pd.array([], "int64")}
+        )
+        if not len(b):
+            return empty
+        toklists = b["text"].astype(str).str.split(" ")
+        counts = toklists.str.len().to_numpy("int64")
+        dids = np.repeat(b["doc_id"].to_numpy("int64"), counts)
+        toks = np.concatenate([np.asarray(t, dtype=object) for t in toklists])
+        off = np.repeat(np.cumsum(counts) - counts, counts)
+        pos = np.arange(len(toks), dtype=np.int64) - off
+        valid = pos <= np.repeat(counts, counts) - K
+        idx = np.flatnonzero(valid)
+        if not len(idx):
+            return empty
+        tok_arr = pa.array(toks, type=pa.string())
+        parts = [tok_arr.take(pa.array(idx + j)) for j in range(K)]
+        grams = pc.binary_join_element_wise(*parts, pa.scalar(" "))
+        return pd.DataFrame(
+            {"h": pd.array(md5_int_vec(grams, bits=64), "uint64"),
+             "doc_id": pd.array(dids[idx], "int64"),
+             "pos": pd.array(pos[idx], "int64")}
+        )
+
+    grams = docs.map_batches(arrow_out(explode), batch_format="pandas")
+
+    def dup_only(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("h", sort=False)["h"].transform("size").to_numpy()
+        out = g.loc[c > 1]
+        return pd.DataFrame(
+            {"doc_id": out["doc_id"].astype("int64"),
+             "pos": out["pos"].astype("int64"),
+             "text": pd.array([""] * len(out), "str")}
+        )
+
+    flags = bucketed_group_map(grams, ["h"], dup_only)
+
+    def doc_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "pos": pd.array([-1] * len(b), "int64"),
+             "text": b["text"].astype(str)}
+        )
+
+    tagged = docs.map_batches(arrow_out(doc_rows), batch_format="pandas")
+
+    def mask_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos"], kind="mergesort")
+        out_id, out_nt, out_nr, out_txt = [], [], [], []
+        for did, grp in g.groupby("doc_id", sort=False):
+            p = grp["pos"].to_numpy()
+            text = grp["text"].iloc[0]  # pos=-1 sentinel sorts first
+            toks = text.split(" ")
+            n = len(toks)
+            starts = p[p >= 0]
+            if len(starts):
+                diff = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(diff, starts, 1)
+                np.add.at(diff, np.minimum(starts + K, n), -1)
+                cov = np.cumsum(diff[:-1]) > 0
+                kept = " ".join(
+                    t for t, c in zip(toks, cov.tolist()) if not c
+                )
+                removed = int(cov.sum())
+            else:
+                kept, removed = text, 0
+            out_id.append(did)
+            out_nt.append(n)
+            out_nr.append(removed)
+            out_txt.append(kept)
+        return pd.DataFrame(
+            {"doc_id": pd.array(out_id, "int64"),
+             "n_tokens": pd.array(out_nt, "int64"),
+             "n_removed": pd.array(out_nr, "int64"),
+             "text_kept": pd.array(out_txt, "str")}
+        )
+
+    return bucketed_group_map(
+        tagged.union(flags), ["doc_id"], mask_bucket
+    )
+
+
+DUPSPANS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), gidx AS (
+  SELECT doc_id, toks, unnest(range(0, n - {DUPSPAN_K} + 1)) AS pos
+  FROM t WHERE n >= {DUPSPAN_K}
+), g AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(toks, pos + 1, pos + {DUPSPAN_K}), ' ')), 1, 16)
+         )::UBIGINT AS h
+  FROM gidx
+), flag AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c FROM g
+  ) WHERE c > 1
+), cov AS (
+  SELECT DISTINCT doc_id, pos + j AS ti
+  FROM flag, (SELECT unnest(range(0, {DUPSPAN_K})) AS j)
+), tok AS (
+  SELECT doc_id, unnest(range(0, n)) AS ti, toks FROM t
+), kept AS (
+  SELECT tok.doc_id, tok.ti, toks[tok.ti + 1] AS tk
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.ti = cov.ti
+  WHERE cov.doc_id IS NULL
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tk, ' ' ORDER BY ti) AS text_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n AS n_tokens,
+       t.n - COALESCE(agg.n_kept, 0) AS n_removed,
+       COALESCE(agg.text_kept, '') AS text_kept
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+
 # -- heavy hitters via Count-Min prefilter + exact verify ---------------------
 
 FREQ_PERMILLE = 5  # report tokens holding ≥ 0.5% of all occurrences
