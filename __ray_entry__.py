@@ -427,6 +427,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ExactSubstr-style duplicated-SPAN removal (overlapping grams,
         # all occurrences scrubbed, per-doc interval-mask reconstruction)
         "docs_dupspans": docs.docs_dupspans,
+        # OLS slope/intercept + Pearson r via mergeable exact-integer
+        # moments (two-limb int64 transport for the wide sums)
+        "lineitem_regression": relational.lineitem_regression,
+        # per-user Shannon entropy of event types (micro-nat integer
+        # addend contract; glibc-log parity)
+        "events_entropy": events.events_entropy,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -653,6 +659,8 @@ def oracle_sql() -> dict[str, str]:
         "part_skyline": relational.SKYLINE_SQL,
         "events_debounce": events.DEBOUNCE_SQL,
         "docs_dupspans": docs.DUPSPANS_SQL,
+        "lineitem_regression": relational.LINEITEM_REGRESSION_SQL,
+        "events_entropy": events.ENTROPY_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

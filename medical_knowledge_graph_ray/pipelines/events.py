@@ -1082,6 +1082,89 @@ QUALIFY row_number() OVER (
 """
 
 
+def events_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity signal (bot/user segmentation, exploration
+    scoring): H = ln(n) − (Σ_type c·ln c)/n over the user's type counts.
+
+    Float contract: Σ c·ln c is order-sensitive, so each addend is
+    pre-rounded to an INTEGER micro-nat (``floor(c·ln(c)·1e6 + 0.5)``)
+    and the sum travels as exact int64 — summation order stops
+    mattering.  Both engines take ``ln`` from the same glibc
+    (CPython's ``math.log`` ≡ DuckDB's ``std::log``), and the logs are
+    computed once per DISTINCT count via a lookup table, never per row.
+    The final expression is mirrored term-for-term in the oracle, so
+    the doubles match bit-for-bit.
+
+    Shape: per-batch (user, type) count combiner → ONE bucketed
+    exchange on user_id → vectorized per-bucket finalize."""
+    import math
+
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["user_id", "event_type"], sort=False)
+            .size().rename("n").reset_index()
+        )
+
+    counts = ev.map_batches(arrow_out(partial), batch_format="pandas")
+
+    def entropy_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            g.groupby(["user_id", "event_type"], sort=False)["n"]
+            .sum().reset_index()
+        )
+        c = tot["n"].to_numpy("int64")
+        ln = {int(v): math.log(int(v)) for v in np.unique(c)}
+        lnc = np.fromiter((ln[int(v)] for v in c), dtype="float64", count=len(c))
+        term = np.floor(
+            c.astype("float64") * lnc * 1000000.0 + 0.5
+        ).astype("int64")
+        per = (
+            pd.DataFrame({"user_id": tot["user_id"], "n": c, "t": term})
+            .groupby("user_id", sort=False)
+            .agg(n=("n", "sum"), n_types=("n", "size"), terms=("t", "sum"))
+            .reset_index()
+        )
+        n = per["n"].to_numpy("int64")
+        lnn = {int(v): math.log(int(v)) for v in np.unique(n)}
+        log_n = np.fromiter(
+            (lnn[int(v)] for v in n), dtype="float64", count=len(n)
+        )
+        ent = log_n - (per["terms"].to_numpy("int64").astype("float64")
+                       / 1000000.0) / n.astype("float64")
+        return pd.DataFrame(
+            {"user_id": per["user_id"].astype("int64"),
+             "n_events": n,
+             "n_types": per["n_types"].astype("int64"),
+             "entropy": ent}
+        )
+
+    return bucketed_group_map(counts, ["user_id"], entropy_bucket)
+
+
+ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type
+), u AS (
+  SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types,
+         SUM(CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS BIGINT)) AS terms
+  FROM c GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(n_types AS BIGINT) AS n_types,
+       ln(CAST(n AS BIGINT)) - (CAST(terms AS DOUBLE) / 1000000.0)
+                               / CAST(n AS DOUBLE) AS entropy
+FROM u
+"""
+
+
 # -- per-user time-weighted average (interval-weighted aggregation) -------------
 
 def events_twa(sf_dir: str):

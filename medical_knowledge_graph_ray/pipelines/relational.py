@@ -15,6 +15,8 @@ parallelism.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow.compute as pc
@@ -1718,6 +1720,137 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          / (COUNT(*)*(COUNT(*)-1)) / 10000.0), 6) AS stddev_qty
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def lineitem_regression(sf_dir: str):
+    """Per-returnflag OLS regression of extendedprice on quantity plus
+    the Pearson correlation — the mergeable-sufficient-statistics shape
+    every distributed ML-ish aggregate reduces to: the six moments
+    (n, Σx, Σy, Σx², Σxy, Σy²) are associative, so batch partials
+    combine at any parallelism with zero precision drift.
+
+    Exactness at ANY scale: x is the integral quantity, y is exact
+    cents; Σxy and Σy² outgrow int64 around 1e10 rows per group, so the
+    wide moments travel as TWO int64 limbs (lo = s mod 10¹⁵,
+    hi = s div 10¹⁵ — Python big-int split in the bounded partial
+    frame); the driver reassembles exact integers and the oracle's
+    HUGEINT SUM matches them digit-for-digit.  Floats appear only in
+    the final ≤|flags|-row formula, mirrored term-for-term in the SQL
+    (cast-to-double of identical integers, same operation order; 6-dp
+    round absorbs the cast ulp).  ``batch_size`` bounds the in-batch
+    int64 groupby sums (16384 · y²_max ≈ 1.8e18 < 2^63)."""
+    from ray.data.aggregate import Sum
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    LIMB = 10 ** 15
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(b["l_quantity"].to_numpy()).astype("int64")
+        y = np.rint(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        df = pd.DataFrame(
+            {"l_returnflag": b["l_returnflag"],
+             "x": x, "xx": x * x, "y": y, "xy": x * y, "yy": y * y}
+        )
+        g = (
+            df.groupby("l_returnflag", sort=False)
+            .agg(n=("x", "size"), sx=("x", "sum"), sxx=("xx", "sum"),
+                 sy=("y", "sum"), sxy=("xy", "sum"), syy=("yy", "sum"))
+            .reset_index()
+        )
+        for c in ("sy", "sxy", "syy"):
+            vals = [int(v) for v in g[c]]
+            g[f"{c}_lo"] = pd.array([v % LIMB for v in vals], "int64")
+            g[f"{c}_hi"] = pd.array([v // LIMB for v in vals], "int64")
+        return g.drop(columns=["sy", "sxy", "syy"])
+
+    agg = (
+        li.map_batches(arrow_out(partial), batch_format="pandas",
+                       batch_size=16384)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sy_lo", alias_name="sy_lo"),
+            Sum("sy_hi", alias_name="sy_hi"),
+            Sum("sxy_lo", alias_name="sxy_lo"),
+            Sum("sxy_hi", alias_name="sxy_hi"),
+            Sum("syy_lo", alias_name="syy_lo"),
+            Sum("syy_hi", alias_name="syy_hi"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in df.itertuples(index=False):
+            n, sx, sxx = int(r.n), int(r.sx), int(r.sxx)
+            sy = int(r.sy_hi) * LIMB + int(r.sy_lo)
+            sxy = int(r.sxy_hi) * LIMB + int(r.sxy_lo)
+            syy = int(r.syy_hi) * LIMB + int(r.syy_lo)
+            num = n * sxy - sx * sy
+            den = n * sxx - sx * sx
+            deny = n * syy - sy * sy
+            if n <= 1 or den <= 0 or deny <= 0:
+                continue
+            slope = float(num) / float(den)
+            rows.append(
+                {"l_returnflag": r.l_returnflag, "n": n,
+                 "slope": round(slope / 100.0, 6),
+                 "intercept": round(
+                     (float(sy) / float(n) - slope * (float(sx) / float(n)))
+                     / 100.0, 6),
+                 "corr": round(
+                     float(num) / math.sqrt(float(den) * float(deny)), 6)}
+            )
+        out = pd.DataFrame(
+            rows, columns=["l_returnflag", "n", "slope", "intercept", "corr"]
+        )
+        return pd.DataFrame(
+            {"l_returnflag": out["l_returnflag"].astype(str),
+             "n": out["n"].astype("int64"),
+             "slope": out["slope"].astype("float64"),
+             "intercept": out["intercept"].astype("float64"),
+             "corr": out["corr"].astype("float64")}
+        )
+
+    return agg.map_batches(arrow_out(finalize), batch_format="pandas")
+
+
+LINEITEM_REGRESSION_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS HUGEINT)
+           AS sy,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_extendedprice*100) AS BIGINT)) AS HUGEINT)
+           AS sxy,
+         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * CAST(round(l_extendedprice*100) AS BIGINT)) AS HUGEINT)
+           AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round(CAST(n*sxy - sx*sy AS DOUBLE)
+             / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0, 6) AS slope,
+       round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(n*sxy - sx*sy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0, 6)
+         AS intercept,
+       round(CAST(n*sxy - sx*sy AS DOUBLE)
+             / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                    * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS corr
+FROM m
+WHERE n > 1 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
 """
 
 
