@@ -433,6 +433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user Shannon entropy of event types (micro-nat integer
         # addend contract; glibc-log parity)
         "events_entropy": events.events_entropy,
+        # MOSS winnowing fingerprints (doc-local, zero exchanges)
+        "docs_winnow": docs.docs_winnow_fingerprints,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -661,6 +663,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dupspans": docs.DUPSPANS_SQL,
         "lineitem_regression": relational.LINEITEM_REGRESSION_SQL,
         "events_entropy": events.ENTROPY_SQL,
+        "docs_winnow": docs.WINNOW_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -1566,6 +1566,39 @@ FROM kept GROUP BY doc_id
 DUPSPAN_K = 6  # overlapping gram width (tokens); dup iff the gram repeats
 
 
+def _token_gram_hashes(b: pd.DataFrame, k: int):
+    """(doc_id, token-pos, 64-bit md5 of the space-joined k-gram) arrays
+    for every in-document overlapping k-gram of a batch.  The gram
+    strings build Arrow-side (``binary_join_element_wise`` over ``k``
+    shifted token slices) feeding the vectorized md5 — no per-row
+    Python.  Oracle equivalence: the hash is exactly
+    ``('0x'||substr(md5(gram),1,16))::UBIGINT``.  Shared by
+    ``docs_dupspans`` and ``docs_winnow_fingerprints``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_int_vec
+
+    empty = (np.empty(0, "int64"), np.empty(0, "int64"), np.empty(0, "uint64"))
+    if not len(b):
+        return empty
+    toklists = b["text"].astype(str).str.split(" ")
+    counts = toklists.str.len().to_numpy("int64")
+    dids = np.repeat(b["doc_id"].to_numpy("int64"), counts)
+    toks = np.concatenate([np.asarray(t, dtype=object) for t in toklists])
+    off = np.repeat(np.cumsum(counts) - counts, counts)
+    pos = np.arange(len(toks), dtype=np.int64) - off
+    valid = pos <= np.repeat(counts, counts) - k
+    idx = np.flatnonzero(valid)
+    if not len(idx):
+        return empty
+    tok_arr = pa.array(toks, type=pa.string())
+    parts = [tok_arr.take(pa.array(idx + j)) for j in range(k)]
+    grams = pc.binary_join_element_wise(*parts, pa.scalar(" "))
+    return dids[idx], pos[idx], md5_int_vec(grams, bits=64)
+
+
 def docs_dupspans(sf_dir: str):
     """Duplicated-SPAN removal — the overlapping-n-gram sibling of
     ``docs_chunk_dedup`` (Lee et al., *Deduplicating Training Data Makes
@@ -1598,40 +1631,18 @@ def docs_dupspans(sf_dir: str):
     token (~20 B), the inherent cost of exact-substring dedup without a
     distributed suffix array (which trades it for a global sort)."""
     import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
 
-    from ..functions.hashing import md5_int_vec
     from ..stages.shuffle import bucketed_group_map
 
     K = DUPSPAN_K
     docs = _docs(sf_dir, ["doc_id", "text"])
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"h": pd.array([], "uint64"),
-             "doc_id": pd.array([], "int64"),
-             "pos": pd.array([], "int64")}
-        )
-        if not len(b):
-            return empty
-        toklists = b["text"].astype(str).str.split(" ")
-        counts = toklists.str.len().to_numpy("int64")
-        dids = np.repeat(b["doc_id"].to_numpy("int64"), counts)
-        toks = np.concatenate([np.asarray(t, dtype=object) for t in toklists])
-        off = np.repeat(np.cumsum(counts) - counts, counts)
-        pos = np.arange(len(toks), dtype=np.int64) - off
-        valid = pos <= np.repeat(counts, counts) - K
-        idx = np.flatnonzero(valid)
-        if not len(idx):
-            return empty
-        tok_arr = pa.array(toks, type=pa.string())
-        parts = [tok_arr.take(pa.array(idx + j)) for j in range(K)]
-        grams = pc.binary_join_element_wise(*parts, pa.scalar(" "))
+        dids, pos, h = _token_gram_hashes(b, K)
         return pd.DataFrame(
-            {"h": pd.array(md5_int_vec(grams, bits=64), "uint64"),
-             "doc_id": pd.array(dids[idx], "int64"),
-             "pos": pd.array(pos[idx], "int64")}
+            {"h": pd.array(h, "uint64"),
+             "doc_id": pd.array(dids, "int64"),
+             "pos": pd.array(pos, "int64")}
         )
 
     grams = docs.map_batches(arrow_out(explode), batch_format="pandas")
@@ -1728,6 +1739,95 @@ SELECT t.doc_id, t.n AS n_tokens,
        t.n - COALESCE(agg.n_kept, 0) AS n_removed,
        COALESCE(agg.text_kept, '') AS text_kept
 FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+
+# -- winnowing document fingerprints (MOSS) ------------------------------------
+
+WINNOW_K = 4  # gram width (tokens)
+WINNOW_W = 4  # winnowing window (grams)
+
+
+def docs_winnow_fingerprints(sf_dir: str):
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, *Winnowing:
+    Local Algorithms for Document Fingerprinting*, SIGMOD'03 — the MOSS
+    selector): from each window of ``WINNOW_W`` consecutive
+    ``WINNOW_K``-gram hashes keep the MINIMUM (ties → rightmost), then
+    dedup selections.  Guarantees every shared run of ``W+K-1`` tokens
+    between two documents shares a fingerprint, at ~2/(W+1) density —
+    the sub-linear sketch that near-dup/plagiarism joins run on instead
+    of the full gram set.
+
+    Purely document-local ⇒ a single ``map_batches`` pass, ZERO
+    exchanges — embarrassingly parallel at any scale.  Per batch the
+    grams flatten doc-major; one ``sliding_window_view`` min plus a
+    reversed argmin (rightmost tie) selects every window's fingerprint
+    vectorized, and cross-document windows mask out by doc-id equality
+    of the window's two ends.  Documents with fewer than ``W`` grams
+    emit nothing (no full window exists).  Exact SQL parity: same
+    64-bit md5 gram keys, windows = frames ending at each gram with
+    ``W-1`` predecessors."""
+    import numpy as np
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    K, W = WINNOW_K, WINNOW_W
+
+    def winnow(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.array([], "int64"),
+             "pos": pd.array([], "int64"),
+             "fp": pd.array([], "uint64")}
+        )
+        dids, pos, h = _token_gram_hashes(b, K)
+        if len(h) < W:
+            return empty
+        swv = np.lib.stride_tricks.sliding_window_view(h, W)
+        valid = dids[: len(h) - W + 1] == dids[W - 1:]
+        if not valid.any():
+            return empty
+        # rightmost minimum: argmin over the reversed window is the
+        # FIRST minimum from the right
+        rel = (W - 1) - swv[:, ::-1].argmin(axis=1)
+        sel = np.unique((np.arange(len(swv)) + rel)[valid])
+        return pd.DataFrame(
+            {"doc_id": pd.array(dids[sel], "int64"),
+             "pos": pd.array(pos[sel], "int64"),
+             "fp": pd.array(h[sel], "uint64")}
+        )
+
+    return docs.map_batches(arrow_out(winnow), batch_format="pandas")
+
+
+WINNOW_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), gidx AS (
+  SELECT doc_id, toks, unnest(range(0, n - {WINNOW_K} + 1)) AS pos
+  FROM t WHERE n >= {WINNOW_K}
+), g AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(toks, pos + 1, pos + {WINNOW_K}), ' ')), 1, 16)
+         )::UBIGINT AS h
+  FROM gidx
+), win AS (
+  SELECT doc_id, pos AS e,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                      AND CURRENT ROW) AS mh
+  FROM g
+), sel AS (
+  SELECT w.doc_id, MAX(g.pos) AS pos, w.mh AS fp
+  FROM win w
+  JOIN g ON g.doc_id = w.doc_id
+        AND g.pos BETWEEN w.e - {WINNOW_W - 1} AND w.e
+        AND g.h = w.mh
+  WHERE w.e >= {WINNOW_W - 1}
+  GROUP BY w.doc_id, w.e, w.mh
+)
+SELECT DISTINCT doc_id, pos, fp FROM sel
 """
 
 
