@@ -435,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_entropy": events.events_entropy,
         # MOSS winnowing fingerprints (doc-local, zero exchanges)
         "docs_winnow": docs.docs_winnow_fingerprints,
+        # near-dup candidate pairs over the winnow sketch (≥2 shared fps)
+        "docs_winnow_pairs": docs.docs_winnow_pairs,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -664,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_regression": relational.LINEITEM_REGRESSION_SQL,
         "events_entropy": events.ENTROPY_SQL,
         "docs_winnow": docs.WINNOW_SQL,
+        "docs_winnow_pairs": docs.WINNOW_PAIRS_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

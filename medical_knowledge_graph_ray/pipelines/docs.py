@@ -1830,6 +1830,85 @@ WITH t AS (
 SELECT DISTINCT doc_id, pos, fp FROM sel
 """
 
+WINNOW_MIN_SHARED = 2  # pair survives with ≥ this many shared fingerprints
+
+
+def docs_winnow_pairs(sf_dir: str):
+    """Near-dup CANDIDATE PAIRS from the winnowing sketch — documents
+    sharing ≥ ``WINNOW_MIN_SHARED`` fingerprints (the winnowing
+    guarantee: any shared run of ``W+K-1`` tokens shares one, so long
+    overlaps yield several).  The join runs on the ~2/(W+1)-density
+    sketch, never the full gram set — that is winnowing's point.
+
+    Shape: the zero-exchange winnow map → per-doc distinct fp (doc-local,
+    still map-side) → bucket by fp, in-bucket triangle pair expansion →
+    bucket by (doc_a, doc_b) for the shared count + threshold.  A
+    boilerplate fingerprint shared by g docs expands to g(g−1)/2 pairs —
+    inherent to candidate generation (same exchange law as the LSH-band
+    buckets in ``stages/dedup.py``); cap or drop ubiquitous fps upstream
+    when a corpus has true universal boilerplate."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    fps = docs_winnow_fingerprints(sf_dir)
+
+    def distinct_fp(b: pd.DataFrame) -> pd.DataFrame:
+        # whole docs live in one batch, so a batch-local distinct is the
+        # global (doc_id, fp) distinct
+        out = b.drop_duplicates(["doc_id", "fp"])
+        return pd.DataFrame(
+            {"fp": pd.array(out["fp"], "uint64"),
+             "doc_id": out["doc_id"].astype("int64")}
+        )
+
+    fpset = fps.map_batches(arrow_out(distinct_fp), batch_format="pandas")
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_id", "fp"]).sort_values(
+            ["fp", "doc_id"], kind="mergesort"
+        )
+        out_a, out_b = [], []
+        for _, grp in g.groupby("fp", sort=False):
+            d = grp["doc_id"].to_numpy()
+            if len(d) < 2:
+                continue
+            i, j = np.triu_indices(len(d), k=1)
+            out_a.append(d[i])
+            out_b.append(d[j])
+        a = np.concatenate(out_a) if out_a else np.empty(0, "int64")
+        b = np.concatenate(out_b) if out_b else np.empty(0, "int64")
+        return pd.DataFrame(
+            {"doc_a": pd.array(a, "int64"), "doc_b": pd.array(b, "int64")}
+        )
+
+    pairs = bucketed_group_map(fpset, ["fp"], pairs_bucket)
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        n = (
+            g.groupby(["doc_a", "doc_b"], sort=False)
+            .size().rename("n_shared").reset_index()
+        )
+        n = n[n["n_shared"] >= WINNOW_MIN_SHARED]
+        return pd.DataFrame(
+            {"doc_a": n["doc_a"].astype("int64"),
+             "doc_b": n["doc_b"].astype("int64"),
+             "n_shared": n["n_shared"].astype("int64")}
+        )
+
+    return bucketed_group_map(pairs, ["doc_a", "doc_b"], count_bucket)
+
+
+WINNOW_PAIRS_SQL = f"""
+WITH fpset AS (
+  SELECT DISTINCT doc_id, fp FROM ({WINNOW_SQL})
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM fpset a JOIN fpset b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+
 
 # -- heavy hitters via Count-Min prefilter + exact verify ---------------------
 
