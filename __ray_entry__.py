@@ -437,6 +437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnow": docs.docs_winnow_fingerprints,
         # near-dup candidate pairs over the winnow sketch (≥2 shared fps)
         "docs_winnow_pairs": docs.docs_winnow_pairs,
+        # robust stats: exact median / MAD / integer-fence outlier census
+        "lineitem_mad": relational.lineitem_mad,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -667,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
         "events_entropy": events.ENTROPY_SQL,
         "docs_winnow": docs.WINNOW_SQL,
         "docs_winnow_pairs": docs.WINNOW_PAIRS_SQL,
+        "lineitem_mad": relational.LINEITEM_MAD_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -1854,6 +1854,74 @@ WHERE n > 1 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
 """
 
 
+def lineitem_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust dispersion: median, MAD (median absolute deviation) and
+    the robust-z outlier census of l_extendedprice — the
+    outlier-resistant sibling of ``lineitem_qty_stats`` (one wild value
+    moves a mean/stddev fence arbitrarily; the MAD fence doesn't move).
+
+    Three shuffle-free passes, all on exact int64 cents: (1) the
+    histogram-narrowed exact median (``stages/quantiles.py`` — shared
+    stats pass, no sort); (2) the same machinery on |x − median|;
+    (3) a filtered count with the INTEGER fence ``dev·10⁴ > 44478·mad``
+    (3·1.4826 ≈ 4.4478 scaled to ×10⁴ — both engines compare identical
+    integers, no float fence).  Output is one row; floats only in the
+    final cents→dollars descale."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.quantiles import quantiles_disc_int
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": np.rint(b["l_extendedprice"].to_numpy() * 100).astype("int64")}
+        )
+
+    ints = li.map_batches(arrow_out(to_cents), batch_format="pandas")
+    med = int(quantiles_disc_int(ints, [0.5])["value"].iloc[0])
+
+    def to_dev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": np.abs(b["v"].to_numpy() - med)})
+
+    devs = ints.map_batches(arrow_out(to_dev), batch_format="pandas")
+    mad = int(quantiles_disc_int(devs, [0.5])["value"].iloc[0])
+
+    def count_outliers(b: pd.DataFrame) -> pd.DataFrame:
+        dev = np.abs(b["v"].to_numpy() - med)
+        return pd.DataFrame(
+            {"n": pd.array([int((dev * 10_000 > 44_478 * mad).sum())], "int64")}
+        )
+
+    n_out = (
+        ints.map_batches(arrow_out(count_outliers), batch_format="pandas")
+        .aggregate(Sum("n", alias_name="n"))["n"]
+    )
+    return pd.DataFrame(
+        {"median_price": [round(med / 100.0, 6)],
+         "mad_price": [round(mad / 100.0, 6)],
+         "n_outliers": pd.array([int(n_out)], "int64")}
+    )
+
+
+LINEITEM_MAD_SQL = """
+WITH s AS (
+  SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v FROM lineitem
+), m AS (
+  SELECT quantile_disc(v, 0.5) AS med FROM s
+), d AS (
+  SELECT abs(s.v - m.med) AS dev FROM s, m
+), md AS (
+  SELECT quantile_disc(dev, 0.5) AS mad FROM d
+)
+SELECT round(m.med / 100.0, 6) AS median_price,
+       round(md.mad / 100.0, 6) AS mad_price,
+       (SELECT COUNT(*) FROM d, md WHERE d.dev * 10000 > 44478 * md.mad)
+         AS n_outliers
+FROM m, md
+"""
+
+
 def lineitem_quantiles_cont(sf_dir: str):
     """INTERPOLATED quantiles (percentile_cont semantics) of
     l_extendedprice — same shuffle-free histogram narrowing as the disc
