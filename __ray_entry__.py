@@ -535,11 +535,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search_indexed", "docs_search_ranked", "docs_search_phrase",
         "kg_ppmi", "docs_dsir", "q13_custdist", "q21_waiting_suppliers",
         "events_cume_dist",
+        # round-4 continuation additions
+        "docs_dupspans", "docs_winnow", "docs_winnow_pairs",
+        "lineitem_regression", "events_entropy", "lineitem_mad",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
         "events_user_type_pivot", "simhash_fingerprints", "docs_sample",
         "docs_weighted_sample", "docs_langid",
+        "events_asof", "events_running_sum", "docs_stats",
+        "docs_fingerprint", "dedup_exact", "embed_norms",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):

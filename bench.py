@@ -81,6 +81,11 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         # ~6 s on checkpoint resume — model + graph keyed by corpus
         # fingerprint under /tmp)
         "kg_flagship_trained",
+        # round-4 continuation: duplicated-span removal (full-token
+        # exchange), winnow sketch + its pair join, exact-moment OLS,
+        # per-user entropy, robust MAD census
+        "docs_dupspans", "docs_winnow_pairs", "lineitem_regression",
+        "events_entropy", "lineitem_mad",
     ]
     qs = em.queries()
     times: dict[str, float] = {}
