@@ -439,6 +439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnow_pairs": docs.docs_winnow_pairs,
         # robust stats: exact median / MAD / integer-fence outlier census
         "lineitem_mad": relational.lineitem_mad,
+        # PPJoin-style corpus-wide exact Jaccard pairs (prefix filter)
+        "docs_jaccard_prefix": docs.docs_jaccard_prefix,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -538,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation additions
         "docs_dupspans", "docs_winnow", "docs_winnow_pairs",
         "lineitem_regression", "events_entropy", "lineitem_mad",
+        "docs_jaccard_prefix",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -545,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample", "docs_langid",
         "events_asof", "events_running_sum", "docs_stats",
         "docs_fingerprint", "dedup_exact", "embed_norms",
+        "knn_cosine",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -675,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_winnow": docs.WINNOW_SQL,
         "docs_winnow_pairs": docs.WINNOW_PAIRS_SQL,
         "lineitem_mad": relational.LINEITEM_MAD_SQL,
+        "docs_jaccard_prefix": docs.JACCARD_PREFIX_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

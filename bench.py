@@ -85,7 +85,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         # exchange), winnow sketch + its pair join, exact-moment OLS,
         # per-user entropy, robust MAD census
         "docs_dupspans", "docs_winnow_pairs", "lineitem_regression",
-        "events_entropy", "lineitem_mad",
+        "events_entropy", "lineitem_mad", "docs_jaccard_prefix",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

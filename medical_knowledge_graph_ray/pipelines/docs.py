@@ -1830,6 +1830,66 @@ WITH t AS (
 SELECT DISTINCT doc_id, pos, fp FROM sel
 """
 
+PFX_GRAM_K = 3        # distinct-gram set width for the prefix-filter join
+PFX_T_PERMILLE = 500  # Jaccard threshold (‰) — integer compare on both engines
+
+
+def docs_jaccard_prefix(sf_dir: str):
+    """CORPUS-WIDE exact Jaccard near-dup pairs via prefix filtering —
+    the scale upgrade over ``docs_ngram_jaccard`` (which needs a
+    candidate-group column) and the exact complement to MinHash-LSH
+    (which trades recall): every pair with distinct-3-gram Jaccard ≥
+    ``PFX_T_PERMILLE``/1000, no candidate column, no all-pairs stage.
+    Algorithm + exchange plan: ``stages/dedup.py:prefix_jaccard_pairs``.
+
+    The gram-set table is materialized once (consumed by the df census
+    AND the join; re-deriving it per pass is the streaming alternative —
+    the ``docs_tfidf_top`` trade, noted there)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def gram_sets(b: pd.DataFrame) -> pd.DataFrame:
+        dids, _pos, h = _token_gram_hashes(b, PFX_GRAM_K)
+        out = pd.DataFrame(
+            {"doc_id": pd.array(dids, "int64"), "h": pd.array(h, "uint64")}
+        ).drop_duplicates()  # docs are batch-local → global distinct
+        return out
+
+    grams = docs.map_batches(
+        arrow_out(gram_sets), batch_format="pandas"
+    ).materialize()
+    from ..stages.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(grams, threshold_permille=PFX_T_PERMILLE)
+
+
+JACCARD_PREFIX_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), gidx AS (
+  SELECT doc_id, toks, unnest(range(0, n - {PFX_GRAM_K} + 1)) AS pos
+  FROM t WHERE n >= {PFX_GRAM_K}
+), g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, pos + 1, pos + {PFX_GRAM_K}), ' ')
+           AS gram
+  FROM gidx
+), sz AS (
+  SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS uni
+FROM inter
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE inter * 1000 >= {PFX_T_PERMILLE} * (sa.sz + sb.sz - inter)
+"""
+
+
 WINNOW_MIN_SHARED = 2  # pair survives with ≥ this many shared fingerprints
 
 
