@@ -1842,9 +1842,10 @@ def docs_jaccard_prefix(sf_dir: str):
     ``PFX_T_PERMILLE``/1000, no candidate column, no all-pairs stage.
     Algorithm + exchange plan: ``stages/dedup.py:prefix_jaccard_pairs``.
 
-    The gram-set table is materialized once (consumed by the df census
-    AND the join; re-deriving it per pass is the streaming alternative —
-    the ``docs_tfidf_top`` trade, noted there)."""
+    One lazy chain, three corpus exchanges, no side table and no
+    materialize — the df census folds INTO the first hash-bucketed
+    exchange (all rows of a gram share a bucket, so the in-bucket group
+    size IS the global document frequency)."""
     docs = _docs(sf_dir, ["doc_id", "text"])
 
     def gram_sets(b: pd.DataFrame) -> pd.DataFrame:
@@ -1854,9 +1855,7 @@ def docs_jaccard_prefix(sf_dir: str):
         ).drop_duplicates()  # docs are batch-local → global distinct
         return out
 
-    grams = docs.map_batches(
-        arrow_out(gram_sets), batch_format="pandas"
-    ).materialize()
+    grams = docs.map_batches(arrow_out(gram_sets), batch_format="pandas")
     from ..stages.dedup import prefix_jaccard_pairs
 
     return prefix_jaccard_pairs(grams, threshold_permille=PFX_T_PERMILLE)

@@ -534,10 +534,11 @@ def prefix_jaccard_pairs(
     (PPJoin family: Chaudhuri et al. SSJoin ICDE'06, Xiao et al. PPJoin
     WWW'08; distributed plan per Vernica et al. SIGMOD'10).
 
-    Input: a Dataset of (doc_id int64, h uint64) distinct gram-hash rows.
-    Output: (doc_a, doc_b, inter, uni) int64 — exact intersection/union
-    sizes, doc_a < doc_b, threshold tested as the INTEGER compare
-    ``inter·1000 ≥ t‰·uni`` (no float on either engine).
+    Input: a Dataset of (doc_id int64, h uint64) DISTINCT gram-hash rows
+    (one row per document × distinct gram).  Output: (doc_a, doc_b,
+    inter, uni) int64 — exact intersection/union sizes, doc_a < doc_b,
+    threshold tested as the INTEGER compare ``inter·1000 ≥ t‰·uni`` (no
+    float on either engine).
 
     Why it scales where all-pairs can't: under the global gram order
     (df asc, hash asc — rarest first), Jaccard ≥ t forces any qualifying
@@ -545,53 +546,40 @@ def prefix_jaccard_pairs(
     grams (the prefix lemma).  Only prefix grams fan out as join keys, so
     candidate groups are keyed by the RAREST grams — frequency-ordered
     prefixes make hot-gram groups structurally impossible unless the
-    corpus truly is one near-dup cluster.  Exchanges:
+    corpus truly is one near-dup cluster.
 
-    1. df census per gram (batch-local count combiner → bucketed sum);
-    2. grams ⋈ df (partitioned hash join) → regroup by doc: order, cut
-       the prefix, attach the doc's full sorted gram set as ONE bytes
-       payload (the set crosses the next exchange once per PREFIX gram,
-       ~(1−t)·|x| copies — the Vernica trade: replicate sets a bounded
-       factor instead of shipping candidate pairs back for a verify join);
+    ONE lazy chain of exactly three corpus exchanges plus a pair-sized
+    distinct — no document-frequency side table, no join, no
+    materialize:
+
+    1. bucket by gram hash: every row of a gram lands in one bucket, so
+       the in-bucket group size IS the global df — the census ANNOTATES
+       in place instead of being a separate aggregate joined back;
+    2. bucket by doc: order each doc's grams by (df, h), cut the prefix,
+       attach the doc's full sorted gram set as ONE bytes payload (the
+       set crosses the next exchange once per PREFIX gram, ~(1−t)·|x|
+       copies — the Vernica trade: replicate sets a bounded factor
+       instead of shipping candidate pairs back for a verify join);
     3. bucket by prefix gram → in-group length-filtered pair verify
        (sorted-array intersection, exact);
-    4. tiny distinct exchange on (doc_a, doc_b) (a pair may meet under
-       several shared prefix grams).
-
-    The gram-set input is consumed twice (census + join); callers pass a
-    materialized Dataset when the gram table fits the object store (the
-    ``docs_tfidf_top`` trade) or re-derive it per pass to stay streaming.
+    4. tiny distinct on (doc_a, doc_b) (a pair may meet under several
+       shared prefix grams).
     """
-    import pyarrow as pa
-
     from ..functions.arrow import arrow_out
-    from ..stages.joins import hash_join
     from ..stages.shuffle import bucketed_group_map
 
     t_pm = int(threshold_permille)
 
-    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("h", sort=False).size().rename("df").reset_index()
+    def df_annotate(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("h", sort=False)["h"].transform("size")
         return pd.DataFrame(
-            {"h": pd.array(g["h"], "uint64"), "df": g["df"].astype("int64")}
+            {"doc_id": g["doc_id"].astype("int64"),
+             "h": pd.array(g["h"], "uint64"),
+             "df": df.astype("int64")}
         )
 
-    def df_final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("h", sort=False)["df"].sum().reset_index()
-        return pd.DataFrame(
-            {"h": pd.array(out["h"], "uint64"), "df": out["df"].astype("int64")}
-        )
-
-    df_tbl = bucketed_group_map(
-        gram_sets.map_batches(arrow_out(df_partial), batch_format="pandas"),
-        ["h"], df_final, num_buckets=num_buckets,
-    )
-
-    joined = hash_join(
-        gram_sets, df_tbl, on=["h"],
-        left_schema=pa.schema([("doc_id", pa.int64()), ("h", pa.uint64())]),
-        right_schema=pa.schema([("h", pa.uint64()), ("df", pa.int64())]),
-        num_buckets=num_buckets,
+    annotated = bucketed_group_map(
+        gram_sets, ["h"], df_annotate, num_buckets=num_buckets
     )
 
     def prefix_emit(g: pd.DataFrame) -> pd.DataFrame:
@@ -613,7 +601,7 @@ def prefix_jaccard_pairs(
         )
 
     prefixed = bucketed_group_map(
-        joined, ["doc_id"], prefix_emit, num_buckets=num_buckets
+        annotated, ["doc_id"], prefix_emit, num_buckets=num_buckets
     )
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
