@@ -166,3 +166,39 @@ def test_chunk_dedup_parallelism_invariant(ray_session):
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(base, one)
+
+
+def test_prefix_jaccard_invariant_to_buckets(ray_session):
+    """prefix_jaccard_pairs emits the identical exact pair set at any
+    bucket count (candidate generation may route pairs through different
+    prefix-gram groups; the verify + distinct make the result
+    partitioning-free).  Truth vs the brute-force self-join is pinned by
+    the docs_jaccard_prefix oracle test."""
+    import pandas as pd
+
+    from medical_knowledge_graph_ray.functions.arrow import arrow_out
+    from medical_knowledge_graph_ray.pipelines.docs import (
+        PFX_GRAM_K,
+        _docs,
+        _token_gram_hashes,
+    )
+    from medical_knowledge_graph_ray.stages.dedup import prefix_jaccard_pairs
+
+    def gram_sets(b):
+        dids, _pos, h = _token_gram_hashes(b, PFX_GRAM_K)
+        return pd.DataFrame(
+            {"doc_id": pd.array(dids, "int64"), "h": pd.array(h, "uint64")}
+        ).drop_duplicates()
+
+    def run(num_buckets):
+        grams = _docs("/root/testdata/sf0.001", ["doc_id", "text"]).map_batches(
+            arrow_out(gram_sets), batch_format="pandas"
+        )
+        return (
+            prefix_jaccard_pairs(grams, num_buckets=num_buckets)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(4), run(64))
