@@ -59,6 +59,26 @@ def _first_parquet_file(path) -> str | None:
     return path
 
 
+def _filter_fields(filt, schema) -> list | None:
+    """Column names a pyarrow dataset filter Expression references, or
+    ``None`` when undeterminable.  Public-API probe: ``to_substrait``
+    raises iff a referenced field is missing from the given schema, so
+    dropping one field at a time reveals the reference set (driver-side,
+    O(#columns) tries on a footer schema — microseconds)."""
+    try:
+        filt.to_substrait(schema)
+    except Exception:
+        return None  # unsupported expression (or partition column) — fall back
+    used = []
+    for name in schema.names:
+        rest = pa.schema([f for f in schema if f.name != name])
+        try:
+            filt.to_substrait(rest)
+        except Exception:
+            used.append(name)
+    return used
+
+
 def read_parquet_clean(path, *, columns=None, filter=None, **kwargs):
     """``ray.data.read_parquet`` with an explicit METADATA-FREE schema.
 
@@ -68,28 +88,47 @@ def read_parquet_clean(path, *, columns=None, filter=None, **kwargs):
     every read task, burying real warnings in bench/driver logs.  Reading
     the footer once driver-side (metadata-only) and passing the pruned,
     metadata-free schema explicitly silences the spam and skips the
-    per-fragment schema unification.  Falls back to a plain read for
-    filtered reads (the filter binds against the pruned schema and would
-    miss columns excluded from ``columns``), hive-partitioned directories
-    (path-derived columns aren't in the footer), or unreadable footers."""
+    per-fragment schema unification.
+
+    FILTERED reads: the filter must bind against the scan schema while
+    Ray validates output blocks against it post-projection, so the scan
+    requests ``columns ∪ filter-columns`` (discovered via the
+    ``_filter_fields`` substrait probe) with a schema pruned to exactly
+    that, and a trailing ``select_columns`` drops the filter-only
+    columns (they are decoded anyway to evaluate the predicate — the
+    projection is zero-copy).  Falls back to a plain read when the
+    probe can't resolve the filter (partition-column filters on hive
+    directories, exotic expressions) or the footer is unreadable."""
     import ray.data as rd
 
-    schema = None
-    f = _first_parquet_file(path) if filter is None else None
+    f = _first_parquet_file(path)
+    full = None
     if f is not None:
         try:
             import pyarrow.parquet as pq
 
-            full = pq.read_schema(f)
-            names = list(columns) if columns is not None else list(full.names)
-            schema = pa.schema(
-                [
-                    pa.field(n, full.field(n).type, full.field(n).nullable)
-                    for n in names
-                ]
+            raw = pq.read_schema(f)
+            full = pa.schema(
+                [pa.field(fl.name, fl.type, fl.nullable) for fl in raw]
             )
         except Exception:
-            schema = None
-    return rd.read_parquet(
-        path, columns=columns, filter=filter, schema=schema, **kwargs
+            full = None
+    if full is None:
+        return rd.read_parquet(path, columns=columns, filter=filter, **kwargs)
+
+    req = list(columns) if columns is not None else list(full.names)
+    if filter is None:
+        schema = pa.schema([full.field(n) for n in req])
+        return rd.read_parquet(
+            path, columns=columns, filter=filter, schema=schema, **kwargs
+        )
+
+    ff = _filter_fields(filter, full)
+    if ff is None:
+        return rd.read_parquet(path, columns=columns, filter=filter, **kwargs)
+    read_cols = req + [c for c in ff if c not in req]
+    schema = pa.schema([full.field(n) for n in read_cols])
+    ds = rd.read_parquet(
+        path, columns=read_cols, filter=filter, schema=schema, **kwargs
     )
+    return ds.select_columns(req) if read_cols != req else ds
