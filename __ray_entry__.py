@@ -433,6 +433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user Shannon entropy of event types (micro-nat integer
         # addend contract; glibc-log parity)
         "events_entropy": events.events_entropy,
+        # DENSE_RANK (gap-free tied ranks) of users per type by spend
+        "events_dense_rank": events.events_dense_rank,
         # MOSS winnowing fingerprints (doc-local, zero exchanges)
         "docs_winnow": docs.docs_winnow_fingerprints,
         # near-dup candidate pairs over the winnow sketch (≥2 shared fps)
@@ -441,6 +443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_mad": relational.lineitem_mad,
         # PPJoin-style corpus-wide exact Jaccard pairs (prefix filter)
         "docs_jaccard_prefix": docs.docs_jaccard_prefix,
+        # per-source corpus-quality dashboard (dup census + token stats)
+        "docs_curation_report": docs.docs_curation_report,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -540,7 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation additions
         "docs_dupspans", "docs_winnow", "docs_winnow_pairs",
         "lineitem_regression", "events_entropy", "lineitem_mad",
-        "docs_jaccard_prefix",
+        "docs_jaccard_prefix", "events_dense_rank", "docs_curation_report",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -548,7 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample", "docs_langid",
         "events_asof", "events_running_sum", "docs_stats",
         "docs_fingerprint", "dedup_exact", "embed_norms",
-        "knn_cosine",
+        "knn_cosine", "token_histogram", "docs_quality",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -676,10 +680,12 @@ def oracle_sql() -> dict[str, str]:
         "docs_dupspans": docs.DUPSPANS_SQL,
         "lineitem_regression": relational.LINEITEM_REGRESSION_SQL,
         "events_entropy": events.ENTROPY_SQL,
+        "events_dense_rank": events.DENSE_RANK_SQL,
         "docs_winnow": docs.WINNOW_SQL,
         "docs_winnow_pairs": docs.WINNOW_PAIRS_SQL,
         "lineitem_mad": relational.LINEITEM_MAD_SQL,
         "docs_jaccard_prefix": docs.JACCARD_PREFIX_SQL,
+        "docs_curation_report": docs.CURATION_REPORT_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

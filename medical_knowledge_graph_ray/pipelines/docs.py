@@ -1742,6 +1742,96 @@ FROM t LEFT JOIN agg USING (doc_id)
 """
 
 
+# -- per-source curation report ------------------------------------------------
+
+REPORT_SHORT_TOKENS = 20  # "short document" threshold for the report
+
+
+def docs_curation_report(sf_dir: str):
+    """The corpus-quality DASHBOARD a curation team reads before
+    training: one row per source with document count, language spread,
+    exact-duplicate incidence (corpus-wide, not per-source), token
+    volume and the short-document count.  All counts exact int64 — the
+    report is a composition of already-proven pieces (md5 content
+    fingerprints, the dup census, token stats) into the deliverable an
+    end user actually consumes.
+
+    Shape: one doc-level map row per document, ONE hash-bucketed
+    exchange to mark corpus-wide exact dups (group size > 1 — all
+    copies flagged), ONE source-bucketed exchange for the final
+    aggregate.  No materialize; both exchanges carry one row per doc."""
+    import numpy as np
+
+    from ..functions.hashing import md5_int_vec
+    from ..stages.shuffle import bucketed_group_map
+
+    docs = _docs(sf_dir, ["doc_id", "source", "lang", "text"])
+
+    def doc_row(b: pd.DataFrame) -> pd.DataFrame:
+        txt = b["text"].astype(str)
+        return pd.DataFrame(
+            {"h": pd.array(md5_int_vec(txt, bits=64), "uint64"),
+             "source": b["source"].astype(str),
+             "lang": b["lang"].astype(str),
+             "nt": txt.str.split(" ").str.len().astype("int64")}
+        )
+
+    rows = docs.map_batches(arrow_out(doc_row), batch_format="pandas")
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("h", sort=False)["h"].transform("size").to_numpy()
+        return pd.DataFrame(
+            {"source": g["source"].astype(str),
+             "lang": g["lang"].astype(str),
+             "nt": g["nt"].astype("int64"),
+             "dup": pd.array((c > 1).astype("int64"), "int64")}
+        )
+
+    flagged = bucketed_group_map(rows, ["h"], mark_dups)
+
+    def report(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby("source", sort=False)
+            .agg(n_docs=("nt", "size"),
+                 n_langs=("lang", "nunique"),
+                 n_dup_docs=("dup", "sum"),
+                 total_tokens=("nt", "sum"),
+                 n_short=("nt", lambda s: int((s < REPORT_SHORT_TOKENS).sum())))
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {"source": agg["source"].astype(str),
+             "n_docs": agg["n_docs"].astype("int64"),
+             "n_langs": agg["n_langs"].astype("int64"),
+             "n_dup_docs": agg["n_dup_docs"].astype("int64"),
+             "total_tokens": agg["total_tokens"].astype("int64"),
+             "n_short": agg["n_short"].astype("int64")}
+        )
+
+    return bucketed_group_map(flagged, ["source"], report, num_buckets=16)
+
+
+CURATION_REPORT_SQL = f"""
+WITH d AS (
+  SELECT source, lang, md5(text) AS h,
+         len(string_split(text, ' ')) AS nt
+  FROM documents
+), f AS (
+  SELECT source, lang, nt,
+         COUNT(*) OVER (PARTITION BY h) > 1 AS dup
+  FROM d
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN nt < {REPORT_SHORT_TOKENS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_short
+FROM f GROUP BY source
+"""
+
+
 # -- winnowing document fingerprints (MOSS) ------------------------------------
 
 WINNOW_K = 4  # gram width (tokens)

@@ -1148,6 +1148,71 @@ def events_entropy(sf_dir: str):
     return bucketed_group_map(counts, ["user_id"], entropy_bucket)
 
 
+def events_dense_rank(sf_dir: str):
+    """DENSE_RANK of users inside each event type by total spend — the
+    gap-free sibling of the rank family already covered
+    (row_number/percent_rank/cume_dist/ntile): ties share a rank and the
+    next distinct value takes rank+1, so no tiebreak column is needed
+    for determinism.  Exact int64 cent sums; per-(type,user) partials
+    combine per batch, ONE bucketed exchange on event_type, then the
+    rank is a vectorized cumsum of new-distinct-value flags per type."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_type", "user_id", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b["value"].to_numpy() * 100).astype("int64")
+        return (
+            pd.DataFrame(
+                {"event_type": b["event_type"], "user_id": b["user_id"], "v": c}
+            )
+            .groupby(["event_type", "user_id"], sort=False)["v"]
+            .sum().reset_index()
+        )
+
+    sums = ev.map_batches(arrow_out(partial), batch_format="pandas")
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            g.groupby(["event_type", "user_id"], sort=False)["v"]
+            .sum().reset_index()
+        )
+        s = tot.sort_values(
+            ["event_type", "v"], ascending=[True, False], kind="mergesort"
+        )
+        t = s["event_type"].to_numpy()
+        v = s["v"].to_numpy()
+        new_grp = np.ones(len(s), dtype=bool)
+        new_grp[1:] = t[1:] != t[:-1]
+        new_val = np.ones(len(s), dtype=bool)
+        new_val[1:] = (v[1:] != v[:-1]) | new_grp[1:]
+        csum = np.cumsum(new_val)
+        base = np.maximum.accumulate(np.where(new_grp, csum - 1, 0))
+        return pd.DataFrame(
+            {"event_type": s["event_type"].astype(str),
+             "user_id": s["user_id"].astype("int64"),
+             "sum_cents": pd.array(v, "int64"),
+             "drank": pd.array(csum - base, "int64")}
+        )
+
+    return bucketed_group_map(sums, ["event_type"], rank_bucket, num_buckets=8)
+
+
+DENSE_RANK_SQL = """
+WITH s AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, sum_cents,
+       CAST(dense_rank() OVER (PARTITION BY event_type
+                               ORDER BY sum_cents DESC) AS BIGINT) AS drank
+FROM s
+"""
+
+
 ENTROPY_SQL = """
 WITH c AS (
   SELECT user_id, event_type, COUNT(*) AS c
