@@ -435,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_entropy": events.events_entropy,
         # DENSE_RANK (gap-free tied ranks) of users per type by spend
         "events_dense_rank": events.events_dense_rank,
+        # three-step strictly-ordered funnel (signup -> click -> purchase)
+        "events_funnel3": events.events_funnel3,
         # MOSS winnowing fingerprints (doc-local, zero exchanges)
         "docs_winnow": docs.docs_winnow_fingerprints,
         # near-dup candidate pairs over the winnow sketch (≥2 shared fps)
@@ -545,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dupspans", "docs_winnow", "docs_winnow_pairs",
         "lineitem_regression", "events_entropy", "lineitem_mad",
         "docs_jaccard_prefix", "events_dense_rank", "docs_curation_report",
+        "events_funnel3",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -553,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof", "events_running_sum", "docs_stats",
         "docs_fingerprint", "dedup_exact", "embed_norms",
         "knn_cosine", "token_histogram", "docs_quality",
+        "ngram_jaccard_pairs",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -681,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_regression": relational.LINEITEM_REGRESSION_SQL,
         "events_entropy": events.ENTROPY_SQL,
         "events_dense_rank": events.DENSE_RANK_SQL,
+        "events_funnel3": events.FUNNEL3_SQL,
         "docs_winnow": docs.WINNOW_SQL,
         "docs_winnow_pairs": docs.WINNOW_PAIRS_SQL,
         "lineitem_mad": relational.LINEITEM_MAD_SQL,

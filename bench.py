@@ -86,7 +86,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         # per-user entropy, robust MAD census
         "docs_dupspans", "docs_winnow_pairs", "lineitem_regression",
         "events_entropy", "lineitem_mad", "docs_jaccard_prefix",
-        "events_dense_rank", "docs_curation_report",
+        "events_dense_rank", "docs_curation_report", "events_funnel3",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

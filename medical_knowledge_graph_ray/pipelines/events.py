@@ -1200,6 +1200,97 @@ def events_dense_rank(sf_dir: str):
     return bucketed_group_map(sums, ["event_type"], rank_bucket, num_buckets=8)
 
 
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def events_funnel3(sf_dir: str):
+    """Three-step ORDERED funnel (signup → click → purchase, each step
+    strictly AFTER the previous step's first qualifying time) — the
+    product-analytics generalization of the 2-step ``events_conversion``:
+    step k counts users whose first type-k event follows their first
+    qualifying type-(k−1) event.  µs-integer comparisons on both
+    engines; the read is pruned to the three funnel types.
+
+    ONE bucketed exchange on user_id; per bucket each step is a grouped
+    min over a masked merge (no per-user Python loop), partial counts
+    fold driver-side to three rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import bucketed_group_map
+
+    s1, s2, s3 = FUNNEL_STEPS
+    ev = _events_filtered(sf_dir, list(FUNNEL_STEPS))
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "t": us,
+             "et": g["event_type"].to_numpy()}
+        )
+        t1 = (
+            d[d["et"] == s1].groupby("user_id", sort=False)["t"].min()
+            .rename("t1")
+        )
+        c = d[d["et"] == s2].merge(t1, on="user_id")
+        t2 = (
+            c[c["t"] > c["t1"]].groupby("user_id", sort=False)["t"].min()
+            .rename("t2")
+        )
+        p = d[d["et"] == s3].merge(t2, on="user_id")
+        t3 = (
+            p[p["t"] > p["t2"]].groupby("user_id", sort=False)["t"].min()
+        )
+        return pd.DataFrame(
+            {"n1": pd.array([len(t1)], "int64"),
+             "n2": pd.array([len(t2)], "int64"),
+             "n3": pd.array([len(t3)], "int64")}
+        )
+
+    partials = bucketed_group_map(ev, ["user_id"], funnel_bucket).to_pandas()
+    tot = partials.sum()
+    return pd.DataFrame(
+        {"step": pd.array([1, 2, 3], "int64"),
+         "event_type": pd.array(list(FUNNEL_STEPS), "str"),
+         "n_users": pd.array(
+             [int(tot["n1"]), int(tot["n2"]), int(tot["n3"])], "int64")}
+    )
+
+
+def _events_filtered(sf_dir: str, types: list):
+    import pyarrow.compute as pc
+
+    return read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+        filter=pc.field("event_type").isin(types),
+    )
+
+
+FUNNEL3_SQL = f"""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+       (SELECT COUNT(*) FROM s) AS n_users
+UNION ALL
+SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT COUNT(*) FROM c)
+UNION ALL
+SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT COUNT(*) FROM p)
+"""
+
+
 DENSE_RANK_SQL = """
 WITH s AS (
   SELECT event_type, user_id,
