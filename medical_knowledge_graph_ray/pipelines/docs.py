@@ -714,13 +714,21 @@ def dedup_components_sql() -> str:
     )
 
 
-def docs_tfidf_top(sf_dir: str, k: int = 5):
+def docs_tfidf_top(sf_dir: str, k: int = 5, *, streaming: bool | None = None):
     """Top-k TF-IDF terms per document — the canonical composed text-
     analytics pipeline: per-doc term counts (fused explode+count, a doc
     never splits across batches) ⋈ corpus document-frequency census on
     the token key (partitioned hash join — the vocabulary is corpus-sized
     at scale, never a broadcast), then the grouped top-N combiner.
-    idf = ln(N/df) rounded to 6 dp on both sides (engine float contract)."""
+    idf = ln(N/df) rounded to 6 dp on both sides (engine float contract).
+
+    ``streaming`` (default: the ``MKG_TFIDF_STREAMING`` env var, off) —
+    the 100-TB knob: skip the tf materialize so NOTHING corpus-sized
+    pins the object store; the lazy tf plan simply re-executes for each
+    of its two consumers (df census + join probe), i.e. the corpus text
+    is tokenized twice.  Identical results (pytest-pinned); pick by
+    whether a corpus-sized resident table or a second text scan is the
+    cheaper side of the trade on the target cluster."""
     import numpy as np
     import pyarrow as pa
 
@@ -738,16 +746,19 @@ def docs_tfidf_top(sf_dir: str, k: int = 5):
             .size().rename("tf").reset_index()
         )
 
-    # tokenize ONCE: tf is materialized and the df census derives from it
-    # (tf rows are globally unique per (doc, token), so df(token) is a
-    # plain row count — batch-split-safe with no nunique and no second
-    # pass over the corpus text).  TRADE-OFF KNOB: this materialize keeps
-    # a corpus-sized (doc, token, tf) table resident in the object store
-    # (spilling bounds it); at 100-TB scale prefer the streaming
-    # alternative — tokenize TWICE (one pass feeds the df census, a
-    # second pass feeds the join probe) so nothing corpus-sized pins the
-    # store — at the cost of a second full text scan.
-    tf = docs.map_batches(arrow_out(tf_batch), batch_format="pandas").materialize()
+    # tokenize ONCE (default): tf is materialized and the df census
+    # derives from it (tf rows are globally unique per (doc, token), so
+    # df(token) is a plain row count — batch-split-safe with no nunique).
+    # The materialize keeps a corpus-sized (doc, token, tf) table
+    # resident (spilling bounds it); streaming mode drops it and pays a
+    # second tokenize pass instead — see the docstring knob.
+    import os
+
+    if streaming is None:
+        streaming = os.environ.get("MKG_TFIDF_STREAMING", "") not in ("", "0")
+    tf = docs.map_batches(arrow_out(tf_batch), batch_format="pandas")
+    if not streaming:
+        tf = tf.materialize()
 
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
         return (

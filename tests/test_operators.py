@@ -1188,3 +1188,21 @@ def test_skyline_kernel_matches_brute_and_combines():
         pq.write_table(pa.Table.from_pandas(df), os.path.join(td, "part.parquet"))
         got = part_skyline(td)
     assert set(got["p_partkey"]) == brute(df)
+
+
+def test_tfidf_streaming_mode_matches_materialized(ray_session):
+    """The 100-TB knob: streaming (tokenize-twice, nothing corpus-sized
+    resident) and materialized tf produce identical top-k tables."""
+    import pandas as pd
+
+    from medical_knowledge_graph_ray.pipelines.docs import docs_tfidf_top
+
+    def run(streaming):
+        return (
+            docs_tfidf_top("/root/testdata/sf0.001", streaming=streaming)
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(False), run(True))
