@@ -447,6 +447,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_prefix": docs.docs_jaccard_prefix,
         # per-source corpus-quality dashboard (dup census + token stats)
         "docs_curation_report": docs.docs_curation_report,
+        # SQL-oracled MinHash-LSH candidate pairs (seeded-md5 signatures,
+        # band collisions bit-identical on both engines)
+        "docs_minhash_pairs": docs.docs_minhash_pairs,
+        # exact Spearman rank correlation via joint-value census +
+        # integer average-ranks (two-limb moments, floor-micro rho)
+        "lineitem_spearman": relational.lineitem_spearman,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -548,6 +554,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_regression", "events_entropy", "lineitem_mad",
         "docs_jaccard_prefix", "events_dense_rank", "docs_curation_report",
         "events_funnel3",
+        # round-4 third-sitting additions
+        "docs_minhash_pairs", "lineitem_spearman",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -557,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint", "dedup_exact", "embed_norms",
         "knn_cosine", "token_histogram", "docs_quality",
         "ngram_jaccard_pairs",
+        "events_tumbling", "events_argmax",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -691,6 +700,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_mad": relational.LINEITEM_MAD_SQL,
         "docs_jaccard_prefix": docs.JACCARD_PREFIX_SQL,
         "docs_curation_report": docs.CURATION_REPORT_SQL,
+        "docs_minhash_pairs": docs.MINHASH_PAIRS_SQL,
+        "lineitem_spearman": relational.LINEITEM_SPEARMAN_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -1577,21 +1577,20 @@ FROM kept GROUP BY doc_id
 DUPSPAN_K = 6  # overlapping gram width (tokens); dup iff the gram repeats
 
 
-def _token_gram_hashes(b: pd.DataFrame, k: int):
-    """(doc_id, token-pos, 64-bit md5 of the space-joined k-gram) arrays
-    for every in-document overlapping k-gram of a batch.  The gram
-    strings build Arrow-side (``binary_join_element_wise`` over ``k``
-    shifted token slices) feeding the vectorized md5 — no per-row
-    Python.  Oracle equivalence: the hash is exactly
-    ``('0x'||substr(md5(gram),1,16))::UBIGINT``.  Shared by
-    ``docs_dupspans`` and ``docs_winnow_fingerprints``."""
+def _token_gram_strings(b: pd.DataFrame, k: int):
+    """(doc_id, token-pos, space-joined k-gram Arrow string array) for
+    every in-document overlapping k-gram of a batch.  The gram strings
+    build Arrow-side (``binary_join_element_wise`` over ``k`` shifted
+    token slices) — no per-row Python.  Rows stay grouped by document
+    in input order (callers may ``reduceat`` on doc boundaries)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ..functions.hashing import md5_int_vec
-
-    empty = (np.empty(0, "int64"), np.empty(0, "int64"), np.empty(0, "uint64"))
+    empty = (
+        np.empty(0, "int64"), np.empty(0, "int64"),
+        pa.array([], type=pa.string()),
+    )
     if not len(b):
         return empty
     toklists = b["text"].astype(str).str.split(" ")
@@ -1607,7 +1606,23 @@ def _token_gram_hashes(b: pd.DataFrame, k: int):
     tok_arr = pa.array(toks, type=pa.string())
     parts = [tok_arr.take(pa.array(idx + j)) for j in range(k)]
     grams = pc.binary_join_element_wise(*parts, pa.scalar(" "))
-    return dids[idx], pos[idx], md5_int_vec(grams, bits=64)
+    return dids[idx], pos[idx], grams
+
+
+def _token_gram_hashes(b: pd.DataFrame, k: int):
+    """(doc_id, token-pos, 64-bit md5 of the space-joined k-gram) arrays
+    for every in-document overlapping k-gram of a batch.  Oracle
+    equivalence: the hash is exactly
+    ``('0x'||substr(md5(gram),1,16))::UBIGINT``.  Shared by
+    ``docs_dupspans`` and ``docs_winnow_fingerprints``."""
+    import numpy as np
+
+    from ..functions.hashing import md5_int_vec
+
+    dids, pos, grams = _token_gram_strings(b, k)
+    if not len(dids):
+        return dids, pos, np.empty(0, "uint64")
+    return dids, pos, md5_int_vec(grams, bits=64)
 
 
 def docs_dupspans(sf_dir: str):
@@ -1987,6 +2002,150 @@ FROM inter
 JOIN sz sa ON doc_a = sa.doc_id
 JOIN sz sb ON doc_b = sb.doc_id
 WHERE inter * 1000 >= {PFX_T_PERMILLE} * (sa.sz + sb.sz - inter)
+"""
+
+
+# -- SQL-oracled MinHash-LSH candidate pairs ----------------------------------
+
+MINHASH_GRAM_K = 3   # token-gram width of the shingle set
+MINHASH_NSIG = 8     # seeded 64-bit minhash signatures per doc
+MINHASH_BAND_R = 2   # signatures per LSH band → NSIG/R bands
+
+
+def docs_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup CANDIDATE PAIRS with full SQL parity — the
+    oracled sibling of ``minhash_verified_pairs`` (whose permutation
+    hashes are numpy-native and thus rows-only).  Every hash here is the
+    seeded 64-bit md5 ``md5_int(f"{seed}|{gram}")``, which DuckDB
+    reproduces as ``('0x'||substr(md5(seed||'|'||gram),1,16))::UBIGINT``,
+    so signatures, band keys and the final pair set are bit-identical on
+    both engines (reference near-dup intent:
+    ``structurize_files.py`` dedup family; Broder '97 resemblance).
+
+    Math note: ``min`` over duplicate grams equals ``min`` over the
+    distinct gram set, so NEITHER side dedups shingles — one less
+    exchange.  A pair collides when one whole band (``MINHASH_BAND_R``
+    consecutive signatures) matches; ``n_bands`` counts collisions
+    (monotone in estimated Jaccard).
+
+    Shape: signature + band rows are DOC-LOCAL (zero-exchange map,
+    ``NSIG`` vectorized md5 passes + per-doc ``minimum.reduceat``);
+    then TWO bucketed exchanges — band-key collision expansion and the
+    per-pair band count.  At 100 TB the exchange carries 4 fixed-width
+    rows per doc; a boilerplate cluster of g identical docs expands to
+    g(g−1)/2 pairs, the inherent LSH candidate cost (cap ubiquitous
+    band keys upstream when a corpus has true universal boilerplate)."""
+    import numpy as np
+
+    from ..functions.hashing import md5_int_vec_prefixed
+    from ..stages.shuffle import bucketed_group_map
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_bands = MINHASH_NSIG // MINHASH_BAND_R
+
+    def band_rows(b: pd.DataFrame) -> pd.DataFrame:
+        dids, _pos, grams = _token_gram_strings(b, MINHASH_GRAM_K)
+        if not len(dids):
+            return pd.DataFrame(
+                {"doc_id": pd.array([], "int64"),
+                 "band": pd.array([], "int64"),
+                 "v0": pd.array([], "uint64"),
+                 "v1": pd.array([], "uint64")}
+            )
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(dids)) + 1]
+        )
+        doc_ids = dids[starts]
+        sigs = np.empty((len(starts), MINHASH_NSIG), dtype=np.uint64)
+        for s in range(MINHASH_NSIG):
+            h = md5_int_vec_prefixed(str(s), grams, bits=64)
+            sigs[:, s] = np.minimum.reduceat(h, starts)
+        return pd.DataFrame(
+            {"doc_id": pd.array(np.repeat(doc_ids, n_bands), "int64"),
+             "band": pd.array(
+                 np.tile(np.arange(n_bands, dtype="int64"), len(doc_ids)),
+                 "int64"),
+             "v0": pd.array(sigs[:, 0::MINHASH_BAND_R].ravel(), "uint64"),
+             "v1": pd.array(sigs[:, 1::MINHASH_BAND_R].ravel(), "uint64")}
+        )
+
+    bands = docs.map_batches(arrow_out(band_rows), batch_format="pandas")
+
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "v0", "v1", "doc_id"], kind="mergesort")
+        key_change = (
+            (g["band"].to_numpy()[1:] != g["band"].to_numpy()[:-1])
+            | (g["v0"].to_numpy()[1:] != g["v0"].to_numpy()[:-1])
+            | (g["v1"].to_numpy()[1:] != g["v1"].to_numpy()[:-1])
+        )
+        import numpy as np
+
+        starts = np.concatenate([[0], np.flatnonzero(key_change) + 1, [len(g)]])
+        docs_arr = g["doc_id"].to_numpy("int64")
+        a_parts, b_parts = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            iu = np.triu_indices(m, k=1)
+            a_parts.append(docs_arr[s:e][iu[0]])
+            b_parts.append(docs_arr[s:e][iu[1]])
+        if not a_parts:
+            return pd.DataFrame(
+                {"doc_a": pd.array([], "int64"),
+                 "doc_b": pd.array([], "int64")}
+            )
+        return pd.DataFrame(
+            {"doc_a": pd.array(np.concatenate(a_parts), "int64"),
+             "doc_b": pd.array(np.concatenate(b_parts), "int64")}
+        )
+
+    pairs = bucketed_group_map(bands, ["band", "v0", "v1"], pair_bucket)
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["doc_a", "doc_b"], sort=False)
+            .size().rename("n_bands").reset_index()
+        )
+        return pd.DataFrame(
+            {"doc_a": out["doc_a"].astype("int64"),
+             "doc_b": out["doc_b"].astype("int64"),
+             "n_bands": out["n_bands"].astype("int64")}
+        )
+
+    return bucketed_group_map(pairs, ["doc_a", "doc_b"], count_bucket)
+
+
+MINHASH_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         array_to_string(
+           list_slice(toks, pos + 1, pos + {MINHASH_GRAM_K}), ' ') AS gram
+  FROM (
+    SELECT doc_id, toks, unnest(range(0, n - {MINHASH_GRAM_K} + 1)) AS pos
+    FROM t WHERE n >= {MINHASH_GRAM_K}
+  )
+), sig AS (
+  SELECT doc_id, sd.s AS s,
+         MIN(('0x' || substr(md5(CAST(sd.s AS VARCHAR) || '|' || gram), 1, 16)
+             )::UBIGINT) AS mh
+  FROM g CROSS JOIN (SELECT unnest(range(0, {MINHASH_NSIG})) AS s) sd
+  GROUP BY doc_id, sd.s
+), band AS (
+  SELECT a.doc_id, a.s // {MINHASH_BAND_R} AS band, a.mh AS v0, b.mh AS v1
+  FROM sig a JOIN sig b
+    ON a.doc_id = b.doc_id AND b.s = a.s + 1
+  WHERE a.s % {MINHASH_BAND_R} = 0
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_bands
+FROM band x JOIN band y
+  ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+ AND x.doc_id < y.doc_id
+GROUP BY 1, 2
 """
 
 

@@ -1854,6 +1854,128 @@ WHERE n > 1 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
 """
 
 
+def lineitem_spearman(sf_dir: str) -> pd.DataFrame:
+    """EXACT Spearman rank correlation between quantity and discount —
+    the rank-based sibling of ``lineitem_regression``'s Pearson: ties
+    take fractional (average) ranks, carried as the INTEGER ``2·rank``
+    (2·#smaller + #equal + 1), so every moment is exact int math.
+
+    Distributed shape — the joint-value CENSUS is the whole trick: both
+    columns have small discrete domains (quantity 1–50, discount 0–10%),
+    so a per-batch (x, y)-count combiner collapses the table to ≤ |X|·|Y|
+    cells before ONE tiny groupby exchange; ranks, moments and ρ are
+    driver-side exact-integer math on the census (for continuous columns
+    you'd bin first or rank via the range-bucketed global-order path of
+    ``docs_global_shuffle``).
+
+    Float contract: moments travel as two int64 limbs (the
+    ``lineitem_regression`` past-int64 contract) and ρ is emitted as the
+    integer micro-unit ``floor(ρ·10⁶ + 0.5)`` of a term-for-term mirrored
+    double expression — ``floor`` has no half-even/half-away divergence,
+    so the oracle matches bit-for-bit."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(b["l_quantity"].to_numpy()).astype("int64")
+        y = np.rint(b["l_discount"].to_numpy() * 100).astype("int64")
+        out = (
+            pd.DataFrame({"x": x, "y": y})
+            .groupby(["x", "y"], sort=False)
+            .size().rename("c").reset_index()
+        )
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    cells = (
+        li.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby(["x", "y"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+
+    def rank2(marginal: pd.Series) -> dict[int, int]:
+        m = marginal.sort_index()
+        before = m.cumsum() - m
+        return {int(v): 2 * int(b) + int(c) + 1
+                for v, b, c in zip(m.index, before, m)}
+
+    r2x = rank2(cells.groupby("x")["c"].sum())
+    r2y = rank2(cells.groupby("y")["c"].sum())
+    n = sxx = syy = sxy = sx = sy = 0
+    for r in cells.itertuples(index=False):
+        c, rx, ry = int(r.c), r2x[int(r.x)], r2y[int(r.y)]
+        n += c
+        sx += c * rx
+        sy += c * ry
+        sxx += c * rx * rx
+        syy += c * ry * ry
+        sxy += c * rx * ry
+    denx, deny = n * sxx - sx * sx, n * syy - sy * sy
+    rows = []
+    if n > 1 and denx > 0 and deny > 0:
+        rho = (
+            float(n * sxy - sx * sy)
+            / math.sqrt(float(denx) * float(deny))
+        )
+        LIMB = 10 ** 15
+        rows.append(
+            {"n": n,
+             "sxx_lo": sxx % LIMB, "sxx_hi": sxx // LIMB,
+             "syy_lo": syy % LIMB, "syy_hi": syy // LIMB,
+             "sxy_lo": sxy % LIMB, "sxy_hi": sxy // LIMB,
+             "rho_micro": int(math.floor(rho * 1000000.0 + 0.5))}
+        )
+    cols = ["n", "sxx_lo", "sxx_hi", "syy_lo", "syy_hi",
+            "sxy_lo", "sxy_hi", "rho_micro"]
+    return pd.DataFrame(rows, columns=cols).astype("int64")
+
+
+LINEITEM_SPEARMAN_SQL = """
+WITH pts AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem
+), cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY x, y
+), mx AS (
+  SELECT x, SUM(c) AS cx FROM cells GROUP BY x
+), rx AS (
+  SELECT x, 2 * (SUM(cx) OVER (ORDER BY x) - cx) + cx + 1 AS r2x FROM mx
+), my AS (
+  SELECT y, SUM(c) AS cy FROM cells GROUP BY y
+), ry AS (
+  SELECT y, 2 * (SUM(cy) OVER (ORDER BY y) - cy) + cy + 1 AS r2y FROM my
+), j AS (
+  SELECT c, r2x, r2y FROM cells JOIN rx USING (x) JOIN ry USING (y)
+), m AS (
+  SELECT CAST(SUM(c) AS HUGEINT) AS n,
+         CAST(SUM(c * r2x) AS HUGEINT) AS sx,
+         CAST(SUM(c * r2y) AS HUGEINT) AS sy,
+         CAST(SUM(c * r2x * r2x) AS HUGEINT) AS sxx,
+         CAST(SUM(c * r2y * r2y) AS HUGEINT) AS syy,
+         CAST(SUM(c * r2x * r2y) AS HUGEINT) AS sxy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(sxx % 1000000000000000 AS BIGINT) AS sxx_lo,
+       CAST(sxx // 1000000000000000 AS BIGINT) AS sxx_hi,
+       CAST(syy % 1000000000000000 AS BIGINT) AS syy_lo,
+       CAST(syy // 1000000000000000 AS BIGINT) AS syy_hi,
+       CAST(sxy % 1000000000000000 AS BIGINT) AS sxy_lo,
+       CAST(sxy // 1000000000000000 AS BIGINT) AS sxy_hi,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS rho_micro
+FROM m
+WHERE n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
 def lineitem_mad(sf_dir: str) -> pd.DataFrame:
     """Robust dispersion: median, MAD (median absolute deviation) and
     the robust-z outlier census of l_extendedprice — the

