@@ -453,6 +453,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact Spearman rank correlation via joint-value census +
         # integer average-ranks (two-limb moments, floor-micro rho)
         "lineitem_spearman": relational.lineitem_spearman,
+        # ANALYZE-style column profiler: 27 columns of 4 tables ride ONE
+        # hash exchange (value-census combiner; exact distinct)
+        "tables_profile": relational.tables_profile,
+        # PMI-ranked collocations (micro-nat integer log contract; one
+        # corpus read, census + both marginals across two exchanges)
+        "docs_collocations": docs.docs_collocations,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -556,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel3",
         # round-4 third-sitting additions
         "docs_minhash_pairs", "lineitem_spearman",
+        "tables_profile", "docs_collocations",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -565,7 +572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint", "dedup_exact", "embed_norms",
         "knn_cosine", "token_histogram", "docs_quality",
         "ngram_jaccard_pairs",
-        "events_tumbling", "events_argmax",
+        "events_tumbling", "events_argmax", "docs_split",
+        "docs_first_nonnull",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -702,6 +710,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_curation_report": docs.CURATION_REPORT_SQL,
         "docs_minhash_pairs": docs.MINHASH_PAIRS_SQL,
         "lineitem_spearman": relational.LINEITEM_SPEARMAN_SQL,
+        "tables_profile": relational.tables_profile_sql(),
+        "docs_collocations": docs.COLLOCATIONS_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -2005,6 +2005,162 @@ WHERE inter * 1000 >= {PFX_T_PERMILLE} * (sa.sz + sb.sz - inter)
 """
 
 
+# -- PMI collocations ----------------------------------------------------------
+
+COLLOC_MIN_C = 5   # minimum bigram count to rank
+COLLOC_K = 100     # global top-k
+
+
+def docs_collocations(sf_dir: str, k: int = COLLOC_K) -> pd.DataFrame:
+    """Top-``k`` collocations — adjacent-token bigrams ranked by PMI
+    over the bigram distribution (Church & Hanks '90): PMI =
+    ln c_xy + ln N − ln c_x· − ln c_·y with marginals taken over bigram
+    slots.  The token-association op behind phrase mining and
+    tokenizer-vocab seeding.
+
+    Float contract (the ``events_entropy`` micro-nat contract): each ln
+    is of an INTEGER count, pre-rounded to ``floor(ln·1e6 + 0.5)`` and
+    combined as exact int64 — no summation-order or rounding-mode
+    divergence; glibc ``math.log`` ≡ DuckDB ``std::log``.
+
+    Shape — the corpus is read ONCE, two bucketed exchanges, no join:
+
+    1. per-batch bigram census (value_counts combiner) → bucket by LEFT
+       token: the bigram census AND the left marginal c_x· both complete
+       in-bucket (all instances of a bigram share x);
+    2. bucket by RIGHT token: the right marginal, the PMI partial
+       (ln N excluded — a constant shift that can't change the order),
+       the ``c ≥ COLLOC_MIN_C`` filter and the per-bucket top-k; N rides
+       along as one Σc marker row per bucket (y-disjoint ⇒ they sum to
+       the global bigram count), so the driver adds ln N to ≤ buckets·k
+       rows and never triggers a second corpus pass."""
+    import math
+
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    TOT = "\x00TOTAL"
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        _d, _p, grams = _token_gram_strings(b, 2)
+        if not len(grams):
+            return pd.DataFrame(
+                {"x": pd.array([], "str"), "y": pd.array([], "str"),
+                 "c": pd.array([], "int64")}
+            )
+        vc = grams.to_pandas().value_counts()
+        xy = vc.index.str.split(" ", n=1)
+        return pd.DataFrame(
+            {"x": pd.array([p[0] for p in xy], "str"),
+             "y": pd.array([p[1] for p in xy], "str"),
+             "c": pd.array(vc.to_numpy(), "int64")}
+        )
+
+    cells = docs.map_batches(arrow_out(census), batch_format="pandas")
+
+    def left_marginal(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["x", "y"], sort=False)["c"].sum().reset_index()
+        m["cx"] = m.groupby("x", sort=False)["c"].transform("sum")
+        m["c"] = m["c"].astype("int64")
+        m["cx"] = m["cx"].astype("int64")
+        return m
+
+    with_cx = bucketed_group_map(cells, ["x"], left_marginal)
+
+    def lmicro(counts: np.ndarray) -> np.ndarray:
+        tbl = {int(v): int(math.floor(math.log(int(v)) * 1e6 + 0.5))
+               for v in np.unique(counts)}
+        return np.fromiter(
+            (tbl[int(v)] for v in counts), dtype="int64", count=len(counts)
+        )
+
+    def right_top(g: pd.DataFrame) -> pd.DataFrame:
+        cy = g.groupby("y", sort=False)["c"].transform("sum").to_numpy("int64")
+        total = int(g["c"].sum())
+        keep = g["c"].to_numpy("int64") >= COLLOC_MIN_C
+        sub = g.loc[keep].copy()
+        if len(sub):
+            sub["pmi_part"] = (
+                lmicro(sub["c"].to_numpy("int64"))
+                - lmicro(sub["cx"].to_numpy("int64"))
+                - lmicro(cy[keep])
+            )
+            sub = sub.sort_values(
+                ["pmi_part", "x", "y"], ascending=[False, True, True],
+                kind="mergesort",
+            ).head(k)[["x", "y", "c", "pmi_part"]]
+        else:
+            sub = pd.DataFrame(
+                {"x": pd.array([], "str"), "y": pd.array([], "str"),
+                 "c": pd.array([], "int64"),
+                 "pmi_part": pd.array([], "int64")}
+            )
+        marker = pd.DataFrame(
+            {"x": pd.array([TOT], "str"), "y": pd.array([""], "str"),
+             "c": pd.array([total], "int64"),
+             "pmi_part": pd.array([0], "int64")}
+        )
+        sub["pmi_part"] = sub["pmi_part"].astype("int64")
+        return pd.concat([sub, marker], ignore_index=True)
+
+    per_bucket = bucketed_group_map(with_cx, ["y"], right_top).to_pandas()
+
+    is_tot = per_bucket["x"] == TOT
+    n_bigrams = int(per_bucket.loc[is_tot, "c"].sum())
+    ln_n = int(math.floor(math.log(n_bigrams) * 1e6 + 0.5)) if n_bigrams else 0
+    top = (
+        per_bucket.loc[~is_tot]
+        .assign(pmi_micro=lambda d: d["pmi_part"].astype("int64") + ln_n)
+        .sort_values(["pmi_micro", "x", "y"], ascending=[False, True, True],
+                     kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {"x": pd.array(top["x"], "str"), "y": pd.array(top["y"], "str"),
+         "c": pd.array(top["c"].to_numpy(), "int64"),
+         "pmi_micro": pd.array(top["pmi_micro"].to_numpy(), "int64"),
+         "rank": pd.array(np.arange(1, len(top) + 1), "int64")}
+    )
+
+
+COLLOCATIONS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), big AS (
+  SELECT toks[pos + 1] AS x, toks[pos + 2] AS y
+  FROM (
+    SELECT doc_id, toks, unnest(range(0, n - 1)) AS pos
+    FROM t WHERE n >= 2
+  )
+), cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY x, y
+), nb AS (
+  SELECT SUM(c) AS n FROM cells
+), mx AS (
+  SELECT x, SUM(c) AS cx FROM cells GROUP BY x
+), my AS (
+  SELECT y, SUM(c) AS cy FROM cells GROUP BY y
+), pmi AS (
+  SELECT cells.x, cells.y, cells.c,
+         CAST(floor(ln(cells.c) * 1000000 + 0.5) AS BIGINT)
+       + CAST(floor(ln(nb.n) * 1000000 + 0.5) AS BIGINT)
+       - CAST(floor(ln(mx.cx) * 1000000 + 0.5) AS BIGINT)
+       - CAST(floor(ln(my.cy) * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nb
+  WHERE cells.c >= {COLLOC_MIN_C}
+)
+SELECT x, y, c, pmi_micro,
+       CAST(row_number() OVER (ORDER BY pmi_micro DESC, x, y) AS BIGINT)
+         AS rank
+FROM pmi ORDER BY pmi_micro DESC, x, y LIMIT {COLLOC_K}
+"""
+
+
 # -- SQL-oracled MinHash-LSH candidate pairs ----------------------------------
 
 MINHASH_GRAM_K = 3   # token-gram width of the shingle set

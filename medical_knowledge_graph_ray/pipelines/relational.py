@@ -1854,6 +1854,47 @@ WHERE n > 1 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
 """
 
 
+PROFILE_SPECS: list[tuple[str, dict[str, str]]] = [
+    ("orders", {
+        "o_orderkey": "num", "o_custkey": "num", "o_orderstatus": "str",
+        "o_totalprice": "num", "o_orderdate": "ts", "o_orderpriority": "str",
+    }),
+    ("lineitem", {
+        "l_orderkey": "num", "l_partkey": "num", "l_suppkey": "num",
+        "l_linenumber": "num", "l_quantity": "num", "l_extendedprice": "num",
+        "l_discount": "num", "l_tax": "num", "l_returnflag": "str",
+        "l_linestatus": "str", "l_shipdate": "ts",
+    }),
+    ("documents", {
+        "doc_id": "num", "lang": "str", "source": "str", "n_chars": "num",
+    }),
+    ("events", {
+        "event_id": "num", "user_id": "num", "event_type": "str",
+        "value": "num", "ts": "ts", "props": "str",
+    }),
+]
+
+
+def tables_profile(sf_dir: str) -> pd.DataFrame:
+    """ANALYZE over four tables at once — per column: rows, nulls, EXACT
+    distinct, typed min/max, string byte volume.  All 27 columns of all
+    four tables ride ONE hash exchange (per-batch value-census combiner;
+    see ``stages/profile.py`` for the full shape + exactness contracts)."""
+    from ..stages.profile import profile_datasets
+
+    specs = [
+        (tbl, _read(sf_dir, tbl, columns=list(kinds)), kinds)
+        for tbl, kinds in PROFILE_SPECS
+    ]
+    return profile_datasets(specs)
+
+
+def tables_profile_sql() -> str:
+    from ..stages.profile import profile_sql
+
+    return profile_sql(PROFILE_SPECS)
+
+
 def lineitem_spearman(sf_dir: str) -> pd.DataFrame:
     """EXACT Spearman rank correlation between quantity and discount —
     the rank-based sibling of ``lineitem_regression``'s Pearson: ties

@@ -1206,3 +1206,42 @@ def test_tfidf_streaming_mode_matches_materialized(ray_session):
         )
 
     pd.testing.assert_frame_equal(run(False), run(True))
+
+
+def test_profile_handles_nulls_and_types(ray_session, tmp_path):
+    """profile_datasets on a synthetic table with NULLs in every kind:
+    nulls excluded from distinct/min/max, counted in n_null; string
+    min/max codepoint-ordered; ts min/max = epoch-µs doubles."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.profile import (
+        profile_datasets,
+        profile_sql,
+    )
+
+    df = pd.DataFrame(
+        {"a": [1.5, np.nan, 2.25, 1.5, np.nan],
+         "b": ["zz", None, "aa", "zz", "mm"],
+         "t": pd.to_datetime(
+             [1_700_000_000_000_123, None, 1_700_000_111_222_333,
+              1_700_000_000_000_123, 1_600_000_000_000_001], unit="us"),
+         "i": pd.array([7, 7, None, 3, 9], dtype="float64")}
+    )
+    p = tmp_path / "synth.parquet"
+    df.to_parquet(p)
+    kinds = {"a": "num", "b": "str", "t": "ts", "i": "num"}
+    got = profile_datasets([("synth", rd.read_parquet(str(p)), kinds)])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW synth AS SELECT * FROM read_parquet('{p}')")
+    want = con.execute(profile_sql([("synth", kinds)])).df()
+    from tools.check_correctness import compare
+
+    issues = compare("profile_nulls", got, want)
+    assert not issues, issues
+    row = got.set_index("col")
+    assert row.loc["b", "n_null"] == 1 and row.loc["b", "n_distinct"] == 3
+    assert row.loc["b", "min_str"] == "aa" and row.loc["b", "max_str"] == "zz"
+    assert row.loc["t", "n_distinct"] == 3
