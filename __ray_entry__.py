@@ -459,6 +459,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PMI-ranked collocations (micro-nat integer log contract; one
         # corpus read, census + both marginals across two exchanges)
         "docs_collocations": docs.docs_collocations,
+        # YoY monthly growth — exact basis-point integer division, the
+        # 12-back self-join on the bounded month census
+        "orders_yoy": relational.orders_yoy,
+        # heavy-key diagnostics feeding hash_join(skew=...): top-5 values
+        # + bp shares per join key column, one shared exchange
+        "tables_skew_report": relational.tables_skew_report,
+        # incremental near-dup dedup: a new shard probed against the base
+        # corpus via the oracled seeded-md5 LSH bands (no pair expansion)
+        "docs_crossdedup": docs.docs_crossdedup,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -538,6 +547,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partials; parallelism-invariance + dense-≡ + planted-label
         # pytest gates — no SQL oracle exists for an iterative fit)
         "embed_kmeans": docs.embed_kmeans,
+        # distributed PCA: exact-int sufficient statistics (one pass,
+        # #batches x d(d+1)/2 exchange), driver d x d eigh; bit-identical
+        # at any parallelism (tests/test_clustering.py)
+        "embed_pca": docs.embed_pca,
         # composed LLM-prep flagship: curate → decontaminate → split →
         # pack → checkpointed Parquet stages with lineage manifests
         # (components individually oracled; composition pytest-gated in
@@ -563,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 third-sitting additions
         "docs_minhash_pairs", "lineitem_spearman",
         "tables_profile", "docs_collocations",
+        "orders_yoy", "tables_skew_report", "docs_crossdedup",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -573,7 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine", "token_histogram", "docs_quality",
         "ngram_jaccard_pairs",
         "events_tumbling", "events_argmax", "docs_split",
-        "docs_first_nonnull",
+        "docs_first_nonnull", "gazetteer_unseen", "docs_decontaminate",
+        "docs_repetition",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -712,6 +727,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_spearman": relational.LINEITEM_SPEARMAN_SQL,
         "tables_profile": relational.tables_profile_sql(),
         "docs_collocations": docs.COLLOCATIONS_SQL,
+        "orders_yoy": relational.ORDERS_YOY_SQL,
+        "tables_skew_report": relational.tables_skew_report_sql(),
+        "docs_crossdedup": docs.CROSSDEDUP_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -289,6 +289,19 @@ KMEANS_K = 10
 KMEANS_ITERS = 8
 
 
+def embed_pca(sf_dir: str) -> pd.DataFrame:
+    """Distributed PCA over the embeddings table
+    (``stages/clustering.py:pca_fit``): top-4 components as a tall
+    (component, dim, loading, eigval, evr_bp) frame.  No SQL oracle for
+    an eigendecomposition — the pytest gates pin (a) bit-identical
+    output at any parallelism (exact int64 sufficient statistics) and
+    (b) exact equality with a dense single-machine PCA on the same
+    quantized data."""
+    from ..stages.clustering import pca_fit
+
+    return pca_fit(_embeddings(sf_dir), n_components=4)
+
+
 def embed_kmeans(sf_dir: str) -> pd.DataFrame:
     """Cluster census from distributed spherical k-means over the
     embeddings table (`stages/clustering.py`): per cluster its size and
@@ -2168,6 +2181,48 @@ MINHASH_NSIG = 8     # seeded 64-bit minhash signatures per doc
 MINHASH_BAND_R = 2   # signatures per LSH band → NSIG/R bands
 
 
+def _minhash_band_frame(b: pd.DataFrame) -> pd.DataFrame:
+    """Doc-local seeded-md5 minhash band rows (doc_id, band, v0, v1) —
+    ``MINHASH_NSIG`` vectorized md5 passes + per-doc ``minimum.reduceat``
+    on doc boundaries; zero exchanges.  Extra input columns (e.g.
+    ``source``) are carried through per doc.  Shared by
+    ``docs_minhash_pairs`` and ``docs_crossdedup``."""
+    import numpy as np
+
+    from ..functions.hashing import md5_int_vec_prefixed
+
+    n_bands = MINHASH_NSIG // MINHASH_BAND_R
+    extra = [c for c in b.columns if c not in ("doc_id", "text")]
+    dids, _pos, grams = _token_gram_strings(b, MINHASH_GRAM_K)
+    if not len(dids):
+        return pd.DataFrame(
+            {"doc_id": pd.array([], "int64"),
+             "band": pd.array([], "int64"),
+             "v0": pd.array([], "uint64"),
+             "v1": pd.array([], "uint64"),
+             **{c: pd.array([], "str") for c in extra}}
+        )
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(dids)) + 1])
+    doc_ids = dids[starts]
+    sigs = np.empty((len(starts), MINHASH_NSIG), dtype=np.uint64)
+    for s in range(MINHASH_NSIG):
+        h = md5_int_vec_prefixed(str(s), grams, bits=64)
+        sigs[:, s] = np.minimum.reduceat(h, starts)
+    out = pd.DataFrame(
+        {"doc_id": pd.array(np.repeat(doc_ids, n_bands), "int64"),
+         "band": pd.array(
+             np.tile(np.arange(n_bands, dtype="int64"), len(doc_ids)),
+             "int64"),
+         "v0": pd.array(sigs[:, 0::MINHASH_BAND_R].ravel(), "uint64"),
+         "v1": pd.array(sigs[:, 1::MINHASH_BAND_R].ravel(), "uint64")}
+    )
+    if extra:
+        lookup = b.set_index("doc_id")
+        for c in extra:
+            out[c] = lookup[c].loc[out["doc_id"]].to_numpy()
+    return out
+
+
 def docs_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup CANDIDATE PAIRS with full SQL parity — the
     oracled sibling of ``minhash_verified_pairs`` (whose permutation
@@ -2197,35 +2252,9 @@ def docs_minhash_pairs(sf_dir: str):
     from ..stages.shuffle import bucketed_group_map
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    n_bands = MINHASH_NSIG // MINHASH_BAND_R
-
-    def band_rows(b: pd.DataFrame) -> pd.DataFrame:
-        dids, _pos, grams = _token_gram_strings(b, MINHASH_GRAM_K)
-        if not len(dids):
-            return pd.DataFrame(
-                {"doc_id": pd.array([], "int64"),
-                 "band": pd.array([], "int64"),
-                 "v0": pd.array([], "uint64"),
-                 "v1": pd.array([], "uint64")}
-            )
-        starts = np.concatenate(
-            [[0], np.flatnonzero(np.diff(dids)) + 1]
-        )
-        doc_ids = dids[starts]
-        sigs = np.empty((len(starts), MINHASH_NSIG), dtype=np.uint64)
-        for s in range(MINHASH_NSIG):
-            h = md5_int_vec_prefixed(str(s), grams, bits=64)
-            sigs[:, s] = np.minimum.reduceat(h, starts)
-        return pd.DataFrame(
-            {"doc_id": pd.array(np.repeat(doc_ids, n_bands), "int64"),
-             "band": pd.array(
-                 np.tile(np.arange(n_bands, dtype="int64"), len(doc_ids)),
-                 "int64"),
-             "v0": pd.array(sigs[:, 0::MINHASH_BAND_R].ravel(), "uint64"),
-             "v1": pd.array(sigs[:, 1::MINHASH_BAND_R].ravel(), "uint64")}
-        )
-
-    bands = docs.map_batches(arrow_out(band_rows), batch_format="pandas")
+    bands = docs.map_batches(
+        arrow_out(_minhash_band_frame), batch_format="pandas"
+    )
 
     def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["band", "v0", "v1", "doc_id"], kind="mergesort")
@@ -2302,6 +2331,113 @@ FROM band x JOIN band y
   ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
  AND x.doc_id < y.doc_id
 GROUP BY 1, 2
+"""
+
+
+CROSSDEDUP_INCOMING = "src0"  # the "new shard" being deduped against the rest
+
+
+def docs_crossdedup(sf_dir: str, incoming: str = CROSSDEDUP_INCOMING):
+    """INCREMENTAL near-dup dedup — the production shape where a new
+    shard arrives and must be deduped AGAINST the existing corpus, not
+    within itself: an incoming doc (``source = incoming``) is flagged
+    iff it shares ≥1 MinHash-LSH band with any BASE (non-incoming) doc.
+    Same seeded-md5 signature contract as ``docs_minhash_pairs``, so
+    the flag set is bit-identical to the SQL oracle.
+
+    Shape: ONE pass emits band rows tagged with source (doc-local), one
+    bucketed exchange on the band key does the incoming-vs-base
+    membership test vectorized (no pair expansion — an incoming row
+    needs only ANY base hit), and a second doc_id-bucketed exchange
+    folds a doc's 4 band verdicts with max().  Docs too short for a
+    signature ride the second exchange as zero sentinel rows so every
+    incoming doc appears exactly once.  At 100 TB the base corpus never
+    re-shuffles per shard in steady state: persist the band table once
+    (``stages/upsert.py`` keyed by the band triple) and probe it with
+    the new shard's bands only."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+    bands = docs.map_batches(
+        arrow_out(_minhash_band_frame), batch_format="pandas"
+    )
+
+    def hits(g: pd.DataFrame) -> pd.DataFrame:
+        inc = g["source"].to_numpy() == incoming
+        if not inc.any():
+            return pd.DataFrame(
+                {"doc_id": pd.array([], "int64"),
+                 "hit": pd.array([], "int64")}
+            )
+        base = g.loc[~inc, ["band", "v0", "v1"]].drop_duplicates()
+        m = g.loc[inc, ["doc_id", "band", "v0", "v1"]].merge(
+            base.assign(_h=np.int64(1)),
+            on=["band", "v0", "v1"], how="left",
+        )
+        return pd.DataFrame(
+            {"doc_id": m["doc_id"].astype("int64").to_numpy(),
+             "hit": m["_h"].notna().to_numpy().astype("int64")}
+        )
+
+    verdicts = bucketed_group_map(bands, ["band", "v0", "v1"], hits)
+
+    def sentinels(b: pd.DataFrame) -> pd.DataFrame:
+        sub = b.loc[b["source"] == incoming]
+        return pd.DataFrame(
+            {"doc_id": sub["doc_id"].astype("int64").to_numpy(),
+             "hit": np.zeros(len(sub), dtype="int64")}
+        )
+
+    zero = docs.map_batches(arrow_out(sentinels), batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", sort=False)["hit"].max().reset_index()
+        return pd.DataFrame(
+            {"doc_id": out["doc_id"].astype("int64"),
+             "is_dup": out["hit"].astype("int64")}
+        )
+
+    return bucketed_group_map(verdicts.union(zero), ["doc_id"], fold)
+
+
+CROSSDEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         array_to_string(
+           list_slice(toks, pos + 1, pos + {MINHASH_GRAM_K}), ' ') AS gram
+  FROM (
+    SELECT doc_id, toks, unnest(range(0, n - {MINHASH_GRAM_K} + 1)) AS pos
+    FROM t WHERE n >= {MINHASH_GRAM_K}
+  )
+), sig AS (
+  SELECT doc_id, sd.s AS s,
+         MIN(('0x' || substr(md5(CAST(sd.s AS VARCHAR) || '|' || gram), 1, 16)
+             )::UBIGINT) AS mh
+  FROM g CROSS JOIN (SELECT unnest(range(0, {MINHASH_NSIG})) AS s) sd
+  GROUP BY doc_id, sd.s
+), band AS (
+  SELECT a.doc_id, a.s // {MINHASH_BAND_R} AS band, a.mh AS v0, b.mh AS v1
+  FROM sig a JOIN sig b
+    ON a.doc_id = b.doc_id AND b.s = a.s + 1
+  WHERE a.s % {MINHASH_BAND_R} = 0
+), hit AS (
+  SELECT DISTINCT x.doc_id
+  FROM band x JOIN documents dx ON dx.doc_id = x.doc_id
+  JOIN band y ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+  JOIN documents dy ON dy.doc_id = y.doc_id
+  WHERE dx.source = '{CROSSDEDUP_INCOMING}'
+    AND dy.source <> '{CROSSDEDUP_INCOMING}'
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+FROM documents d LEFT JOIN hit h USING (doc_id)
+WHERE d.source = '{CROSSDEDUP_INCOMING}'
 """
 
 

@@ -1591,6 +1591,69 @@ FROM m ORDER BY month
 """
 
 
+def orders_yoy(sf_dir: str) -> pd.DataFrame:
+    """Year-over-year monthly revenue growth — the seasonal-compare
+    sibling of ``orders_monthly_cumrev``: each month joins the month 12
+    back; growth is the EXACT integer basis-point ratio
+    ``rev·10⁴ // prev_rev`` (floor division is identical on both
+    engines, so no float division is oracled).  Only months with a
+    prior-year partner emit (inner-join semantics keep every column
+    non-null int64).
+
+    Shape: the distributed work is one int64-cent month combiner per
+    batch → a ≤#months groupby exchange; the self-join-12-back runs on
+    the BOUNDED census driver-side (dozens of rows at any corpus
+    size)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        month = (
+            b["o_orderdate"].to_numpy()
+            .astype("datetime64[M]").astype("datetime64[us]")
+        )
+        c = np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        return (
+            pd.DataFrame({"month": month, "c": c})
+            .groupby("month", sort=False)["c"].sum().reset_index()
+        )
+
+    agg = (
+        orders.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby("month").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # ≤ #months rows — bounded artifact
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    prev = agg.copy()
+    prev["month"] = (
+        prev["month"].to_numpy().astype("datetime64[M]") + 12
+    ).astype("datetime64[us]")
+    j = agg.merge(prev, on="month", suffixes=("", "_prev"))
+    rev = j["c"].astype("int64")
+    pv = j["c_prev"].astype("int64")
+    return pd.DataFrame(
+        {"month": j["month"],
+         "rev_cents": rev,
+         "prev_cents": pv,
+         "growth_bp": (rev * 10000 // pv).astype("int64")}
+    )
+
+
+ORDERS_YOY_SQL = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+)
+SELECT a.month AS month, CAST(a.c AS BIGINT) AS rev_cents,
+       CAST(b.c AS BIGINT) AS prev_cents,
+       CAST(a.c * 10000 // b.c AS BIGINT) AS growth_bp
+FROM m a JOIN m b ON b.month = a.month - INTERVAL 12 MONTH
+"""
+
+
 # -- customers above 2x the average spend (global scalar -> filter) ------------
 
 ABOVE_AVG_FACTOR = 2
@@ -1893,6 +1956,35 @@ def tables_profile_sql() -> str:
     from ..stages.profile import profile_sql
 
     return profile_sql(PROFILE_SPECS)
+
+
+SKEW_SPECS: list[tuple[str, list[str]]] = [
+    ("orders", ["o_custkey"]),
+    ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
+    ("events", ["user_id", "event_type"]),
+    ("documents", ["source"]),
+]
+
+
+def tables_skew_report(sf_dir: str) -> pd.DataFrame:
+    """Heavy-key mining over the join/group key columns the production
+    pipelines exchange on — the diagnostics feed for
+    ``hash_join(skew="auto")``: top-5 hottest values per column with
+    exact counts and integer basis-point shares (see
+    ``stages/profile.py:skew_report`` for the one-exchange shape)."""
+    from ..stages.profile import skew_report
+
+    specs = [
+        (tbl, _read(sf_dir, tbl, columns=cols), cols)
+        for tbl, cols in SKEW_SPECS
+    ]
+    return skew_report(specs)
+
+
+def tables_skew_report_sql() -> str:
+    from ..stages.profile import skew_report_sql
+
+    return skew_report_sql(SKEW_SPECS)
 
 
 def lineitem_spearman(sf_dir: str) -> pd.DataFrame:

@@ -207,3 +207,83 @@ def kmeans_assign(
     return embeddings.map_batches(
         arrow_out(Assign()), batch_format="pandas"
     )
+
+
+# -- distributed PCA (exact-integer sufficient statistics) ---------------------
+
+
+def pca_fit(ds, n_components: int = 4, *, embedding_col: str = "embedding"):
+    """Distributed PCA over an embedding column — the textbook
+    sufficient-statistics shape: ONE streaming pass emits per-batch
+    exact int64 partials (n, Σq, upper-triangle Σqqᵀ of the fixed-point
+    quantized vectors q = rint(x·10⁶)), the driver combines them with
+    Python big-int sums (no overflow ceiling, no float drift), builds
+    the covariance from exact integers, and runs the d×d
+    eigendecomposition locally.  Deterministic at ANY parallelism: the
+    partials are associative integers, ``eigh`` sees a bit-identical
+    matrix, and the sign convention (largest-|loading| entry positive,
+    first-index tie-break) pins the eigenvector gauge.
+
+    At 100 TB the exchange is #batches × d(d+1)/2 int64 rows — the
+    data never concentrates; d×d work is driver-side and O(d³).
+    Returns a tall frame (component, dim, loading, eigval, evr_bp)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.arrow import arrow_out
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"n": pd.array([], "int64")})
+        x = _to_matrix(b[embedding_col]).astype("float64")
+        q = np.rint(x * FP_SCALE).astype("int64")
+        d = q.shape[1]
+        r, c = np.triu_indices(d)
+        cov = (q.T @ q)[r, c]  # exact: |q|≤~1e6 ⇒ per-batch < 2^63
+        row = {"n": np.int64(len(q))}
+        for j in range(d):
+            row[f"s{j}"] = q[:, j].sum()
+        for idx, (i, j) in enumerate(zip(r, c)):
+            row[f"c{i}_{j}"] = cov[idx]
+        return pd.DataFrame([row])
+
+    parts = ds.map_batches(
+        arrow_out(partial), batch_format="pandas"
+    ).to_pandas()  # bounded: one row per batch
+    parts = parts.dropna().astype("object")
+    n = int(sum(int(v) for v in parts["n"]))
+    d = sum(1 for c in parts.columns if c.startswith("s"))
+    s = np.array(
+        [sum(int(v) for v in parts[f"s{j}"]) for j in range(d)], dtype=object
+    )
+    r, c = np.triu_indices(d)
+    C = np.zeros((d, d), dtype=object)
+    for i, j in zip(r, c):
+        v = sum(int(x) for x in parts[f"c{i}_{j}"])
+        C[i, j] = v
+        C[j, i] = v
+    # covariance from exact ints: (C/n − ssᵀ/n²) / SCALE²  (float64 once)
+    scale2 = float(FP_SCALE) ** 2
+    Cf = C.astype("float64")
+    sf = s.astype("float64")
+    cov = (Cf / n - np.outer(sf, sf) / (float(n) ** 2)) / scale2
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components]
+    tot = float(w.sum())
+    rows = []
+    for comp, k in enumerate(order):
+        vec = v[:, k]
+        pivot = int(np.argmax(np.abs(vec)))
+        if vec[pivot] < 0:
+            vec = -vec
+        for dim in range(d):
+            rows.append(
+                {"component": comp, "dim": dim,
+                 "loading": float(vec[dim]),
+                 "eigval": float(w[k]),
+                 "evr_bp": int(np.floor(w[k] / tot * 10000 + 0.5))}
+            )
+    out = pd.DataFrame(rows)
+    for col in ("component", "dim", "evr_bp"):
+        out[col] = out[col].astype("int64")
+    return out

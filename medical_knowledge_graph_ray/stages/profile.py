@@ -164,6 +164,107 @@ def profile_datasets(specs: list[tuple[str, "object", dict[str, str]]]) -> pd.Da
     return out
 
 
+TOTAL_SENTINEL = "\x00TOTAL"
+
+
+def skew_report(specs: list[tuple[str, "object", list[str]]], top_n: int = 5) -> pd.DataFrame:
+    """Heavy-key diagnostics over join/group key columns — the mining
+    pass that feeds ``hash_join(skew=...)``: per (table, column) the
+    ``top_n`` hottest values with exact counts and their integer
+    basis-point share of the table.  ``specs`` = (tbl, dataset, [cols]).
+
+    Shape: per-batch ``value_counts`` combiner → all columns of all
+    tables share ONE hash exchange on (tbl, col, value); per-bucket
+    top-n candidates are value-disjoint so their union provably contains
+    the global top-n; each bucket also emits one Σcnt marker row per
+    (tbl, col) so the global total (the share denominator) needs no
+    second pass.  Values travel as canonical strings (``str(int)`` ≡
+    ``CAST(x AS VARCHAR)``), shares as ``cnt·10⁴ // total`` — exact
+    integer division on both engines."""
+    from .shuffle import bucketed_group_map
+
+    tall = None
+    for tbl, ds, cols in specs:
+        def _census(b: pd.DataFrame, _t=tbl, _cols=tuple(cols)) -> pd.DataFrame:
+            frames = []
+            for c in _cols:
+                vc = b[c].dropna().astype(str).value_counts()
+                frames.append(pd.DataFrame(
+                    {"tbl": _t, "col": c,
+                     "value": pd.array(vc.index.to_numpy(dtype=object), "str"),
+                     "cnt": pd.array(vc.to_numpy(), "int64")}
+                ))
+            return pd.concat(frames, ignore_index=True)
+
+        t = ds.map_batches(arrow_out(_census), batch_format="pandas")
+        tall = t if tall is None else tall.union(t)
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            g.groupby(["tbl", "col", "value"], sort=False)["cnt"]
+            .sum().reset_index()
+        )
+        top = (
+            m.sort_values(["tbl", "col", "cnt", "value"],
+                          ascending=[True, True, False, True],
+                          kind="mergesort")
+            .groupby(["tbl", "col"], sort=False).head(top_n)
+        )
+        totals = (
+            m.groupby(["tbl", "col"], sort=False)["cnt"].sum().reset_index()
+        )
+        totals["value"] = TOTAL_SENTINEL
+        out = pd.concat([top, totals[top.columns]], ignore_index=True)
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    p = bucketed_group_map(tall, ["tbl", "col", "value"], bucket_top).to_pandas()
+    is_tot = p["value"] == TOTAL_SENTINEL
+    totals = (
+        p[is_tot].groupby(["tbl", "col"])["cnt"].sum().to_dict()
+    )
+    rows = []
+    for (tbl, col), sub in p[~is_tot].groupby(["tbl", "col"], sort=False):
+        total = int(totals[(tbl, col)])
+        sub = sub.sort_values(
+            ["cnt", "value"], ascending=[False, True], kind="mergesort"
+        ).head(top_n)
+        for i, r in enumerate(sub.itertuples(index=False), 1):
+            rows.append(
+                {"tbl": tbl, "col": col, "value": r.value,
+                 "cnt": int(r.cnt),
+                 "share_bp": int(r.cnt) * 10000 // total,
+                 "rank": i}
+            )
+    cols_out = ["tbl", "col", "value", "cnt", "share_bp", "rank"]
+    out = pd.DataFrame(rows, columns=cols_out).sort_values(
+        ["tbl", "col", "rank"], kind="mergesort"
+    ).reset_index(drop=True)
+    for c in ("cnt", "share_bp", "rank"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def skew_report_sql(specs: list[tuple[str, list[str]]], top_n: int = 5) -> str:
+    """Mirrored oracle: one ranked GROUP BY arm per (table, column)."""
+    arms = []
+    for tbl, cols in specs:
+        for c in cols:
+            arms.append(f"""
+SELECT tbl, col, value, cnt, share_bp,
+       CAST(row_number() OVER (ORDER BY cnt DESC, value) AS BIGINT) AS rank
+FROM (
+  SELECT '{tbl}' AS tbl, '{c}' AS col, CAST({c} AS VARCHAR) AS value,
+         COUNT(*) AS cnt,
+         CAST(COUNT(*) * 10000 //
+              (SELECT COUNT(*) FROM {tbl} WHERE {c} IS NOT NULL)
+              AS BIGINT) AS share_bp
+  FROM {tbl} WHERE {c} IS NOT NULL GROUP BY {c}
+  ORDER BY cnt DESC, value LIMIT {top_n}
+)""")
+    return " UNION ALL ".join(arms)
+
+
 def profile_sql(specs: list[tuple[str, dict[str, str]]]) -> str:
     """The mirrored DuckDB oracle: one UNION ALL arm per column."""
     arms = []

@@ -85,3 +85,49 @@ def test_query_census_shape(ray_session):
     assert list(out.columns) == ["cluster", "n", "avg_sim"]
     assert out["n"].sum() == 500
     assert (out["avg_sim"] > 0).all()
+
+
+def test_pca_parallelism_invariant(ray_session):
+    """Exact int64 sufficient statistics + Python big-int combine ⇒ the
+    eigh input matrix is bit-identical at any block count, so the full
+    output frame is too."""
+    from medical_knowledge_graph_ray.stages.clustering import pca_fit
+
+    p1 = pca_fit(_emb(1), n_components=4)
+    p9 = pca_fit(_emb(9), n_components=4)
+    pd.testing.assert_frame_equal(p1, p9)
+
+
+def test_pca_matches_dense(ray_session):
+    """Distributed PCA equals a dense single-machine PCA on the same
+    fixed-point-quantized data, bit for bit (same covariance ints →
+    same eigh → same sign convention)."""
+    import pyarrow.parquet as pq
+
+    from medical_knowledge_graph_ray.stages.clustering import FP_SCALE, pca_fit
+
+    got = pca_fit(_emb(5), n_components=4)
+    X = np.array(
+        pq.read_table(f"{SF}/embeddings.parquet")["embedding"].to_pylist(),
+        dtype="float64",
+    )
+    q = np.rint(X * FP_SCALE).astype("int64")
+    n = len(q)
+    C = q.T.astype(object) @ q.astype(object)
+    s = q.sum(axis=0).astype(object)
+    cov = (
+        C.astype(float) / n
+        - np.outer(s.astype(float), s.astype(float)) / float(n) ** 2
+    ) / float(FP_SCALE) ** 2
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    for comp, k in enumerate(order):
+        vec = v[:, k]
+        piv = int(np.argmax(np.abs(vec)))
+        if vec[piv] < 0:
+            vec = -vec
+        lo = got[got.component == comp].sort_values("dim")["loading"].to_numpy()
+        assert np.array_equal(lo, vec)
+    # explained-variance shares are sane and ordered
+    evr = got.groupby("component")["evr_bp"].first()
+    assert (evr.diff().dropna() <= 0).all() and (evr > 0).all()
