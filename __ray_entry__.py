@@ -468,6 +468,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental near-dup dedup: a new shard probed against the base
         # corpus via the oracled seeded-md5 LSH bands (no pair expansion)
         "docs_crossdedup": docs.docs_crossdedup,
+        # feature-hashing vectorizer (hashing trick): no vocab artifact,
+        # ZERO exchanges — docs own their sparse count vectors
+        "docs_feature_hashing": docs.docs_feature_hashing,
+        # recency-weighted engagement: micro-int addend contract, exp
+        # from glibc once per DISTINCT timestamp (never numpy's SIMD exp)
+        "events_decay": events.events_decay,
+        # Pearson chi-square independence (type x user-segment): exact
+        # integer contingency algebra, one bounded census exchange
+        "events_chisq": events.events_chisq,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -577,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs", "lineitem_spearman",
         "tables_profile", "docs_collocations",
         "orders_yoy", "tables_skew_report", "docs_crossdedup",
+        "docs_feature_hashing", "events_decay", "events_chisq",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -588,7 +598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs",
         "events_tumbling", "events_argmax", "docs_split",
         "docs_first_nonnull", "gazetteer_unseen", "docs_decontaminate",
-        "docs_repetition",
+        "docs_repetition", "docs_source_quota", "kg_cooccurrence",
+        "docs_ngram_topk",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -730,6 +741,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_yoy": relational.ORDERS_YOY_SQL,
         "tables_skew_report": relational.tables_skew_report_sql(),
         "docs_crossdedup": docs.CROSSDEDUP_SQL,
+        "docs_feature_hashing": docs.FEATURE_HASHING_SQL,
+        "events_decay": events.DECAY_SQL,
+        "events_chisq": events.CHISQ_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -2334,6 +2334,61 @@ GROUP BY 1, 2
 """
 
 
+FEATHASH_DIM = 64  # hashed feature-space width
+
+
+def docs_feature_hashing(sf_dir: str):
+    """Feature-hashing vectorizer (the "hashing trick", Weinberger et
+    al. ICML'09): each doc becomes a sparse ``FEATHASH_DIM``-dim count
+    vector, feature index = 32-bit md5 of the token mod dim — the
+    ML-featurization step that needs NO vocabulary artifact, so it
+    scales to open-vocabulary web text with zero exchanges: docs own
+    their rows, the per-batch explode→hash→count is the whole job.
+    Output is tall ``(doc_id, feat, cnt)``; the oracle reproduces the
+    index as ``('0x'||substr(md5(tok),1,8))::UBIGINT % dim``."""
+    import numpy as np
+
+    from ..functions.hashing import md5_int_vec
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def vectorize(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"doc_id": pd.array([], "int64"),
+                 "feat": pd.array([], "int64"),
+                 "cnt": pd.array([], "int64")}
+            )
+        toklists = b["text"].astype(str).str.split(" ")
+        counts = toklists.str.len().to_numpy("int64")
+        dids = np.repeat(b["doc_id"].to_numpy("int64"), counts)
+        toks = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toklists]
+        )
+        feat = (md5_int_vec(toks, bits=32) % FEATHASH_DIM).astype("int64")
+        out = (
+            pd.DataFrame({"doc_id": dids, "feat": feat})
+            .groupby(["doc_id", "feat"], sort=False)
+            .size().rename("cnt").reset_index()
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    return docs.map_batches(arrow_out(vectorize), batch_format="pandas")
+
+
+FEATURE_HASHING_SQL = f"""
+SELECT doc_id,
+       CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % {FEATHASH_DIM}
+            AS BIGINT) AS feat,
+       COUNT(*) AS cnt
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+GROUP BY 1, 2
+"""
+
+
 CROSSDEDUP_INCOMING = "src0"  # the "new shard" being deduped against the rest
 
 

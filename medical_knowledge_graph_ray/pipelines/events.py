@@ -5,6 +5,7 @@ Each returns a lazy Dataset; SQL oracles alongside (DuckDB-ready).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from ..functions.arrow import arrow_out, read_parquet_clean
@@ -1742,4 +1743,155 @@ FROM (
   FROM events
 )
 WHERE gap IS NULL OR gap > CAST({DEBOUNCE_GAP_US} AS BIGINT)
+"""
+
+
+# -- exponential time-decay scoring -------------------------------------------
+
+DECAY_REF_US = 1_706_700_000_000_000  # fixed "now" just past the corpus window
+DECAY_TAU_US = 604_800_000_000        # 7-day half-life scale (e-folding)
+
+
+def events_decay(sf_dir: str):
+    """Per-user exponential time-decay score Σ value·e^(−(T−t)/τ) — the
+    recency-weighted engagement metric (feature stores, ranking
+    freshness).  τ = 7 days, T fixed just past the corpus window so the
+    score is reproducible.
+
+    Float contract: each addend is pre-rounded to an INTEGER micro-unit
+    ``floor(value·e^(−Δ/τ)·10⁶ + 0.5)`` so the per-user sum is exact
+    int64 and summation order stops mattering.  ``exp`` is taken from
+    glibc via CPython's ``math.exp`` — computed once per DISTINCT
+    timestamp (np.unique + table, the ``events_entropy`` ln idiom), NOT
+    via numpy's vectorized exp (its SIMD polynomial can differ from
+    libm in the last ulp, which a floor contract cannot absorb).  The
+    argument ``(T−t)/τ`` is exact-int subtraction then one double
+    divide, mirrored term-for-term in the oracle.
+
+    Shape: per-batch (user, addend-sum, count) combiner → one tiny
+    groupby exchange."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        expo = (DECAY_REF_US - t).astype("float64") / float(DECAY_TAU_US)
+        uniq, inv = np.unique(expo, return_inverse=True)
+        table = np.fromiter(
+            (math.exp(-v) for v in uniq), dtype="float64", count=len(uniq)
+        )
+        addend = np.floor(
+            b["value"].to_numpy("float64") * table[inv] * 1000000.0 + 0.5
+        ).astype("int64")
+        out = (
+            pd.DataFrame({"user_id": b["user_id"].astype("int64"),
+                          "s": addend})
+            .groupby("user_id", sort=False)
+            .agg(decay_micro=("s", "sum"), n_events=("s", "size"))
+            .reset_index()
+        )
+        out["decay_micro"] = out["decay_micro"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (
+        ev.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("decay_micro", alias_name="decay_micro"),
+                   Sum("n_events", alias_name="n_events"))
+    )
+
+
+DECAY_SQL = f"""
+SELECT user_id,
+       CAST(SUM(CAST(floor(value
+                      * exp(-((CAST({DECAY_REF_US} AS BIGINT)
+                               - epoch_us(ts))
+                              / {DECAY_TAU_US}.0))
+                      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS decay_micro,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+# -- chi-square independence test ---------------------------------------------
+
+
+def events_chisq(sf_dir: str) -> pd.DataFrame:
+    """Pearson χ² test of independence between event type and a user
+    segment (here: user-id parity) — the A/B-test / drift-detection
+    statistic.  Per contingency cell: observed count and the EXACT
+    addend (o−e)²/e expressed over integers as (o·N − r·c)²/(r·c·N),
+    emitted as ``floor(·10⁶ + 0.5)`` of the mirrored double ratio (the
+    big products stay exact Python/HUGEINT integers until ONE final
+    cast each).  Σ chi2_micro over the rows is the statistic.
+
+    Shape: per-batch (type, seg) census combiner → one ≤|types|·2-row
+    groupby exchange; marginals and the formula are driver-side exact
+    math on the bounded census."""
+    from ray.data.aggregate import Sum
+
+    ev = _events(sf_dir, ["event_type", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pd.DataFrame({"event_type": b["event_type"].astype(str),
+                          "seg": (b["user_id"].to_numpy("int64") % 2)})
+            .groupby(["event_type", "seg"], sort=False)
+            .size().rename("o").reset_index()
+        )
+        out["o"] = out["o"].astype("int64")
+        out["seg"] = out["seg"].astype("int64")
+        return out
+
+    cells = (
+        ev.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby(["event_type", "seg"])
+        .aggregate(Sum("o", alias_name="o"))
+        .to_pandas()  # bounded: |types| × 2 rows
+    )
+    r = cells.groupby("event_type")["o"].sum().to_dict()
+    c = cells.groupby("seg")["o"].sum().to_dict()
+    n = int(cells["o"].sum())
+    rows = []
+    for t in cells.itertuples(index=False):
+        o, rt, ct = int(t.o), int(r[t.event_type]), int(c[t.seg])
+        num = (o * n - rt * ct) ** 2
+        den = rt * ct * n
+        rows.append(
+            {"event_type": t.event_type, "seg": t.seg, "o": o,
+             "chi2_micro": int(
+                 np.floor(float(num) / float(den) * 1000000.0 + 0.5)
+             )}
+        )
+    out = pd.DataFrame(
+        rows, columns=["event_type", "seg", "o", "chi2_micro"]
+    ).sort_values(["event_type", "seg"]).reset_index(drop=True)
+    for col in ("seg", "o", "chi2_micro"):
+        out[col] = out[col].astype("int64")
+    return out
+
+
+CHISQ_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(user_id % 2 AS BIGINT) AS seg,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), rt AS (
+  SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1
+), ct AS (
+  SELECT seg, SUM(o) AS c FROM cells GROUP BY 1
+), nn AS (
+  SELECT SUM(o) AS n FROM cells
+)
+SELECT cells.event_type, cells.seg, cells.o,
+       CAST(floor(CAST((cells.o * nn.n - rt.r * ct.c)
+                       * (cells.o * nn.n - rt.r * ct.c) AS DOUBLE)
+                  / CAST(rt.r * ct.c * nn.n AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
+FROM cells JOIN rt USING (event_type) JOIN ct USING (seg) CROSS JOIN nn
 """
