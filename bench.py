@@ -87,6 +87,14 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "docs_dupspans", "docs_winnow_pairs", "lineitem_regression",
         "events_entropy", "lineitem_mad", "docs_jaccard_prefix",
         "events_dense_rank", "docs_curation_report", "events_funnel3",
+        # round-4 third sitting: oracled MinHash-LSH + incremental
+        # cross-corpus dedup, column profiler (27 cols / 1 exchange),
+        # PMI collocations, Spearman, skew diagnostics, feature hashing,
+        # time-decay scoring, chi-square, YoY, distributed PCA
+        "docs_minhash_pairs", "docs_crossdedup", "tables_profile",
+        "docs_collocations", "lineitem_spearman", "tables_skew_report",
+        "docs_feature_hashing", "events_decay", "events_chisq",
+        "orders_yoy", "embed_pca",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

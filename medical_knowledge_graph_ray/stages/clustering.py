@@ -248,7 +248,7 @@ def pca_fit(ds, n_components: int = 4, *, embedding_col: str = "embedding"):
         return pd.DataFrame([row])
 
     parts = ds.map_batches(
-        arrow_out(partial), batch_format="pandas"
+        arrow_out(partial), batch_format="pandas", batch_size=4096
     ).to_pandas()  # bounded: one row per batch
     parts = parts.dropna().astype("object")
     n = int(sum(int(v) for v in parts["n"]))

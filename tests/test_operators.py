@@ -1245,3 +1245,28 @@ def test_profile_handles_nulls_and_types(ray_session, tmp_path):
     assert row.loc["b", "n_null"] == 1 and row.loc["b", "n_distinct"] == 3
     assert row.loc["b", "min_str"] == "aa" and row.loc["b", "max_str"] == "zz"
     assert row.loc["t", "n_distinct"] == 3
+
+
+def test_bucket_keys_must_not_contain_nul_strings():
+    """Regression pin for the pandas hashing hazard behind the profile
+    sentinel fix: hash_pandas_object NUL-truncates object strings when
+    hashing factorized categories, so a \\x00 string in a key column
+    collides with "" AND makes other values' hashes depend on the
+    batch's category composition.  If this ever starts passing (pandas
+    fixed it), the \\x01 sentinel convention can be revisited."""
+    import pandas as pd
+
+    a = pd.util.hash_pandas_object(
+        pd.Series(["", "\x00STATS"], dtype=object), index=False
+    )
+    # the NUL string collides with "" — the root of the inconsistency
+    assert a.iloc[0] == a.iloc[1]
+    # \x01 sentinels are collision-free and composition-independent
+    b1 = pd.util.hash_pandas_object(
+        pd.Series(["", "\x01STATS"], dtype=object), index=False
+    )
+    b2 = pd.util.hash_pandas_object(
+        pd.Series(["\x01STATS", "zz", ""], dtype=object), index=False
+    )
+    assert b1.iloc[0] != b1.iloc[1]
+    assert b1.iloc[0] == b2.iloc[2] and b1.iloc[1] == b2.iloc[0]
