@@ -477,6 +477,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Pearson chi-square independence (type x user-segment): exact
         # integer contingency algebra, one bounded census exchange
         "events_chisq": events.events_chisq,
+        # transitive near-dup clusters over the ORACLED minhash pair
+        # graph (min-label BSP components; recursive-CTE oracle)
+        "docs_minhash_clusters": docs.docs_minhash_clusters,
+        # RFM quintile scoring: GLOBAL NTILE(5) per dimension via ordered
+        # range buckets + prefix offsets (no sort operator), one melted
+        # exchange for all three dims
+        "customers_rfm": relational.customers_rfm,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -587,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tables_profile", "docs_collocations",
         "orders_yoy", "tables_skew_report", "docs_crossdedup",
         "docs_feature_hashing", "events_decay", "events_chisq",
+        "docs_minhash_clusters", "customers_rfm",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -599,7 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling", "events_argmax", "docs_split",
         "docs_first_nonnull", "gazetteer_unseen", "docs_decontaminate",
         "docs_repetition", "docs_source_quota", "kg_cooccurrence",
-        "docs_ngram_topk",
+        "docs_ngram_topk", "docs_stratified_sample", "docs_bpe_tokens",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -744,6 +752,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_feature_hashing": docs.FEATURE_HASHING_SQL,
         "events_decay": events.DECAY_SQL,
         "events_chisq": events.CHISQ_SQL,
+        "docs_minhash_clusters": docs.minhash_clusters_sql(),
+        "customers_rfm": relational.CUSTOMERS_RFM_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

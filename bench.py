@@ -94,7 +94,8 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "docs_minhash_pairs", "docs_crossdedup", "tables_profile",
         "docs_collocations", "lineitem_spearman", "tables_skew_report",
         "docs_feature_hashing", "events_decay", "events_chisq",
-        "orders_yoy", "embed_pca",
+        "orders_yoy", "embed_pca", "docs_minhash_clusters",
+        "customers_rfm",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

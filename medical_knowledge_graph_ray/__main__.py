@@ -154,6 +154,17 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--out", required=True)
     co.add_argument("--target-mb", type=int, default=128)
 
+    pf = sub.add_parser(
+        "profile",
+        help="ANALYZE the testdata tables: per-column rows/nulls/exact "
+        "distinct/typed min-max + heavy-key skew report (top values, "
+        "bp shares) over the join key columns; prints JSON or writes "
+        "parquet with --out",
+    )
+    pf.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pf.add_argument("--out", default=None,
+                    help="directory for profile.parquet + skew.parquet")
+
     au = sub.add_parser(
         "audit",
         help="audit a run_kg output root: every manifest vs the actual "
@@ -326,6 +337,30 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(
                 {"mode": args.mode, "terms": args.terms, "hits": len(out),
                  "rows": out.to_dict(orient="records")}
+            ))
+        elif args.cmd == "profile":
+            from .pipelines.relational import tables_profile, tables_skew_report
+
+            prof = tables_profile(args.sf_dir)
+            skew = tables_skew_report(args.sf_dir)
+            if args.out:
+                import os
+
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                os.makedirs(args.out, exist_ok=True)
+                pq.write_table(pa.Table.from_pandas(prof),
+                               os.path.join(args.out, "profile.parquet"))
+                pq.write_table(pa.Table.from_pandas(skew),
+                               os.path.join(args.out, "skew.parquet"))
+            print(json.dumps(
+                {"columns_profiled": len(prof),
+                 "hottest": skew.sort_values(
+                     "share_bp", ascending=False
+                 ).head(3)[["tbl", "col", "value", "share_bp"]]
+                  .to_dict("records"),
+                 "out": args.out}
             ))
         elif args.cmd == "compact":
             from .stages.compact import compact_parquet

@@ -2389,6 +2389,30 @@ GROUP BY 1, 2
 """
 
 
+def docs_minhash_clusters(sf_dir: str):
+    """Near-dup CLUSTERS over the ORACLED MinHash-LSH candidate graph —
+    completes the fully-SQL-verified dedup chain (signatures → band
+    pairs → transitive clusters → min-id representative): the
+    keep-one-per-cluster decision a production dedup applies.  Pairs
+    come from ``docs_minhash_pairs`` (bit-identical to the oracle), the
+    clustering is the distributed min-label connected components of
+    ``stages/components.py`` (local union-find contraction, O(log d)
+    BSP rounds); the oracle mirrors with a recursive CTE.  Isolated
+    docs are omitted (trivially their own cluster)."""
+    from ..stages.components import connected_components
+
+    comp = connected_components(docs_minhash_pairs(sf_dir), "doc_a", "doc_b")
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={"node": "doc_id"})
+
+    return comp.map_batches(arrow_out(rename), batch_format="pandas")
+
+
+def minhash_clusters_sql() -> str:
+    return DEDUP_COMPONENTS_SQL_TEMPLATE.format(pairs_sql=MINHASH_PAIRS_SQL)
+
+
 CROSSDEDUP_INCOMING = "src0"  # the "new shard" being deduped against the rest
 
 

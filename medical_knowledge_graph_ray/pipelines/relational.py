@@ -1654,6 +1654,160 @@ FROM m a JOIN m b ON b.month = a.month - INTERVAL 12 MONTH
 """
 
 
+RFM_REF_US = 999_302_400_000_000  # 2001-09-01, fixed just past the window
+
+
+def customers_rfm(sf_dir: str):
+    """RFM segmentation — per customer the classic (Recency, Frequency,
+    Monetary) triple plus GLOBAL quintile scores
+    ``NTILE(5) OVER (ORDER BY dim, custkey)`` for each dimension: the
+    marketing / training-data-curation scoring grid.
+
+    Global (un-partitioned) NTILE is the hard part at scale — it needs
+    a total order over ALL customers per dimension.  No sort operator:
+    each dimension's value maps through a MONOTONE shift to an ordered
+    range bucket (bucket order IS value order — the
+    ``docs_global_shuffle`` idiom; shifts sized from the domain, or
+    from ``tables_profile`` stats in production), pass 1 exchanges only
+    per-(dim, range-bucket) counts (driver prefix-sums offsets), pass 2
+    sorts within buckets and assigns ``tile`` from the global index via
+    the SQL NTILE size contract (first n mod t tiles get ceil(n/t)).
+    All three dimensions ride ONE melted exchange; a final custkey
+    exchange pivots the scores back to one row per customer.
+
+    Exactness: r_days = exact int µs floor-division; monetary is int64
+    cents; ties break on custkey, so the output is total-ordered and
+    parallelism-invariant."""
+    import ray
+
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.shuffle import bucketed_group_map
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate",
+                                              "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["o_orderdate"].to_numpy().astype("datetime64[us]").view("int64")
+        cents = np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        return (
+            pd.DataFrame({"custkey": b["o_custkey"].astype("int64"),
+                          "us": us, "cents": cents})
+            .groupby("custkey", sort=False)
+            .agg(us=("us", "max"), f=("us", "size"), m=("cents", "sum"))
+            .reset_index()
+        )
+
+    census = (
+        orders.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby("custkey")
+        .aggregate(Max("us", alias_name="us"),
+                   Sum("f", alias_name="f"),
+                   Sum("m", alias_name="m"))
+    )
+
+    DAY_US = 86_400_000_000
+    SHIFTS = {0: 6, 1: 0, 2: 20}  # r_days>>6, f as-is, m_cents>>20
+
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        ck = b["custkey"].to_numpy("int64")
+        r = (RFM_REF_US - b["us"].to_numpy("int64")) // DAY_US
+        f = b["f"].to_numpy("int64")
+        m = b["m"].to_numpy("int64")
+        vals = np.concatenate([r, f, m])
+        dims = np.repeat(np.arange(3, dtype="int64"), len(ck))
+        shifts = np.repeat([SHIFTS[0], SHIFTS[1], SHIFTS[2]], len(ck))
+        return pd.DataFrame(
+            {"custkey": np.tile(ck, 3), "dim": dims, "val": vals,
+             "vbucket": (vals >> shifts).astype("int64")}
+        )
+
+    melted = census.map_batches(
+        arrow_out(melt), batch_format="pandas"
+    ).materialize()  # two passes (counts, then ranks); customers-sized
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.groupby(["dim", "vbucket"], sort=False).size()
+        return pd.DataFrame(
+            {"dim": pd.array(c.index.get_level_values(0), "int64"),
+             "vbucket": pd.array(c.index.get_level_values(1), "int64"),
+             "n": pd.array(c.to_numpy(), "int64")}
+        )
+
+    counts = (
+        melted.map_batches(arrow_out(count_partial), batch_format="pandas")
+        .to_pandas()  # ≤ blocks × dims × range-buckets tiny rows
+        .groupby(["dim", "vbucket"])["n"].sum()
+    )
+    n_total = int(counts.loc[0].sum())  # customers (same for every dim)
+    offsets = {}
+    for dim in (0, 1, 2):
+        per = counts.loc[dim].sort_index()
+        off = per.cumsum().shift(fill_value=0)
+        offsets.update({(dim, int(vb)): int(o) for vb, o in off.items()})
+    off_ref = ray.put(offsets)
+
+    TILES = 5
+    q, rmod = divmod(n_total, TILES)
+    big = rmod * (q + 1)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        outs = []
+        for (dim, vb), sub in g.groupby(["dim", "vbucket"], sort=False):
+            s = sub.sort_values(["val", "custkey"], kind="mergesort")
+            idx = off[(int(dim), int(vb))] + np.arange(len(s), dtype="int64")
+            tile = np.where(
+                idx < big,
+                idx // max(q + 1, 1),
+                rmod + (idx - big) // max(q, 1),
+            ) + 1
+            outs.append(pd.DataFrame(
+                {"custkey": s["custkey"].astype("int64"),
+                 "dim": np.int64(dim),
+                 "val": s["val"].astype("int64"),
+                 "tile": tile.astype("int64")}
+            ))
+        return pd.concat(outs, ignore_index=True)
+
+    ranked = bucketed_group_map(melted, ["dim", "vbucket"], rank_bucket)
+
+    def pivot_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = g.pivot_table(index="custkey", columns="dim", values="val",
+                          aggfunc="first")
+        t = g.pivot_table(index="custkey", columns="dim", values="tile",
+                          aggfunc="first")
+        return pd.DataFrame(
+            {"custkey": pd.array(v.index.to_numpy(), "int64"),
+             "r_days": pd.array(v[0].to_numpy(), "int64"),
+             "f_cnt": pd.array(v[1].to_numpy(), "int64"),
+             "m_cents": pd.array(v[2].to_numpy(), "int64"),
+             "r_score": pd.array(t[0].to_numpy(), "int64"),
+             "f_score": pd.array(t[1].to_numpy(), "int64"),
+             "m_score": pd.array(t[2].to_numpy(), "int64")}
+        )
+
+    return bucketed_group_map(ranked, ["custkey"], pivot_bucket)
+
+
+CUSTOMERS_RFM_SQL = f"""
+WITH cust AS (
+  SELECT o_custkey AS custkey,
+         CAST(({RFM_REF_US} - epoch_us(MAX(o_orderdate))) // 86400000000
+              AS BIGINT) AS r_days,
+         COUNT(*) AS f_cnt,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS m_cents
+  FROM orders GROUP BY 1
+)
+SELECT custkey, r_days, f_cnt, m_cents,
+       CAST(NTILE(5) OVER (ORDER BY r_days, custkey) AS BIGINT) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY f_cnt, custkey) AS BIGINT) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY m_cents, custkey) AS BIGINT) AS m_score
+FROM cust
+"""
+
+
 # -- customers above 2x the average spend (global scalar -> filter) ------------
 
 ABOVE_AVG_FACTOR = 2
