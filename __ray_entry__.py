@@ -484,6 +484,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # range buckets + prefix offsets (no sort operator), one melted
         # exchange for all three dims
         "customers_rfm": relational.customers_rfm,
+        # Adamic–Adar link prediction: degree-discounted common-neighbor
+        # scores (floor-micro 1/ln(deg) addends, once per distinct degree)
+        "kg_adamic_adar": docs_kg.kg_adamic_adar,
+        # local clustering coefficient: 2·tri // (d·(d−1)) in exact ints
+        "kg_clustering_coeff": docs_kg.kg_clustering_coeff,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -754,6 +759,8 @@ def oracle_sql() -> dict[str, str]:
         "events_chisq": events.CHISQ_SQL,
         "docs_minhash_clusters": docs.minhash_clusters_sql(),
         "customers_rfm": relational.CUSTOMERS_RFM_SQL,
+        "kg_adamic_adar": docs_kg.adamic_adar_sql(),
+        "kg_clustering_coeff": docs_kg.clustering_coeff_sql(),
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

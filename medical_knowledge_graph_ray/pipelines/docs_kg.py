@@ -882,3 +882,192 @@ def ppmi_sql() -> str:
         "JOIN tdocs db ON db.term = term_b, n\n"
         "WHERE n_docs * n_total > da.d * db.d"
     )
+
+
+# -- Adamic–Adar link prediction over the co-occurrence graph ------------------
+
+def kg_adamic_adar(sf_dir: str):
+    """Adamic–Adar link-prediction scores for every node pair sharing ≥1
+    co-occurrence neighbor — the degree-discounted sibling of
+    ``kg_jaccard_neighbors``: a shared RARE neighbor (low degree) is
+    stronger evidence of a latent relation than a shared hub, so each
+    common neighbor z contributes 1/ln(deg(z)) instead of 1.
+
+    Integer contract: the per-neighbor addend is
+    ``floor(1e6/ln(deg) + 0.5)`` — computed ONCE per distinct degree
+    (CPython ``math.log`` ≡ DuckDB ``std::log``, same glibc), so the
+    per-pair sum is an order-immune int64 and parallelism-invariant.
+    deg(z) ≥ 2 for any common neighbor, so ln is always positive.
+
+    Distributed shape (shared with ``kg_jaccard_neighbors``): adjacency
+    flat-map → ONE bucketed exchange on the shared neighbor, wedge
+    enumeration with a batch-local (pair → count, Σaddend) combiner →
+    bucketed final sum per pair.  The degree census is a node-cardinality
+    artifact (broadcast dict; for unbounded node sets it becomes a rank
+    hash-join, same as ``triangle_counts``)."""
+    import math
+    from itertools import combinations
+
+    import ray
+
+    from ..stages.shuffle import bucketed_group_map
+
+    edges = doc_cooccurrence(sf_dir)
+
+    def adj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"u": pd.array(pd.concat([b["term_a"], b["term_b"]]), "str"),
+             "v": pd.array(pd.concat([b["term_b"], b["term_a"]]), "str")}
+        )
+
+    adjacency = edges.map_batches(
+        arrow_out(adj), batch_format="pandas"
+    ).materialize()
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b["u"].value_counts().rename_axis("u").reset_index(name="d")
+        return pd.DataFrame(
+            {"u": pd.array(out["u"], "str"), "d": out["d"].astype("int64")}
+        )
+
+    deg = bucketed_group_map(
+        adjacency.map_batches(arrow_out(deg_partial), batch_format="pandas"),
+        ["u"],
+        lambda g: g.groupby("u", sort=False)["d"].sum().reset_index(),
+        num_buckets=4,
+    ).to_pandas()  # node-cardinality artifact
+    deg_ref = ray.put(dict(zip(deg["u"], deg["d"].astype(int))))
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(deg_ref)
+        addend_cache: dict[int, int] = {}
+
+        def addend(dv: int) -> int:
+            a = addend_cache.get(dv)
+            if a is None:
+                a = addend_cache[dv] = math.floor(1e6 / math.log(dv) + 0.5)
+            return a
+
+        acc: dict[tuple[str, str], list[int]] = {}
+        for v, sub in g.groupby("v", sort=False):
+            a_v = addend(int(d[v]))
+            for x, y in combinations(sorted(sub["u"]), 2):
+                slot = acc.setdefault((x, y), [0, 0])
+                slot[0] += 1
+                slot[1] += a_v
+        keys = sorted(acc)
+        return pd.DataFrame(
+            {"term_a": pd.array([k[0] for k in keys], "str"),
+             "term_b": pd.array([k[1] for k in keys], "str"),
+             "n_common": pd.array([acc[k][0] for k in keys], "int64"),
+             "aa_micro": pd.array([acc[k][1] for k in keys], "int64")}
+        )
+
+    pairs = bucketed_group_map(adjacency, ["v"], pair_partial, num_buckets=16)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["term_a", "term_b"], sort=False, as_index=False).agg(
+            n_common=("n_common", "sum"), aa_micro=("aa_micro", "sum")
+        )
+
+    return bucketed_group_map(
+        pairs, ["term_a", "term_b"], lambda g: arrow_out(final)(g),
+        num_buckets=8,
+    )
+
+
+def adamic_adar_sql() -> str:
+    return (
+        f"WITH e AS (SELECT term_a, term_b FROM ({cooccur_sql()})),\n"
+        "adj AS (SELECT term_a AS u, term_b AS v FROM e\n"
+        "        UNION ALL SELECT term_b, term_a FROM e),\n"
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u)\n"
+        "SELECT a1.u AS term_a, a2.u AS term_b,\n"
+        "       CAST(COUNT(*) AS BIGINT) AS n_common,\n"
+        "       CAST(SUM(CAST(FLOOR(1000000.0 / LN(d.d) + 0.5) AS BIGINT))\n"
+        "            AS BIGINT) AS aa_micro\n"
+        "FROM adj a1 JOIN adj a2 ON a1.v = a2.v AND a1.u < a2.u\n"
+        "JOIN deg d ON d.u = a1.v\n"
+        "GROUP BY 1, 2"
+    )
+
+
+# -- local clustering coefficient -----------------------------------------------
+
+def kg_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient per node — how close a node's
+    neighborhood is to a clique: ``cc = 2·triangles / (deg·(deg−1))``
+    for every node with deg ≥ 2.  The community-density signal next to
+    the raw triangle census (``kg_triangles``).
+
+    Integer contract: ``cc_micro = (2·tri·10⁶) // (deg·(deg−1))`` —
+    floor division of two exact int64s on both engines, no float.
+
+    Distributed shape: the degree census is one bucketed exchange over
+    the mined adjacency; the triangle census reuses the adaptive dense
+    finalizer (the mined co-occurrence graph is gazetteer-bounded, the
+    posture shared with ``kg_triangles``; the unbounded-node path is
+    ``stages/graph.py:triangle_counts``, pinned ≡ dense by pytest)."""
+    from ..stages.graph import triangle_counts_dense
+    from ..stages.shuffle import bucketed_group_map
+
+    edges = doc_cooccurrence(sf_dir).map_batches(
+        arrow_out(
+            lambda b: b[["term_a", "term_b"]].rename(
+                columns={"term_a": "src", "term_b": "dst"}
+            )
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([b["src"].rename("u"), b["dst"].rename("u")])
+        out = both.value_counts().rename_axis("u").reset_index(name="d")
+        return pd.DataFrame(
+            {"u": pd.array(out["u"], "str"), "d": out["d"].astype("int64")}
+        )
+
+    deg = bucketed_group_map(
+        edges.map_batches(arrow_out(deg_partial), batch_format="pandas"),
+        ["u"],
+        lambda g: g.groupby("u", sort=False)["d"].sum().reset_index(),
+        num_buckets=4,
+    ).to_pandas()  # node-cardinality artifact
+
+    tri = triangle_counts_dense(edges.to_pandas(), "src", "dst")
+    tmap = dict(zip(tri["node"], tri["triangles"].astype(int)))
+
+    out = deg[deg["d"] >= 2].sort_values("u").reset_index(drop=True)
+    t = out["u"].map(lambda u: tmap.get(u, 0)).astype("int64")
+    d = out["d"].astype("int64")
+    return pd.DataFrame(
+        {"term": pd.array(out["u"], "str"),
+         "degree": pd.array(d, "int64"),
+         "triangles": pd.array(t, "int64"),
+         "cc_micro": pd.array(
+             (2 * t * 1_000_000) // (d * (d - 1)), "int64"
+         )}
+    )
+
+
+def clustering_coeff_sql() -> str:
+    return (
+        f"WITH e AS (SELECT term_a, term_b FROM ({cooccur_sql()})),\n"
+        "adj AS (SELECT term_a AS u, term_b AS v FROM e\n"
+        "        UNION ALL SELECT term_b, term_a FROM e),\n"
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),\n"
+        "tri AS (\n"
+        "  SELECT corner AS u, CAST(COUNT(*) AS BIGINT) AS t FROM (\n"
+        "    SELECT unnest([e1.term_a, e1.term_b, e2.term_b]) AS corner\n"
+        "    FROM e e1\n"
+        "    JOIN e e2 ON e2.term_a = e1.term_b\n"
+        "    JOIN e e3 ON e3.term_a = e1.term_a AND e3.term_b = e2.term_b\n"
+        "  ) GROUP BY 1\n"
+        ")\n"
+        "SELECT deg.u AS term, deg.d AS degree,\n"
+        "       COALESCE(tri.t, 0) AS triangles,\n"
+        "       (2 * COALESCE(tri.t, 0) * 1000000) // (deg.d * (deg.d - 1))\n"
+        "         AS cc_micro\n"
+        "FROM deg LEFT JOIN tri ON tri.u = deg.u\n"
+        "WHERE deg.d >= 2"
+    )
