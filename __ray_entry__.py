@@ -489,6 +489,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_adamic_adar": docs_kg.kg_adamic_adar,
         # local clustering coefficient: 2·tri // (d·(d−1)) in exact ints
         "kg_clustering_coeff": docs_kg.kg_clustering_coeff,
+        # SCD type-2 dimension build: state-change collapse + validity
+        # intervals + per-user version numbers (one user_id exchange)
+        "events_scd2": events.events_scd2,
+        # per-group EXACT quantiles where groups are data-sized (one per
+        # user): in-bucket order statistics, selection-only float contract
+        "events_user_quantiles": events.events_user_quantiles,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -761,6 +767,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_rfm": relational.CUSTOMERS_RFM_SQL,
         "kg_adamic_adar": docs_kg.adamic_adar_sql(),
         "kg_clustering_coeff": docs_kg.clustering_coeff_sql(),
+        "events_scd2": events.SCD2_SQL,
+        "events_user_quantiles": events.USER_QUANTILES_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

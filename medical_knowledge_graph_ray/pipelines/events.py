@@ -1895,3 +1895,123 @@ SELECT cells.event_type, cells.seg, cells.o,
                   * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
 FROM cells JOIN rt USING (event_type) JOIN ct USING (seg) CROSS JOIN nn
 """
+
+
+# -- SCD type-2 dimension build (state-change validity intervals) --------------
+
+def events_scd2(sf_dir: str):
+    """Slowly-Changing-Dimension type-2 build from an ordered change log:
+    collapse each user's event stream to its STATE CHANGES (an event
+    opens a new version only when its type differs from the previous
+    event's), then attach validity intervals — ``valid_from`` = the
+    change's timestamp, ``valid_to`` = the next change's (NULL for the
+    current version) — and a per-user version number.  This is the
+    standard warehouse dimension-history operator (Kimball SCD2) the
+    reference's ClickHouse sink-side would model with
+    ReplacingMergeTree versions.
+
+    Shape: ONE bucketed exchange on user_id; in-bucket mergesort +
+    three grouped shifts (lag state, lead ts, cumcount), fully
+    vectorized — the gaps-and-islands composition of ``events_debounce``
+    (change detection) and interval attachment."""
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = s.groupby("user_id", sort=False)["event_type"].shift()
+        change = prev.isna() | (prev != s["event_type"])
+        c = s.loc[change, ["user_id", "event_type", "ts"]].rename(
+            columns={"event_type": "state"}
+        )
+        grp = c.groupby("user_id", sort=False)
+        return pd.DataFrame(
+            {"user_id": c["user_id"].astype("int64"),
+             "state": pd.array(c["state"], "str"),
+             "valid_from": c["ts"],
+             "valid_to": grp["ts"].shift(-1),
+             "version": (grp.cumcount() + 1).astype("int64")}
+        )
+
+    return bucketed_group_map(ev, ["user_id"], bucket)
+
+
+SCD2_SQL = """
+WITH ch AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type AS state, ts, event_id FROM ch
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, state, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS version
+FROM changes
+"""
+
+
+# -- per-group exact quantiles over high-cardinality groups --------------------
+
+def events_user_quantiles(sf_dir: str):
+    """Exact per-USER p50/p90 of purchase value — the per-group quantile
+    operator where the GROUP COUNT is data-sized (one group per user),
+    so the global histogram-narrowing core (`stages/quantiles.py`) does
+    not apply; instead each group's order statistics are computed
+    in-bucket.  quantile_disc semantics: the element at rank
+    ``ceil(q·n)`` (1-indexed) of the sorted values — pure SELECTION, no
+    interpolation arithmetic, so float parity is exact.
+
+    Shape: ONE bucketed exchange on user_id; per bucket, one vectorized
+    sort + group-offset arithmetic (prefix sizes → rank positions →
+    one fancy-index take) — no per-group Python loop."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    import pyarrow.compute as pc
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "value"],
+        filter=pc.field("event_type") == "purchase",
+    )
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "value"], kind="mergesort")
+        vals = s["value"].to_numpy()
+        users, sizes = np.unique(s["user_id"].to_numpy(), return_counts=True)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        p50 = vals[starts + (sizes + 1) // 2 - 1]
+        p90 = vals[starts + (9 * sizes + 9) // 10 - 1]
+        return pd.DataFrame(
+            {"user_id": pd.array(users, "int64"),
+             "n": pd.array(sizes, "int64"),
+             "p50": p50.astype("float64"),
+             "p90": p90.astype("float64")}
+        )
+
+    return bucketed_group_map(ev, ["user_id"], bucket)
+
+
+USER_QUANTILES_SQL = """
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, CAST(MAX(n) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90
+FROM r GROUP BY user_id
+"""
