@@ -495,6 +495,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-group EXACT quantiles where groups are data-sized (one per
         # user): in-bucket order statistics, selection-only float contract
         "events_user_quantiles": events.events_user_quantiles,
+        # ABC/Pareto classification: global running revenue share via
+        # ordered range buckets + driver prefix sums (no sort operator)
+        "orders_abc": relational.orders_abc,
+        # item-item co-purchase cosine (Amazon-style CF): per-order pair
+        # enumeration via the shifted-slice trick, catalog-sized census
+        "parts_copurchase_sim": relational.parts_copurchase_sim,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -769,6 +775,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_clustering_coeff": docs_kg.clustering_coeff_sql(),
         "events_scd2": events.SCD2_SQL,
         "events_user_quantiles": events.USER_QUANTILES_SQL,
+        "orders_abc": relational.ORDERS_ABC_SQL,
+        "parts_copurchase_sim": relational.COPURCHASE_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -3881,3 +3881,239 @@ WHERE NOT EXISTS (
     AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
 )
 """
+
+
+# -- ABC / Pareto classification (global cumulative revenue share) -------------
+
+def orders_abc(sf_dir: str):
+    """ABC (Pareto) customer classification: rank customers by total
+    revenue DESC and class by GLOBAL cumulative share — A while the
+    running total is ≤80 % of all revenue, B ≤95 %, else C.  The
+    inventory/CRM segmentation operator; its hard part at scale is the
+    global running SUM over a total order, which needs no sort operator:
+    the ``docs_global_shuffle`` idiom on the MONOTONE shift
+    ``(-cents) >> 20`` (arithmetic shift of negatives floor-divides, so
+    bucket order IS descending-revenue order), pass 1 exchanges only
+    per-range-bucket (count, Σcents) pairs — the driver prefix-sums both
+    — pass 2 sorts within buckets and attaches offset + in-bucket cumsum.
+
+    Exactness: int64 cents end to end; the class thresholds are the
+    integer compares ``100·cum ≤ 80·total`` / ``≤ 95·total``; ties break
+    on custkey, so the order (and every cum value) is total and
+    parallelism-invariant."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_group_map
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        return (
+            pd.DataFrame({"custkey": b["o_custkey"].astype("int64"),
+                          "cents": cents})
+            .groupby("custkey", sort=False, as_index=False)["cents"].sum()
+        )
+
+    census = (
+        orders.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby("custkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    def vbucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"custkey": b["custkey"].astype("int64"),
+             "cents": b["cents"].astype("int64"),
+             "vbucket": (-b["cents"].to_numpy("int64")) >> 20}
+        )
+
+    keyed = census.map_batches(
+        arrow_out(vbucket), batch_format="pandas"
+    ).materialize()  # two passes (bucket census, then ranks)
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.groupby("vbucket", sort=False)["cents"].agg(["size", "sum"])
+        return pd.DataFrame(
+            {"vbucket": pd.array(c.index, "int64"),
+             "n": pd.array(c["size"], "int64"),
+             "s": pd.array(c["sum"], "int64")}
+        )
+
+    counts = (
+        keyed.map_batches(arrow_out(count_partial), batch_format="pandas")
+        .to_pandas()  # ≤ blocks × range-buckets tiny rows
+        .groupby("vbucket")[["n", "s"]].sum().sort_index()
+    )
+    total = int(counts["s"].sum())
+    rank_off = counts["n"].cumsum().shift(fill_value=0)
+    cum_off = counts["s"].cumsum().shift(fill_value=0)
+    off_ref = ray.put(
+        {int(vb): (int(r), int(c))
+         for vb, r, c in zip(counts.index, rank_off, cum_off)}
+    )
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        outs = []
+        for vb, sub in g.groupby("vbucket", sort=False):
+            s = sub.sort_values(["cents", "custkey"], kind="mergesort",
+                                ascending=[False, True])
+            r0, c0 = off[int(vb)]
+            cents = s["cents"].to_numpy("int64")
+            cum = c0 + np.cumsum(cents)
+            cls = np.where(100 * cum <= 80 * total, "A",
+                           np.where(100 * cum <= 95 * total, "B", "C"))
+            outs.append(pd.DataFrame(
+                {"custkey": s["custkey"].astype("int64"),
+                 "cents": cents,
+                 "cum_cents": cum.astype("int64"),
+                 "rnk": r0 + 1 + np.arange(len(s), dtype="int64"),
+                 "abc_class": pd.array(cls, "str")}
+            ))
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_map(keyed, ["vbucket"], rank_bucket)
+
+
+ORDERS_ABC_SQL = """
+WITH rev AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT custkey, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cents) OVER () AS total,
+         CAST(row_number() OVER (ORDER BY cents DESC, custkey) AS BIGINT)
+           AS rnk
+  FROM rev
+)
+SELECT custkey, cents, CAST(cum AS BIGINT) AS cum_cents, rnk,
+       CASE WHEN 100 * cum <= 80 * total THEN 'A'
+            WHEN 100 * cum <= 95 * total THEN 'B' ELSE 'C' END AS abc_class
+FROM w
+"""
+
+
+# -- item-item co-purchase similarity (collaborative filtering) ----------------
+
+COPURCHASE_MIN_PAIR = 2
+
+
+def parts_copurchase_sim(sf_dir: str):
+    """Item-item collaborative-filtering scores: for every pair of parts
+    bought together in ≥``COPURCHASE_MIN_PAIR`` orders, the cosine of
+    their order-incidence vectors ``c_ab / √(n_a·n_b)`` — the classic
+    "customers also bought" similarity (Linden et al., Amazon item-item
+    CF), computed without materializing any incidence matrix.
+
+    Distributed shape: ONE bucketed exchange on orderkey; per order the
+    DISTINCT sorted parts emit their pairs via the shifted-slice trick
+    (for each lag k ≤ basket size: compare arr[:-k] to arr[k:] under a
+    same-order mask — fully vectorized, no per-order Python loop; basket
+    sizes are small so k is bounded), with a batch-local pair combiner →
+    second exchange sums per pair.  Part order-frequencies are a
+    dimension-sized broadcast artifact (rank hash-join for unbounded
+    catalogs).
+
+    Float contract: ``floor(1e6·c / sqrt(na·nb) + 0.5)`` — IEEE sqrt is
+    correctly rounded on both engines, the expression is mirrored
+    term-for-term."""
+    import math
+
+    import ray
+
+    from ..stages.shuffle import bucketed_group_map
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def distinct_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"o": b["l_orderkey"].astype("int64"),
+                          "p": b["l_partkey"].astype("int64")})
+            .drop_duplicates()
+        )
+
+    op = li.map_batches(
+        arrow_out(distinct_partial), batch_format="pandas"
+    ).materialize()  # consumed twice: part census + pair enumeration
+
+    def part_count_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["o", "p"])
+        c = d["p"].value_counts()
+        return pd.DataFrame({"p": pd.array(c.index, "int64"),
+                             "n": pd.array(c.to_numpy(), "int64")})
+
+    # orderkey bucket: batch-level drop_duplicates above is only a
+    # combiner — the same (o, p) can survive in two blocks, so dedup
+    # must finish inside the order-complete bucket before counting.
+    nparts = bucketed_group_map(
+        op, ["o"], part_count_partial
+    ).to_pandas().groupby("p")["n"].sum()  # catalog-sized artifact
+    n_ref = ray.put(dict(zip(nparts.index, nparts.astype(int))))
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["o", "p"]).sort_values(
+            ["o", "p"], kind="mergesort"
+        )
+        o = d["o"].to_numpy("int64")
+        p = d["p"].to_numpy("int64")
+        sizes = np.unique(o, return_counts=True)[1]
+        outs = []
+        for k in range(1, int(sizes.max()) if len(sizes) else 1):
+            same = o[:-k] == o[k:]
+            if same.any():
+                outs.append(pd.DataFrame(
+                    {"part_a": p[:-k][same], "part_b": p[k:][same]}
+                ))
+        if not outs:
+            return pd.DataFrame({"part_a": pd.array([], "int64"),
+                                 "part_b": pd.array([], "int64"),
+                                 "n_pair": pd.array([], "int64")})
+        allp = pd.concat(outs, ignore_index=True)
+        return (
+            allp.groupby(["part_a", "part_b"], sort=False)
+            .size().rename("n_pair").reset_index()
+        )
+
+    pairs = bucketed_group_map(op, ["o"], pair_partial)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["part_a", "part_b"], sort=False, as_index=False)[
+            "n_pair"].sum()
+        agg = agg[agg["n_pair"] >= COPURCHASE_MIN_PAIR]
+        n = ray.get(n_ref)
+        na = agg["part_a"].map(n).to_numpy("int64")
+        nb = agg["part_b"].map(n).to_numpy("int64")
+        c = agg["n_pair"].to_numpy("int64")
+        cos = [math.floor(1e6 * ci / math.sqrt(ni) + 0.5)
+               for ci, ni in zip(c, na * nb)]
+        return pd.DataFrame(
+            {"part_a": pd.array(agg["part_a"], "int64"),
+             "part_b": pd.array(agg["part_b"], "int64"),
+             "n_pair": pd.array(c, "int64"),
+             "cos_micro": pd.array(cos, "int64")}
+        )
+
+    return bucketed_group_map(pairs, ["part_a", "part_b"], final)
+
+
+COPURCHASE_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {COPURCHASE_MIN_PAIR}
+)
+SELECT part_a, part_b, n_pair,
+       CAST(FLOOR(1000000.0 * n_pair
+                  / SQRT(CAST(na.n * nb.n AS DOUBLE)) + 0.5) AS BIGINT)
+         AS cos_micro
+FROM pairs JOIN n na ON na.p = part_a JOIN n nb ON nb.p = part_b
+"""
