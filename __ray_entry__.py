@@ -501,6 +501,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # item-item co-purchase cosine (Amazon-style CF): per-order pair
         # enumeration via the shifted-slice trick, catalog-sized census
         "parts_copurchase_sim": relational.parts_copurchase_sim,
+        # fixed-radius cosine range search: pure streaming filter-map,
+        # zero exchanges (the no-sort sibling of knn_cosine)
+        "knn_range": docs.knn_range_q0,
+        # per-source log-odds keyness (Fightin' Words family): vocab
+        # census on one token exchange, micro-nat integer log contract
+        "docs_odds_ratio": docs.docs_odds_ratio,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -777,6 +783,8 @@ def oracle_sql() -> dict[str, str]:
         "events_user_quantiles": events.USER_QUANTILES_SQL,
         "orders_abc": relational.ORDERS_ABC_SQL,
         "parts_copurchase_sim": relational.COPURCHASE_SQL,
+        "knn_range": docs.KNN_RANGE_SQL,
+        "docs_odds_ratio": docs.ODDS_RATIO_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

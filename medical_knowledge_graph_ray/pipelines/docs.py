@@ -3473,3 +3473,143 @@ SELECT r.doc_id, d.lang, r.c AS pred_lang, r.score
 FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
 WHERE r.rn = 1
 """
+
+
+# -- fixed-radius cosine range search ------------------------------------------
+
+KNN_RANGE_T = 0.25
+
+
+def knn_range_q0(sf_dir: str):
+    """All vectors within cosine radius ``KNN_RANGE_T`` of vec 0 —
+    the streaming filter-map sibling of ``knn_cosine_q0`` (no sort, no
+    limit, no exchange; see `stages/similarity.py:knn_cosine_range`)."""
+    from ..stages.similarity import knn_cosine_range
+
+    return knn_cosine_range(_embeddings(sf_dir), _query_vec(sf_dir),
+                            KNN_RANGE_T)
+
+
+KNN_RANGE_SQL = f"""
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+              WHERE vec_id = 0)), 6) AS sim
+FROM embeddings
+WHERE round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+             WHERE vec_id = 0)), 6) >= {KNN_RANGE_T}
+"""
+
+
+# -- per-source log-odds keyword extraction ------------------------------------
+
+ODDS_MIN_C = 5
+
+
+def docs_odds_ratio(sf_dir: str):
+    """Smoothed log-odds-ratio keyness per (source, token) — which words
+    characterize a source against the rest of the corpus (Monroe et al.
+    2008 'Fightin' Words' family, add-1 smoothing): the
+    corpus-comparison operator behind domain-mix diagnostics and
+    source-conditioned quality filters.
+
+    score = ln( (c_sw+1)·(n_rest+V) / ((c_w−c_sw+1)·(n_s+V)) ), emitted
+    as the floor-micro-nat integer (glibc-log parity); every factor is
+    an exact int64 product, ONE double division feeds ln.
+
+    Distributed shape: per-batch (source, token) count partials → ONE
+    token-bucketed exchange to the vocab-sized census (materialized —
+    it is consumed by three bounded follow-ups: per-source totals,
+    distinct-vocabulary count, and the scoring map with the broadcast
+    constants).  Sources are a bounded artifact; the vocabulary never
+    is — it stays distributed, only per-bucket counts leave."""
+    import ray
+
+    from ..stages.shuffle import bucketed_group_map
+    from ..functions.arrow import arrow_out
+
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        acc: dict[tuple[str, str], int] = {}
+        for src, text in zip(b["source"].astype(str), b["text"].astype(str)):
+            for t in text.split(" "):
+                k = (src, t)
+                acc[k] = acc.get(k, 0) + 1
+        keys = sorted(acc)
+        return pd.DataFrame(
+            {"source": pd.array([k[0] for k in keys], "str"),
+             "token": pd.array([k[1] for k in keys], "str"),
+             "c": pd.array([acc[k] for k in keys], "int64")}
+        )
+
+    census = bucketed_group_map(
+        docs.map_batches(arrow_out(partial), batch_format="pandas"),
+        ["token"],
+        lambda g: g.groupby(["source", "token"], sort=False, as_index=False)[
+            "c"].sum(),
+    ).materialize()  # vocab×sources-sized; three bounded consumers
+
+    def ns_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # additive partial — safe under any batch split
+        return b.groupby("source", sort=False, as_index=False)["c"].sum()
+
+    stats = census.map_batches(
+        arrow_out(ns_partial), batch_format="pandas"
+    ).to_pandas()  # ≤ batches × sources tiny rows
+    n_s = stats.groupby("source")["c"].sum().astype(int).to_dict()
+    n_all = int(sum(n_s.values()))
+    # distinct vocabulary: per-BUCKET distinct is exact (buckets are
+    # token-disjoint and the group map sees the whole bucket — a plain
+    # map_batches partial could split a bucket and double-count)
+    v = int(bucketed_group_map(
+        census, ["token"],
+        lambda g: pd.DataFrame({"v": pd.array([g["token"].nunique()],
+                                              "int64")}),
+        num_buckets=4,
+    ).to_pandas()["v"].sum())
+    consts = ray.put((n_s, n_all, v))
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        ns_d, na, vv = ray.get(consts)
+        out = []
+        for tok, sub in g.groupby("token", sort=False):
+            cw = int(sub["c"].sum())
+            for src, c in zip(sub["source"], sub["c"]):
+                c = int(c)
+                if c < ODDS_MIN_C:
+                    continue
+                ns = ns_d[src]
+                arg = ((c + 1) * (na - ns + vv)) / ((cw - c + 1) * (ns + vv))
+                out.append((src, tok, c,
+                            math.floor(math.log(arg) * 1e6 + 0.5)))
+        return pd.DataFrame(
+            {"source": pd.array([o[0] for o in out], "str"),
+             "token": pd.array([o[1] for o in out], "str"),
+             "c": pd.array([o[2] for o in out], "int64"),
+             "lor_micro": pd.array([o[3] for o in out], "int64")}
+        )
+
+    return bucketed_group_map(census, ["token"], score)
+
+
+ODDS_RATIO_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all,
+               CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM c),
+cw AS (SELECT token, CAST(SUM(c) AS BIGINT) AS cw FROM c GROUP BY 1)
+SELECT c.source, c.token, c.c,
+       CAST(FLOOR(LN(CAST((c.c + 1) * (tot.n_all - ns.n + tot.v) AS DOUBLE)
+                     / CAST((cw.cw - c.c + 1) * (ns.n + tot.v) AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS lor_micro
+FROM c JOIN ns USING (source) JOIN cw USING (token) CROSS JOIN tot
+WHERE c.c >= {ODDS_MIN_C}
+"""

@@ -744,3 +744,32 @@ def knn_cosine_pq_indexed(
         {"vec_id": pd.array(t["vec_id"].to_numpy()[order], "int64"),
          "sim": pd.array(sims[order], "float64")}
     ).reset_index(drop=True)
+
+
+def knn_cosine_range(embeddings, query: np.ndarray, threshold: float):
+    """Range (radius) search: every vector whose 6-dp-rounded cosine to
+    ``query`` is ≥ ``threshold`` — the fixed-radius sibling of the top-k
+    front (semantic recall sets, near-duplicate probes).  Unlike top-k
+    there is NO global sort or limit: the whole operator is one
+    streaming filter-map (batch matmul + mask), so it pipelines with
+    zero exchanges at any scale; the output is as big as the data says
+    it is.  The same 6-dp rounding contract as ``BruteForceTopK`` makes
+    the ≥ compare bit-identical to the SQL oracle's."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+
+    def batch_fn(b: pd.DataFrame):
+        import pyarrow as pa
+
+        if not len(b):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        mat = _to_matrix(b["embedding"])
+        norms = np.linalg.norm(mat, axis=1)
+        sims = np.round((mat @ q) / np.where(norms == 0, 1.0, norms), 6)
+        keep = sims >= threshold
+        return pa.table({"vec_id": pa.array(b["vec_id"].to_numpy()[keep]),
+                         "sim": pa.array(sims[keep], pa.float64())})
+
+    return embeddings.map_batches(batch_fn, batch_format="pandas",
+                                  batch_size=4096)
