@@ -507,6 +507,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source log-odds keyness (Fightin' Words family): vocab
         # census on one token exchange, micro-nat integer log contract
         "docs_odds_ratio": docs.docs_odds_ratio,
+        # bigram LM quality scoring (add-1 smoothing, micro-nat addends
+        # once per DISTINCT bigram; boundary-masked shifted-slice kernel)
+        "docs_bigram_lm": docs.docs_bigram_lm,
+        # cohort retention/revenue grid: first-month census + cell
+        # partials decided inside customer-complete buckets
+        "orders_cohorts": relational.orders_cohorts,
+        # per-(label, dim) centroid sums as mergeable fixed-point partials
+        "embed_label_centroids": docs.embed_label_centroids,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -785,6 +793,9 @@ def oracle_sql() -> dict[str, str]:
         "parts_copurchase_sim": relational.COPURCHASE_SQL,
         "knn_range": docs.KNN_RANGE_SQL,
         "docs_odds_ratio": docs.ODDS_RATIO_SQL,
+        "docs_bigram_lm": docs.BIGRAM_LM_SQL,
+        "orders_cohorts": relational.ORDERS_COHORTS_SQL,
+        "embed_label_centroids": docs.LABEL_CENTROIDS_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

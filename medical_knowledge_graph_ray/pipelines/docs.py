@@ -3613,3 +3613,180 @@ SELECT c.source, c.token, c.c,
 FROM c JOIN ns USING (source) JOIN cw USING (token) CROSS JOIN tot
 WHERE c.c >= {ODDS_MIN_C}
 """
+
+
+# -- bigram LM quality scoring -------------------------------------------------
+
+def docs_bigram_lm(sf_dir: str):
+    """Per-doc bigram-LM log-probability with add-1 smoothing — the
+    second-order sibling of ``docs_unigram_logprob`` (CCNet-style LM
+    quality filtering; a doc whose transitions are unusual for the
+    corpus scores low): addend(x,y) = ln((c_xy+1)/(c_x+V)) where c_x
+    counts x as a bigram CONTEXT and V is the unigram vocabulary.
+
+    Integer contract: each DISTINCT bigram's addend is the micro-nat
+    int ``floor(1e6·ln(p) + 0.5)`` (glibc-log parity, computed once per
+    bigram); a doc's score is an order-immune int64 sum.  Emits
+    (doc_id, n_bigrams, sum_micro); docs with <2 tokens have no bigram
+    and no row (the SQL GROUP BY contract).
+
+    Distributed shape: one corpus pass builds the bigram census via the
+    doc-boundary-masked shifted-slice kernel (no per-doc loop), the
+    vocabulary→addend map broadcasts (vocabulary-bounded; the unbounded
+    variant is the hashed-bucket `docs_dsir` posture), one scoring pass
+    maps and segment-sums."""
+    import math
+
+    import numpy as np
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+
+    def flat_bigrams(b: pd.DataFrame):
+        toks = b["text"].astype(str).str.split(" ")
+        lens = toks.str.len().to_numpy()
+        flat = np.concatenate(toks.to_numpy()) if len(b) else np.array([], str)
+        di = np.repeat(np.arange(len(b)), lens)
+        same = di[:-1] == di[1:] if len(flat) else np.array([], bool)
+        return flat, lens, di, same
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        flat, _, _, same = flat_bigrams(b)
+        x = flat[:-1][same]
+        y = flat[1:][same]
+        key = np.char.add(np.char.add(x.astype(str), " "), y.astype(str))
+        u, c = np.unique(key, return_counts=True)
+        ut, ct = np.unique(flat, return_counts=True)
+        return pd.DataFrame(
+            {"key": pd.array(np.concatenate([u, ut]), "str"),
+             "kind": pd.array(["b"] * len(u) + ["t"] * len(ut), "str"),
+             "n": pd.array(np.concatenate([c, ct]).astype("int64"), "int64")}
+        )
+
+    cen = (
+        docs.map_batches(arrow_out(census), batch_format="pandas")
+        .to_pandas()  # vocabulary-bounded artifact
+        .groupby(["kind", "key"])["n"].sum()
+    )
+    big = cen.loc["b"]
+    v = len(cen.loc["t"])
+    # context counts: occurrences of x as the FIRST element of a bigram
+    cx: dict[str, int] = {}
+    for k, n in big.items():
+        x = k.split(" ", 1)[0]
+        cx[x] = cx.get(x, 0) + int(n)
+    addend = {
+        k: math.floor(
+            math.log((int(n) + 1) / (cx[k.split(" ", 1)[0]] + v)) * 1e6
+            + 0.5
+        )
+        for k, n in big.items()
+    }
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        flat, lens, di, same = flat_bigrams(b)
+        x = flat[:-1][same]
+        y = flat[1:][same]
+        key = np.char.add(np.char.add(x.astype(str), " "), y.astype(str))
+        vals = pd.Series(key).map(addend).to_numpy(dtype=np.int64)
+        sums = np.zeros(len(b), dtype=np.int64)
+        counts = np.zeros(len(b), dtype=np.int64)
+        owner = di[:-1][same]
+        np.add.at(sums, owner, vals)
+        np.add.at(counts, owner, 1)
+        keep = counts > 0
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy("int64")[keep],
+             "n_bigrams": pd.array(counts[keep], "int64"),
+             "sum_micro": pd.array(sums[keep], "int64")}
+        )
+
+    return docs.map_batches(arrow_out(score), batch_format="pandas")
+
+
+BIGRAM_LM_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+big AS (
+  SELECT doc_id, tok AS x,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS y
+  FROM t QUALIFY y IS NOT NULL
+),
+cxy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM big GROUP BY 1, 2),
+cx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n FROM big GROUP BY 1),
+vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM t),
+a AS (
+  SELECT cxy.x, cxy.y,
+         CAST(FLOOR(LN((cxy.n + 1) / CAST(cx.n + vv.v AS DOUBLE)) * 1000000
+                    + 0.5) AS BIGINT) AS add_micro
+  FROM cxy JOIN cx USING (x) CROSS JOIN vv
+)
+SELECT big.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(a.add_micro) AS BIGINT) AS sum_micro
+FROM big JOIN a USING (x, y)
+GROUP BY 1
+"""
+
+
+# -- per-label embedding centroids ---------------------------------------------
+
+def embed_label_centroids(sf_dir: str):
+    """Per-(label, dimension) vector sums — the class-centroid statistic
+    (nearest-centroid classifiers, SemDeDup seeding, drift monitoring)
+    as mergeable partials: each batch contributes label-grouped
+    fixed-point component sums, one tiny (labels×dims) exchange folds
+    them.  Emitting (n, Σmicro) instead of the mean keeps the contract
+    integer-exact (``floor(v·1e6 + 0.5)`` per component — float32→double
+    is exact, so both engines floor the same double)."""
+    import numpy as np
+
+    emb = _embeddings(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"label": pd.array([], "int32"),
+                 "dim": pd.array([], "int64"),
+                 "n_vecs": pd.array([], "int64"),
+                 "sum_micro": pd.array([], "int64")})
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in b["embedding"]])
+        micro = np.floor(mat * 1e6 + 0.5).astype("int64")
+        labels = b["label"].to_numpy()
+        u = np.unique(labels)
+        rows = []
+        for lab in u:
+            m = labels == lab
+            s = micro[m].sum(axis=0)
+            rows.append(pd.DataFrame(
+                {"label": pd.array([lab] * micro.shape[1], "int32"),
+                 "dim": pd.array(np.arange(1, micro.shape[1] + 1), "int64"),
+                 "n_vecs": pd.array([int(m.sum())] * micro.shape[1],
+                                    "int64"),
+                 "sum_micro": pd.array(s, "int64")}))
+        return pd.concat(rows, ignore_index=True)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        emb.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"),
+                   Sum("sum_micro", alias_name="sum_micro"))
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+  FROM embeddings
+)
+SELECT label, dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_micro
+FROM e GROUP BY 1, 2
+"""

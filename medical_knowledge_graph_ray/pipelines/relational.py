@@ -4117,3 +4117,75 @@ SELECT part_a, part_b, n_pair,
          AS cos_micro
 FROM pairs JOIN n na ON na.p = part_a JOIN n nb ON nb.p = part_b
 """
+
+
+# -- cohort analysis (first-order month × months-since retention grid) ---------
+
+def orders_cohorts(sf_dir: str):
+    """Cohort retention/revenue grid: customers grouped by their FIRST
+    order month (the cohort), each cell (cohort_m, k) counting how many
+    of them ordered again k months later and the revenue they brought —
+    the standard retention matrix behind LTV and curation dashboards.
+
+    Months are epoch-month ints ((year−1970)·12 + month−1 — numpy's
+    ``datetime64[M]`` integer, mirrored arithmetically in SQL), revenue
+    is int64 cents.  Shape: ONE bucketed exchange on custkey (buckets
+    are customer-complete, so each customer's first month AND its
+    per-cell distinct-contribution of 1 are decided in-bucket — the
+    distinct count never rides an exchange), then a tiny cell-census
+    exchange folds (n, rev) partials."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_group_map
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def to_months(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["o_orderdate"].to_numpy().astype("datetime64[M]").view("int64")
+        return pd.DataFrame(
+            {"ck": b["o_custkey"].astype("int64"),
+             "m": pd.array(m, "int64"),
+             "cents": pd.array(
+                 np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64"),
+                 "int64")}
+        )
+
+    keyed = orders.map_batches(arrow_out(to_months), batch_format="pandas")
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m0 = g.groupby("ck", sort=False)["m"].transform("min")
+        cells = pd.DataFrame(
+            {"cohort_m": m0.astype("int64"),
+             "k": (g["m"] - m0).astype("int64"),
+             "ck": g["ck"], "cents": g["cents"]}
+        )
+        agg = cells.groupby(["cohort_m", "k"], sort=False).agg(
+            n_customers=("ck", "nunique"), rev_cents=("cents", "sum")
+        ).reset_index()
+        agg["n_customers"] = agg["n_customers"].astype("int64")
+        return agg
+
+    partials = bucketed_group_map(keyed, ["ck"], bucket)
+    return (
+        partials.groupby(["cohort_m", "k"])
+        .aggregate(Sum("n_customers", alias_name="n_customers"),
+                   Sum("rev_cents", alias_name="rev_cents"))
+    )
+
+
+ORDERS_COHORTS_SQL = """
+WITH o AS (
+  SELECT o_custkey AS ck,
+         (EXTRACT(year FROM o_orderdate) - 1970) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+f AS (SELECT ck, MIN(m) AS m0 FROM o GROUP BY 1)
+SELECT CAST(f.m0 AS BIGINT) AS cohort_m, CAST(o.m - f.m0 AS BIGINT) AS k,
+       CAST(COUNT(DISTINCT o.ck) AS BIGINT) AS n_customers,
+       CAST(SUM(o.cents) AS BIGINT) AS rev_cents
+FROM o JOIN f USING (ck)
+GROUP BY 1, 2
+"""
