@@ -603,6 +603,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (components individually oracled; composition pytest-gated in
         # tests/test_docs_prep.py incl. resume + audit)
         "docs_llm_prep": _docs_llm_prep,
+        # k-core trim of the co-occurrence graph (iterative BSP peeling;
+        # unique fixpoint → parallelism-invariant; BSP ≡ dense ≡ brute
+        # pinned in tests/test_graph.py)
+        "kg_kcore": docs_kg.kg_kcore,
     }
 
     # DRIVER-WINDOW ROTATION (VERDICT r3 item 8): the driver gate checks

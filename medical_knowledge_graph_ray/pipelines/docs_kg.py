@@ -1071,3 +1071,31 @@ def clustering_coeff_sql() -> str:
         "FROM deg LEFT JOIN tri ON tri.u = deg.u\n"
         "WHERE deg.d >= 2"
     )
+
+
+# -- k-core trim of the co-occurrence graph -----------------------------------
+
+KCORE_K = 3
+
+
+def kg_kcore(sf_dir: str):
+    """Nodes of the 3-core of the co-occurrence graph with their in-core
+    degree — the fringe-trimming density filter (iterative peeling; the
+    k-core is unique so the answer is parallelism- and order-invariant).
+    `stages/graph.py:k_core_nodes` — distributed mining, adaptive dense
+    finalize, BSP ≡ dense pinned by tests/test_graph.py."""
+    from ..stages.graph import k_core_nodes
+
+    edges = doc_cooccurrence(sf_dir).map_batches(
+        arrow_out(
+            lambda b: b[["term_a", "term_b"]].rename(
+                columns={"term_a": "src", "term_b": "dst"}
+            )
+        ),
+        batch_format="pandas",
+    )
+    out = k_core_nodes(edges, KCORE_K)
+    return pd.DataFrame(
+        {"term": pd.array(out["node"], "str"),
+         "core_deg": out["core_deg"].astype("int64")}
+    )

@@ -549,3 +549,100 @@ def triangle_counts_dense(edges: pd.DataFrame, src: str, dst: str) -> pd.DataFra
         {"node": pd.Series(np.asarray(nodes)[keep]),
          "triangles": pd.array(tri[keep], "int64")}
     )
+
+
+def k_core_nodes(
+    edges,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    num_buckets: int = 16,
+    mode: str = "auto",
+    dense_edge_bound: int = 4_000_000,
+):
+    """Nodes of the k-core (maximal subgraph where every node keeps
+    degree ≥ k) with their in-core degree — the density filter used to
+    trim noisy fringe entities before community/centrality analysis.
+    The k-core is UNIQUE, so any peeling order converges to the same
+    answer (confluence) — that's what makes the distributed and dense
+    paths provably agree.
+
+    BSP peeling (``mode='bsp'``): each round runs ONE bucketed degree
+    census over the surviving edge set (removed nodes are a broadcast
+    set; the census itself is the node-cardinality artifact this engine
+    collects driver-side, same posture as ``triangle_counts``'s rank
+    map — for unbounded node sets the removal set becomes a semi-join
+    against a distributed node table, same exchange shape), drops every
+    node under ``k``, repeats to fixpoint.  Rounds are bounded by the
+    peeling depth (≤ node count; tiny in practice — each round removes
+    a whole "shell").
+
+    ``mode='auto'`` (default): the edge table is materialized once
+    anyway; when its size is ≤ ``dense_edge_bound`` the peeling runs
+    dense on the driver (distributed MINING, dense FINALIZE — the
+    adaptive posture shared with pagerank/components).  Returns a
+    pandas DataFrame (node, core_deg), node dtype preserved."""
+    import ray
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"u": pd.concat([b[src_col], b[dst_col]], ignore_index=True),
+             "v": pd.concat([b[dst_col], b[src_col]], ignore_index=True)}
+        )
+
+    adj = edges.map_batches(
+        arrow_out(both_dirs), batch_format="pandas"
+    ).materialize()
+    n_dir = adj.count()  # metadata-only (materialized)
+
+    if mode == "dense" or (mode == "auto" and n_dir <= 2 * dense_edge_bound):
+        return k_core_dense(adj.to_pandas(), k, "u", "v")
+
+    from .shuffle import bucketed_group_map
+
+    removed: set = set()
+    deg = pd.DataFrame({"u": pd.Series(dtype=object),
+                        "d": pd.Series(dtype="int64")})
+    while True:
+        rm_ref = ray.put(removed)
+
+        def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+            rm = ray.get(rm_ref)
+            live = b[~b["u"].isin(rm) & ~b["v"].isin(rm)]
+            out = live["u"].value_counts().rename_axis("u").reset_index(
+                name="d")
+            out["d"] = out["d"].astype("int64")
+            return out
+
+        deg = bucketed_group_map(
+            adj.map_batches(arrow_out(deg_partial), batch_format="pandas"),
+            ["u"],
+            lambda g: g.groupby("u", sort=False, as_index=False)["d"].sum(),
+            num_buckets=num_buckets,
+        ).to_pandas()  # node-cardinality artifact
+        if "d" not in deg.columns:  # zero-block to_pandas drops schema
+            deg = pd.DataFrame({"u": pd.Series(dtype=object),
+                                "d": pd.Series(dtype="int64")})
+        bad = set(deg.loc[deg["d"] < k, "u"])
+        if not bad:
+            break
+        removed |= bad
+    return deg.rename(columns={"u": "node", "d": "core_deg"}).sort_values(
+        "node").reset_index(drop=True)
+
+
+def k_core_dense(adj: pd.DataFrame, k: int, u: str = "u", v: str = "v"
+                 ) -> pd.DataFrame:
+    """Driver-side dense peeling over a both-directions adjacency frame
+    (reference pin for ``k_core_nodes``; also its adaptive finalizer)."""
+    live = adj[[u, v]].copy()
+    while True:
+        deg = live[u].value_counts()
+        bad = set(deg[deg < k].index)
+        if not bad:
+            break
+        live = live[~live[u].isin(bad) & ~live[v].isin(bad)]
+    deg = live[u].value_counts().sort_index()
+    return pd.DataFrame({"node": pd.Series(deg.index),
+                         "core_deg": pd.array(deg.to_numpy(), "int64")})

@@ -262,3 +262,66 @@ def test_anomaly_isqrt_inequality_exact():
         exact = int(d) * int(d) > r
         via_isqrt = abs(int(d)) > math.isqrt(r)
         assert exact == via_isqrt
+
+
+def _kcore_brute(edges, k):
+    """Independent reference: repeatedly drop min-degree node (one at a
+    time — a DIFFERENT peeling order than the shell-at-a-time paths,
+    exercising confluence)."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(ns) for n, ns in adj.items() if ns}
+
+
+def test_kcore_bsp_equals_dense_and_brute(ray_session):
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.graph import (
+        k_core_dense, k_core_nodes)
+
+    def h(i):
+        return int(hashlib.md5(f"kc|{i}".encode()).hexdigest()[:8], 16)
+
+    edges = [(h(i) % 37, h(i + 1000) % 37) for i in range(160)]
+    edges = [(s, d) for s, d in edges if s != d]
+    df = pd.DataFrame({"src": [e[0] for e in edges],
+                       "dst": [e[1] for e in edges]}).drop_duplicates()
+    # distinct undirected pairs, one orientation each
+    df = df[df["src"] < df["dst"]]
+    brute = _kcore_brute(list(zip(df["src"], df["dst"])), 3)
+
+    for nparts in (1, 7):
+        ds = rd.from_pandas(df).repartition(nparts)
+        for mode in ("bsp", "dense"):
+            out = k_core_nodes(ds, 3, mode=mode)
+            got = dict(zip(out["node"], out["core_deg"]))
+            assert got == brute, (mode, nparts)
+
+
+def test_kcore_triangle_with_tail(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.graph import k_core_nodes
+
+    df = pd.DataFrame({"src": [1, 2, 3, 3], "dst": [2, 3, 1, 4]})
+    out = k_core_nodes(rd.from_pandas(df), 2, mode="bsp")
+    assert dict(zip(out["node"], out["core_deg"])) == {1: 2, 2: 2, 3: 2}
+    out0 = k_core_nodes(rd.from_pandas(df), 5, mode="bsp")
+    assert len(out0) == 0
