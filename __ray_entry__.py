@@ -515,6 +515,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cohorts": relational.orders_cohorts,
         # per-(label, dim) centroid sums as mergeable fixed-point partials
         "embed_label_centroids": docs.embed_label_centroids,
+        # LOCF last-touch attribution (LAST_VALUE IGNORE NULLS): masked
+        # ffill inside user-complete buckets
+        "events_last_touch": events.events_last_touch,
+        # sweep-line in-flight census: join buckets emit day deltas, the
+        # calendar-bounded table prefix-sums driver-side (no sort op)
+        "orders_open_by_day": relational.orders_open_by_day,
+        # HHI market concentration per nation (big-int exact squares)
+        "supplier_hhi": relational.supplier_hhi,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -630,6 +638,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_yoy", "tables_skew_report", "docs_crossdedup",
         "docs_feature_hashing", "events_decay", "events_chisq",
         "docs_minhash_clusters", "customers_rfm",
+        # round-4 fourth-sitting additions
+        "kg_adamic_adar", "kg_clustering_coeff", "events_scd2",
+        "events_user_quantiles", "orders_abc", "parts_copurchase_sim",
+        "docs_odds_ratio", "docs_bigram_lm",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -643,6 +655,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_first_nonnull", "gazetteer_unseen", "docs_decontaminate",
         "docs_repetition", "docs_source_quota", "kg_cooccurrence",
         "docs_ngram_topk", "docs_stratified_sample", "docs_bpe_tokens",
+        "events_sessionize", "events_range_join", "events_user_median",
+        "orders_topn_per_cust", "lineitem_quantiles", "docs_chunk_windows",
+        "orders_lineitem_join", "customers_no_orders",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -800,6 +815,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_bigram_lm": docs.BIGRAM_LM_SQL,
         "orders_cohorts": relational.ORDERS_COHORTS_SQL,
         "embed_label_centroids": docs.LABEL_CENTROIDS_SQL,
+        "events_last_touch": events.LAST_TOUCH_SQL,
+        "orders_open_by_day": relational.ORDERS_OPEN_SQL,
+        "supplier_hhi": relational.SUPPLIER_HHI_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

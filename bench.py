@@ -96,6 +96,13 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "docs_feature_hashing", "events_decay", "events_chisq",
         "orders_yoy", "embed_pca", "docs_minhash_clusters",
         "customers_rfm",
+        # round-4 fourth sitting: link prediction + clustering coeff,
+        # SCD2, per-user quantiles, Pareto classes, co-purchase CF,
+        # radius search, keyness, bigram LM, cohorts, centroids, k-core
+        "kg_adamic_adar", "kg_clustering_coeff", "events_scd2",
+        "events_user_quantiles", "orders_abc", "parts_copurchase_sim",
+        "knn_range", "docs_odds_ratio", "docs_bigram_lm",
+        "orders_cohorts", "embed_label_centroids", "kg_kcore",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -2015,3 +2015,48 @@ SELECT user_id, CAST(MAX(n) AS BIGINT) AS n,
        MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90
 FROM r GROUP BY user_id
 """
+
+
+# -- LOCF last-touch attribution ----------------------------------------------
+
+def events_last_touch(sf_dir: str):
+    """Last-touch attribution via LOCF (last-observation-carried-forward):
+    every purchase event annotated with the VALUE of the user's most
+    recent preceding click (NULL if none) — the forward-fill imputation /
+    marketing-attribution window operator (SQL ``LAST_VALUE(...IGNORE
+    NULLS)``).
+
+    Shape: ONE bucketed exchange on user_id; in-bucket mergesort, one
+    masked ffill, one boolean select — no per-user loop.  NULL survives
+    as NaN in the float column (both engines agree)."""
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts",
+                          "value"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        click_val = s["value"].where(s["event_type"] == "click")
+        filled = click_val.groupby(s["user_id"], sort=False).ffill()
+        keep = (s["event_type"] == "purchase").to_numpy()
+        out = s.loc[keep, ["event_id", "user_id", "ts", "value"]].copy()
+        out["last_click_value"] = filled.to_numpy()[keep]
+        out["event_id"] = out["event_id"].astype("int64")
+        out["user_id"] = out["user_id"].astype("int64")
+        return out
+
+    return bucketed_group_map(ev, ["user_id"], bucket)
+
+
+LAST_TOUCH_SQL = """
+SELECT event_id, user_id, ts, value,
+       last_value(CASE WHEN event_type = 'click' THEN value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         AS last_click_value
+FROM events
+QUALIFY event_type = 'purchase'
+"""

@@ -4189,3 +4189,177 @@ SELECT CAST(f.m0 AS BIGINT) AS cohort_m, CAST(o.m - f.m0 AS BIGINT) AS k,
 FROM o JOIN f USING (ck)
 GROUP BY 1, 2
 """
+
+
+# -- open-interval sweep line (orders in flight per day) -----------------------
+
+def orders_open_by_day(sf_dir: str):
+    """Daily in-flight census: how many order lines were OPEN (order
+    placed, not yet shipped) at the end of each day — the sweep-line /
+    interval-overlap aggregate (capacity planning, backlog monitoring).
+    Interval = [o_orderdate, l_shipdate), half-open: a line no longer
+    counts on its ship day.
+
+    Shape: one partitioned orderkey exchange joins order dates onto
+    lineitem, each join bucket emits per-day (opened, closed) deltas —
+    the exchange carries DAY-census rows, never lines — and the
+    calendar-bounded delta table (one row per active day at ANY scale
+    factor) prefix-sums on the driver.  The running total needs no sort
+    operator anywhere: days are the range keys."""
+    import ray
+
+    from ..stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    import pyarrow as pa
+
+    li_keyed = li.map_batches(
+        arrow_out(lambda b: b.rename(columns={"l_orderkey": "o_orderkey"})),
+        batch_format="pandas",
+    )
+    joined = hash_join(
+        orders, li_keyed, on=["o_orderkey"], num_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_orderdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("l_shipdate", pa.timestamp("us"))]),
+        bucket_post=_open_deltas,
+    )
+    deltas = joined.to_pandas()  # calendar-bounded census
+    if not len(deltas):
+        return pd.DataFrame({"d": pd.Series(dtype="datetime64[us]"),
+                             "opened": pd.array([], "int64"),
+                             "closed": pd.array([], "int64"),
+                             "open_eod": pd.array([], "int64")})
+    agg = deltas.groupby("d", as_index=False)[["opened", "closed"]].sum()
+    agg = agg.sort_values("d").reset_index(drop=True)
+    agg["open_eod"] = (agg["opened"] - agg["closed"]).cumsum().astype("int64")
+    agg["opened"] = agg["opened"].astype("int64")
+    agg["closed"] = agg["closed"].astype("int64")
+    return agg
+
+
+def _open_deltas(b: pd.DataFrame) -> pd.DataFrame:
+    od = b["o_orderdate"]
+    sd = b["l_shipdate"]
+    op = od.value_counts().rename_axis("d").reset_index(name="opened")
+    op["closed"] = 0
+    cl = sd.value_counts().rename_axis("d").reset_index(name="closed")
+    cl["opened"] = 0
+    out = pd.concat([op, cl], ignore_index=True)
+    out = out.groupby("d", as_index=False)[["opened", "closed"]].sum()
+    out["opened"] = out["opened"].astype("int64")
+    out["closed"] = out["closed"].astype("int64")
+    return out
+
+
+ORDERS_OPEN_SQL = """
+WITH iv AS (
+  SELECT o.o_orderdate AS od, l.l_shipdate AS sd
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+op AS (SELECT od AS d, CAST(COUNT(*) AS BIGINT) AS opened FROM iv GROUP BY 1),
+cl AS (SELECT sd AS d, CAST(COUNT(*) AS BIGINT) AS closed FROM iv GROUP BY 1),
+days AS (SELECT d FROM op UNION SELECT d FROM cl),
+x AS (
+  SELECT days.d, COALESCE(op.opened, 0) AS opened,
+         COALESCE(cl.closed, 0) AS closed
+  FROM days LEFT JOIN op USING (d) LEFT JOIN cl USING (d)
+)
+SELECT d, CAST(opened AS BIGINT) AS opened, CAST(closed AS BIGINT) AS closed,
+       CAST(SUM(opened - closed) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS open_eod
+FROM x
+"""
+
+
+# -- supplier market concentration (HHI) ---------------------------------------
+
+def supplier_hhi(sf_dir: str):
+    """Herfindahl–Hirschman concentration of supplier revenue per nation
+    — the market-structure diagnostic (a nation whose parts flow through
+    one supplier is a supply-chain risk).  hhi ∈ (0, 1] emitted as the
+    exact integer ``(10⁶·Σsᵢ²) // (Σsᵢ)²`` over int64 revenue cents —
+    squares exceed int64, so the in-bucket final computes them as Python
+    big ints (the two-limb transport contract's driver-side sibling);
+    the SQL mirror rides HUGEINT.
+
+    Shape: per-supplier revenue census (suppkey exchange, map-side
+    combined), nationkey attached from the driver-read supplier
+    dimension (the q9 artifact pattern), 25-group bucketed final."""
+    import ray
+
+    from ..stages.shuffle import bucketed_group_map
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 10_000
+        ).astype("int64")  # exact ints (2-dp price x 2-dp discount)
+        return (
+            pd.DataFrame({"suppkey": b["l_suppkey"].astype("int64"),
+                          "cents": cents})
+            .groupby("suppkey", sort=False, as_index=False)["cents"].sum()
+        )
+
+    per_supp = (
+        li.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby("suppkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    supp = _read_dim(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nk = ray.put(dict(zip(supp["s_suppkey"].astype(int),
+                          supp["s_nationkey"].astype(int))))
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(nk)
+        return pd.DataFrame(
+            {"nationkey": b["suppkey"].map(m).astype("int64"),
+             "cents": b["cents"].astype("int64")}
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for nation, sub in g.groupby("nationkey", sort=False):
+            s = [int(c) for c in sub["cents"]]
+            tot = sum(s)
+            sq = sum(c * c for c in s)
+            rows.append((int(nation), len(s), tot,
+                         (1_000_000 * sq) // (tot * tot)))
+        return pd.DataFrame(
+            {"nationkey": pd.array([r[0] for r in rows], "int64"),
+             "n_suppliers": pd.array([r[1] for r in rows], "int64"),
+             "rev_u": pd.array([r[2] for r in rows], "int64"),
+             "hhi_micro": pd.array([r[3] for r in rows], "int64")}
+        )
+
+    keyed = per_supp.map_batches(arrow_out(attach), batch_format="pandas")
+    return bucketed_group_map(keyed, ["nationkey"], final, num_buckets=4)
+
+
+SUPPLIER_HHI_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+),
+k AS (
+  SELECT s.s_nationkey AS nationkey, rev.cents
+  FROM rev JOIN supplier s ON s.s_suppkey = rev.suppkey
+)
+SELECT CAST(nationkey AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(cents) AS BIGINT) AS rev_u,
+       CAST((1000000 * SUM(CAST(cents AS HUGEINT) * cents))
+            // (CAST(SUM(cents) AS HUGEINT) * SUM(cents)) AS BIGINT)
+         AS hhi_micro
+FROM k GROUP BY 1
+"""
