@@ -523,6 +523,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_open_by_day": relational.orders_open_by_day,
         # HHI market concentration per nation (big-int exact squares)
         "supplier_hhi": relational.supplier_hhi,
+        # trailing-5 rolling median as exact order-statistic pair (no
+        # interpolation division; shifted-column frame, one axis sort)
+        "events_rolling_median": events.events_rolling_median,
+        # per-user inter-arrival gap stats in exact µs ints
+        "events_interarrival": events.events_interarrival,
+        # degree assortativity: six exact moments + floor-micro Pearson
+        "kg_assortativity": docs_kg.kg_assortativity,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -818,6 +825,9 @@ def oracle_sql() -> dict[str, str]:
         "events_last_touch": events.LAST_TOUCH_SQL,
         "orders_open_by_day": relational.ORDERS_OPEN_SQL,
         "supplier_hhi": relational.SUPPLIER_HHI_SQL,
+        "events_rolling_median": events.ROLLING_MEDIAN_SQL,
+        "events_interarrival": events.INTERARRIVAL_SQL,
+        "kg_assortativity": docs_kg.assortativity_sql(),
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

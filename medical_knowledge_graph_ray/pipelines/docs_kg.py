@@ -1099,3 +1099,125 @@ def kg_kcore(sf_dir: str):
         {"term": pd.array(out["node"], "str"),
          "core_deg": out["core_deg"].astype("int64")}
     )
+
+
+# -- degree assortativity ------------------------------------------------------
+
+def kg_assortativity(sf_dir: str):
+    """Degree-assortativity coefficient of the co-occurrence graph —
+    Pearson correlation of endpoint degrees over the directed edge list
+    (each undirected edge in both orientations, the standard Newman
+    formulation): do hubs attach to hubs (assortative, r>0) or to
+    leaves (disassortative, r<0)?
+
+    Exact-moment contract (the ``lineitem_spearman`` posture): the six
+    sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) fold as Python big
+    ints driver-side (HUGEINT in the oracle), and r is ONE mirrored
+    double expression emitted floor-micro; the moments ride along so
+    the parity is auditable.
+
+    Distributed shape: adjacency flat-map → bucketed degree census
+    (node-cardinality broadcast artifact, the rank-join posture for
+    unbounded node sets) → per-batch integer moment partials → a
+    six-number driver fold."""
+    import math
+
+    import ray
+
+    from ..stages.shuffle import bucketed_group_map
+
+    edges = doc_cooccurrence(sf_dir)
+
+    def adj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"u": pd.array(pd.concat([b["term_a"], b["term_b"]]), "str"),
+             "v": pd.array(pd.concat([b["term_b"], b["term_a"]]), "str")}
+        )
+
+    adjacency = edges.map_batches(
+        arrow_out(adj), batch_format="pandas"
+    ).materialize()
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b["u"].value_counts().rename_axis("u").reset_index(name="d")
+        return pd.DataFrame(
+            {"u": pd.array(out["u"], "str"), "d": out["d"].astype("int64")}
+        )
+
+    deg = bucketed_group_map(
+        adjacency.map_batches(arrow_out(deg_partial), batch_format="pandas"),
+        ["u"],
+        lambda g: g.groupby("u", sort=False)["d"].sum().reset_index(),
+        num_buckets=4,
+    ).to_pandas()
+    deg_ref = ray.put(dict(zip(deg["u"], deg["d"].astype(int))))
+
+    def moment_partial(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        d = ray.get(deg_ref)
+        x = b["u"].map(d).to_numpy("int64")
+        y = b["v"].map(d).to_numpy("int64")
+        return pd.DataFrame(
+            {"n": pd.array([len(b)], "int64"),
+             "sx": pd.array([int(x.sum())], "int64"),
+             "sy": pd.array([int(y.sum())], "int64"),
+             "sxx": pd.array([int((x * x).sum())], "int64"),
+             "syy": pd.array([int((y * y).sum())], "int64"),
+             "sxy": pd.array([int((x * y).sum())], "int64")}
+        )
+
+    m = adjacency.map_batches(
+        arrow_out(moment_partial), batch_format="pandas"
+    ).to_pandas()  # #batches × 6 ints
+    n, sx, sy = int(m["n"].sum()), int(m["sx"].sum()), int(m["sy"].sum())
+    sxx, syy, sxy = (int(m["sxx"].sum()), int(m["syy"].sum()),
+                     int(m["sxy"].sum()))
+    num = n * sxy - sx * sy
+    a = n * sxx - sx * sx
+    b_ = n * syy - sy * sy
+    # float64 carrier: a degree-REGULAR graph (the complete co-occurrence
+    # graph at some SFs) has zero degree variance → r undefined → NULL
+    # in SQL → NaN here; micro ints are exact below 2^53 in a double.
+    r_micro = (float("nan") if a == 0 or b_ == 0 else
+               float(math.floor(1e6 * float(num)
+                                / math.sqrt(float(a) * float(b_)) + 0.5)))
+    return pd.DataFrame(
+        {"n": pd.array([n], "int64"), "sx": pd.array([sx], "int64"),
+         "sy": pd.array([sy], "int64"), "sxx": pd.array([sxx], "int64"),
+         "syy": pd.array([syy], "int64"), "sxy": pd.array([sxy], "int64"),
+         "r_micro": pd.array([r_micro], "float64")}
+    )
+
+
+def assortativity_sql() -> str:
+    return (
+        f"WITH e AS (SELECT term_a, term_b FROM ({cooccur_sql()})),\n"
+        "adj AS (SELECT term_a AS u, term_b AS v FROM e\n"
+        "        UNION ALL SELECT term_b, term_a FROM e),\n"
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),\n"
+        "m AS (SELECT d1.d AS x, d2.d AS y\n"
+        "      FROM adj JOIN deg d1 ON d1.u = adj.u\n"
+        "      JOIN deg d2 ON d2.u = adj.v),\n"
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,\n"
+        "             CAST(SUM(x) AS BIGINT) AS sx,\n"
+        "             CAST(SUM(y) AS BIGINT) AS sy,\n"
+        "             CAST(SUM(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,\n"
+        "             CAST(SUM(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy,\n"
+        "             CAST(SUM(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy\n"
+        "      FROM m)\n"
+        "SELECT n, sx, sy, sxx, syy, sxy,\n"
+        "       CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0\n"
+        "              OR CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy = 0\n"
+        "            THEN NULL\n"
+        "            ELSE CAST(FLOOR(\n"
+        "              1000000.0\n"
+        "              * CAST(CAST(n AS HUGEINT) * sxy\n"
+        "                     - CAST(sx AS HUGEINT) * sy AS DOUBLE)\n"
+        "              / SQRT(CAST(CAST(n AS HUGEINT) * sxx\n"
+        "                          - CAST(sx AS HUGEINT) * sx AS DOUBLE)\n"
+        "                     * CAST(CAST(n AS HUGEINT) * syy\n"
+        "                            - CAST(sy AS HUGEINT) * sy AS DOUBLE))\n"
+        "              + 0.5) AS DOUBLE) END AS r_micro\n"
+        "FROM s"
+    )

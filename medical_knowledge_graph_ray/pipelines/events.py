@@ -2060,3 +2060,113 @@ SELECT event_id, user_id, ts, value,
 FROM events
 QUALIFY event_type = 'purchase'
 """
+
+
+# -- rolling window median (5-event trailing frame) ----------------------------
+
+ROLLMED_W = 5
+
+
+def events_rolling_median(sf_dir: str):
+    """Per-user trailing-5-event median of ``value`` — the robust
+    smoother (noise-tolerant trend lines, spike suppression) as a
+    window aggregate.  NO division anywhere: the output is the exact
+    pair (m_lo, m_hi) of lower/upper middle ORDER STATISTICS of the
+    frame (equal when the frame is odd-sized) — selection-only float
+    contract, immune to engine-specific interpolation formulas.
+
+    Shape: ONE bucketed exchange on user_id; in-bucket the frame is
+    materialized as ≤W shifted columns under a same-user mask (NaN
+    pads), one np.sort along axis=1 (NaN sorts last), two fancy-index
+    gathers — no per-row or per-user loop."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = s["user_id"].to_numpy("int64")
+        v = s["value"].to_numpy("float64")
+        n = len(s)
+        cols = np.full((n, ROLLMED_W), np.nan)
+        cols[:, 0] = v
+        for k in range(1, ROLLMED_W):
+            same = u[k:] == u[:-k]
+            cols[k:, k] = np.where(same, v[:-k], np.nan)
+        cnt = (~np.isnan(cols)).sum(axis=1)
+        srt = np.sort(cols, axis=1)  # NaN sorts last
+        rows = np.arange(n)
+        return pd.DataFrame(
+            {"event_id": s["event_id"].astype("int64"),
+             "user_id": pd.array(u, "int64"),
+             "ts": s["ts"],
+             "value": v,
+             "m_lo": srt[rows, (cnt - 1) // 2],
+             "m_hi": srt[rows, cnt // 2]}
+        )
+
+    return bucketed_group_map(ev, ["user_id"], bucket)
+
+
+ROLLING_MEDIAN_SQL = f"""
+SELECT event_id, user_id, ts, value,
+       l[(c + 1) // 2] AS m_lo, l[c // 2 + 1] AS m_hi
+FROM (
+  SELECT event_id, user_id, ts, value,
+         list_sort(list(value) OVER w) AS l,
+         count(*) OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ROLLMED_W - 1} PRECEDING AND CURRENT ROW)
+)
+"""
+
+
+# -- inter-arrival gap statistics ----------------------------------------------
+
+def events_interarrival(sf_dir: str):
+    """Per-user inter-event-gap statistics: (n_gaps, Σgap, max gap) in
+    exact µs ints — engagement-cadence features (the mean stays a
+    client-side division of two exact ints; emitting it would re-open
+    the measured rounding-tie divergence).  One user_id exchange, one
+    grouped shift."""
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = s.groupby("user_id", sort=False)["ts"].shift()
+        gap = ((s["ts"] - prev) // pd.Timedelta(microseconds=1))
+        d = pd.DataFrame({"user_id": s["user_id"], "gap": gap}).dropna()
+        if not len(d):
+            return pd.DataFrame({"user_id": pd.array([], "int64"),
+                                 "n_gaps": pd.array([], "int64"),
+                                 "sum_gap_us": pd.array([], "int64"),
+                                 "max_gap_us": pd.array([], "int64")})
+        out = d.groupby("user_id", sort=False)["gap"].agg(
+            n_gaps="size", sum_gap_us="sum", max_gap_us="max"
+        ).reset_index()
+        return out.astype({"user_id": "int64", "n_gaps": "int64",
+                           "sum_gap_us": "int64", "max_gap_us": "int64"})
+
+    return bucketed_group_map(ev, ["user_id"], bucket)
+
+
+INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY 1
+"""
