@@ -3770,12 +3770,19 @@ def embed_label_centroids(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    return (
+    agg = (
         emb.map_batches(arrow_out(partial), batch_format="pandas")
         .groupby(["label", "dim"])
         .aggregate(Sum("n_vecs", alias_name="n_vecs"),
                    Sum("sum_micro", alias_name="sum_micro"))
     )
+
+    def retype(b: pd.DataFrame) -> pd.DataFrame:
+        # Ray's groupby widens the int32 key; the driver compare is
+        # dtype-strict against the oracle's int32 label
+        return b.astype({"label": "int32"})
+
+    return agg.map_batches(arrow_out(retype), batch_format="pandas")
 
 
 LABEL_CENTROIDS_SQL = """
