@@ -530,6 +530,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": events.events_interarrival,
         # degree assortativity: six exact moments + floor-micro Pearson
         "kg_assortativity": docs_kg.kg_assortativity,
+        # Welch's t-test: mergeable two-limb moment partials, one
+        # mirrored double expression emitted floor-micro
+        "events_ttest": events.events_ttest,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -828,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_median": events.ROLLING_MEDIAN_SQL,
         "events_interarrival": events.INTERARRIVAL_SQL,
         "kg_assortativity": docs_kg.assortativity_sql(),
+        "events_ttest": events.TTEST_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -165,6 +165,21 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument("--out", default=None,
                     help="directory for profile.parquet + skew.parquet")
 
+    qr = sub.add_parser(
+        "query",
+        help="run any registered pipeline (the __ray_entry__.queries() "
+        "registry) by name over an sf dir; prints a head as JSON or "
+        "writes the full result with --out (.parquet/.csv/.jsonl). "
+        "--list shows every registered name",
+    )
+    qr.add_argument("name", nargs="?", default=None)
+    qr.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    qr.add_argument("--out", default=None,
+                    help="output file; format from the extension")
+    qr.add_argument("--head", type=int, default=10,
+                    help="rows to print when no --out is given")
+    qr.add_argument("--list", action="store_true", dest="list_names")
+
     au = sub.add_parser(
         "audit",
         help="audit a run_kg output root: every manifest vs the actual "
@@ -362,6 +377,41 @@ def main(argv: list[str] | None = None) -> int:
                   .to_dict("records"),
                  "out": args.out}
             ))
+        elif args.cmd == "query":
+            # the registry lives in the repo-root entry module; resolve it
+            # the way the driver does (repo root on sys.path)
+            import importlib
+            import os
+
+            sys.path.insert(0, os.getcwd())
+            em = importlib.import_module("__ray_entry__")
+            registry = em.queries()
+            if args.list_names or args.name is None:
+                print(json.dumps(sorted(registry)))
+                return 0
+            if args.name not in registry:
+                print(json.dumps({"error": f"unknown query {args.name!r}"}))
+                return 1
+            import pandas as pd
+
+            res = registry[args.name](args.sf_dir)
+            df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+            if args.out:
+                if args.out.endswith(".csv"):
+                    df.to_csv(args.out, index=False)
+                elif args.out.endswith(".jsonl"):
+                    df.to_json(args.out, orient="records", lines=True)
+                else:
+                    df.to_parquet(args.out, index=False)
+                print(json.dumps({"query": args.name, "rows": len(df),
+                                  "out": args.out}))
+            else:
+                print(json.dumps(
+                    {"query": args.name, "rows": len(df),
+                     "head": json.loads(
+                         df.head(args.head).to_json(orient="records")
+                     )}
+                ))
         elif args.cmd == "compact":
             from .stages.compact import compact_parquet
 

@@ -2170,3 +2170,99 @@ SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
        CAST(MAX(gap) AS BIGINT) AS max_gap_us
 FROM g WHERE gap IS NOT NULL GROUP BY 1
 """
+
+
+# -- Welch's t-test (two-sample mean comparison) -------------------------------
+
+TTEST_A, TTEST_B = "purchase", "click"
+
+
+def events_ttest(sf_dir: str):
+    """Welch's unequal-variance t statistic comparing the value
+    distributions of two event types — the A/B-testing primitive as a
+    mergeable-moment aggregate (the ``lineitem_regression`` posture):
+    per-batch (n, Σq, Σq²) partials over exact cent ints, Σq² traveling
+    as two int64 limbs so the contract outlives int64, ONE mirrored
+    double expression at the end emitted floor-micro.  The six exact
+    moments ride along for auditability."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrow import read_parquet_clean
+
+    LIMB = 10 ** 15
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"],
+        filter=pc.field("event_type").isin([TTEST_A, TTEST_B]),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        q = np.rint(b["value"].to_numpy() * 100).astype("int64")
+        df = pd.DataFrame({"t": b["event_type"], "q": q, "qq": q * q})
+        g = (
+            df.groupby("t", sort=False)
+            .agg(n=("q", "size"), s=("q", "sum"), ssq=("qq", "sum"))
+            .reset_index()
+        )
+        vals = [int(v) for v in g["ssq"]]
+        g["ssq_lo"] = pd.array([v % LIMB for v in vals], "int64")
+        g["ssq_hi"] = pd.array([v // LIMB for v in vals], "int64")
+        return g.drop(columns=["ssq"])
+
+    agg = (
+        ev.map_batches(arrow_out(partial), batch_format="pandas",
+                       batch_size=16384)
+        .groupby("t")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("ssq_lo", alias_name="ssq_lo"),
+                   Sum("ssq_hi", alias_name="ssq_hi"))
+        .to_pandas()  # two rows
+    )
+    m = {r.t: (int(r.n), int(r.s), int(r.ssq_hi) * LIMB + int(r.ssq_lo))
+         for r in agg.itertuples(index=False)}
+    n1, s1, ssq1 = m[TTEST_A]
+    n2, s2, ssq2 = m[TTEST_B]
+    num = float(s1) / n1 - float(s2) / n2
+    v1 = (float(ssq1) - float(s1 * s1) / n1) / (n1 - 1)
+    v2 = (float(ssq2) - float(s2 * s2) / n2) / (n2 - 1)
+    t = num / math.sqrt(v1 / n1 + v2 / n2)
+    return pd.DataFrame(
+        {"n1": pd.array([n1], "int64"), "n2": pd.array([n2], "int64"),
+         "sum1": pd.array([s1], "int64"), "sum2": pd.array([s2], "int64"),
+         "ssq1": pd.array([ssq1], "int64"), "ssq2": pd.array([ssq2], "int64"),
+         "t_micro": pd.array([math.floor(t * 1_000_000 + 0.5)], "int64")}
+    )
+
+
+TTEST_SQL = f"""
+WITH q AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS q
+  FROM events WHERE event_type IN ('{TTEST_A}', '{TTEST_B}')
+),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS s,
+         CAST(SUM(CAST(q AS HUGEINT) * q) AS BIGINT) AS ssq
+  FROM q GROUP BY 1
+),
+a AS (SELECT * FROM m WHERE event_type = '{TTEST_A}'),
+b AS (SELECT * FROM m WHERE event_type = '{TTEST_B}')
+SELECT a.n AS n1, b.n AS n2, a.s AS sum1, b.s AS sum2,
+       a.ssq AS ssq1, b.ssq AS ssq2,
+       CAST(FLOOR(
+         (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+         / SQRT(
+             ((CAST(a.ssq AS DOUBLE)
+               - CAST(CAST(a.s AS HUGEINT) * a.s AS DOUBLE) / a.n)
+              / (a.n - 1)) / a.n
+           + ((CAST(b.ssq AS DOUBLE)
+               - CAST(CAST(b.s AS HUGEINT) * b.s AS DOUBLE) / b.n)
+              / (b.n - 1)) / b.n)
+         * 1000000 + 0.5) AS BIGINT) AS t_micro
+FROM a, b
+"""

@@ -1270,3 +1270,23 @@ def test_bucket_keys_must_not_contain_nul_strings():
     )
     assert b1.iloc[0] != b1.iloc[1]
     assert b1.iloc[0] == b2.iloc[2] and b1.iloc[1] == b2.iloc[0]
+
+
+def test_query_cli_list_run_and_export(ray_session, tmp_path, capsys):
+    import json
+
+    from medical_knowledge_graph_ray.__main__ import main
+
+    assert main(["query", "--list"]) == 0
+    names = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "docs_stats" in names and "events_ttest" in names
+
+    out = str(tmp_path / "r.parquet")
+    rc = main(["query", "docs_stats",
+               "--sf-dir", "/root/testdata/sf0.001", "--out", out])
+    assert rc == 0
+    import pandas as pd
+
+    assert len(pd.read_parquet(out)) == 500
+
+    assert main(["query", "no_such_query"]) == 1
