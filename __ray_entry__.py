@@ -533,6 +533,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Welch's t-test: mergeable two-limb moment partials, one
         # mirrored double expression emitted floor-micro
         "events_ttest": events.events_ttest,
+        # Zipf's-law fit: global frequency rank with NO sort operator
+        # (range buckets + prefix offsets), micro-log OLS moments
+        "docs_zipf": docs.docs_zipf,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -832,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interarrival": events.INTERARRIVAL_SQL,
         "kg_assortativity": docs_kg.assortativity_sql(),
         "events_ttest": events.TTEST_SQL,
+        "docs_zipf": docs.ZIPF_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -3797,3 +3797,160 @@ SELECT label, dim,
          AS sum_micro
 FROM e GROUP BY 1, 2
 """
+
+
+# -- Zipf's-law fit over the token census --------------------------------------
+
+def docs_zipf(sf_dir: str):
+    """Zipf's-law fit of the corpus token distribution: OLS of
+    ln(freq) on ln(rank) over the full frequency-ranked vocabulary —
+    the corpus-health diagnostic (natural text slopes ≈ −1; template
+    spam and boilerplate bend the tail).  Output: the six exact moment
+    integers + the floor-micro slope and intercept.
+
+    The scale-shaped part is the GLOBAL RANK with no sort operator:
+    census counts map through the monotone shift ``(−n) >> 8`` to
+    ordered range buckets (bucket order IS descending-frequency order —
+    the ``orders_abc`` idiom; ties on (n, token) stay inside one bucket
+    because the bucket key is a function of n alone), pass 1 exchanges
+    per-bucket counts (driver prefix-sums rank offsets), pass 2 ranks
+    in-bucket and folds integer moment partials.
+
+    Integer contract: per-token addends x = floor(1e6·ln rank + 0.5),
+    y = floor(1e6·ln n + 0.5) (glibc-log parity); Σxy/Σxx/Σyy travel as
+    two int64 limbs; the slope/intercept are mirrored double
+    expressions of the reassembled exact ints."""
+    import math
+
+    import numpy as np
+    import ray
+
+    from ..stages.shuffle import bucketed_group_map
+
+    docs = _docs(sf_dir, ["text"])
+
+    def census_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.split(" ")
+        flat = np.concatenate(toks.to_numpy()) if len(b) else np.array([], str)
+        u, c = np.unique(flat, return_counts=True)
+        return pd.DataFrame(
+            {"tok": pd.array(u, "str"),
+             "n": pd.array(c.astype("int64"), "int64")}
+        )
+
+    census = bucketed_group_map(
+        docs.map_batches(arrow_out(census_partial), batch_format="pandas"),
+        ["tok"],
+        lambda g: g.groupby("tok", sort=False, as_index=False)["n"].sum(),
+    )
+
+    def vbucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["vbucket"] = (-out["n"].to_numpy("int64")) >> 8
+        return out
+
+    keyed = census.map_batches(
+        arrow_out(vbucket), batch_format="pandas"
+    ).materialize()  # two passes: bucket census, then rank+moments
+
+    counts = (
+        keyed.map_batches(
+            arrow_out(lambda b: b.groupby("vbucket", sort=False)
+                      .size().rename("c").reset_index()),
+            batch_format="pandas",
+        )
+        .to_pandas()  # ≤ batches × range-buckets
+        .groupby("vbucket")["c"].sum().sort_index()
+    )
+    rank_off = counts.cumsum().shift(fill_value=0)
+    off_ref = ray.put({int(vb): int(o) for vb, o in rank_off.items()})
+
+    LIMB = 10 ** 15
+
+    def moments_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        rows = []
+        for vb, sub in g.groupby("vbucket", sort=False):
+            s = sub.sort_values(["n", "tok"], kind="mergesort",
+                                ascending=[False, True])
+            rank = off[int(vb)] + 1 + np.arange(len(s), dtype="int64")
+            x = np.floor(np.log(rank.astype("float64")) * 1e6 + 0.5
+                         ).astype("int64")
+            y = np.floor(np.log(s["n"].to_numpy("float64")) * 1e6 + 0.5
+                         ).astype("int64")
+            sxy = sum(int(a) * int(b) for a, b in zip(x, y))
+            sxx = sum(int(a) * int(a) for a in x)
+            syy = sum(int(a) * int(a) for a in y)
+            rows.append((len(s), int(x.sum()), int(y.sum()), sxx, sxy, syy))
+        out = pd.DataFrame(rows, columns=["n", "sx", "sy", "sxx", "sxy",
+                                          "syy"])
+        for c in ("sxx", "sxy", "syy"):
+            out[f"{c}_lo"] = pd.array([v % LIMB for v in out[c]], "int64")
+            out[f"{c}_hi"] = pd.array([v // LIMB for v in out[c]], "int64")
+        out = out.drop(columns=["sxx", "sxy", "syy"])
+        return out.astype({"n": "int64", "sx": "int64", "sy": "int64"})
+
+    m = bucketed_group_map(keyed, ["vbucket"], moments_bucket).to_pandas()
+    n = int(m["n"].sum())
+    sx, sy = int(m["sx"].sum()), int(m["sy"].sum())
+    sxx = int(m["sxx_hi"].sum()) * LIMB + int(m["sxx_lo"].sum())
+    sxy = int(m["sxy_hi"].sum()) * LIMB + int(m["sxy_lo"].sum())
+    syy = int(m["syy_hi"].sum()) * LIMB + int(m["syy_lo"].sum())
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    intercept = (float(sy) - slope * sx) / n
+    return pd.DataFrame(
+        {"n_tokens": pd.array([n], "int64"),
+         "sx": pd.array([sx], "int64"), "sy": pd.array([sy], "int64"),
+         "sxx": pd.array([sxx], "int64"), "sxy": pd.array([sxy], "int64"),
+         "syy": pd.array([syy], "int64"),
+         "slope_micro": pd.array(
+             [math.floor(slope * 1e6 + 0.5)], "int64"),
+         "intercept_micro": pd.array(
+             [math.floor(intercept * 1e6 + 0.5)], "int64")}
+    )
+
+
+ZIPF_SQL = """
+WITH cen AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+  ) GROUP BY 1
+),
+r AS (
+  SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank,
+         n
+  FROM cen
+),
+a AS (
+  SELECT CAST(FLOOR(LN(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS x,
+         CAST(FLOOR(LN(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM r
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM a
+)
+SELECT n_tokens, sx, sy,
+       CAST(sxx AS BIGINT) AS sxx, CAST(sxy AS BIGINT) AS sxy,
+       CAST(syy AS BIGINT) AS syy,
+       CAST(FLOOR(
+         CAST(CAST(n_tokens AS HUGEINT) * sxy
+              - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / CAST(CAST(n_tokens AS HUGEINT) * sxx
+                - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+         * 1000000 + 0.5) AS BIGINT) AS slope_micro,
+       CAST(FLOOR(
+         (CAST(sy AS DOUBLE)
+          - CAST(CAST(n_tokens AS HUGEINT) * sxy
+                 - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+            / CAST(CAST(n_tokens AS HUGEINT) * sxx
+                   - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+            * sx)
+         / n_tokens * 1000000 + 0.5) AS BIGINT) AS intercept_micro
+FROM s
+"""
