@@ -536,6 +536,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Zipf's-law fit: global frequency rank with NO sort operator
         # (range buckets + prefix offsets), micro-log OLS moments
         "docs_zipf": docs.docs_zipf,
+        # exact integer two-sample KS statistic (cross-multiplied ECDFs,
+        # range-bucket prefix offsets — zero floats anywhere)
+        "events_ks_test": events.events_ks_test,
+        # most common complete user journeys (path census top-k)
+        "events_top_paths": events.events_top_paths,
+        # exact cosine kNN graph (broadcast-matrix brute baseline; IVF/PQ
+        # are the repo's scale paths, SemDeDup the cluster-restricted sub)
+        "embed_knn_graph": docs.embed_knn_graph,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -836,6 +844,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_assortativity": docs_kg.assortativity_sql(),
         "events_ttest": events.TTEST_SQL,
         "docs_zipf": docs.ZIPF_SQL,
+        "events_ks_test": events.KS_SQL,
+        "events_top_paths": events.TOP_PATHS_SQL,
+        "embed_knn_graph": docs.KNN_GRAPH_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

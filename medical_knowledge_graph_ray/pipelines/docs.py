@@ -3954,3 +3954,78 @@ SELECT n_tokens, sx, sy,
          / n_tokens * 1000000 + 0.5) AS BIGINT) AS intercept_micro
 FROM s
 """
+
+
+# -- kNN graph construction ----------------------------------------------------
+
+KNN_GRAPH_K = 5
+
+
+def embed_knn_graph(sf_dir: str):
+    """Exact cosine kNN GRAPH: every vector's top-``KNN_GRAPH_K``
+    neighbors (self excluded, 6-dp sims, neighbor-id tiebreak) — the
+    similarity-graph construction feeding clustering, label propagation
+    and graph-based dedup.
+
+    Shape: brute-exact baseline — the corpus matrix is ray.put-broadcast
+    once and every batch matmuls against it (one pass, no exchange;
+    O(N·B·d) per batch).  This is the same adaptive posture as
+    ``knn_cosine``'s brute front: for corpora past the broadcast budget
+    the IVF/PQ paths (`stages/similarity.py`) bound the candidate set
+    per probe and this map becomes probe-vs-centroid-bucket; the
+    all-pairs exact graph itself is inherently O(N²d) — SemDeDup-style
+    cluster restriction is the scale substitute."""
+    import numpy as np
+    import ray
+
+    emb = _embeddings(sf_dir).materialize()
+    full = emb.to_pandas()
+    ids = full["vec_id"].to_numpy("int64")
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in full["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    matn = mat / np.where(norms == 0, 1.0, norms)[:, None]
+    ref = ray.put((ids, matn))
+
+    def batch_fn(b: pd.DataFrame) -> pd.DataFrame:
+        aids, amat = ray.get(ref)
+        q = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in b["embedding"]])
+        qn = np.linalg.norm(q, axis=1)
+        q = q / np.where(qn == 0, 1.0, qn)[:, None]
+        sims = np.round(q @ amat.T, 6)  # (B, N)
+        bids = b["vec_id"].to_numpy("int64")
+        self_mask = bids[:, None] == aids[None, :]
+        sims[self_mask] = -np.inf
+        # top-k by (-sim, neighbor_id): lexsort per row
+        order = np.lexsort((np.broadcast_to(aids, sims.shape), -sims),
+                           axis=1)[:, :KNN_GRAPH_K]
+        rows = np.repeat(bids, KNN_GRAPH_K)
+        cols = aids[order.ravel()]
+        vals = np.take_along_axis(sims, order, axis=1).ravel()
+        return pd.DataFrame(
+            {"vec_id": pd.array(rows, "int64"),
+             "neighbor": pd.array(cols, "int64"),
+             "sim": vals.astype("float64")}
+        )
+
+    return emb.map_batches(arrow_out(batch_fn), batch_format="pandas",
+                           batch_size=1024)
+
+
+KNN_GRAPH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round(list_cosine_similarity(a.v, b.v), 6) AS sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT va, vb, sim,
+         row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb) AS rn
+  FROM p
+)
+SELECT va AS vec_id, vb AS neighbor, sim FROM r WHERE rn <= {KNN_GRAPH_K}
+"""

@@ -2266,3 +2266,151 @@ SELECT a.n AS n1, b.n AS n2, a.s AS sum1, b.s AS sum2,
          * 1000000 + 0.5) AS BIGINT) AS t_micro
 FROM a, b
 """
+
+
+# -- exact Kolmogorov–Smirnov two-sample statistic -----------------------------
+
+KS_A, KS_B = "purchase", "view"
+
+
+def events_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two event types — the distribution-drift detector
+    — computed EXACTLY in integers: D = max over distinct values of
+    |cum1·n2 − cum2·n1| (cross-multiplied ECDF difference; divide by
+    n1·n2 client-side for the classical D ∈ [0,1]).  No float appears
+    anywhere, so parity is unconditional.
+
+    The global running maximum needs a total order over distinct
+    values but NO sort operator: cent values map through the monotone
+    shift q >> 8 to ordered range buckets (the ``orders_abc`` idiom),
+    pass 1 exchanges per-bucket (Σc1, Σc2) for driver prefix offsets,
+    pass 2 cumsums in-bucket and emits one max partial per bucket."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.arrow import read_parquet_clean
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"],
+        filter=pc.field("event_type").isin([KS_A, KS_B]),
+    )
+
+    def census_partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(b["value"].to_numpy() * 100).astype("int64")
+        df = pd.DataFrame({"q": q, "c1": (b["event_type"] == KS_A)
+                           .to_numpy().astype("int64")})
+        df["c2"] = 1 - df["c1"]
+        out = df.groupby("q", sort=False, as_index=False)[["c1", "c2"]].sum()
+        out["vbucket"] = out["q"].to_numpy("int64") >> 8
+        return out.astype({"q": "int64", "c1": "int64", "c2": "int64",
+                           "vbucket": "int64"})
+
+    keyed = bucketed_group_map(
+        ev.map_batches(arrow_out(census_partial), batch_format="pandas"),
+        ["q"],
+        lambda g: g.groupby(["q", "vbucket"], sort=False, as_index=False)[
+            ["c1", "c2"]].sum(),
+    ).materialize()  # distinct-value census; two passes
+
+    bc = (
+        keyed.map_batches(
+            arrow_out(lambda b: b.groupby("vbucket", sort=False,
+                                          as_index=False)[["c1", "c2"]]
+                      .sum()),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("vbucket")[["c1", "c2"]].sum().sort_index()
+    )
+    n1, n2 = int(bc["c1"].sum()), int(bc["c2"].sum())
+    off1 = bc["c1"].cumsum().shift(fill_value=0)
+    off2 = bc["c2"].cumsum().shift(fill_value=0)
+    off_ref = ray.put({int(vb): (int(a), int(b))
+                       for vb, a, b in zip(bc.index, off1, off2)})
+
+    def max_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        best = 0
+        for vb, sub in g.groupby("vbucket", sort=False):
+            s = sub.sort_values("q", kind="mergesort")
+            o1, o2 = off[int(vb)]
+            cum1 = o1 + s["c1"].to_numpy("int64").cumsum()
+            cum2 = o2 + s["c2"].to_numpy("int64").cumsum()
+            d = np.abs(cum1 * n2 - cum2 * n1).max()
+            best = max(best, int(d))
+        return pd.DataFrame({"d": pd.array([best], "int64")})
+
+    parts = bucketed_group_map(keyed, ["vbucket"], max_bucket).to_pandas()
+    return pd.DataFrame(
+        {"n1": pd.array([n1], "int64"), "n2": pd.array([n2], "int64"),
+         "d_num": pd.array([int(parts["d"].max())], "int64")}
+    )
+
+
+KS_SQL = f"""
+WITH q AS (
+  SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS q
+  FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+),
+cen AS (
+  SELECT q,
+         CAST(SUM(CASE WHEN t = '{KS_A}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1,
+         CAST(SUM(CASE WHEN t = '{KS_B}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c2
+  FROM q GROUP BY 1
+),
+w AS (
+  SELECT SUM(c1) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS cum1,
+         SUM(c2) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS cum2
+  FROM cen
+),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2 FROM cen)
+SELECT tot.n1, tot.n2,
+       CAST(MAX(ABS(cum1 * tot.n2 - cum2 * tot.n1)) AS BIGINT) AS d_num
+FROM w, tot GROUP BY tot.n1, tot.n2
+"""
+
+
+# -- frequent end-to-end paths -------------------------------------------------
+
+TOP_PATHS_K = 20
+
+
+def events_top_paths(sf_dir: str):
+    """The ``TOP_PATHS_K`` most common complete user journeys (the
+    funnel-discovery census over the ordered per-user path strings):
+    composition of ``events_user_path`` (one user_id exchange, ordered
+    string_agg) with a path census (path-bucketed sum) and a bounded
+    global top-k (count desc, path asc tiebreak)."""
+    from ..stages.shuffle import bucketed_group_map
+
+    paths = events_user_path(sf_dir)
+
+    def census_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["path"].value_counts()
+        return pd.DataFrame({"path": pd.array(c.index, "str"),
+                             "n_users": pd.array(c.to_numpy(), "int64")})
+
+    census = bucketed_group_map(
+        paths.map_batches(arrow_out(census_partial), batch_format="pandas"),
+        ["path"],
+        lambda g: g.groupby("path", sort=False, as_index=False)["n_users"]
+        .sum(),
+    )
+    return (
+        census.sort(["n_users", "path"], descending=[True, False])
+        .limit(TOP_PATHS_K)
+    )
+
+
+TOP_PATHS_SQL = f"""
+WITH p AS ({USER_PATH_SQL})
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY 1
+ORDER BY n_users DESC, path LIMIT {TOP_PATHS_K}
+"""
