@@ -544,6 +544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact cosine kNN graph (broadcast-matrix brute baseline; IVF/PQ
         # are the repo's scale paths, SemDeDup the cluster-restricted sub)
         "embed_knn_graph": docs.embed_knn_graph,
+        # LAG-ratio percent change (exact basis-point integer division)
+        "events_pct_change": events.events_pct_change,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -847,6 +849,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ks_test": events.KS_SQL,
         "events_top_paths": events.TOP_PATHS_SQL,
         "embed_knn_graph": docs.KNN_GRAPH_SQL,
+        "events_pct_change": events.PCT_CHANGE_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

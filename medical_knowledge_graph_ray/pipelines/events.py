@@ -2414,3 +2414,55 @@ SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM p GROUP BY 1
 ORDER BY n_users DESC, path LIMIT {TOP_PATHS_K}
 """
+
+
+# -- percent change vs previous event ------------------------------------------
+
+def events_pct_change(sf_dir: str):
+    """Per-(user, type) percent change of value vs the previous event —
+    the LAG-ratio window op (basis points, exact integer contract:
+    ``cur_cents·10⁴ // prev_cents``; NULL on the stream head and on
+    prev = 0).  One user_id exchange, one grouped shift."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts",
+                          "value"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          kind="mergesort")
+        cents = np.rint(s["value"].to_numpy() * 100).astype("int64")
+        prev = (pd.Series(cents, index=s.index)
+                .groupby([s["user_id"], s["event_type"]], sort=False)
+                .shift())
+        pv = prev.to_numpy()
+        ok = ~np.isnan(pv) & (pv != 0)
+        bp = np.full(len(s), np.nan)
+        bp[ok] = (cents[ok] * 10_000) // pv[ok].astype("int64")
+        return pd.DataFrame(
+            {"event_id": s["event_id"].astype("int64"),
+             "user_id": s["user_id"].astype("int64"),
+             "event_type": pd.array(s["event_type"], "str"),
+             "ts": s["ts"],
+             "pct_bp": bp}
+        )
+
+    return bucketed_group_map(ev, ["user_id"], bucket)
+
+
+PCT_CHANGE_SQL = """
+SELECT event_id, user_id, event_type, ts,
+       CAST(CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+                 ELSE (cur * 10000) // prev END AS DOUBLE) AS pct_bp
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(round(value * 100) AS BIGINT) AS cur,
+         lag(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS prev
+  FROM events
+)
+"""

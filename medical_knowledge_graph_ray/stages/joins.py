@@ -286,3 +286,70 @@ def detect_hot_keys(ds, on: list[str], *, min_frac: float = 0.05,
     tot = folded.groupby(on)["cnt"].sum()
     hot = tot[tot >= min_frac * folded["cnt"].sum()]
     return frozenset(hot.index)
+
+
+BROADCAST_ROW_BUDGET = 2_000_000
+
+
+def auto_join(
+    left,
+    right,
+    on: list[str],
+    *,
+    how: str = "inner",
+    broadcast_rows: int = BROADCAST_ROW_BUDGET,
+    right_rows: int | None = None,
+    **kwargs,
+):
+    """Size-adaptive join: BROADCAST the right side when it is small
+    enough, fall back to the partitioned ``hash_join`` otherwise — the
+    planner decision every static call site in this engine makes by
+    hand (dims broadcast in q5/q9, facts partitioned in q3/q18/q21),
+    offered as one API for user pipelines.
+
+    The size probe is ``right.count()`` — METADATA-CHEAP when the right
+    side is a plain Parquet read (row counts come from footers), which
+    is exactly the case where broadcasting is plausible; pass
+    ``right_rows`` to skip the probe when the caller already knows (or
+    the right side is an expensive lazy plan, where counting would
+    execute it — the probe is the caller's bill, same contract as
+    ``ds.schema()``).
+
+    Broadcast path: the collected right frame is ``ray.put`` ONCE and
+    every left batch pandas-merges against it — zero exchanges, the
+    left side never moves.  Supports inner/left/semi/anti (a broadcast
+    'full' would need unmatched-right tracking across batches — use the
+    partitioned join).  Results are row-identical to ``hash_join``
+    (pytest-pinned)."""
+    import ray
+
+    if how not in ("inner", "left", "semi", "anti"):
+        return hash_join(left, right, on, how=how, **kwargs)
+    n = right.count() if right_rows is None else right_rows
+    if n > broadcast_rows:
+        return hash_join(left, right, on, how=how, **kwargs)
+
+    rdf = right.to_pandas() if not isinstance(right, pd.DataFrame) else right
+    bucket_post = kwargs.get("bucket_post")
+    ref = ray.put(rdf)
+
+    def batch_fn(b: pd.DataFrame) -> pd.DataFrame:
+        import pandas as pd
+
+        r = ray.get(ref)
+        if how in ("semi", "anti"):
+            keys = r[on].drop_duplicates()
+            m = b.merge(keys, on=on, how="left", indicator=True)
+            keep = (m["_merge"] == "both") if how == "semi" else (
+                m["_merge"] == "left_only")
+            out = m.loc[keep, list(b.columns)]
+        else:
+            out = b.merge(r, on=on, how=how,
+                          suffixes=kwargs.get("suffixes", ("_l", "_r")))
+        if bucket_post is not None:
+            out = bucket_post(out)
+        return out
+
+    from ..functions.arrow import arrow_out
+
+    return left.map_batches(arrow_out(batch_fn), batch_format="pandas")

@@ -261,3 +261,33 @@ def test_spearman_matches_rank_pearson(ray_session):
     # the 2-rank sums obey the closed form Σ2r = n(n+1)
     n = int(got["n"].iloc[0])
     assert n == len(li)
+
+
+def test_auto_join_broadcast_matches_partitioned(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.joins import auto_join, hash_join
+
+    import pyarrow as pa
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "a": [10, 20, 21, 30, 50]})
+    right = pd.DataFrame({"k": [1, 2, 4], "b": ["x", "y", "z"]})
+    lds = rd.from_arrow(pa.Table.from_pandas(left))
+    rds = rd.from_arrow(pa.Table.from_pandas(right))
+
+    for how in ("inner", "left", "semi", "anti"):
+        want = (hash_join(lds, rds, ["k"], how=how).to_pandas()
+                .sort_values(list(left.columns[:1]) + ["a"])
+                .reset_index(drop=True))
+        got_b = (auto_join(lds, rds, ["k"], how=how, broadcast_rows=100)
+                 .to_pandas())
+        got_p = (auto_join(lds, rds, ["k"], how=how, broadcast_rows=0)
+                 .to_pandas())
+        for got in (got_b, got_p):
+            g = got.sort_values(["k", "a"]).reset_index(drop=True)
+            w = want.sort_values(["k", "a"]).reset_index(drop=True)
+            assert sorted(g.columns) == sorted(w.columns), how
+            pd.testing.assert_frame_equal(
+                g[sorted(g.columns)], w[sorted(w.columns)],
+                check_dtype=False), how
