@@ -546,6 +546,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_graph": docs.embed_knn_graph,
         # LAG-ratio percent change (exact basis-point integer division)
         "events_pct_change": events.events_pct_change,
+        # LSH quality report: recall/precision of the oracled candidate
+        # pairs vs the oracled exact join — evaluation AS a pipeline
+        "docs_minhash_eval": docs.docs_minhash_eval,
+        # lag-1 autocorrelation of the dense daily volume series
+        "events_daily_autocorr": events.events_daily_autocorr,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -850,6 +855,8 @@ def oracle_sql() -> dict[str, str]:
         "events_top_paths": events.TOP_PATHS_SQL,
         "embed_knn_graph": docs.KNN_GRAPH_SQL,
         "events_pct_change": events.PCT_CHANGE_SQL,
+        "docs_minhash_eval": docs.minhash_eval_sql(),
+        "events_daily_autocorr": events.DAILY_AUTOCORR_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -4029,3 +4029,86 @@ r AS (
 )
 SELECT va AS vec_id, vb AS neighbor, sim FROM r WHERE rn <= {KNN_GRAPH_K}
 """
+
+
+# -- LSH quality evaluation against the exact join -----------------------------
+
+def docs_minhash_eval(sf_dir: str):
+    """Candidate-quality report for MinHash-LSH: recall/precision of the
+    ORACLED LSH candidate pairs (``docs_minhash_pairs``, est. Jaccard ≥
+    0.5) against the ORACLED exact pairs (``docs_jaccard_prefix``,
+    true Jaccard ≥ 0.5) — dedup-pipeline tuning as a first-class
+    pipeline, not a notebook: both sides and the intersection are
+    SQL-verified, so the report itself oracles end to end.
+
+    Shape: both chains run lazily, rows tagged (is_lsh, is_true) union
+    into ONE pair-bucketed exchange; per-bucket combo counts (a pair's
+    two tags co-locate) fold to a single driver row.  recall/precision
+    ride as exact basis-point ints in a float64 carrier (NaN when the
+    denominator is 0)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    def tag(is_lsh: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"doc_a": b["doc_a"].astype("int64"),
+                 "doc_b": b["doc_b"].astype("int64"),
+                 "is_lsh": pd.array([is_lsh] * len(b), "int64"),
+                 "is_true": pd.array([1 - is_lsh] * len(b), "int64")}
+            )
+        return fn
+
+    lsh = docs_minhash_pairs(sf_dir).map_batches(
+        arrow_out(tag(1)), batch_format="pandas")
+    true = docs_jaccard_prefix(sf_dir).map_batches(
+        arrow_out(tag(0)), batch_format="pandas")
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.groupby(["doc_a", "doc_b"], sort=False)[["is_lsh", "is_true"]
+                                                      ].max()
+        return pd.DataFrame(
+            {"n_cand": pd.array([int(p["is_lsh"].sum())], "int64"),
+             "n_true": pd.array([int(p["is_true"].sum())], "int64"),
+             "n_hit": pd.array(
+                 [int((p["is_lsh"] & p["is_true"]).sum())], "int64")}
+        )
+
+    parts = bucketed_group_map(
+        lsh.union(true), ["doc_a", "doc_b"], bucket
+    ).to_pandas()
+    n_cand = int(parts["n_cand"].sum())
+    n_true = int(parts["n_true"].sum())
+    n_hit = int(parts["n_hit"].sum())
+    return pd.DataFrame(
+        {"n_candidates": pd.array([n_cand], "int64"),
+         "n_true": pd.array([n_true], "int64"),
+         "n_hit": pd.array([n_hit], "int64"),
+         "recall_bp": pd.array(
+             [float(n_hit * 10_000 // n_true) if n_true else np.nan],
+             "float64"),
+         "precision_bp": pd.array(
+             [float(n_hit * 10_000 // n_cand) if n_cand else np.nan],
+             "float64")}
+    )
+
+
+def minhash_eval_sql() -> str:
+    return (
+        f"WITH lsh AS ({MINHASH_PAIRS_SQL}),\n"
+        f"ex AS ({JACCARD_PREFIX_SQL}),\n"
+        "hit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lsh\n"
+        "        JOIN ex USING (doc_a, doc_b)),\n"
+        "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lsh),\n"
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ex)\n"
+        "SELECT c.n AS n_candidates, t.n AS n_true, hit.n AS n_hit,\n"
+        "       CAST(CASE WHEN t.n = 0 THEN NULL\n"
+        "                 ELSE (hit.n * 10000) // t.n END AS DOUBLE)\n"
+        "         AS recall_bp,\n"
+        "       CAST(CASE WHEN c.n = 0 THEN NULL\n"
+        "                 ELSE (hit.n * 10000) // c.n END AS DOUBLE)\n"
+        "         AS precision_bp\n"
+        "FROM c, t, hit"
+    )

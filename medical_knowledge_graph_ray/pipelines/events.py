@@ -2466,3 +2466,99 @@ FROM (
   FROM events
 )
 """
+
+
+# -- lag-1 autocorrelation of the daily volume series --------------------------
+
+def events_daily_autocorr(sf_dir: str):
+    """Lag-1 Pearson autocorrelation of the DENSE daily event-count
+    series (missing days count 0 — the gapfill contract) — the
+    time-series health diagnostic (is volume persistent day over day or
+    white noise?).  The day census is CALENDAR-BOUNDED at any scale
+    factor, so the distributed work is one additive census fold; the
+    dense spine, the lag pairing and the exact integer moments happen
+    on the bounded artifact, and r is ONE mirrored double emitted
+    floor-micro (NaN when a variance is 0)."""
+    import math
+
+    import numpy as np
+
+    ev = _events(sf_dir, ["ts"])
+
+    def census_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["ts"].to_numpy().astype("datetime64[D]").view("int64")
+        u, c = np.unique(d, return_counts=True)
+        return pd.DataFrame({"d": pd.array(u, "int64"),
+                             "c": pd.array(c.astype("int64"), "int64")})
+
+    cen = (
+        ev.map_batches(arrow_out(census_partial), batch_format="pandas")
+        .to_pandas()  # calendar-bounded artifact
+        .groupby("d")["c"].sum()
+    )
+    lo, hi = int(cen.index.min()), int(cen.index.max())
+    dense = np.zeros(hi - lo + 1, dtype="int64")
+    dense[cen.index.to_numpy("int64") - lo] = cen.to_numpy("int64")
+    x, y = dense[:-1], dense[1:]
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx = int((x * x).sum())
+    syy = int((y * y).sum())
+    sxy = int((x * y).sum())
+    a = n * sxx - sx * sx
+    b_ = n * syy - sy * sy
+    r_micro = (float("nan") if a == 0 or b_ == 0 else
+               float(math.floor(1e6 * float(n * sxy - sx * sy)
+                                / math.sqrt(float(a) * float(b_)) + 0.5)))
+    return pd.DataFrame(
+        {"n_days": pd.array([n + 1], "int64"),
+         "n_pairs": pd.array([n], "int64"),
+         "sx": pd.array([sx], "int64"), "sy": pd.array([sy], "int64"),
+         "sxx": pd.array([sxx], "int64"), "syy": pd.array([syy], "int64"),
+         "sxy": pd.array([sxy], "int64"),
+         "r_micro": pd.array([r_micro], "float64")}
+    )
+
+
+DAILY_AUTOCORR_SQL = """
+WITH cen AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM cen),
+spine AS (
+  SELECT unnest(range(b.lo, b.hi + 1)) AS d FROM b
+),
+dense AS (
+  SELECT spine.d, COALESCE(cen.c, 0) AS c
+  FROM spine LEFT JOIN cen USING (d)
+),
+pairs AS (
+  SELECT c AS x, lead(c) OVER (ORDER BY d) AS y FROM dense
+  QUALIFY y IS NOT NULL
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy
+  FROM pairs
+)
+SELECT n + 1 AS n_days, n AS n_pairs, sx, sy, sxx, syy, sxy,
+       CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+              OR CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy = 0
+            THEN NULL
+            ELSE CAST(FLOOR(
+              1000000.0
+              * CAST(CAST(n AS HUGEINT) * sxy
+                     - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+              / SQRT(CAST(CAST(n AS HUGEINT) * sxx
+                          - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                     * CAST(CAST(n AS HUGEINT) * syy
+                            - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+              + 0.5) AS DOUBLE) END AS r_micro
+FROM s
+"""

@@ -71,3 +71,26 @@ def write_jsonl(ds, out_dir: str) -> dict:
     with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
     return manifest
+
+
+def write_csv(ds, out_dir: str) -> dict:
+    """Sharded CSV sink (S6 sink breadth — the interchange format BI /
+    spreadsheet consumers ask for): one ``.csv`` file per block through
+    Ray's streaming datasink, plus the same auditable driver-side
+    (file, rows) ``_MANIFEST.json`` as ``write_jsonl``.  Round-trips
+    through ``read_table`` (tested)."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_csv(out_dir)
+    files = sorted(f for f in os.listdir(out_dir) if f.endswith(".csv"))
+    manifest = {"files": [], "rows": 0}
+    for f in files:
+        with open(os.path.join(out_dir, f)) as fh:
+            n = max(0, sum(1 for _ in fh) - 1)  # header line per shard
+        manifest["files"].append({"file": f, "rows": n})
+        manifest["rows"] += n
+    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest

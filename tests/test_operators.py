@@ -1290,3 +1290,26 @@ def test_query_cli_list_run_and_export(ray_session, tmp_path, capsys):
     assert len(pd.read_parquet(out)) == 500
 
     assert main(["query", "no_such_query"]) == 1
+
+
+def test_write_csv_roundtrip_with_manifest(ray_session, tmp_path):
+    """The CSV sink shards per block, writes an auditable manifest, and
+    round-trips through read_table."""
+    import pandas as pd
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.sources.tables import (
+        read_table, write_csv,
+    )
+
+    df = pd.DataFrame({"k": list(range(12)), "v": [f"s{i}" for i in range(12)]})
+    out = str(tmp_path / "csv_export")
+    m = write_csv(rd.from_pandas(df).repartition(3), out)
+    assert m["rows"] == 12
+    assert sum(f["rows"] for f in m["files"]) == 12
+    parts = [
+        read_table(f"{out}/{f['file']}").to_pandas() for f in m["files"]
+    ]
+    got = pd.concat(parts, ignore_index=True).sort_values("k").reset_index(
+        drop=True)
+    pd.testing.assert_frame_equal(got, df, check_dtype=False)
