@@ -551,6 +551,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_eval": docs.docs_minhash_eval,
         # lag-1 autocorrelation of the dense daily volume series
         "events_daily_autocorr": events.events_daily_autocorr,
+        # RAKE keyphrases: island-mined stopword-free runs, deg/freq
+        # word scores, integer floor-micro addends, bounded top-k
+        "docs_rake": docs.docs_rake,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -857,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pct_change": events.PCT_CHANGE_SQL,
         "docs_minhash_eval": docs.minhash_eval_sql(),
         "events_daily_autocorr": events.DAILY_AUTOCORR_SQL,
+        "docs_rake": docs.rake_sql(),
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

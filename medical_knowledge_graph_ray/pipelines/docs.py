@@ -4112,3 +4112,147 @@ def minhash_eval_sql() -> str:
         "         AS precision_bp\n"
         "FROM c, t, hit"
     )
+
+
+# -- RAKE keyphrase extraction -------------------------------------------------
+
+RAKE_STOP = ("the", "a", "an", "of", "to", "in", "and", "or", "is", "on",
+             "for", "with", "by", "at", "as", "it", "this", "that")
+RAKE_MAX_LEN = 4
+RAKE_K = 30
+
+
+def docs_rake(sf_dir: str):
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (≤ ``RAKE_MAX_LEN`` words);
+    each word scores deg/freq over ALL phrase occurrences (deg = Σ
+    phrase length, freq = occurrence count) and a phrase scores the sum
+    of its words — the corpus-keyphrase miner feeding taxonomy seeds
+    and KG relation vocabularies.
+
+    Integer contract: the per-word addend is ``(deg·10⁶) // freq``
+    (exact int floor-division), a phrase's score an order-immune int64
+    sum; top-``RAKE_K`` by (score desc, phrase asc).
+
+    Shape: doc-local phrase mining (island detection over the
+    boundary-masked token stream — one cumsum, no per-doc loop; the
+    per-phrase string join is the ``user_path`` grouped-agg kernel) →
+    phrase-census exchange (materialized: consumed by the word-stats
+    fold and the scoring map) → vocab-bounded word-stats artifact
+    broadcast → score + bounded top-k."""
+    import numpy as np
+    import ray
+
+    from ..stages.shuffle import bucketed_group_map
+
+    stop = frozenset(RAKE_STOP)
+    docs = _docs(sf_dir, ["text"])
+
+    def phrase_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.split(" ")
+        lens = toks.str.len().to_numpy()
+        flat = np.concatenate(toks.to_numpy()) if len(b) else np.array([], str)
+        di = np.repeat(np.arange(len(b)), lens)
+        keep = ~pd.Series(flat).isin(stop).to_numpy()
+        if not keep.any():
+            return pd.DataFrame({"phrase": pd.array([], "str"),
+                                 "n_occ": pd.array([], "int64")})
+        # a kept token starts a new phrase unless its predecessor is
+        # kept and in the same doc
+        prev_keep = np.concatenate([[False], keep[:-1]])
+        same_doc = np.concatenate([[False], di[1:] == di[:-1]])
+        new_phrase = keep & ~(prev_keep & same_doc)
+        pid = np.cumsum(new_phrase)[keep]  # phrase id per kept token
+        words = flat[keep]
+        s = pd.Series(words).groupby(pid, sort=False)
+        phrases = s.agg(" ".join)
+        plen = s.size()
+        ok = plen <= RAKE_MAX_LEN
+        c = phrases[ok].value_counts()
+        return pd.DataFrame({"phrase": pd.array(c.index, "str"),
+                             "n_occ": pd.array(c.to_numpy(), "int64")})
+
+    census = bucketed_group_map(
+        docs.map_batches(arrow_out(phrase_partial), batch_format="pandas"),
+        ["phrase"],
+        lambda g: g.groupby("phrase", sort=False, as_index=False)["n_occ"]
+        .sum(),
+    ).materialize()  # phrase census; two consumers
+
+    def word_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # additive under any batch split
+        ws = b["phrase"].astype(str).str.split(" ")
+        wl = ws.str.len().to_numpy()
+        n = b["n_occ"].to_numpy("int64")
+        flat = np.concatenate(ws.to_numpy()) if len(b) else np.array([], str)
+        freq = np.repeat(n, wl)
+        deg = np.repeat(n * wl, wl)
+        df = pd.DataFrame({"word": flat, "freq": freq, "deg": deg})
+        return (df.groupby("word", sort=False, as_index=False)
+                [["freq", "deg"]].sum())
+
+    ws = (
+        census.map_batches(arrow_out(word_partial), batch_format="pandas")
+        .to_pandas()  # vocab-bounded artifact
+        .groupby("word")[["freq", "deg"]].sum()
+    )
+    score_w = {w: (int(r.deg) * 1_000_000) // int(r.freq)
+               for w, r in ws.iterrows()}
+    ref = ray.put(score_w)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        sw = ray.get(ref)
+        scores = [sum(sw[w] for w in p.split(" "))
+                  for p in b["phrase"].astype(str)]
+        return pd.DataFrame({"phrase": pd.array(b["phrase"], "str"),
+                             "n_occ": b["n_occ"].astype("int64"),
+                             "score_micro": pd.array(scores, "int64")})
+
+    return (
+        census.map_batches(arrow_out(score), batch_format="pandas")
+        .sort(["score_micro", "phrase"], descending=[True, False])
+        .limit(RAKE_K)
+    )
+
+
+def rake_sql() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in RAKE_STOP)
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+nz AS (
+  SELECT doc_id, tok, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM t WHERE tok NOT IN ({stoplist})
+),
+ph AS (
+  SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY i) AS phrase,
+         COUNT(*) AS len
+  FROM nz GROUP BY 1, 2
+),
+pc AS (
+  SELECT phrase, CAST(MAX(len) AS BIGINT) AS len,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ph WHERE len <= {RAKE_MAX_LEN} GROUP BY 1
+),
+w AS (SELECT unnest(string_split(phrase, ' ')) AS word, len, n FROM pc),
+ws AS (
+  SELECT word, CAST(SUM(n) AS BIGINT) AS freq,
+         CAST(SUM(n * len) AS BIGINT) AS deg
+  FROM w GROUP BY 1
+),
+pw AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS word FROM pc
+),
+scored AS (
+  SELECT pc.phrase, pc.n AS n_occ,
+         CAST(SUM((ws.deg * 1000000) // ws.freq) AS BIGINT) AS score_micro
+  FROM pc JOIN pw USING (phrase) JOIN ws USING (word)
+  GROUP BY 1, 2
+)
+SELECT phrase, n_occ, score_micro FROM scored
+ORDER BY score_micro DESC, phrase LIMIT {RAKE_K}
+"""
