@@ -554,6 +554,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RAKE keyphrases: island-mined stopword-free runs, deg/freq
         # word scores, integer floor-micro addends, bounded top-k
         "docs_rake": docs.docs_rake,
+        # Benford first-digit audit (9-cell perfect combiner)
+        "lineitem_benford": relational.lineitem_benford,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -673,6 +675,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_adamic_adar", "kg_clustering_coeff", "events_scd2",
         "events_user_quantiles", "orders_abc", "parts_copurchase_sim",
         "docs_odds_ratio", "docs_bigram_lm",
+        # fourth-sitting later additions
+        "events_last_touch", "orders_open_by_day", "supplier_hhi",
+        "events_rolling_median", "kg_assortativity", "events_ttest",
+        "docs_zipf", "events_ks_test",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -689,6 +695,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize", "events_range_join", "events_user_median",
         "orders_topn_per_cust", "lineitem_quantiles", "docs_chunk_windows",
         "orders_lineitem_join", "customers_no_orders",
+        "simhash_neardup_pairs", "dedup_components", "docs_dsir",
+        "events_cume_dist", "docs_curation", "kg_doc_nodes",
+        "q9_profit", "embed_neardup_pairs",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -861,6 +870,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_minhash_eval": docs.minhash_eval_sql(),
         "events_daily_autocorr": events.DAILY_AUTOCORR_SQL,
         "docs_rake": docs.rake_sql(),
+        "lineitem_benford": relational.BENFORD_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

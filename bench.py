@@ -103,6 +103,14 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "events_user_quantiles", "orders_abc", "parts_copurchase_sim",
         "knn_range", "docs_odds_ratio", "docs_bigram_lm",
         "orders_cohorts", "embed_label_centroids", "kg_kcore",
+        # fourth-sitting later additions: attribution, sweep line, HHI,
+        # rolling median, assortativity, t-test/KS, Zipf, kNN graph,
+        # journeys, LSH eval, autocorr, RAKE, Benford, pct change
+        "events_last_touch", "orders_open_by_day", "supplier_hhi",
+        "events_rolling_median", "events_interarrival", "kg_assortativity",
+        "events_ttest", "docs_zipf", "events_ks_test", "events_top_paths",
+        "embed_knn_graph", "events_pct_change", "docs_minhash_eval",
+        "events_daily_autocorr", "docs_rake", "lineitem_benford",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

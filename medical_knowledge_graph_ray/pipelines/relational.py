@@ -4363,3 +4363,68 @@ SELECT CAST(nationkey AS BIGINT) AS nationkey,
          AS hhi_micro
 FROM k GROUP BY 1
 """
+
+
+# -- Benford first-digit audit -------------------------------------------------
+
+def lineitem_benford(sf_dir: str):
+    """Benford's-law first-significant-digit audit of extendedprice —
+    the classic fraud/synthetic-data detector: observed digit counts vs
+    the expected ``n·log10(1 + 1/d)``.  The census is a 9-cell perfect
+    combiner (one tiny fold); expectations are micro-ints of ONE glibc
+    log expression per digit, so parity is unconditional.  The χ²-style
+    deviation is a client-side division away — the exact integers ride
+    in the row."""
+    import math
+
+    import numpy as np
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        # first significant digit via the decimal string (mirror of the
+        # oracle's substr) — vectorized through numpy's str kernel
+        first = np.char.lstrip(cents.astype(str), "0").astype("<U1")
+        d = first.astype("int64")
+        u, c = np.unique(d, return_counts=True)
+        return pd.DataFrame({"digit": pd.array(u, "int64"),
+                             "observed": pd.array(c.astype("int64"),
+                                                  "int64")})
+
+    cen = (
+        li.map_batches(arrow_out(partial), batch_format="pandas")
+        .to_pandas()  # ≤ batches × 9 rows
+        .groupby("digit")["observed"].sum()
+    )
+    n = int(cen.sum())
+    digits = list(range(1, 10))
+    obs = [int(cen.get(d, 0)) for d in digits]
+    exp = [math.floor(n * (math.log(1 + 1 / d) / math.log(10)) * 1e6 + 0.5)
+           for d in digits]
+    return pd.DataFrame(
+        {"digit": pd.array(digits, "int64"),
+         "observed": pd.array(obs, "int64"),
+         "n_total": pd.array([n] * 9, "int64"),
+         "expected_micro": pd.array(exp, "int64")}
+    )
+
+
+BENFORD_SQL = """
+WITH cents AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+),
+d AS (
+  SELECT CAST(substr(ltrim(CAST(c AS VARCHAR), '0'), 1, 1) AS BIGINT)
+           AS digit
+  FROM cents
+),
+cen AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM d GROUP BY 1),
+tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cen),
+spine AS (SELECT unnest(range(1, 10)) AS digit)
+SELECT spine.digit, COALESCE(cen.observed, 0) AS observed,
+       tot.n AS n_total,
+       CAST(FLOOR(tot.n * (LN(1 + 1.0 / spine.digit) / LN(10))
+                  * 1000000 + 0.5) AS BIGINT) AS expected_micro
+FROM spine LEFT JOIN cen USING (digit), tot
+"""
