@@ -556,6 +556,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rake": docs.docs_rake,
         # Benford first-digit audit (9-cell perfect combiner)
         "lineitem_benford": relational.lineitem_benford,
+        # trailing-window burst days — x−μ>2σ cleared to pure integers
+        "events_bursts": events.events_bursts,
+        # per-vector cosine to its label centroid (raw fixed-point sums,
+        # no mean division — cosine is scale-invariant)
+        "embed_label_affinity": docs.embed_label_affinity,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -871,6 +876,8 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_autocorr": events.DAILY_AUTOCORR_SQL,
         "docs_rake": docs.rake_sql(),
         "lineitem_benford": relational.BENFORD_SQL,
+        "events_bursts": events.BURSTS_SQL,
+        "embed_label_affinity": docs.LABEL_AFFINITY_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

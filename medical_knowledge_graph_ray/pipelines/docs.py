@@ -4256,3 +4256,107 @@ scored AS (
 SELECT phrase, n_occ, score_micro FROM scored
 ORDER BY score_micro DESC, phrase LIMIT {RAKE_K}
 """
+
+
+# -- per-vector affinity to its label centroid ---------------------------------
+
+def embed_label_affinity(sf_dir: str):
+    """Cosine of every vector to its OWN label's centroid — the
+    embedding-quality / outlier-mining enrichment (low affinity = label
+    noise or drift candidates; threshold client-side).  Scale
+    invariance of cosine lets the centroid stay the RAW fixed-point
+    component SUM (no division, no float mean): dot, |v|² and |S|² are
+    exact ints (HUGEINT in the oracle) and ONE mirrored double
+    expression emits floor-micro cosine.
+
+    Shape: pass 1 folds the labels×dims fixed-point sum artifact
+    (bounded, broadcast); pass 2 scores each batch vectorized.  int64
+    headroom: dot ≤ n_label·d·(10⁶·|v|∞)² — for corpora past ~10⁹
+    unit vectors per label move the score pass to float128/two-limb."""
+    import math
+
+    import numpy as np
+    import ray
+
+    emb = _embeddings(sf_dir).materialize()
+
+    def sum_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"label": pd.array([], "int32"),
+                                 "dim": pd.array([], "int64"),
+                                 "sq": pd.array([], "int64")})
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in b["embedding"]])
+        micro = np.floor(mat * 1e6 + 0.5).astype("int64")
+        labels = b["label"].to_numpy()
+        rows = []
+        for lab in np.unique(labels):
+            s = micro[labels == lab].sum(axis=0)
+            rows.append(pd.DataFrame(
+                {"label": pd.array([lab] * micro.shape[1], "int32"),
+                 "dim": pd.array(np.arange(1, micro.shape[1] + 1), "int64"),
+                 "sq": pd.array(s, "int64")}))
+        return pd.concat(rows, ignore_index=True)
+
+    sums = (
+        emb.map_batches(arrow_out(sum_partial), batch_format="pandas")
+        .to_pandas()  # labels×dims artifact
+        .groupby(["label", "dim"])["sq"].sum()
+    )
+    cents: dict[int, np.ndarray] = {}
+    ns: dict[int, int] = {}
+    for lab in sums.index.get_level_values(0).unique():
+        v = sums.loc[lab].sort_index().to_numpy("int64")
+        cents[int(lab)] = v
+        ns[int(lab)] = int(sum(int(x) * int(x) for x in v))
+    ref = ray.put((cents, ns))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        cd, nsd = ray.get(ref)
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in b["embedding"]]) if len(b) else \
+            np.zeros((0, 1))
+        micro = np.floor(mat * 1e6 + 0.5).astype("int64")
+        labels = b["label"].to_numpy()
+        out = []
+        for i in range(len(b)):
+            s = cd[int(labels[i])]
+            dot = int(np.dot(micro[i], s))
+            nv = int(np.dot(micro[i], micro[i]))
+            c = math.floor(
+                1e6 * dot / math.sqrt(float(nv) * float(nsd[int(labels[i])]))
+                + 0.5)
+            out.append(c)
+        return pd.DataFrame(
+            {"vec_id": b["vec_id"].astype("int64"),
+             "label": b["label"].astype("int32"),
+             "cos_micro": pd.array(out, "int64")}
+        )
+
+    return emb.map_batches(arrow_out(score), batch_format="pandas")
+
+
+LABEL_AFFINITY_SQL = """
+WITH v AS (
+  SELECT vec_id, label,
+         CAST(FLOOR(unnest(CAST(embedding AS DOUBLE[])) * 1000000 + 0.5)
+              AS BIGINT) AS vq,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+  FROM embeddings
+),
+s AS (SELECT label, dim, CAST(SUM(vq) AS BIGINT) AS sq FROM v GROUP BY 1, 2),
+d AS (
+  SELECT v.vec_id, v.label,
+         CAST(SUM(CAST(v.vq AS HUGEINT) * s.sq) AS BIGINT) AS dot,
+         CAST(SUM(CAST(v.vq AS HUGEINT) * v.vq) AS BIGINT) AS nv
+  FROM v JOIN s ON s.label = v.label AND s.dim = v.dim
+  GROUP BY 1, 2
+),
+ns AS (SELECT label, CAST(SUM(CAST(sq AS HUGEINT) * sq) AS BIGINT) AS ns
+       FROM s GROUP BY 1)
+SELECT d.vec_id, d.label,
+       CAST(FLOOR(1000000.0 * dot
+                  / SQRT(CAST(nv AS DOUBLE) * CAST(ns.ns AS DOUBLE))
+                  + 0.5) AS BIGINT) AS cos_micro
+FROM d JOIN ns USING (label)
+"""

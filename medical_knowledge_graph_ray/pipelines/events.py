@@ -2562,3 +2562,91 @@ SELECT n + 1 AS n_days, n AS n_pairs, sx, sy, sxx, syy, sxy,
               + 0.5) AS DOUBLE) END AS r_micro
 FROM s
 """
+
+
+# -- trailing-window burst detection (all-integer) -----------------------------
+
+BURST_W = 7
+
+
+def events_bursts(sf_dir: str):
+    """Days whose event volume bursts above the trailing week: flag day
+    x against the previous ``BURST_W`` days' (S, Q) iff
+    ``W·x − S > 0`` AND ``(W·x − S)² > 4·(W·Q − S²)`` — algebraically
+    exactly "x − μ > 2σ" with EVERY operation an integer (the μ/σ
+    divisions cleared by cross-multiplication), so there is no float
+    anywhere and parity is unconditional.  Only days with a full
+    trailing window qualify.
+
+    Shape: additive per-batch day-census partials fold into the
+    calendar-bounded artifact (one row per active day at ANY scale
+    factor); the dense spine, sliding sums and the integer predicate
+    run on that bounded series driver-side."""
+    import numpy as np
+
+    ev = _events(sf_dir, ["ts"])
+
+    def census_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["ts"].to_numpy().astype("datetime64[D]").view("int64")
+        u, c = np.unique(d, return_counts=True)
+        return pd.DataFrame({"d": pd.array(u, "int64"),
+                             "c": pd.array(c.astype("int64"), "int64")})
+
+    cen = (
+        ev.map_batches(arrow_out(census_partial), batch_format="pandas")
+        .to_pandas()  # calendar-bounded artifact
+        .groupby("d")["c"].sum()
+    )
+    lo, hi = int(cen.index.min()), int(cen.index.max())
+    dense = np.zeros(hi - lo + 1, dtype="int64")
+    dense[cen.index.to_numpy("int64") - lo] = cen.to_numpy("int64")
+    if len(dense) <= BURST_W:
+        return pd.DataFrame({"d": pd.array([], "int64"),
+                             "x": pd.array([], "int64"),
+                             "s7": pd.array([], "int64"),
+                             "q7": pd.array([], "int64")})
+    cs = np.concatenate([[0], np.cumsum(dense)])
+    cq = np.concatenate([[0], np.cumsum(dense * dense)])
+    i = np.arange(BURST_W, len(dense))
+    x = dense[i]
+    s = cs[i] - cs[i - BURST_W]
+    q = cq[i] - cq[i - BURST_W]
+    lhs = BURST_W * x - s
+    flag = (lhs > 0) & (lhs * lhs > 4 * (BURST_W * q - s * s))
+    return pd.DataFrame(
+        {"d": pd.array((lo + i[flag]), "int64"),
+         "x": pd.array(x[flag], "int64"),
+         "s7": pd.array(s[flag], "int64"),
+         "q7": pd.array(q[flag], "int64")}
+    )
+
+
+BURSTS_SQL = f"""
+WITH cen AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM cen),
+spine AS (SELECT unnest(range(b.lo, b.hi + 1)) AS d FROM b),
+dense AS (
+  SELECT spine.d, COALESCE(cen.c, 0) AS c
+  FROM spine LEFT JOIN cen USING (d)
+),
+w AS (
+  SELECT d, c AS x,
+         SUM(c) OVER (ORDER BY d ROWS BETWEEN {BURST_W} PRECEDING
+                      AND 1 PRECEDING) AS s,
+         SUM(c * c) OVER (ORDER BY d ROWS BETWEEN {BURST_W} PRECEDING
+                          AND 1 PRECEDING) AS q,
+         row_number() OVER (ORDER BY d) AS rn
+  FROM dense
+)
+SELECT d, x, CAST(s AS BIGINT) AS s7, CAST(q AS BIGINT) AS q7
+FROM w
+WHERE rn > {BURST_W}
+  AND {BURST_W} * x - s > 0
+  AND ({BURST_W} * x - s) * ({BURST_W} * x - s)
+      > 4 * ({BURST_W} * q - s * s)
+"""
