@@ -561,6 +561,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-vector cosine to its label centroid (raw fixed-point sums,
         # no mean division — cosine is scale-invariant)
         "embed_label_affinity": docs.embed_label_affinity,
+        # market-basket association rules a→b (confidence + lift, exact
+        # int bp/micro; both directions per unordered pair)
+        "parts_assoc_rules": relational.parts_assoc_rules,
+        # quantity-weighted median (selection-only, zero floats)
+        "lineitem_weighted_median": relational.lineitem_weighted_median,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -878,6 +883,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_benford": relational.BENFORD_SQL,
         "events_bursts": events.BURSTS_SQL,
         "embed_label_affinity": docs.LABEL_AFFINITY_SQL,
+        "parts_assoc_rules": relational.ASSOC_RULES_SQL,
+        "lineitem_weighted_median": relational.WEIGHTED_MEDIAN_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

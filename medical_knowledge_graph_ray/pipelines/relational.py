@@ -4428,3 +4428,181 @@ SELECT spine.digit, COALESCE(cen.observed, 0) AS observed,
                   * 1000000 + 0.5) AS BIGINT) AS expected_micro
 FROM spine LEFT JOIN cen USING (digit), tot
 """
+
+
+# -- association rules over co-purchases ---------------------------------------
+
+def parts_assoc_rules(sf_dir: str):
+    """Market-basket association rules a→b over the co-purchase pairs:
+    support count, confidence (share of a's orders that also hold b)
+    and lift (observed/expected under independence) — the rule-mining
+    layer on top of ``parts_copurchase_sim``, emitted BOTH directions
+    per unordered pair.  Exact integer contract: conf_bp =
+    ``c_ab·10⁴ // n_a``, lift_micro = ``(c_ab·N·10⁶) // (n_a·n_b)``
+    (HUGEINT in the oracle; Python big ints in the bounded final).
+
+    Same exchange plan as the similarity query (order-bucketed pair
+    enumeration + catalog-sized incidence census); only the final
+    scoring differs."""
+    import ray
+
+    from ..stages.shuffle import bucketed_group_map
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def distinct_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"o": b["l_orderkey"].astype("int64"),
+                          "p": b["l_partkey"].astype("int64")})
+            .drop_duplicates()
+        )
+
+    op = li.map_batches(
+        arrow_out(distinct_partial), batch_format="pandas"
+    ).materialize()
+
+    def part_count_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["o", "p"])
+        c = d["p"].value_counts()
+        out = pd.DataFrame({"p": pd.array(c.index, "int64"),
+                            "n": pd.array(c.to_numpy(), "int64")})
+        # one sentinel row per bucket carries the bucket-local distinct
+        # order count (buckets are order-disjoint → the sum is exact)
+        out = pd.concat(
+            [out, pd.DataFrame({"p": pd.array([-1], "int64"),
+                                "n": pd.array([d["o"].nunique()],
+                                              "int64")})],
+            ignore_index=True)
+        return out
+
+    nstats = bucketed_group_map(op, ["o"], part_count_partial).to_pandas()
+    n_orders = int(nstats.loc[nstats["p"] == -1, "n"].sum())
+    nparts = nstats[nstats["p"] != -1].groupby("p")["n"].sum()
+    n_ref = ray.put(dict(zip(nparts.index, nparts.astype(int))))
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["o", "p"]).sort_values(
+            ["o", "p"], kind="mergesort")
+        o = d["o"].to_numpy("int64")
+        p = d["p"].to_numpy("int64")
+        sizes = np.unique(o, return_counts=True)[1]
+        outs = []
+        for k in range(1, int(sizes.max()) if len(sizes) else 1):
+            same = o[:-k] == o[k:]
+            if same.any():
+                outs.append(pd.DataFrame(
+                    {"part_a": p[:-k][same], "part_b": p[k:][same]}))
+        if not outs:
+            return pd.DataFrame({"part_a": pd.array([], "int64"),
+                                 "part_b": pd.array([], "int64"),
+                                 "n_pair": pd.array([], "int64")})
+        allp = pd.concat(outs, ignore_index=True)
+        return (allp.groupby(["part_a", "part_b"], sort=False)
+                .size().rename("n_pair").reset_index())
+
+    pairs = bucketed_group_map(op, ["o"], pair_partial)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["part_a", "part_b"], sort=False, as_index=False)[
+            "n_pair"].sum()
+        agg = agg[agg["n_pair"] >= COPURCHASE_MIN_PAIR]
+        n = ray.get(n_ref)
+        rows = []
+        for pa, pb, c in zip(agg["part_a"], agg["part_b"], agg["n_pair"]):
+            na, nb, c = int(n[pa]), int(n[pb]), int(c)
+            lift = (c * n_orders * 1_000_000) // (na * nb)
+            rows.append((int(pa), int(pb), c, (c * 10_000) // na, lift))
+            rows.append((int(pb), int(pa), c, (c * 10_000) // nb, lift))
+        return pd.DataFrame(
+            {"antecedent": pd.array([r[0] for r in rows], "int64"),
+             "consequent": pd.array([r[1] for r in rows], "int64"),
+             "n_pair": pd.array([r[2] for r in rows], "int64"),
+             "conf_bp": pd.array([r[3] for r in rows], "int64"),
+             "lift_micro": pd.array([r[4] for r in rows], "int64")}
+        )
+
+    return bucketed_group_map(pairs, ["part_a", "part_b"], final)
+
+
+ASSOC_RULES_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM op GROUP BY 1),
+tot AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {COPURCHASE_MIN_PAIR}
+),
+dir2 AS (
+  SELECT part_a AS antecedent, part_b AS consequent, n_pair FROM pairs
+  UNION ALL
+  SELECT part_b, part_a, n_pair FROM pairs
+)
+SELECT b.antecedent, b.consequent, b.n_pair,
+       CAST((b.n_pair * 10000) // na.n AS BIGINT) AS conf_bp,
+       CAST((CAST(b.n_pair AS HUGEINT) * tot.n_orders * 1000000)
+            // (CAST(na.n AS HUGEINT) * nb.n) AS BIGINT) AS lift_micro
+FROM dir2 b
+JOIN n na ON na.p = b.antecedent
+JOIN n nb ON nb.p = b.consequent, tot
+"""
+
+
+# -- weighted median -----------------------------------------------------------
+
+def lineitem_weighted_median(sf_dir: str):
+    """Quantity-weighted median of extendedprice — the weighted order
+    statistic (selection-only, zero floats): the smallest cent value v
+    with ``2·cumweight(≤v) ≥ W``.  The distinct-value weight census is
+    PRICE-DOMAIN-bounded (≤ ~10⁷ distinct cents at any scale factor —
+    the ``tables_profile`` artifact posture), so one bucketed exchange
+    folds it and the cumulative pick runs on the bounded series; for
+    unbounded value domains compose the histogram-narrowing core
+    (`stages/quantiles.py`) with weight sums instead."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_quantity"])
+
+    def census_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.rint(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        w = np.rint(b["l_quantity"].to_numpy()).astype("int64")
+        return (pd.DataFrame({"v": v, "w": w})
+                .groupby("v", sort=False, as_index=False)["w"].sum())
+
+    cen = (
+        bucketed_group_map(
+            li.map_batches(arrow_out(census_partial), batch_format="pandas"),
+            ["v"],
+            lambda g: g.groupby("v", sort=False, as_index=False)["w"].sum(),
+        )
+        .to_pandas()  # price-domain-bounded artifact
+        .groupby("v")["w"].sum().sort_index()
+    )
+    total = int(cen.sum())
+    cum = cen.cumsum()
+    med = int(cum.index[(2 * cum >= total).argmax()])
+    return pd.DataFrame(
+        {"w_total": pd.array([total], "int64"),
+         "wmedian_cents": pd.array([med], "int64")}
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER () AS tot
+  FROM c
+)
+SELECT CAST(MAX(tot) AS BIGINT) AS w_total,
+       CAST(MIN(CASE WHEN 2 * cw >= tot THEN v END) AS BIGINT)
+         AS wmedian_cents
+FROM o
+"""
