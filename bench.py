@@ -111,6 +111,8 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "events_ttest", "docs_zipf", "events_ks_test", "events_top_paths",
         "embed_knn_graph", "events_pct_change", "docs_minhash_eval",
         "events_daily_autocorr", "docs_rake", "lineitem_benford",
+        "events_bursts", "embed_label_affinity", "parts_assoc_rules",
+        "lineitem_weighted_median",
     ]
     qs = em.queries()
     times: dict[str, float] = {}
