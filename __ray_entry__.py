@@ -566,6 +566,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_assoc_rules": relational.parts_assoc_rules,
         # quantity-weighted median (selection-only, zero floats)
         "lineitem_weighted_median": relational.lineitem_weighted_median,
+        # Gini coefficient via sort-free global ranks (signed two-limb
+        # numerator partials)
+        "supplier_gini": relational.supplier_gini,
+        # longest consecutive-day streaks (gaps-and-islands, in-bucket)
+        "events_streaks": events.events_streaks,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -885,6 +890,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_label_affinity": docs.LABEL_AFFINITY_SQL,
         "parts_assoc_rules": relational.ASSOC_RULES_SQL,
         "lineitem_weighted_median": relational.WEIGHTED_MEDIAN_SQL,
+        "supplier_gini": relational.SUPPLIER_GINI_SQL,
+        "events_streaks": events.STREAKS_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -2650,3 +2650,81 @@ WHERE rn > {BURST_W}
   AND ({BURST_W} * x - s) * ({BURST_W} * x - s)
       > 4 * ({BURST_W} * q - s * s)
 """
+
+
+# -- longest consecutive-day activity streak -----------------------------------
+
+def events_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user (plus the
+    number of maximal streaks) — the gaps-and-islands engagement
+    metric: over each user's DISTINCT active days, runs where
+    ``day − rank(day)`` is constant are streaks.
+
+    Shape: ONE bucketed exchange on user_id; in-bucket the distinct
+    (user, day) table sorts once, island ids come from one vectorized
+    ``day − cumcount`` and the per-(user, island) sizes reduce with a
+    grouped max — no per-user loop."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["ts"].to_numpy().astype("datetime64[D]").view("int64")
+        return (pd.DataFrame({"user_id": b["user_id"].astype("int64"),
+                              "d": pd.array(d, "int64")})
+                .drop_duplicates())
+
+    days = ev.map_batches(arrow_out(day_partial), batch_format="pandas")
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "d"]).sort_values(
+            ["user_id", "d"], kind="mergesort")
+        rank = d.groupby("user_id", sort=False).cumcount()
+        island = d["d"].to_numpy("int64") - rank.to_numpy("int64")
+        runs = (pd.DataFrame({"user_id": d["user_id"].to_numpy("int64"),
+                              "island": island})
+                .groupby(["user_id", "island"], sort=False)
+                .size().rename("len").reset_index())
+        out = runs.groupby("user_id", sort=False)["len"].agg(
+            longest_streak="max")
+        out["n_best"] = (
+            runs.merge(out, on="user_id")
+            .query("len == longest_streak")
+            .groupby("user_id", sort=False).size()
+        )
+        return out.reset_index().astype(
+            {"user_id": "int64", "longest_streak": "int64",
+             "n_best": "int64"})
+
+    return bucketed_group_map(days, ["user_id"], bucket)
+
+
+STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d
+  FROM events
+),
+isl AS (
+  SELECT user_id,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+           AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+  FROM isl GROUP BY 1, 2
+),
+best AS (
+  SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak
+  FROM runs GROUP BY 1
+)
+SELECT b.user_id, b.longest_streak, CAST(COUNT(*) AS BIGINT) AS n_best
+FROM runs r
+JOIN best b ON b.user_id = r.user_id AND r.len = b.longest_streak
+GROUP BY 1, 2
+"""

@@ -4606,3 +4606,130 @@ SELECT CAST(MAX(tot) AS BIGINT) AS w_total,
          AS wmedian_cents
 FROM o
 """
+
+
+# -- Gini coefficient of supplier revenue --------------------------------------
+
+def supplier_gini(sf_dir: str):
+    """Gini inequality coefficient of per-supplier revenue — the
+    distribution-skew diagnostic next to ``supplier_hhi``: from the
+    sorted-order identity ``G = Σ(2i − n − 1)·x₍ᵢ₎ / (n·Σx)`` the
+    numerator is an EXACT integer once every supplier knows its global
+    rank — which the monotone range-bucket idiom provides with no sort
+    operator (ties on (cents, suppkey) stay inside one bucket).  Emits
+    (n, sum_u, gini_num as two int64 limbs, gini_micro) — the numerator
+    outgrows int64 around 10⁹ suppliers, so it travels limbed.
+
+    Shape: per-supplier census (suppkey exchange) → bucket census for
+    rank offsets (driver prefix sums) → in-bucket rank + Σ(2i−n−1)·x
+    partials → six-number fold; one mirrored double division at the
+    end."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_group_map
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.rint(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 10_000
+        ).astype("int64")
+        return (
+            pd.DataFrame({"suppkey": b["l_suppkey"].astype("int64"),
+                          "u": u})
+            .groupby("suppkey", sort=False, as_index=False)["u"].sum()
+        )
+
+    census = (
+        li.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby("suppkey")
+        .aggregate(Sum("u", alias_name="u"))
+    )
+
+    def vbucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.astype({"suppkey": "int64", "u": "int64"})
+        out["vbucket"] = out["u"].to_numpy("int64") >> 24
+        return out
+
+    keyed = census.map_batches(
+        arrow_out(vbucket), batch_format="pandas"
+    ).materialize()
+
+    counts = (
+        keyed.map_batches(
+            arrow_out(lambda b: b.groupby("vbucket", sort=False)
+                      .size().rename("c").reset_index()),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("vbucket")["c"].sum().sort_index()
+    )
+    n = int(counts.sum())
+    off = counts.cumsum().shift(fill_value=0)
+    off_ref = ray.put({int(vb): int(o) for vb, o in off.items()})
+
+    LIMB = 10 ** 15
+
+    def rank_partial(g: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(off_ref)
+        rows = []
+        for vb, sub in g.groupby("vbucket", sort=False):
+            s = sub.sort_values(["u", "suppkey"], kind="mergesort")
+            rank = o[int(vb)] + 1 + np.arange(len(s), dtype="int64")
+            x = s["u"].to_numpy("int64")
+            num = sum(int(2 * r - n - 1) * int(xi)
+                      for r, xi in zip(rank, x))
+            rows.append((num, int(x.sum())))
+        # numerator partials can be NEGATIVE (low-rank buckets): Python's
+        # floored % / // keep lo ∈ [0, LIMB) and hi signed, and
+        # hi·LIMB + lo reassembles exactly after the fold
+        return pd.DataFrame(
+            {"num_lo": pd.array([r[0] % LIMB for r in rows], "int64"),
+             "num_hi": pd.array([r[0] // LIMB for r in rows], "int64"),
+             "sum_u": pd.array([r[1] for r in rows], "int64")}
+        )
+
+    m = bucketed_group_map(keyed, ["vbucket"], rank_partial).to_pandas()
+    gini_num = int(m["num_hi"].sum()) * LIMB + int(m["num_lo"].sum())
+    sum_u = int(m["sum_u"].sum())
+    gini_micro = math.floor(
+        1e6 * float(gini_num) / (float(n) * float(sum_u)) + 0.5)
+    return pd.DataFrame(
+        {"n_suppliers": pd.array([n], "int64"),
+         "sum_u": pd.array([sum_u], "int64"),
+         "gini_num_lo": pd.array([gini_num % LIMB], "int64"),
+         "gini_num_hi": pd.array([gini_num // LIMB], "int64"),
+         "gini_micro": pd.array([gini_micro], "int64")}
+    )
+
+
+SUPPLIER_GINI_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS u
+  FROM lineitem GROUP BY 1
+),
+r AS (
+  SELECT u, CAST(row_number() OVER (ORDER BY u, suppkey) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM rev
+),
+s AS (
+  SELECT MAX(n) AS n, CAST(SUM(u) AS BIGINT) AS sum_u,
+         SUM((2 * CAST(i AS HUGEINT) - n - 1) * u) AS num
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_suppliers, sum_u,
+       CAST(num % 1000000000000000 AS BIGINT) AS gini_num_lo,
+       CAST(num // 1000000000000000 AS BIGINT) AS gini_num_hi,
+       CAST(FLOOR(1000000.0 * CAST(num AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(sum_u AS DOUBLE))
+                  + 0.5) AS BIGINT) AS gini_micro
+FROM s
+"""
