@@ -571,6 +571,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_gini": relational.supplier_gini,
         # longest consecutive-day streaks (gaps-and-islands, in-bucket)
         "events_streaks": events.events_streaks,
+        # full 25×25 nation trade-flow matrix (q7 exchange plan, no
+        # nation filter; per-cell aggregate fused into join buckets)
+        "nations_trade_matrix": relational.nations_trade_matrix,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -892,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_weighted_median": relational.WEIGHTED_MEDIAN_SQL,
         "supplier_gini": relational.SUPPLIER_GINI_SQL,
         "events_streaks": events.STREAKS_SQL,
+        "nations_trade_matrix": relational.TRADE_MATRIX_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

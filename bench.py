@@ -112,7 +112,8 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "embed_knn_graph", "events_pct_change", "docs_minhash_eval",
         "events_daily_autocorr", "docs_rake", "lineitem_benford",
         "events_bursts", "embed_label_affinity", "parts_assoc_rules",
-        "lineitem_weighted_median",
+        "lineitem_weighted_median", "supplier_gini", "events_streaks",
+        "nations_trade_matrix",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -4733,3 +4733,108 @@ SELECT CAST(n AS BIGINT) AS n_suppliers, sum_u,
                   + 0.5) AS BIGINT) AS gini_micro
 FROM s
 """
+
+
+# -- full nation-to-nation trade matrix ----------------------------------------
+
+def nations_trade_matrix(sf_dir: str):
+    """The FULL supplier-nation × customer-nation revenue matrix — q7
+    without the two-nation filter: every cell of the international
+    trade flow (≤ 25×25 rows at any scale factor).  Same exchange plan
+    as q7: both dimension chains collapse to broadcast sorted-key
+    artifacts, lineitem resolves its supplier nation map-side and
+    pre-aggregates per (orderkey, supp_nat), so the ONE large-large
+    exchange (orders ⋈ lineitem partials) carries ~distinct-orderkey
+    rows and the per-cell aggregate fuses into the join buckets."""
+    import pyarrow as pa
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    nation = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    name_by_key = dict(zip(nation["n_nationkey"].astype(int),
+                           nation["n_name"]))
+
+    def _sorted_map(ds, key_col, nat_col):
+        df = ds.to_pandas().sort_values(key_col)
+        return df[key_col].to_numpy("int64"), df[nat_col].to_numpy("int32")
+
+    supp_ref = ray.put(_sorted_map(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        "s_suppkey", "s_nationkey"))
+    cust_ref = ray.put(_sorted_map(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        "c_custkey", "c_nationkey"))
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys, nats = ray.get(supp_ref)
+        pos = np.searchsorted(keys, b["l_suppkey"].to_numpy("int64"))
+        supp_nat = nats[pos]  # FK-complete: every suppkey resolves
+        rev = np.rint(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 10_000
+        ).astype("int64")
+        return (
+            pd.DataFrame({"o_orderkey": b["l_orderkey"].astype("int64"),
+                          "supp_nat": supp_nat.astype("int32"),
+                          "rev_u": rev})
+            .groupby(["o_orderkey", "supp_nat"], sort=False, as_index=False)
+            ["rev_u"].sum()
+        )
+
+    def ord_partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys, nats = ray.get(cust_ref)
+        pos = np.searchsorted(keys, b["o_custkey"].to_numpy("int64"))
+        return pd.DataFrame(
+            {"o_orderkey": b["o_orderkey"].astype("int64"),
+             "cust_nat": nats[pos].astype("int32")}
+        )
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]).map_batches(
+        arrow_out(li_partial), batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"]).map_batches(
+        arrow_out(ord_partial), batch_format="pandas")
+
+    def cell_partial(m: pd.DataFrame) -> pd.DataFrame:
+        return (m.groupby(["supp_nat", "cust_nat"], sort=False,
+                          as_index=False)["rev_u"].sum())
+
+    joined = hash_join(
+        orders, li, on=["o_orderkey"], num_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("cust_nat", pa.int32())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("supp_nat", pa.int32()),
+                                ("rev_u", pa.int64())]),
+        bucket_post=cell_partial,
+    )
+    cells = (
+        joined.to_pandas()  # ≤ buckets × 625 rows
+        .groupby(["supp_nat", "cust_nat"], as_index=False)["rev_u"].sum()
+    )
+    return pd.DataFrame(
+        {"supp_nation": pd.array(
+            [name_by_key[int(k)] for k in cells["supp_nat"]], "str"),
+         "cust_nation": pd.array(
+            [name_by_key[int(k)] for k in cells["cust_nat"]], "str"),
+         "rev_u": cells["rev_u"].astype("int64")}
+    )
+
+
+TRADE_MATRIX_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS rev_u
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ns ON ns.n_nationkey = s_nationkey
+JOIN nation nc ON nc.n_nationkey = c_nationkey
+GROUP BY 1, 2
+"""
