@@ -1698,12 +1698,13 @@ def customers_rfm(sf_dir: str):
             .reset_index()
         )
 
-    census = (
-        orders.map_batches(arrow_out(partial), batch_format="pandas")
-        .groupby("custkey")
-        .aggregate(Max("us", alias_name="us"),
-                   Sum("f", alias_name="f"),
-                   Sum("m", alias_name="m"))
+    # ONE hash exchange on custkey instead of the sort-aggregate
+    # barrier (the supplier_gini/orders_abc rework; measured 2-3x)
+    census = bucketed_group_map(
+        orders.map_batches(arrow_out(partial), batch_format="pandas"),
+        ["custkey"],
+        lambda g: g.groupby("custkey", sort=False, as_index=False).agg(
+            us=("us", "max"), f=("f", "sum"), m=("m", "sum")),
     )
 
     DAY_US = 86_400_000_000
@@ -3916,21 +3917,18 @@ def orders_abc(sf_dir: str):
             .groupby("custkey", sort=False, as_index=False)["cents"].sum()
         )
 
-    census = (
-        orders.map_batches(arrow_out(partial), batch_format="pandas")
-        .groupby("custkey")
-        .aggregate(Sum("cents", alias_name="cents"))
-    )
+    def census_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("custkey", sort=False, as_index=False)["cents"].sum()
+        out["vbucket"] = (-out["cents"].to_numpy("int64")) >> 20
+        return out.astype({"custkey": "int64", "cents": "int64",
+                           "vbucket": "int64"})
 
-    def vbucket(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"custkey": b["custkey"].astype("int64"),
-             "cents": b["cents"].astype("int64"),
-             "vbucket": (-b["cents"].to_numpy("int64")) >> 20}
-        )
-
-    keyed = census.map_batches(
-        arrow_out(vbucket), batch_format="pandas"
+    # ONE hash exchange on custkey (no sort-aggregate barrier), the
+    # range-bucket key assigned in the same pass (the supplier_gini
+    # rework, measured ~3x there)
+    keyed = bucketed_group_map(
+        orders.map_batches(arrow_out(partial), batch_format="pandas"),
+        ["custkey"], census_final,
     ).materialize()  # two passes (bucket census, then ranks)
 
     def count_partial(b: pd.DataFrame) -> pd.DataFrame:
