@@ -4290,7 +4290,6 @@ def supplier_hhi(sf_dir: str):
     import ray
 
     from ..stages.shuffle import bucketed_group_map
-    from ray.data.aggregate import Sum
 
     li = _read(sf_dir, "lineitem",
                columns=["l_suppkey", "l_extendedprice", "l_discount"])
@@ -4306,10 +4305,13 @@ def supplier_hhi(sf_dir: str):
             .groupby("suppkey", sort=False, as_index=False)["cents"].sum()
         )
 
-    per_supp = (
-        li.map_batches(arrow_out(partial), batch_format="pandas")
-        .groupby("suppkey")
-        .aggregate(Sum("cents", alias_name="cents"))
+    # hash exchange instead of the sort-aggregate barrier (the
+    # supplier_gini rework pattern)
+    per_supp = bucketed_group_map(
+        li.map_batches(arrow_out(partial), batch_format="pandas"),
+        ["suppkey"],
+        lambda g: g.groupby("suppkey", sort=False, as_index=False)["cents"]
+        .sum().astype({"suppkey": "int64", "cents": "int64"}),
     )
 
     supp = _read_dim(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
