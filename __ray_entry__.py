@@ -574,6 +574,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full 25×25 nation trade-flow matrix (q7 exchange plan, no
         # nation filter; per-cell aggregate fused into join buckets)
         "nations_trade_matrix": relational.nations_trade_matrix,
+        # monthly revenue + trailing-12 moving sum on the bounded census
+        "orders_trend": relational.orders_trend,
+        # per-source exact length percentiles (selection-only)
+        "docs_length_percentiles": docs.docs_length_percentiles,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -896,6 +900,8 @@ def oracle_sql() -> dict[str, str]:
         "supplier_gini": relational.SUPPLIER_GINI_SQL,
         "events_streaks": events.STREAKS_SQL,
         "nations_trade_matrix": relational.TRADE_MATRIX_SQL,
+        "orders_trend": relational.ORDERS_TREND_SQL,
+        "docs_length_percentiles": docs.LENGTH_PCTL_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -113,7 +113,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "events_daily_autocorr", "docs_rake", "lineitem_benford",
         "events_bursts", "embed_label_affinity", "parts_assoc_rules",
         "lineitem_weighted_median", "supplier_gini", "events_streaks",
-        "nations_trade_matrix",
+        "nations_trade_matrix", "orders_trend", "docs_length_percentiles",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

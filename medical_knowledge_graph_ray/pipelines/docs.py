@@ -4360,3 +4360,56 @@ SELECT d.vec_id, d.label,
                   + 0.5) AS BIGINT) AS cos_micro
 FROM d JOIN ns USING (label)
 """
+
+
+# -- per-source length percentiles ----------------------------------------------
+
+def docs_length_percentiles(sf_dir: str):
+    """Exact p25/p50/p75/p95 of document length (n_chars) per source —
+    the per-group quantile fan where groups are FEW (sources) but rows
+    are data-sized: the ``events_user_quantiles`` in-bucket
+    order-statistic kernel keyed on source.  Selection-only (rank
+    ``ceil(q·n)``), zero floats."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    docs = _docs(sf_dir, ["source", "n_chars"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["source", "n_chars"], kind="mergesort")
+        vals = s["n_chars"].to_numpy("int64")
+        src, sizes = np.unique(s["source"].to_numpy(), return_counts=True)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        return pd.DataFrame(
+            {"source": pd.array(src, "str"),
+             "n_docs": pd.array(sizes, "int64"),
+             "p25": pd.array(vals[starts + (sizes + 3) // 4 - 1], "int64"),
+             "p50": pd.array(vals[starts + (sizes + 1) // 2 - 1], "int64"),
+             "p75": pd.array(
+                 vals[starts + (3 * sizes + 3) // 4 - 1], "int64"),
+             "p95": pd.array(
+                 vals[starts + (19 * sizes + 19) // 20 - 1], "int64")}
+        )
+
+    return bucketed_group_map(docs, ["source"], bucket)
+
+
+LENGTH_PCTL_SQL = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS BIGINT)
+         AS p25,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS BIGINT)
+         AS p50,
+       CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars END)
+            AS BIGINT) AS p75,
+       CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN n_chars END)
+            AS BIGINT) AS p95
+FROM r GROUP BY source
+"""

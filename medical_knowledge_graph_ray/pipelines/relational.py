@@ -4840,3 +4840,70 @@ JOIN nation ns ON ns.n_nationkey = s_nationkey
 JOIN nation nc ON nc.n_nationkey = c_nationkey
 GROUP BY 1, 2
 """
+
+
+# -- monthly revenue trend (trailing moving window) -----------------------------
+
+TREND_W = 12
+
+
+def orders_trend(sf_dir: str):
+    """Monthly revenue with the trailing-12-month moving sum and count
+    — the trend/seasonality companion to ``orders_yoy``: the month
+    census is CALENDAR-BOUNDED (one row per month at any scale), so the
+    distributed work is one additive cent-census fold and the sliding
+    window runs exact on the bounded series (int64 cents, no floats).
+    Only months with a FULL trailing window emit ma12 (NULL earlier —
+    float64 carrier)."""
+    import numpy as np
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["o_orderdate"].to_numpy().astype("datetime64[M]").view("int64")
+        cents = np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        return (pd.DataFrame({"m": m, "cents": cents})
+                .groupby("m", sort=False, as_index=False)["cents"].sum())
+
+    cen = (
+        orders.map_batches(arrow_out(partial), batch_format="pandas")
+        .to_pandas()  # calendar-bounded artifact
+        .groupby("m")["cents"].sum().sort_index()
+    )
+    lo, hi = int(cen.index.min()), int(cen.index.max())
+    dense_idx = np.arange(lo, hi + 1)
+    dense = np.zeros(len(dense_idx), dtype="int64")
+    dense[cen.index.to_numpy("int64") - lo] = cen.to_numpy("int64")
+    cs = np.concatenate([[0], np.cumsum(dense)])
+    ma = np.full(len(dense), np.nan)
+    if len(dense) >= TREND_W:
+        i = np.arange(TREND_W - 1, len(dense))
+        ma[i] = (cs[i + 1] - cs[i + 1 - TREND_W]).astype("float64")
+    return pd.DataFrame(
+        {"m": pd.array(dense_idx, "int64"),
+         "rev_cents": pd.array(dense, "int64"),
+         "ma12_cents": ma}
+    )
+
+
+ORDERS_TREND_SQL = f"""
+WITH cen AS (
+  SELECT (EXTRACT(year FROM o_orderdate) - 1970) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS m,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+b AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM cen),
+spine AS (SELECT unnest(range(b.lo, b.hi + 1)) AS m FROM b),
+dense AS (
+  SELECT CAST(spine.m AS BIGINT) AS m, COALESCE(cen.cents, 0) AS rev_cents
+  FROM spine LEFT JOIN cen USING (m)
+)
+SELECT m, CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(CASE WHEN row_number() OVER (ORDER BY m) >= {TREND_W}
+                 THEN SUM(rev_cents) OVER (ORDER BY m
+                      ROWS BETWEEN {TREND_W - 1} PRECEDING AND CURRENT ROW)
+                 END AS DOUBLE) AS ma12_cents
+FROM dense
+"""
