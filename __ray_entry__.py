@@ -578,6 +578,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_trend": relational.orders_trend,
         # per-source exact length percentiles (selection-only)
         "docs_length_percentiles": docs.docs_length_percentiles,
+        # per-source robust stats: lower median / MAD / 3·MAD outliers
+        "docs_length_mad": docs.docs_length_mad,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -902,6 +904,7 @@ def oracle_sql() -> dict[str, str]:
         "nations_trade_matrix": relational.TRADE_MATRIX_SQL,
         "orders_trend": relational.ORDERS_TREND_SQL,
         "docs_length_percentiles": docs.LENGTH_PCTL_SQL,
+        "docs_length_mad": docs.LENGTH_MAD_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -4413,3 +4413,85 @@ SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
             AS BIGINT) AS p95
 FROM r GROUP BY source
 """
+
+
+# -- per-source robust length stats (median / MAD / outlier census) -------------
+
+def docs_length_mad(sf_dir: str):
+    """Per-source robust document-length profile: lower median, MAD
+    (median of |x − med|, lower-median convention so parity is
+    selection-only) and the count of robust outliers
+    ``|x − med| > 3·MAD`` (exact integer compare) — the grouped sibling
+    of ``lineitem_mad``, for the per-source curation dashboards.
+
+    Shape: ONE bucketed exchange on source (source-complete buckets);
+    in-bucket two sorted passes with group-offset selection — no
+    per-source Python loop."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    docs = _docs(sf_dir, ["source", "n_chars"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["source", "n_chars"], kind="mergesort")
+        vals = s["n_chars"].to_numpy("int64")
+        src, sizes = np.unique(s["source"].to_numpy(), return_counts=True)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        med = vals[starts + (sizes + 1) // 2 - 1]
+        dev = np.abs(vals - np.repeat(med, sizes))
+        # per-group sort of deviations: order by (group id, dev)
+        gid = np.repeat(np.arange(len(src)), sizes)
+        order = np.lexsort((dev, gid))
+        dev_sorted = dev[order]
+        mad = dev_sorted[starts + (sizes + 1) // 2 - 1]
+        n_out = np.zeros(len(src), dtype="int64")
+        np.add.at(n_out, gid, (dev > 3 * np.repeat(mad, sizes))
+                  .astype("int64"))
+        return pd.DataFrame(
+            {"source": pd.array(src, "str"),
+             "n_docs": pd.array(sizes, "int64"),
+             "med": pd.array(med, "int64"),
+             "mad": pd.array(mad, "int64"),
+             "n_outliers": pd.array(n_out, "int64")}
+        )
+
+    return bucketed_group_map(docs, ["source"], bucket)
+
+
+LENGTH_MAD_SQL = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+med AS (
+  SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+         CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS BIGINT)
+           AS med
+  FROM r GROUP BY 1
+),
+dev AS (
+  SELECT d.source, abs(d.n_chars - med.med) AS dv
+  FROM documents d JOIN med USING (source)
+),
+r2 AS (
+  SELECT source, dv,
+         row_number() OVER (PARTITION BY source ORDER BY dv) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM dev
+),
+mad AS (
+  SELECT source,
+         CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN dv END) AS BIGINT)
+           AS mad
+  FROM r2 GROUP BY 1
+)
+SELECT med.source, med.n_docs, med.med, mad.mad,
+       CAST((SELECT COUNT(*) FROM documents d
+             WHERE d.source = med.source
+               AND abs(d.n_chars - med.med) > 3 * mad.mad) AS BIGINT)
+         AS n_outliers
+FROM med JOIN mad USING (source)
+"""
