@@ -580,6 +580,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_percentiles": docs.docs_length_percentiles,
         # per-source robust stats: lower median / MAD / 3·MAD outliers
         "docs_length_mad": docs.docs_length_mad,
+        # inter-event gap magnitude histogram (exact digit-count buckets)
+        "events_gap_histogram": events.events_gap_histogram,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -905,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_trend": relational.ORDERS_TREND_SQL,
         "docs_length_percentiles": docs.LENGTH_PCTL_SQL,
         "docs_length_mad": docs.LENGTH_MAD_SQL,
+        "events_gap_histogram": events.GAP_HISTOGRAM_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

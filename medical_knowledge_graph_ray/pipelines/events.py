@@ -2728,3 +2728,61 @@ FROM runs r
 JOIN best b ON b.user_id = r.user_id AND r.len = b.longest_streak
 GROUP BY 1, 2
 """
+
+
+# -- gap magnitude histogram ----------------------------------------------------
+
+def events_gap_histogram(sf_dir: str):
+    """Order-of-magnitude histogram of inter-event gaps: bucket = the
+    DECIMAL DIGIT COUNT of the µs gap (an exact integer magnitude — no
+    float log anywhere, so no power-boundary divergence) — the latency/
+    cadence profile behind session-timeout and watermark tuning.
+
+    Shape: one user_id exchange for the LAG (user-complete buckets),
+    then a ≤20-cell census combiner."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = s.groupby("user_id", sort=False)["ts"].shift()
+        gap = ((s["ts"] - prev) // pd.Timedelta(microseconds=1)).dropna()
+        if not len(gap):
+            return pd.DataFrame({"digits": pd.array([], "int64"),
+                                 "n_gaps": pd.array([], "int64")})
+        digits = np.char.str_len(
+            gap.to_numpy("int64").astype("int64").astype(str))
+        u, c = np.unique(digits, return_counts=True)
+        return pd.DataFrame(
+            {"digits": pd.array(u.astype("int64"), "int64"),
+             "n_gaps": pd.array(c.astype("int64"), "int64")}
+        )
+
+    partials = bucketed_group_map(ev, ["user_id"], bucket)
+    return (
+        partials.groupby("digits")
+        .sum("n_gaps")
+        .map_batches(
+            arrow_out(lambda b: b.rename(
+                columns={"sum(n_gaps)": "n_gaps"}).astype(
+                {"digits": "int64", "n_gaps": "int64"})),
+            batch_format="pandas",
+        )
+    )
+
+
+GAP_HISTOGRAM_SQL = """
+WITH g AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT CAST(length(CAST(gap AS VARCHAR)) AS BIGINT) AS digits,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1
+"""
