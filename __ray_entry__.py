@@ -582,6 +582,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_mad": docs.docs_length_mad,
         # inter-event gap magnitude histogram (exact digit-count buckets)
         "events_gap_histogram": events.events_gap_histogram,
+        # audience-overlap Jaccard matrix between event types (exact
+        # int union/intersection partials inside user-complete buckets)
+        "events_type_jaccard": events.events_type_jaccard,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -908,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_percentiles": docs.LENGTH_PCTL_SQL,
         "docs_length_mad": docs.LENGTH_MAD_SQL,
         "events_gap_histogram": events.GAP_HISTOGRAM_SQL,
+        "events_type_jaccard": events.TYPE_JACCARD_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

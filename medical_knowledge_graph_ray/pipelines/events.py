@@ -2786,3 +2786,87 @@ SELECT CAST(length(CAST(gap AS VARCHAR)) AS BIGINT) AS digits,
 FROM g WHERE gap IS NOT NULL
 GROUP BY 1
 """
+
+
+# -- audience overlap between event types ---------------------------------------
+
+def events_type_jaccard(sf_dir: str):
+    """Pairwise Jaccard similarity between event-TYPE audiences (the
+    sets of users emitting each type) — the segment-overlap matrix
+    behind funnel design and campaign targeting.  Exact ints end to
+    end: per-user type-pair indicators are decided inside user-complete
+    buckets, the ≤(T choose 2)-cell census sums them, and the ratio
+    ships as ``inter·10⁶ // union``.
+
+    Shape: ONE bucketed exchange on user_id; per bucket a vectorized
+    user×type incidence pivot emits pair/indicator partials (types are
+    a fixed tiny vocabulary)."""
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        inc = (g.drop_duplicates(["user_id", "event_type"])
+               .assign(one=1)
+               .pivot_table(index="user_id", columns="event_type",
+                            values="one", fill_value=0))
+        types = sorted(inc.columns)
+        rows = []
+        for a, b in combinations(types, 2):
+            ia = inc[a].to_numpy().astype(bool)
+            ib = inc[b].to_numpy().astype(bool)
+            rows.append((a, b, int((ia & ib).sum()), int((ia | ib).sum())))
+        for t in types:
+            n_t = int(inc[t].to_numpy().astype(bool).sum())
+            rows.append((t, t, n_t, n_t))
+        return pd.DataFrame(
+            {"type_a": pd.array([r[0] for r in rows], "str"),
+             "type_b": pd.array([r[1] for r in rows], "str"),
+             "inter": pd.array([r[2] for r in rows], "int64"),
+             "uni": pd.array([r[3] for r in rows], "int64")}
+        )
+
+    partials = bucketed_group_map(ev, ["user_id"], bucket)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["type_a", "type_b"], sort=False, as_index=False)[
+            ["inter", "uni"]].sum()
+        # the SQL inner join omits zero-intersection pairs; mirror it
+        agg = agg[(agg["inter"] > 0) | (agg["type_a"] == agg["type_b"])]
+        agg["jaccard_micro"] = (
+            agg["inter"].to_numpy("int64") * 1_000_000
+            // agg["uni"].to_numpy("int64")
+        ).astype("int64")
+        return agg.astype({"inter": "int64", "uni": "int64"})
+
+    return bucketed_group_map(partials, ["type_a", "type_b"], final,
+                              num_buckets=4)
+
+
+TYPE_JACCARD_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+            AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+allp AS (
+  SELECT p.type_a, p.type_b, p.inter,
+         na.n + nb.n - p.inter AS uni
+  FROM pairs p JOIN n na ON na.event_type = p.type_a
+  JOIN n nb ON nb.event_type = p.type_b
+  UNION ALL
+  SELECT event_type, event_type, n, n FROM n
+)
+SELECT type_a, type_b, inter, CAST(uni AS BIGINT) AS uni,
+       CAST((inter * 1000000) // uni AS BIGINT) AS jaccard_micro
+FROM allp
+"""
