@@ -585,6 +585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # audience-overlap Jaccard matrix between event types (exact
         # int union/intersection partials inside user-complete buckets)
         "events_type_jaccard": events.events_type_jaccard,
+        # hour-of-day × type seasonality profile (exact bp shares)
+        "events_hourly_profile": events.events_hourly_profile,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -912,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_mad": docs.LENGTH_MAD_SQL,
         "events_gap_histogram": events.GAP_HISTOGRAM_SQL,
         "events_type_jaccard": events.TYPE_JACCARD_SQL,
+        "events_hourly_profile": events.HOURLY_PROFILE_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -2870,3 +2870,49 @@ SELECT type_a, type_b, inter, CAST(uni AS BIGINT) AS uni,
        CAST((inter * 1000000) // uni AS BIGINT) AS jaccard_micro
 FROM allp
 """
+
+
+# -- hour-of-day seasonality profile ---------------------------------------------
+
+def events_hourly_profile(sf_dir: str):
+    """Hour-of-day × event-type activity profile with each cell's share
+    of its type (exact basis points) — the diurnal-seasonality fingerprint
+    (alert baselining, send-time optimization).  A ≤24×|types| perfect
+    combiner; the share is ``n·10⁴ // type_total`` on two exact ints."""
+    import numpy as np
+    import pandas as pd
+
+    ev = _events(sf_dir, ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        hrs = b["ts"].dt.hour.to_numpy().astype("int64")
+        return (pd.DataFrame({"event_type": b["event_type"], "hour": hrs})
+                .groupby(["event_type", "hour"], sort=False)
+                .size().rename("n").reset_index())
+
+    cells = (
+        ev.map_batches(arrow_out(partial), batch_format="pandas")
+        .to_pandas()  # ≤ batches × 24 × types
+        .groupby(["event_type", "hour"], as_index=False)["n"].sum()
+    )
+    tot = cells.groupby("event_type")["n"].transform("sum")
+    return pd.DataFrame(
+        {"event_type": pd.array(cells["event_type"], "str"),
+         "hour": cells["hour"].astype("int64"),
+         "n": cells["n"].astype("int64"),
+         "share_bp": ((cells["n"].to_numpy("int64") * 10_000)
+                      // tot.to_numpy("int64")).astype("int64")}
+    )
+
+
+HOURLY_PROFILE_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.event_type, c.hour, c.n,
+       CAST((c.n * 10000) // t.tot AS BIGINT) AS share_bp
+FROM c JOIN t USING (event_type)
+"""
