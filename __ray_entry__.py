@@ -587,6 +587,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_jaccard": events.events_type_jaccard,
         # hour-of-day × type seasonality profile (exact bp shares)
         "events_hourly_profile": events.events_hourly_profile,
+        # Heaps'-law vocabulary growth (first-occurrence census — no
+        # sequential scan; exact integer checkpoints)
+        "docs_heaps": docs.docs_heaps,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -915,6 +918,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_histogram": events.GAP_HISTOGRAM_SQL,
         "events_type_jaccard": events.TYPE_JACCARD_SQL,
         "events_hourly_profile": events.HOURLY_PROFILE_SQL,
+        "docs_heaps": docs.HEAPS_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -4495,3 +4495,114 @@ SELECT med.source, med.n_docs, med.med, mad.mad,
          AS n_outliers
 FROM med JOIN mad USING (source)
 """
+
+
+# -- Heaps'-law vocabulary growth curve -----------------------------------------
+
+HEAPS_POINTS = 8
+
+
+def docs_heaps(sf_dir: str):
+    """Vocabulary-growth curve (Heaps' law): distinct-token count after
+    each of ``HEAPS_POINTS`` doc-id checkpoints — the
+    corpus-saturation diagnostic (a flattening curve says new shards
+    add few new words; template corpora flatten early).  Checkpoints
+    are exact integer thresholds ``lo + (k+1)·(hi−lo)//P`` over the
+    doc-id domain; a token's FIRST document (min doc_id) decides when
+    it enters the vocabulary, so the curve is one first-occurrence
+    census (token-bucketed exchange) + one bounded threshold count —
+    order- and parallelism-invariant by construction (no sequential
+    scan).  Fit V = K·nᵝ client-side from the 8 exact points."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+
+    def bounds_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"lo": pd.array([], "int64"),
+                                 "hi": pd.array([], "int64")})
+        d = b["doc_id"].to_numpy("int64")
+        return pd.DataFrame({"lo": pd.array([int(d.min())], "int64"),
+                             "hi": pd.array([int(d.max())], "int64")})
+
+    bounds = docs.map_batches(
+        arrow_out(bounds_partial), batch_format="pandas").to_pandas()
+    lo, hi = int(bounds["lo"].min()), int(bounds["hi"].max())
+    thresholds = [lo + (k + 1) * (hi - lo) // HEAPS_POINTS
+                  for k in range(HEAPS_POINTS)]
+
+    def first_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.split(" ")
+        lens = toks.str.len().to_numpy()
+        flat = np.concatenate(toks.to_numpy()) if len(b) else np.array([], str)
+        di = np.repeat(b["doc_id"].to_numpy("int64"), lens)
+        df = pd.DataFrame({"tok": flat, "first_doc": di})
+        return df.groupby("tok", sort=False, as_index=False)["first_doc"].min()
+
+    firsts = bucketed_group_map(
+        docs.map_batches(arrow_out(first_partial), batch_format="pandas"),
+        ["tok"],
+        lambda g: g.groupby("tok", sort=False, as_index=False)["first_doc"]
+        .min(),
+    )
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        fd = b["first_doc"].to_numpy("int64")
+        return pd.DataFrame(
+            {"k": pd.array(range(HEAPS_POINTS), "int64"),
+             "vocab": pd.array([int((fd <= t).sum()) for t in thresholds],
+                               "int64")}
+        )
+
+    vocab = (
+        firsts.map_batches(arrow_out(count_partial), batch_format="pandas")
+        .to_pandas()  # ≤ batches × P rows (additive under any split)
+        .groupby("k")["vocab"].sum()
+    )
+
+    def docs_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy("int64")
+        return pd.DataFrame(
+            {"k": pd.array(range(HEAPS_POINTS), "int64"),
+             "n_docs": pd.array([int((d <= t).sum()) for t in thresholds],
+                                "int64")}
+        )
+
+    nd = (
+        docs.map_batches(arrow_out(docs_partial), batch_format="pandas")
+        .to_pandas()
+        .groupby("k")["n_docs"].sum()
+    )
+    return pd.DataFrame(
+        {"k": pd.array(range(HEAPS_POINTS), "int64"),
+         "threshold": pd.array(thresholds, "int64"),
+         "n_docs": pd.array([int(nd[k]) for k in range(HEAPS_POINTS)],
+                            "int64"),
+         "vocab": pd.array([int(vocab[k]) for k in range(HEAPS_POINTS)],
+                           "int64")}
+    )
+
+
+HEAPS_SQL = f"""
+WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+ks AS (SELECT unnest(range(0, {HEAPS_POINTS})) AS k),
+th AS (
+  SELECT CAST(ks.k AS BIGINT) AS k,
+         CAST(b.lo + (ks.k + 1) * (b.hi - b.lo) // {HEAPS_POINTS}
+              AS BIGINT) AS threshold
+  FROM ks, b
+),
+f AS (
+  SELECT tok, MIN(doc_id) AS first_doc FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) GROUP BY 1
+)
+SELECT th.k, th.threshold,
+       CAST((SELECT COUNT(*) FROM documents d
+             WHERE d.doc_id <= th.threshold) AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM f
+             WHERE f.first_doc <= th.threshold) AS BIGINT) AS vocab
+FROM th
+"""
