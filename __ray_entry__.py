@@ -590,6 +590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Heaps'-law vocabulary growth (first-occurrence census — no
         # sequential scan; exact integer checkpoints)
         "docs_heaps": docs.docs_heaps,
+        # per-source Jensen–Shannon divergence from the corpus mixture
+        # (PPMI-pattern exact-int ln args, pre-floored micro addends)
+        "docs_source_js": docs.docs_source_js,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -919,6 +922,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_jaccard": events.TYPE_JACCARD_SQL,
         "events_hourly_profile": events.HOURLY_PROFILE_SQL,
         "docs_heaps": docs.HEAPS_SQL,
+        "docs_source_js": docs.SOURCE_JS_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

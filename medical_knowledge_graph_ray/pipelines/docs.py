@@ -4606,3 +4606,141 @@ SELECT th.k, th.threshold,
              WHERE f.first_doc <= th.threshold) AS BIGINT) AS vocab
 FROM th
 """
+
+
+# -- per-source Jensen–Shannon divergence from the corpus -----------------------
+
+def docs_source_js(sf_dir: str):
+    """Jensen–Shannon divergence between each SOURCE's unigram
+    distribution and the whole corpus — the data-mixture drift
+    diagnostic (which shard pulls the mixture away; pairs with
+    ``docs_odds_ratio``'s per-token view).  JS = ½·KL(P‖M) + ½·KL(Q‖M),
+    M = (P+Q)/2, emitted as the two int64 addend sums (divide by 2·10⁶
+    client-side).
+
+    Integer contract (the PPMI pattern, per addend): the ln argument is
+    ONE double division of exact int products —
+    P-side ``2·c_st·N / (c_st·N + c_t·n_s)``, Q-side
+    ``2·c_t·n_s / (same)`` (an absent source hits exactly 2 → ln 2) —
+    each addend multiplies by its exact probability ratio and floors to
+    micro-nats BEFORE the sum, so per-source totals are order-immune.
+
+    Shape: ONE token-bucketed exchange builds the (source, token)
+    census; buckets are token-complete, so c_t and every source's
+    addend (including ABSENT sources' Q-side ln 2 terms) finalize
+    in-bucket against the broadcast (n_s, N) artifact; a tiny
+    per-source fold ends it."""
+    import math
+
+    import numpy as np
+    import ray
+
+    from ..stages.shuffle import bucketed_group_map
+
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        acc: dict[tuple[str, str], int] = {}
+        for src, text in zip(b["source"].astype(str), b["text"].astype(str)):
+            for t in text.split(" "):
+                k = (src, t)
+                acc[k] = acc.get(k, 0) + 1
+        keys = sorted(acc)
+        return pd.DataFrame(
+            {"source": pd.array([k[0] for k in keys], "str"),
+             "token": pd.array([k[1] for k in keys], "str"),
+             "c": pd.array([acc[k] for k in keys], "int64")}
+        )
+
+    census = bucketed_group_map(
+        docs.map_batches(arrow_out(partial), batch_format="pandas"),
+        ["token"],
+        lambda g: g.groupby(["source", "token"], sort=False, as_index=False)[
+            "c"].sum(),
+    ).materialize()
+
+    ns = (
+        census.map_batches(
+            arrow_out(lambda b: b.groupby("source", sort=False,
+                                          as_index=False)["c"].sum()),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("source")["c"].sum().astype(int).to_dict()
+    )
+    n_all = int(sum(ns.values()))
+    ref = ray.put((ns, n_all))
+
+    def js_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ns_d, N = ray.get(ref)
+        sources = sorted(ns_d)
+        acc = {s: [0, 0] for s in sources}
+        for tok, sub in g.groupby("token", sort=False):
+            ct = int(sub["c"].sum())
+            present = dict(zip(sub["source"], sub["c"]))
+            for s in sources:
+                n_s = ns_d[s]
+                cst = int(present.get(s, 0))
+                den = cst * N + ct * n_s
+                if cst:
+                    arg_p = (2 * cst * N) / den
+                    acc[s][0] += math.floor(
+                        (cst / n_s) * math.log(arg_p) * 1e6 + 0.5)
+                arg_q = (2 * ct * n_s) / den
+                acc[s][1] += math.floor(
+                    (ct / N) * math.log(arg_q) * 1e6 + 0.5)
+        return pd.DataFrame(
+            {"source": pd.array(sources, "str"),
+             "p_side_micro": pd.array([acc[s][0] for s in sources],
+                                      "int64"),
+             "q_side_micro": pd.array([acc[s][1] for s in sources],
+                                      "int64")}
+        )
+
+    parts = bucketed_group_map(census, ["token"], js_bucket).to_pandas()
+    agg = parts.groupby("source", as_index=False)[
+        ["p_side_micro", "q_side_micro"]].sum()
+    agg["n_s"] = agg["source"].map(ns).astype("int64")
+    return agg.astype({"p_side_micro": "int64", "q_side_micro": "int64"})
+
+
+SOURCE_JS_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM c),
+ct AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ct FROM c GROUP BY 1),
+grid AS (
+  SELECT ns.source, ns.n AS n_s, ct.token, ct.ct,
+         COALESCE(c.c, 0) AS cst
+  FROM ns CROSS JOIN ct
+  LEFT JOIN c ON c.source = ns.source AND c.token = ct.token
+),
+addends AS (
+  SELECT g.source,
+         CASE WHEN g.cst > 0 THEN
+           CAST(FLOOR(CAST(g.cst AS DOUBLE) / g.n_s
+                      * LN(CAST(2 * CAST(g.cst AS HUGEINT) * tot.n_all
+                                AS DOUBLE)
+                           / CAST(CAST(g.cst AS HUGEINT) * tot.n_all
+                                  + CAST(g.ct AS HUGEINT) * g.n_s
+                                  AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT)
+         ELSE 0 END AS ap,
+         CAST(FLOOR(CAST(g.ct AS DOUBLE) / tot.n_all
+                    * LN(CAST(2 * CAST(g.ct AS HUGEINT) * g.n_s AS DOUBLE)
+                         / CAST(CAST(g.cst AS HUGEINT) * tot.n_all
+                                + CAST(g.ct AS HUGEINT) * g.n_s
+                                AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS aq
+  FROM grid g, tot
+)
+SELECT a.source, CAST(SUM(a.ap) AS BIGINT) AS p_side_micro,
+       CAST(SUM(a.aq) AS BIGINT) AS q_side_micro,
+       ns.n AS n_s
+FROM addends a JOIN ns ON ns.source = a.source
+GROUP BY 1, 4
+"""
