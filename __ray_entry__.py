@@ -593,6 +593,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source Jensen–Shannon divergence from the corpus mixture
         # (PPMI-pattern exact-int ln args, pre-floored micro addends)
         "docs_source_js": docs.docs_source_js,
+        # DAU / trailing-28-day MAU / stickiness (exact sliding
+        # COUNT(DISTINCT) via per-user contribution-interval sweep-line)
+        "events_dau_mau": events.events_dau_mau,
+        # CUSUM change-point per event type (pure-integer statistic over
+        # the zero-filled daily spine)
+        "events_cusum": events.events_cusum,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -923,6 +929,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_profile": events.HOURLY_PROFILE_SQL,
         "docs_heaps": docs.HEAPS_SQL,
         "docs_source_js": docs.SOURCE_JS_SQL,
+        "events_dau_mau": events.DAU_MAU_SQL,
+        "events_cusum": events.CUSUM_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

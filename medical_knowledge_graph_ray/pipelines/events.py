@@ -2916,3 +2916,205 @@ SELECT c.event_type, c.hour, c.n,
        CAST((c.n * 10000) // t.tot AS BIGINT) AS share_bp
 FROM c JOIN t USING (event_type)
 """
+
+# -- DAU / trailing-28-day MAU / stickiness --------------------------------------
+
+def events_dau_mau(sf_dir: str) -> pd.DataFrame:
+    """Daily active users, trailing-28-day active users and the DAU/MAU
+    stickiness ratio — the product-analytics headline triple.  The MAU
+    window is an EXACT sliding COUNT(DISTINCT): a user active on day d
+    is "in window" for every day D ∈ [d, d+27], so each user's active
+    days collapse (inside user-complete buckets) into merged
+    contribution INTERVALS whose ±1 endpoint deltas ride the exchange —
+    the sweep-line idiom (`orders_open_by_day`), never a day×user pair
+    expansion.  DAU partials (per-bucket distinct day counts) share the
+    same exchange; the per-day census is calendar-bounded, so the
+    prefix sum is a driver-side artifact fold.
+
+    stickiness_bp = dau·10⁴ // mau28 (exact ints; 0 when the window is
+    empty, mirroring the SQL CASE)."""
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    DAY_US = 86_400_000_000
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        day = (g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+               // DAY_US)
+        pairs = (pd.DataFrame({"u": g["user_id"].to_numpy(), "d": day})
+                 .drop_duplicates()
+                 .sort_values(["u", "d"], kind="mergesort"))
+        u = pairs["u"].to_numpy()
+        d = pairs["d"].to_numpy("int64")
+        if not len(d):
+            return pd.DataFrame({"d": pd.array([], "int64"),
+                                 "dau": pd.array([], "int64"),
+                                 "delta": pd.array([], "int64")})
+        # merged contribution intervals: a new interval starts on a user
+        # switch or a gap > 27 days (the previous interval's [d, d+27]
+        # coverage no longer reaches this day)
+        new = np.ones(len(d), bool)
+        new[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > 27)
+        iid = np.cumsum(new) - 1
+        starts = d[new]
+        last = np.zeros(iid[-1] + 1, dtype="int64")
+        np.maximum.at(last, iid, d)
+        ends = last + 27
+        days_c, dau_c = np.unique(d, return_counts=True)
+        out_d = np.concatenate([days_c, starts, ends + 1])
+        out_dau = np.concatenate(
+            [dau_c.astype("int64"), np.zeros(2 * len(starts), "int64")])
+        out_delta = np.concatenate(
+            [np.zeros(len(days_c), "int64"), np.ones(len(starts), "int64"),
+             -np.ones(len(starts), "int64")])
+        return pd.DataFrame({"d": pd.array(out_d, "int64"),
+                             "dau": pd.array(out_dau, "int64"),
+                             "delta": pd.array(out_delta, "int64")})
+
+    from ray.data.aggregate import Sum
+
+    census = (
+        bucketed_group_map(ev, ["user_id"], bucket)
+        .groupby("d").aggregate(Sum("dau", alias_name="dau"),
+                                Sum("delta", alias_name="delta"))
+        .to_pandas()  # ≤ #days + #interval-ends rows — calendar-bounded
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+    d = census["d"].to_numpy("int64")
+    dau_in = census["dau"].to_numpy("int64")
+    delta_in = census["delta"].to_numpy("int64")
+    active = d[dau_in > 0]
+    lo, hi = int(active.min()), int(active.max())
+    n_days = hi - lo + 1
+    dau = np.zeros(n_days, "int64")
+    deltas = np.zeros(n_days, "int64")
+    keep = (d >= lo) & (d <= hi)
+    np.add.at(dau, d[keep] - lo, dau_in[keep])
+    np.add.at(deltas, d[keep] - lo, delta_in[keep])
+    mau = np.cumsum(deltas)
+    stick = np.where(mau > 0, dau * 10_000 // np.maximum(mau, 1), 0)
+    return pd.DataFrame(
+        {"d": pd.array(np.arange(lo, hi + 1, dtype="int64"), "int64"),
+         "dau": pd.array(dau, "int64"),
+         "mau28": pd.array(mau, "int64"),
+         "stickiness_bp": pd.array(stick.astype("int64"), "int64")}
+    )
+
+
+DAU_MAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d
+  FROM events
+),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ud),
+spine AS (SELECT UNNEST(range(lo, hi + 1)) AS d FROM bounds),
+dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+mau AS (
+  SELECT s.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau28
+  FROM spine s LEFT JOIN ud u ON u.d BETWEEN s.d - 27 AND s.d
+  GROUP BY 1
+)
+SELECT s.d, CAST(COALESCE(a.dau, 0) AS BIGINT) AS dau, m.mau28,
+       CAST(CASE WHEN m.mau28 = 0 THEN 0
+            ELSE COALESCE(a.dau, 0) * 10000 // m.mau28 END AS BIGINT)
+         AS stickiness_bp
+FROM spine s JOIN mau m USING (d) LEFT JOIN dau a USING (d)
+"""
+
+
+# -- CUSUM change-point detection ------------------------------------------------
+
+def events_cusum(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type change-point detection on the daily-count series —
+    the CUSUM statistic max_k |n·S_k − k·S_n| over the zero-filled
+    calendar spine (S_k = prefix count through spine day k, n = spine
+    length).  Cross-multiplying by n removes the rational mean, so the
+    statistic, the argmax day (first max) and the flag are PURE
+    integers — no float drift anywhere.
+
+    Shape: one per-(type, day) count combiner feeds a bounded
+    types×days census; the prefix scan folds driver-side (the
+    `orders_monthly_cumrev` bounded-artifact idiom)."""
+    from ray.data.aggregate import Sum
+
+    ev = _events(sf_dir, ["event_type", "ts"])
+
+    DAY_US = 86_400_000_000
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+               // DAY_US)
+        return (pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                              "d": day})
+                .groupby(["event_type", "d"], sort=False)
+                .size().rename("n").reset_index()
+                .astype({"d": "int64", "n": "int64"}))
+
+    census = (
+        ev.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby(["event_type", "d"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ |types| × #days rows — calendar-bounded
+    )
+    lo = int(census["d"].min())
+    hi = int(census["d"].max())
+    n = hi - lo + 1
+    rows = []
+    for t in sorted(census["event_type"].unique()):
+        sub = census[census["event_type"] == t]
+        daily = np.zeros(n, "int64")
+        np.add.at(daily, sub["d"].to_numpy("int64") - lo,
+                  sub["n"].to_numpy("int64"))
+        pref = np.cumsum(daily)          # S_k, k = 1..n at index k-1
+        total = int(pref[-1])
+        k = np.arange(1, n + 1, dtype="int64")
+        stat = np.abs(n * pref - k * total)
+        best = int(stat.argmax())        # first max — deterministic
+        rows.append((t, lo + best, int(stat[best]), total))
+    return pd.DataFrame(
+        {"event_type": pd.array([r[0] for r in rows], "str"),
+         "change_day": pd.array([r[1] for r in rows], "int64"),
+         "cusum_stat": pd.array([r[2] for r in rows], "int64"),
+         "total": pd.array([r[3] for r in rows], "int64")}
+    )
+
+
+CUSUM_SQL = """
+WITH c AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c),
+spine AS (SELECT UNNEST(range(lo, hi + 1)) AS d FROM bounds),
+grid AS (
+  SELECT t.event_type, s.d, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM c) t
+  CROSS JOIN spine s
+  LEFT JOIN c ON c.event_type = t.event_type AND c.d = s.d
+),
+pre AS (
+  SELECT event_type, d,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS s_k,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS k,
+         (SELECT hi - lo + 1 FROM bounds) AS nn,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM grid
+),
+stat AS (
+  SELECT event_type, d, ABS(nn * s_k - k * tot) AS stat, tot
+  FROM pre
+)
+SELECT event_type,
+       CAST(MIN(d) FILTER (WHERE stat = ms) AS BIGINT) AS change_day,
+       CAST(MAX(ms) AS BIGINT) AS cusum_stat,
+       CAST(MAX(tot) AS BIGINT) AS total
+FROM (SELECT *, MAX(stat) OVER (PARTITION BY event_type) AS ms FROM stat)
+GROUP BY event_type
+"""
