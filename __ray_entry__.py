@@ -599,6 +599,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CUSUM change-point per event type (pure-integer statistic over
         # the zero-filled daily spine)
         "events_cusum": events.events_cusum,
+        # hybrid retrieval: BM25 ⊕ query-likelihood-LM reciprocal-rank
+        # fusion over the persisted index (integer rank fusion)
+        "docs_search_rrf": docs.docs_search_rrf,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -931,6 +934,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_source_js": docs.SOURCE_JS_SQL,
         "events_dau_mau": events.DAU_MAU_SQL,
         "events_cusum": events.CUSUM_SQL,
+        "docs_search_rrf": docs._search_rrf_sql(),
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

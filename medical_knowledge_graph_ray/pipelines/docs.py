@@ -4744,3 +4744,80 @@ SELECT a.source, CAST(SUM(a.ap) AS BIGINT) AS p_side_micro,
 FROM addends a JOIN ns ON ns.source = a.source
 GROUP BY 1, 4
 """
+
+
+# -- hybrid retrieval: reciprocal-rank fusion ------------------------------------
+
+def docs_search_rrf(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval over the persisted inverted index: BM25 and
+    Dirichlet query-likelihood LM rankings fused by reciprocal-rank
+    fusion (Cormack et al. 2009) — the standard two-ranker serving
+    composition (with an embedding leg the fusion is identical).
+    Fusion is PURE integers: rrf_micro = Σ 10⁶ // (60 + rank)."""
+    import os
+
+    from ..stages.search import build_inverted_index, search_rrf
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/mkg_search_idx/{tag}"
+    build_inverted_index(_docs(sf_dir, ["doc_id", "text"]), index_dir)
+    return search_rrf(index_dir, SEARCH_TERMS, k=10, n_cand=20)
+
+
+def _search_rrf_sql() -> str:
+    from ..stages.search import BM25_B, BM25_K1, LM_MU, RRF_K0
+
+    terms = ", ".join(f"'{t}'" for t in sorted(set(SEARCH_TERMS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN ({terms}) GROUP BY 1, 2
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, SUM(dl) AS total_tf FROM dl
+), df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), bm_addend AS (
+  SELECT doc_id,
+         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * tf * ({BM25_K1} + 1)
+               / (tf + {BM25_K1} * (1 - {BM25_B}
+                                    + {BM25_B} * dl / (total_tf / n_docs))),
+               6) AS w
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
+), bm_score AS (
+  SELECT doc_id, round(SUM(w), 6) AS score FROM bm_addend GROUP BY doc_id
+), bm_top AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM bm_score QUALIFY rnk <= 20
+), cand AS (
+  SELECT DISTINCT doc_id FROM tf
+), qt AS (
+  SELECT unnest([{terms}]) AS tok
+), ctf AS (
+  SELECT tok, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1
+), lm_addend AS (
+  SELECT c.doc_id,
+         round(ln((COALESCE(t.tf, 0) + {LM_MU} * ctf.ctf / stats.total_tf)
+                  / (dl.dl + {LM_MU})), 6) AS w
+  FROM cand c
+  CROSS JOIN qt q
+  JOIN ctf ON ctf.tok = q.tok
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.tok = q.tok
+  CROSS JOIN stats
+), lm_score AS (
+  SELECT doc_id, round(SUM(w), 6) AS score FROM lm_addend GROUP BY doc_id
+), lm_top AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM lm_score QUALIFY rnk <= 20
+)
+SELECT doc_id,
+       CAST(SUM(1000000 // ({RRF_K0} + rnk)) AS BIGINT) AS rrf_micro
+FROM (SELECT * FROM bm_top UNION ALL SELECT * FROM lm_top)
+GROUP BY doc_id
+QUALIFY row_number() OVER (ORDER BY rrf_micro DESC, doc_id) <= 10
+"""

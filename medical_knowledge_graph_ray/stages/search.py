@@ -466,3 +466,157 @@ def search_phrase(
         return empty
     out = out.sort_values("doc_id").reset_index(drop=True)
     return out.head(limit).reset_index(drop=True) if limit is not None else out
+
+
+LM_MU = 2000.0  # Dirichlet smoothing mass (Zhai & Lafferty 2001)
+RRF_K0 = 60     # the standard RRF rank offset (Cormack et al. 2009)
+
+
+def search_lm(
+    index_dir: str, terms: list[str], *, k: int = 10, mu: float = LM_MU,
+) -> pd.DataFrame:
+    """Query-likelihood unigram-LM ranking (Dirichlet smoothing) over the
+    SAME bucket-pruned postings read as BM25 — the second ranker of the
+    hybrid pair.  Candidates are docs matching ≥1 term (the standard
+    serving restriction); each candidate scores EVERY query term, with
+    tf = 0 for unmatched ones:
+
+        score(d) = Σ_t round₆(ln((tf + µ·ctf_t/T) / (dl_d + µ)))
+
+    Float contract: ln is glibc ``math.log`` computed once per DISTINCT
+    argument (numpy's SIMD log can differ from libm in the last ulp —
+    the `events_decay` rule), the argument expression mirrors the SQL
+    oracle term for term, and each addend rounds to 6 dp BEFORE the
+    per-doc sum so the total is an exact multiple of 1e-6 (summation-
+    order-immune).  ctf (corpus term frequency) is exact and free: a
+    token's postings live wholly in its hash bucket.
+
+    Scale shape: the postings read is bounded by the terms' posting
+    lists; per-doc scoring + top-k happen inside doc-complete serve
+    buckets, so the driver collects ≤ buckets×k rows."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from ..functions.arrow import arrow_out, read_parquet_clean
+    from ..functions.hashing import stable_bucket_vec
+    from .shuffle import bucketed_group_map
+
+    terms = sorted(set(terms))
+    empty = pd.DataFrame(
+        {"doc_id": pd.array([], "int64"), "score": pd.array([], "float64")}
+    )
+    if not terms:
+        return empty
+    with open(os.path.join(index_dir, "_MANIFEST.json")) as fh:
+        m = json.load(fh)
+    total_tf = float(m["total_tf"])
+
+    buckets = sorted(set(stable_bucket_vec(np.array(terms), N_SEARCH_BUCKETS)))
+    files = [
+        f
+        for bk in buckets
+        if os.path.exists(
+            f := os.path.join(index_dir, f"bucket={int(bk):04d}.parquet")
+        )
+    ]
+    if not files:
+        return empty
+    postings = read_parquet_clean(
+        files, columns=["token", "doc_id", "tf", "dl"],
+        filter=pc.field("token").isin(terms),
+    ).materialize()  # bounded by the query terms' posting lists
+
+    def ctf_partial(t: pd.DataFrame) -> pd.DataFrame:
+        c = t.groupby("token", sort=False)["tf"].sum()
+        return pd.DataFrame(
+            {"token": pd.array(c.index, "str"),
+             "ctf": pd.array(c.to_numpy(), "int64")}
+        )
+
+    census = postings.map_batches(
+        arrow_out(ctf_partial), batch_format="pandas"
+    ).to_pandas()  # ≤ |terms| rows per batch
+    if not len(census) or "token" not in census.columns:
+        return empty
+    ctf_map = census.groupby("token")["ctf"].sum().to_dict()
+    # zero-occurrence terms have no smoothed mass (ln 0); both engines
+    # drop them (the SQL joins ctf inner)
+    live = [t for t in terms if ctf_map.get(t, 0) > 0]
+    if not live:
+        return empty
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g.drop_duplicates("doc_id")[["doc_id", "dl"]]
+        ids = docs["doc_id"].to_numpy("int64")
+        dl = docs["dl"].to_numpy().astype("float64")
+        pos = pd.Series(np.arange(len(ids)), index=ids)
+        score = np.zeros(len(ids), "float64")
+        for t in live:
+            tf = np.zeros(len(ids), "float64")
+            sub = g[g["token"] == t]
+            if len(sub):
+                tf[pos.loc[sub["doc_id"].to_numpy("int64")].to_numpy()] = (
+                    sub["tf"].to_numpy().astype("float64"))
+            # expression order mirrors the SQL oracle exactly
+            arg = (tf + mu * float(ctf_map[t]) / total_tf) / (dl + mu)
+            u, inv = np.unique(arg, return_inverse=True)
+            lu = np.array([math.log(x) for x in u], dtype="float64")
+            score += np.round(lu[inv], 6)
+        d = pd.DataFrame(
+            {"doc_id": pd.array(ids, "int64"),
+             "score": np.round(score, 6)}
+        )
+        return d.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    scored = bucketed_group_map(
+        postings, ["doc_id"], per_doc, num_buckets=N_SERVE_BUCKETS,
+    ).to_pandas()  # ≤ buckets×k rows by construction
+    LAST_SERVE_COLLECTED["lm"] = len(scored)
+    if "doc_id" not in scored.columns:
+        return empty
+    return (
+        scored.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k).reset_index(drop=True)
+    )
+
+
+def search_rrf(
+    index_dir: str, terms: list[str], *, k: int = 10, n_cand: int = 20,
+    k0: int = RRF_K0, mu: float = LM_MU,
+) -> pd.DataFrame:
+    """Reciprocal-rank fusion of two rankers over the same persisted
+    index — BM25 and the Dirichlet query-likelihood LM (the standard
+    hybrid-retrieval serving composition; with an embedding ranker the
+    fusion step is IDENTICAL — plug `knn_cosine*`'s top-k in as a third
+    leg when doc/vec ids share a key).
+
+        rrf_micro(d) = Σ_r∈rankers, d∈top-N(r)  10⁶ // (k0 + rank_r(d))
+
+    Pure integers — no float fusion drift; ranks are deterministic
+    (score desc, doc_id asc ties).  Each leg collects ≤ buckets×N rows;
+    the fusion itself is a driver-side fold over ≤ 2N rows."""
+    legs = [
+        search_ranked(index_dir, terms, k=n_cand),
+        search_lm(index_dir, terms, k=n_cand, mu=mu),
+    ]
+    parts = []
+    for r in legs:
+        if not len(r):
+            continue
+        rr = r.reset_index(drop=True)
+        parts.append(pd.DataFrame(
+            {"doc_id": rr["doc_id"].astype("int64"),
+             "a": (1_000_000 // (k0 + np.arange(1, len(rr) + 1, dtype="int64")
+                                 )).astype("int64")}
+        ))
+    if not parts:
+        return pd.DataFrame({"doc_id": pd.array([], "int64"),
+                             "rrf_micro": pd.array([], "int64")})
+    f = (pd.concat(parts).groupby("doc_id", as_index=False)["a"].sum()
+         .sort_values(["a", "doc_id"], ascending=[False, True])
+         .head(k).reset_index(drop=True))
+    return pd.DataFrame({"doc_id": f["doc_id"].astype("int64"),
+                         "rrf_micro": f["a"].astype("int64")})

@@ -219,3 +219,57 @@ def test_serve_collects_bounded_rows_on_common_token(index_dir):
     plim = search_phrase(index_dir, [common], limit=k)
     assert LAST_SERVE_COLLECTED["phrase"] <= N_SERVE_BUCKETS * k
     assert plim["doc_id"].tolist() == pfull["doc_id"].head(k).tolist()
+
+
+def test_lm_and_rrf_serve(index_dir):
+    """LM leg: brute-force query-likelihood parity + the ≤ buckets×k
+    collection bound; RRF: pure-integer fusion of the two legs' ranks."""
+    import math
+
+    import numpy as np
+
+    from medical_knowledge_graph_ray.stages.search import (
+        LAST_SERVE_COLLECTED,
+        LM_MU,
+        N_SERVE_BUCKETS,
+        RRF_K0,
+        search_lm,
+        search_ranked,
+        search_rrf,
+    )
+
+    terms = ["dup", "spark", "vector"]
+    k = 10
+    got = search_lm(index_dir, terms, k=k)
+    assert LAST_SERVE_COLLECTED["lm"] <= N_SERVE_BUCKETS * k
+
+    # brute-force reference on the raw corpus
+    df = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    toks = df["text"].str.split(" ")
+    dl = toks.map(len).to_numpy("int64")
+    total_tf = float(dl.sum())
+    ctf = {t: int(toks.map(lambda ws: ws.count(t)).sum()) for t in terms}
+    scores = {}
+    for i, ws in enumerate(toks):
+        tfs = {t: ws.count(t) for t in terms}
+        if not any(tfs.values()):
+            continue
+        s = 0.0
+        for t in sorted(set(terms)):
+            arg = (tfs[t] + LM_MU * float(ctf[t]) / total_tf) / (dl[i] + LM_MU)
+            s += round(math.log(arg), 6)
+        scores[int(df["doc_id"].iloc[i])] = round(s, 6)
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert list(zip(got["doc_id"], got["score"])) == ref
+
+    # RRF = integer fusion of the two legs' deterministic ranks
+    bm = search_ranked(index_dir, terms, k=20)
+    lm = search_lm(index_dir, terms, k=20)
+    fused = {}
+    for leg in (bm, lm):
+        for r, d in enumerate(leg["doc_id"], start=1):
+            fused[int(d)] = fused.get(int(d), 0) + 1_000_000 // (RRF_K0 + r)
+    ref_rrf = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got_rrf = search_rrf(index_dir, terms, k=k, n_cand=20)
+    assert list(zip(got_rrf["doc_id"], got_rrf["rrf_micro"])) == ref_rrf
