@@ -602,6 +602,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hybrid retrieval: BM25 ⊕ query-likelihood-LM reciprocal-rank
         # fusion over the persisted index (integer rank fusion)
         "docs_search_rrf": docs.docs_search_rrf,
+        # weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+        # Exp(w) jitter bottom-k; integer key contract, zero exchanges)
+        "docs_es_sample": docs.docs_es_sample,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -935,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dau_mau": events.DAU_MAU_SQL,
         "events_cusum": events.CUSUM_SQL,
         "docs_search_rrf": docs._search_rrf_sql(),
+        "docs_es_sample": docs.ES_SAMPLE_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

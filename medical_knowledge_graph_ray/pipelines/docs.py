@@ -4821,3 +4821,83 @@ FROM (SELECT * FROM bm_top UNION ALL SELECT * FROM lm_top)
 GROUP BY doc_id
 QUALIFY row_number() OVER (ORDER BY rrf_micro DESC, doc_id) <= 10
 """
+
+
+# -- weighted sampling WITHOUT replacement (Efraimidis–Spirakis) -----------------
+
+ES_SAMPLE_K = 50
+
+
+def docs_es_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted random sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each doc draws an Exp(w) jitter key = −ln(u)/w from
+    a content-stable uniform u, and the k SMALLEST keys form the sample
+    — every doc's inclusion probability is proportional to its weight
+    (n_chars here), decisions are reproducible and mergeable (the
+    global bottom-k of a union is the bottom-k of the parts' bottom-k,
+    so each batch ships only its local k rows — no exchange at all).
+
+    Ordering contract: both engines order by the INTEGER
+    key_nano = floor(−ln(u)/w · 10⁹) (u = (md5₆₄ ≫ 11 + 1)/2⁵³, exact
+    in a double).  numpy's SIMD log can differ from glibc in the last
+    ulp, so rows whose floor could flip within ±2 ulp recompute with
+    ``math.log`` (≡ DuckDB ``std::log``) — the `events_decay` rule with
+    a vectorized guard instead of a per-distinct loop."""
+    import math
+
+    import numpy as np
+
+    from ..functions.hashing import md5_int_vec_prefixed
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    k = ES_SAMPLE_K
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_chars"] > 0]
+        if not len(b):
+            return pd.DataFrame({"doc_id": pd.array([], "int64"),
+                                 "w": pd.array([], "int64"),
+                                 "key_nano": pd.array([], "int64")})
+        ids = b["doc_id"].to_numpy("int64")
+        w = b["n_chars"].to_numpy("int64")
+        h = md5_int_vec_prefixed("esample", ids, bits=64)
+        u = ((h >> np.uint64(11)).astype("float64") + 1.0) / 9007199254740992.0
+        lnu = np.log(u)
+        wf = w.astype("float64")
+        key = np.floor(-lnu / wf * 1e9)
+        lo = np.nextafter(np.nextafter(lnu, -np.inf), -np.inf)
+        hi = np.nextafter(np.nextafter(lnu, np.inf), np.inf)
+        risky = np.floor(-lo / wf * 1e9) != np.floor(-hi / wf * 1e9)
+        if risky.any():
+            exact = np.array([math.log(x) for x in u[risky]], dtype="float64")
+            key[risky] = np.floor(-exact / wf[risky] * 1e9)
+        out = pd.DataFrame({"doc_id": pd.array(ids, "int64"),
+                            "w": pd.array(w, "int64"),
+                            "key_nano": pd.array(key.astype("int64"), "int64")})
+        return out.sort_values(["key_nano", "doc_id"],
+                               kind="mergesort").head(k)
+
+    part = docs.map_batches(arrow_out(partial),
+                            batch_format="pandas").to_pandas()
+    if "doc_id" not in part.columns:
+        return pd.DataFrame({"doc_id": pd.array([], "int64"),
+                             "w": pd.array([], "int64"),
+                             "key_nano": pd.array([], "int64")})
+    return (part.sort_values(["key_nano", "doc_id"], kind="mergesort")
+            .head(k).reset_index(drop=True)
+            .astype({"doc_id": "int64", "w": "int64", "key_nano": "int64"}))
+
+
+ES_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         (('0x' || substr(md5('esample|' || CAST(doc_id AS VARCHAR)), 1, 16))
+            ::UBIGINT // 2048 + 1) / 9007199254740992.0 AS u
+  FROM documents WHERE n_chars > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS w,
+       CAST(floor(-ln(u) / n_chars * 1000000000) AS BIGINT) AS key_nano
+FROM h
+QUALIFY row_number() OVER (ORDER BY key_nano, doc_id) <= {ES_SAMPLE_K}
+"""
