@@ -605,6 +605,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weighted sampling WITHOUT replacement (Efraimidis–Spirakis
         # Exp(w) jitter bottom-k; integer key contract, zero exchanges)
         "docs_es_sample": docs.docs_es_sample,
+        # cross-source k-gram contamination matrix (hash-keyed distinct
+        # gram sets, ONE gram exchange, bit-exact pairwise Jaccard)
+        "docs_sources_overlap": docs.docs_sources_overlap,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -939,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cusum": events.CUSUM_SQL,
         "docs_search_rrf": docs._search_rrf_sql(),
         "docs_es_sample": docs.ES_SAMPLE_SQL,
+        "docs_sources_overlap": docs.SOURCES_OVERLAP_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -4901,3 +4901,112 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM h
 QUALIFY row_number() OVER (ORDER BY key_nano, doc_id) <= {ES_SAMPLE_K}
 """
+
+
+# -- cross-source n-gram contamination matrix ------------------------------------
+
+OVERLAP_GRAM_K = 5
+
+
+def docs_sources_overlap(sf_dir: str) -> pd.DataFrame:
+    """Pairwise k-gram Jaccard overlap between SOURCES — the corpus-
+    mixture contamination matrix (which feeds deduplicate-across-sources
+    and train/benchmark-leak decisions): each source's distinct
+    ``OVERLAP_GRAM_K``-token gram set, intersected pairwise.
+
+    Contract: grams keyed by the 64-bit md5 of the gram text on BOTH
+    engines (the `docs_dupspans` idiom — collision-identical), so the
+    matrix is bit-exact.  jaccard_micro = inter·10⁶ // (n_a+n_b−inter).
+
+    Shape: ONE bucketed exchange on the gram hash (batch-local distinct
+    (gram, source) combiner first); gram-complete buckets make both the
+    per-source distinct census and the per-gram source-pair expansion
+    exact with no second corpus pass — the ≤ buckets×|S|² partial rows
+    fold driver-side."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    docs = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        dids, _pos, h = _token_gram_hashes(b, OVERLAP_GRAM_K)
+        if not len(dids):
+            return pd.DataFrame({"g": pd.array([], "uint64"),
+                                 "source": pd.array([], "str")})
+        src = (pd.Series(b["source"].to_numpy(),
+                         index=b["doc_id"].to_numpy("int64"))
+               .loc[dids].to_numpy())
+        return (pd.DataFrame({"g": pd.array(h, "uint64"),
+                              "source": pd.array(src, "str")})
+                .drop_duplicates())
+
+    exploded = docs.map_batches(arrow_out(explode), batch_format="pandas")
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        ns = d.groupby("source", sort=False).size()
+        diag = pd.DataFrame({"src_a": ns.index, "src_b": ns.index,
+                             "inter": ns.to_numpy("int64")})
+        m = d.merge(d, on="g")
+        m = m[m["source_x"] < m["source_y"]]
+        pc_ = (m.groupby(["source_x", "source_y"], sort=False).size()
+               .reset_index(name="inter"))
+        pairs = pd.DataFrame({"src_a": pc_["source_x"],
+                              "src_b": pc_["source_y"],
+                              "inter": pc_["inter"].to_numpy("int64")})
+        out = pd.concat([diag, pairs], ignore_index=True)
+        return out.astype({"src_a": "str", "src_b": "str", "inter": "int64"})
+
+    cen = bucketed_group_map(exploded, ["g"], bucket).to_pandas()
+    cols = ["src_a", "src_b", "inter", "uni", "jaccard_micro"]
+    if "src_a" not in cen.columns:
+        return pd.DataFrame({c: pd.array([], "str" if c.startswith("src")
+                                         else "int64") for c in cols})
+    agg = (cen.groupby(["src_a", "src_b"], as_index=False)["inter"].sum())
+    ns = (agg[agg["src_a"] == agg["src_b"]]
+          .set_index("src_a")["inter"].to_dict())
+    out = agg[agg["src_a"] < agg["src_b"]].copy()
+    na = out["src_a"].map(ns).to_numpy("int64")
+    nb = out["src_b"].map(ns).to_numpy("int64")
+    inter = out["inter"].to_numpy("int64")
+    uni = na + nb - inter
+    return pd.DataFrame(
+        {"src_a": out["src_a"].astype("str"),
+         "src_b": out["src_b"].astype("str"),
+         "inter": pd.array(inter, "int64"),
+         "uni": pd.array(uni, "int64"),
+         "jaccard_micro": pd.array(inter * 1_000_000 // uni, "int64")}
+    ).reset_index(drop=True)
+
+
+SOURCES_OVERLAP_SQL = f"""
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), gidx AS (
+  SELECT source, toks, unnest(range(0, n - {OVERLAP_GRAM_K} + 1)) AS pos
+  FROM t WHERE n >= {OVERLAP_GRAM_K}
+), g AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(toks, pos + 1, pos + {OVERLAP_GRAM_K}), ' ')), 1, 16)
+         )::UBIGINT AS h
+  FROM gidx
+), ns AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, i.inter,
+       CAST(na.n + nb.n - i.inter AS BIGINT) AS uni,
+       CAST(i.inter * 1000000 // (na.n + nb.n - i.inter) AS BIGINT)
+         AS jaccard_micro
+FROM inter i
+JOIN ns na ON na.source = i.src_a
+JOIN ns nb ON nb.source = i.src_b
+"""
