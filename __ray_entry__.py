@@ -700,6 +700,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unique fixpoint → parallelism-invariant; BSP ≡ dense ≡ brute
         # pinned in tests/test_graph.py)
         "kg_kcore": docs_kg.kg_kcore,
+        # label-propagation communities (fixed-budget synchronous
+        # semantics; BSP ≡ dense pinned in tests/test_graph.py)
+        "kg_lpa": docs_kg.kg_lpa,
     }
 
     # DRIVER-WINDOW ROTATION (VERDICT r3 item 8): the driver gate checks

@@ -1221,3 +1221,27 @@ def assortativity_sql() -> str:
         "              + 0.5) AS DOUBLE) END AS r_micro\n"
         "FROM s"
     )
+
+
+def kg_lpa(sf_dir: str):
+    """Community detection over the co-occurrence graph via label
+    propagation (`stages/graph.py:lpa_communities`) — the coarse
+    community structure behind topic grouping and hub isolation.
+    Deterministic fixed-budget synchronous semantics; rows-only (the
+    iterative argmax fixpoint is not SQL-expressible), BSP ≡ dense ≡
+    hand examples pinned in tests/test_graph.py."""
+    from ..stages.graph import lpa_communities
+
+    edges = doc_cooccurrence(sf_dir).map_batches(
+        arrow_out(
+            lambda b: b[["term_a", "term_b"]].rename(
+                columns={"term_a": "src", "term_b": "dst"}
+            )
+        ),
+        batch_format="pandas",
+    )
+    out = lpa_communities(edges, rounds=10)
+    return pd.DataFrame(
+        {"term": pd.array(out["node"], "str"),
+         "community": pd.array(out["community"], "str")}
+    )

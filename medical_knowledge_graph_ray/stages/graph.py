@@ -646,3 +646,122 @@ def k_core_dense(adj: pd.DataFrame, k: int, u: str = "u", v: str = "v"
     deg = live[u].value_counts().sort_index()
     return pd.DataFrame({"node": pd.Series(deg.index),
                          "core_deg": pd.array(deg.to_numpy(), "int64")})
+
+
+def lpa_dense(adj: pd.DataFrame, rounds: int, u: str = "u", v: str = "v"
+              ) -> pd.DataFrame:
+    """Driver-side dense label propagation over a both-directions
+    adjacency frame (reference pin for ``lpa_communities``; also its
+    adaptive finalizer).  Deterministic semantics: SYNCHRONOUS rounds,
+    new label = the most frequent neighbor label, ties → smallest
+    label; a FIXED round budget (bipartite-ish regions can oscillate
+    under synchronous updates — the fixed budget makes the output a
+    pure function of the graph, which is what the distributed path
+    pins against)."""
+    import numpy as np
+
+    nodes = pd.unique(pd.concat([adj[u], adj[v]], ignore_index=True))
+    lbl = {n: n for n in nodes}
+    for _ in range(rounds):
+        lab = adj[v].map(lbl)
+        cnt = (pd.DataFrame({"u": adj[u], "lab": lab})
+               .groupby(["u", "lab"], sort=False).size()
+               .reset_index(name="c"))
+        cnt = cnt.sort_values(["u", "c", "lab"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        win = cnt.drop_duplicates("u")
+        new = dict(zip(win["u"], win["lab"]))
+        changed = any(new[n] != lbl[n] for n in new)
+        lbl.update(new)
+        if not changed:
+            break
+    out = pd.DataFrame({"node": list(lbl.keys()),
+                        "community": [lbl[n] for n in lbl]})
+    return out.sort_values("node", kind="mergesort").reset_index(drop=True)
+
+
+def lpa_communities(
+    edges,
+    *,
+    rounds: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 16,
+    mode: str = "auto",
+    dense_edge_bound: int = 4_000_000,
+):
+    """Label-propagation community detection (Raghavan, Albert & Kumara
+    2007) over an undirected edge list — near-linear community mining
+    (the coarse counterpart of ``connected_components``: components
+    split where internal edge density drops).
+
+    Deterministic contract (exactly `lpa_dense`'s): synchronous rounds,
+    new label = most frequent neighbor label with ties to the SMALLEST
+    label, fixed round budget — a pure function of the graph, invariant
+    to parallelism and arrival order (pytest-pinned BSP ≡ dense).
+
+    BSP shape per round: the label map broadcasts (`ray.put`, the
+    node-cardinality artifact posture shared with k_core's removal set
+    and triangle_counts' rank map — at an unbounded node scale it
+    becomes a keyed join against a distributed label table, same
+    exchange), each edge batch emits pre-counted (u, neighbor-label)
+    partials, ONE bucketed exchange per round finalizes the argmax."""
+    import ray
+
+    from .shuffle import bucketed_group_map
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"u": pd.concat([b[src_col], b[dst_col]], ignore_index=True),
+             "v": pd.concat([b[dst_col], b[src_col]], ignore_index=True)}
+        )
+
+    adj = edges.map_batches(
+        arrow_out(both_dirs), batch_format="pandas"
+    ).materialize()
+    n_dir = adj.count()  # metadata-only (materialized)
+
+    if mode == "dense" or (mode == "auto" and n_dir <= 2 * dense_edge_bound):
+        return lpa_dense(adj.to_pandas(), rounds, "u", "v")
+
+    nodes = bucketed_group_map(
+        adj.map_batches(
+            arrow_out(lambda b: b[["u"]].drop_duplicates()),
+            batch_format="pandas",
+        ),
+        ["u"], lambda g: g.drop_duplicates(), num_buckets=num_buckets,
+    ).to_pandas()["u"]
+    lbl = {n: n for n in nodes}
+
+    for _ in range(rounds):
+        ref = ray.put(lbl)
+
+        def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            out = (pd.DataFrame({"u": b["u"],
+                                 "lab": b["v"].map(m)})
+                   .groupby(["u", "lab"], sort=False).size()
+                   .reset_index(name="c"))
+            out["c"] = out["c"].astype("int64")
+            return out
+
+        def argmax(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby(["u", "lab"], sort=False, as_index=False)["c"].sum()
+            s = s.sort_values(["u", "c", "lab"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+            return s.drop_duplicates("u")[["u", "lab"]]
+
+        win = bucketed_group_map(
+            adj.map_batches(arrow_out(cnt_partial), batch_format="pandas"),
+            ["u"], argmax, num_buckets=num_buckets,
+        ).to_pandas()  # node-cardinality artifact
+        new = dict(zip(win["u"], win["lab"]))
+        changed = any(new[n] != lbl[n] for n in new)
+        lbl.update(new)
+        if not changed:
+            break
+    out = pd.DataFrame({"node": list(lbl.keys()),
+                        "community": [lbl[n] for n in lbl]})
+    return out.sort_values("node", kind="mergesort").reset_index(drop=True)

@@ -325,3 +325,40 @@ def test_kcore_triangle_with_tail(ray_session):
     assert dict(zip(out["node"], out["core_deg"])) == {1: 2, 2: 2, 3: 2}
     out0 = k_core_nodes(rd.from_pandas(df), 5, mode="bsp")
     assert len(out0) == 0
+
+
+def test_lpa_bsp_equals_dense_and_hand_case(ray_session):
+    """LPA: BSP path ≡ dense path exactly (same deterministic
+    semantics), and two cliques joined by one bridge edge resolve to
+    two communities."""
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.graph import (
+        lpa_communities,
+        lpa_dense,
+    )
+
+    # two 4-cliques bridged by one edge
+    def clique(names):
+        return [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+
+    e = clique(["a1", "a2", "a3", "a4"]) + clique(["b1", "b2", "b3", "b4"])
+    e.append(("a1", "b1"))
+    edges = pd.DataFrame({"src": [x for x, _ in e],
+                          "dst": [y for _, y in e]})
+    ds = rd.from_pandas(edges).repartition(3)
+
+    dense = lpa_dense(
+        pd.DataFrame({"u": pd.concat([edges["src"], edges["dst"]]),
+                      "v": pd.concat([edges["dst"], edges["src"]])}),
+        rounds=10,
+    )
+    bsp = lpa_communities(ds, rounds=10, mode="bsp", num_buckets=3)
+    auto = lpa_communities(ds, rounds=10)
+    pd.testing.assert_frame_equal(bsp.reset_index(drop=True), dense)
+    pd.testing.assert_frame_equal(auto.reset_index(drop=True), dense)
+
+    lab = dict(zip(dense["node"], dense["community"]))
+    a = {lab[n] for n in ["a1", "a2", "a3", "a4"]}
+    b = {lab[n] for n in ["b1", "b2", "b3", "b4"]}
+    assert len(a) == 1 and len(b) == 1 and a != b
