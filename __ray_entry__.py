@@ -608,6 +608,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-source k-gram contamination matrix (hash-keyed distinct
         # gram sets, ONE gram exchange, bit-exact pairwise Jaccard)
         "docs_sources_overlap": docs.docs_sources_overlap,
+        # lexical diversity per source (TTR + hapax census on ONE
+        # token-complete exchange)
+        "docs_ttr": docs.docs_ttr,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -946,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_search_rrf": docs._search_rrf_sql(),
         "docs_es_sample": docs.ES_SAMPLE_SQL,
         "docs_sources_overlap": docs.SOURCES_OVERLAP_SQL,
+        "docs_ttr": docs.TTR_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -5010,3 +5010,78 @@ FROM inter i
 JOIN ns na ON na.source = i.src_a
 JOIN ns nb ON nb.source = i.src_b
 """
+
+
+# -- lexical diversity per source ------------------------------------------------
+
+def docs_ttr(sf_dir: str) -> pd.DataFrame:
+    """Type-token ratio and hapax-legomena census per source — the
+    lexical-diversity quality signal (template-generated or boilerplate
+    sources show low TTR; OCR-noise sources show a hapax spike).
+
+    Shape: per-batch (source, token, count) combiner → ONE bucketed
+    exchange on token (token-complete buckets make each (source, token)
+    global count exact) → per-bucket per-source (distinct, hapax, Σc)
+    partials → a ≤ |S|-row driver fold.  ttr_micro is the exact integer
+    ``distinct·10⁶ // tokens``."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.split(" ")
+        n = toks.str.len().to_numpy("int64")
+        src = np.repeat(b["source"].to_numpy(), n)
+        t = np.concatenate([np.asarray(x, dtype=object) for x in toks]) \
+            if len(b) else np.array([], dtype=object)
+        out = (pd.DataFrame({"source": src, "t": t})
+               .groupby(["source", "t"], sort=False).size()
+               .reset_index(name="c"))
+        out["c"] = out["c"].astype("int64")
+        return out.astype({"source": "str", "t": "str"})
+
+    partials = docs.map_batches(arrow_out(partial), batch_format="pandas")
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby(["source", "t"], sort=False, as_index=False)["c"].sum()
+        per = full.groupby("source", sort=False).agg(
+            n_tokens=("c", "sum"), n_distinct=("c", "size"),
+            n_hapax=("c", lambda s: int((s == 1).sum())))
+        per = per.reset_index()
+        return per.astype({"source": "str", "n_tokens": "int64",
+                           "n_distinct": "int64", "n_hapax": "int64"})
+
+    cen = bucketed_group_map(partials, ["t"], bucket).to_pandas()
+    if "source" not in cen.columns:
+        return pd.DataFrame({c: pd.array([], "str" if c == "source"
+                                         else "int64")
+                             for c in ["source", "n_tokens", "n_distinct",
+                                       "n_hapax", "ttr_micro"]})
+    agg = cen.groupby("source", as_index=False)[
+        ["n_tokens", "n_distinct", "n_hapax"]].sum()
+    return pd.DataFrame(
+        {"source": agg["source"].astype("str"),
+         "n_tokens": agg["n_tokens"].astype("int64"),
+         "n_distinct": agg["n_distinct"].astype("int64"),
+         "n_hapax": agg["n_hapax"].astype("int64"),
+         "ttr_micro": (agg["n_distinct"].to_numpy("int64") * 1_000_000
+                       // agg["n_tokens"].to_numpy("int64")).astype("int64")}
+    )
+
+
+TTR_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+c AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_micro
+FROM c GROUP BY 1
+"""
