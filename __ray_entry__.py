@@ -706,6 +706,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # label-propagation communities (fixed-budget synchronous
         # semantics; BSP ≡ dense pinned in tests/test_graph.py)
         "kg_lpa": docs_kg.kg_lpa,
+        # KMV/theta sketch: distinct users + audience INTERSECTIONS from
+        # one mergeable-sketch pass (accuracy/merge pytest-gated)
+        "events_type_kmv": events.events_type_kmv,
     }
 
     # DRIVER-WINDOW ROTATION (VERDICT r3 item 8): the driver gate checks

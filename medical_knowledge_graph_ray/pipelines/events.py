@@ -3118,3 +3118,36 @@ SELECT event_type,
 FROM (SELECT *, MAX(stat) OVER (PARTITION BY event_type) AS ms FROM stat)
 GROUP BY event_type
 """
+
+
+# -- KMV/theta sketch: distinct users + audience intersections -------------------
+
+def events_type_kmv(sf_dir: str) -> pd.DataFrame:
+    """Approximate per-type distinct users AND pairwise audience
+    intersections from ONE sketch pass — the KMV/theta-sketch sibling of
+    `events_type_approx_users` (HLL can only union; KMV supports set
+    operations, so the Jaccard matrix `events_type_jaccard` computes
+    exactly costs one mergeable-sketch exchange here instead of a
+    user-complete data exchange).  Accuracy/merge-invariance
+    pytest-gated (`tests/test_operators.py`)."""
+    from ..stages.sketches import (
+        KMV_K,
+        kmv_distinct_by,
+        kmv_estimate,
+        kmv_intersect_estimate,
+    )
+
+    ev = _events(sf_dir, ["event_type", "user_id"])
+    sketches = kmv_distinct_by(ev, "event_type", "user_id")
+    types = sorted(sketches)
+    rows = []
+    for i, a in enumerate(types):
+        rows.append((a, a, int(round(kmv_estimate(sketches[a])))))
+        for b in types[i + 1:]:
+            rows.append((a, b, int(round(
+                kmv_intersect_estimate(sketches[a], sketches[b])))))
+    return pd.DataFrame(
+        {"type_a": pd.array([r[0] for r in rows], "str"),
+         "type_b": pd.array([r[1] for r in rows], "str"),
+         "est_users": pd.array([r[2] for r in rows], "int64")}
+    )

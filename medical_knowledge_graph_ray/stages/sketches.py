@@ -185,3 +185,108 @@ def cm_estimate(cm: "np.ndarray", tokens) -> "np.ndarray":
     pos = _cm_positions(list(tokens))
     ests = np.stack([cm[r][pos[:, r]] for r in range(CM_D)], axis=1)
     return ests.min(axis=1)
+
+
+# -- KMV / theta sketch (distinct + SET-OPERATION estimation) ------------------
+
+KMV_K = 1024  # retained minimum hashes; rel. error ≈ 1/√(k−2) ≈ 3.1 %
+
+
+def _kmv_hash(values) -> "np.ndarray":
+    """Content-stable 64-bit hashes (md5 — platform/session independent,
+    unlike pd.util.hash_pandas_object's salted-object fallback paths),
+    sorted distinct."""
+    from ..functions.hashing import md5_int_vec
+
+    s = pd.Series(values).astype(str).to_numpy()
+    return np.unique(md5_int_vec(s, bits=64))
+
+
+def kmv_partial_batch(batch: pd.DataFrame, col: str, k: int = KMV_K
+                      ) -> pd.DataFrame:
+    """One sketch row per batch: the k smallest distinct hashes as an
+    8·k-byte payload.  Mergeable EXACTLY: bottom-k(A ∪ B) =
+    bottom-k(bottom-k(A) ∪ bottom-k(B)) — so any partial/merge tree
+    yields the identical sketch (parallelism-invariant by construction,
+    unlike probabilistic-register sketches)."""
+    u = _kmv_hash(batch[col]) if len(batch) else np.empty(0, np.uint64)
+    return pd.DataFrame({"kmv": [u[:k].tobytes()]})
+
+
+def kmv_merge(payloads, k: int = KMV_K) -> "np.ndarray":
+    parts = [np.frombuffer(p, dtype=np.uint64) for p in payloads]
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.unique(np.concatenate(parts))[:k]
+
+
+def kmv_estimate(sk: "np.ndarray", k: int = KMV_K) -> float:
+    """(k−1)/θ estimator (Bar-Yossef et al. 2002); EXACT below k."""
+    if len(sk) < k:
+        return float(len(sk))
+    theta = (float(sk[k - 1]) + 1.0) / 18446744073709551616.0
+    return (k - 1) / theta
+
+
+def kmv_intersect_estimate(a: "np.ndarray", b: "np.ndarray",
+                           k: int = KMV_K) -> float:
+    """Theta-sketch intersection estimate |A ∩ B| ≈ |common below θ|/θ
+    with θ = min(θ_A, θ_B) — the set-operation capability HLL lacks
+    (union-only registers); EXACT when both sides are below k."""
+    if len(a) < k and len(b) < k:
+        return float(len(np.intersect1d(a, b)))
+    th_a = (float(a[k - 1]) + 1.0) / 18446744073709551616.0 \
+        if len(a) >= k else 1.0
+    th_b = (float(b[k - 1]) + 1.0) / 18446744073709551616.0 \
+        if len(b) >= k else 1.0
+    theta = min(th_a, th_b)
+    cut = np.uint64(round(theta * 18446744073709551616.0)) \
+        if theta < 1.0 else None
+    aa = a if cut is None else a[a < cut]
+    bb = b if cut is None else b[b < cut]
+    return len(np.intersect1d(aa, bb)) / theta
+
+
+def kmv_grouped_partial(batch: pd.DataFrame, key: str, col: str,
+                        k: int = KMV_K):
+    """One sketch row per (batch, group) — the `hll_grouped_partial`
+    layout with KMV payloads."""
+    import pyarrow as pa
+
+    keys, payloads = [], []
+    if len(batch):
+        for g, sub in batch.groupby(key, sort=False):
+            keys.append(g)
+            payloads.append(kmv_partial_batch(sub, col, k)["kmv"].iloc[0])
+    dt = batch[key].dtype
+    if keys:
+        key_arr = pa.Array.from_pandas(pd.Series(keys, dtype=dt))
+    else:
+        key_type = pa.string() if dt == object else pa.from_numpy_dtype(dt)
+        key_arr = pa.array([], key_type)
+    return pa.table({key: key_arr, "kmv": pa.array(payloads, pa.binary())})
+
+
+def kmv_distinct_by(ds, key: str, col: str, k: int = KMV_K) -> dict:
+    """Grouped KMV: driver-side dict key → merged sketch array (callers
+    estimate distincts AND pairwise intersections from the same pass).
+    The exchange is O(#batches · #groups-per-batch) 8k-byte rows."""
+    from .shuffle import bucketed_group_map
+
+    partials = ds.map_batches(
+        lambda b: kmv_grouped_partial(b, key, col, k), batch_format="pandas"
+    )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kk, sub in g.groupby(key, sort=False):
+            rows.append((kk, kmv_merge(sub["kmv"], k).tobytes()))
+        return pd.DataFrame({key: [r[0] for r in rows],
+                             "kmv": [r[1] for r in rows]})
+
+    out = bucketed_group_map(partials, [key], reduce, num_buckets=8
+                             ).to_pandas()
+    if key not in out.columns:
+        return {}
+    return {r[key]: np.frombuffer(r["kmv"], dtype=np.uint64)
+            for _, r in out.iterrows()}

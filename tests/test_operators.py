@@ -1313,3 +1313,56 @@ def test_write_csv_roundtrip_with_manifest(ray_session, tmp_path):
     got = pd.concat(parts, ignore_index=True).sort_values("k").reset_index(
         drop=True)
     pd.testing.assert_frame_equal(got, df, check_dtype=False)
+
+
+def test_kmv_sketch_accuracy_merge_and_intersection(ray_session):
+    """KMV/theta sketch: exact below k, ≤5 % relative error above k,
+    EXACT merge invariance (bottom-k tree), and intersection estimates
+    within 10 % on the events audience sets."""
+    import numpy as np
+
+    from medical_knowledge_graph_ray.pipelines.events import events_type_kmv
+    from medical_knowledge_graph_ray.stages.sketches import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_merge,
+        kmv_partial_batch,
+    )
+
+    # exact below k
+    small = pd.DataFrame({"v": [f"x{i}" for i in range(300)] * 3})
+    sk = np.frombuffer(kmv_partial_batch(small, "v")["kmv"].iloc[0],
+                       dtype=np.uint64)
+    assert kmv_estimate(sk) == 300.0
+
+    # accuracy + EXACT merge invariance above k
+    big = pd.DataFrame({"v": [f"u{i}" for i in range(40_000)]})
+    whole = np.frombuffer(kmv_partial_batch(big, "v")["kmv"].iloc[0],
+                          dtype=np.uint64)
+    parts = [kmv_partial_batch(big.iloc[i::7], "v")["kmv"].iloc[0]
+             for i in range(7)]
+    merged = kmv_merge(parts)
+    assert np.array_equal(whole, merged)
+    assert abs(kmv_estimate(whole) - 40_000) / 40_000 < 0.05
+
+    # intersection: planted 30% overlap
+    a = pd.DataFrame({"v": [f"a{i}" for i in range(20_000)]
+                      + [f"c{i}" for i in range(10_000)]})
+    b = pd.DataFrame({"v": [f"b{i}" for i in range(20_000)]
+                      + [f"c{i}" for i in range(10_000)]})
+    ska = np.frombuffer(kmv_partial_batch(a, "v")["kmv"].iloc[0], np.uint64)
+    skb = np.frombuffer(kmv_partial_batch(b, "v")["kmv"].iloc[0], np.uint64)
+    est = kmv_intersect_estimate(ska, skb)
+    assert abs(est - 10_000) / 10_000 < 0.10
+
+    # the pipeline query: diagonal estimates vs exact distinct users
+    sf = "/root/testdata/sf0.001"
+    out = events_type_kmv(sf)
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "user_id"])
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    diag = out[out["type_a"] == out["type_b"]]
+    assert len(diag) == len(exact)
+    for _, r in diag.iterrows():
+        e = exact[r["type_a"]]
+        assert abs(r["est_users"] - e) / max(e, 1) < 0.05
