@@ -611,6 +611,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lexical diversity per source (TTR + hapax census on ONE
         # token-complete exchange)
         "docs_ttr": docs.docs_ttr,
+        # zone-mapped range scan: persisted min/max file index prunes
+        # shard files BEFORE any footer/data read (pruning pytest-gated)
+        "lineitem_zonemap_scan": relational.lineitem_zonemap_scan,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -953,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_es_sample": docs.ES_SAMPLE_SQL,
         "docs_sources_overlap": docs.SOURCES_OVERLAP_SQL,
         "docs_ttr": docs.TTR_SQL,
+        "lineitem_zonemap_scan": relational.ZONEMAP_SCAN_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

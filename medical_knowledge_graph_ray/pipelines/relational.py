@@ -4907,3 +4907,113 @@ SELECT m, CAST(rev_cents AS BIGINT) AS rev_cents,
                  END AS DOUBLE) AS ma12_cents
 FROM dense
 """
+
+
+# -- zone-mapped range scan ------------------------------------------------------
+
+ZM_LO = np.datetime64("1996-01-01", "us")
+ZM_HI = np.datetime64("1996-06-30", "us")
+
+
+def _zonemap_shards(sf_dir: str) -> str:
+    """Build-once month-sharded copy of lineitem + its persisted zone
+    map under /tmp (the data-lake layout the zone map serves: many
+    shard files whose l_shipdate ranges don't overlap across months).
+    Task-side pyarrow writes — the corpus never materializes driver-
+    side; file names are content-hashed (idempotent re-build)."""
+    import hashlib
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..stages.zonemap import ZONEMAP_VERSION, build_zonemap
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/mkg_zonemap/{tag}"
+    man = os.path.join(root, "_MANIFEST.json")
+    if os.path.exists(man):
+        with open(man) as fh:
+            if json.load(fh).get("version") == ZONEMAP_VERSION:
+                return root
+    os.makedirs(f"{root}/shards", exist_ok=True)
+
+    def write_months(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        month = (b["l_shipdate"].to_numpy()
+                 .astype("datetime64[M]").astype(str))
+        for m, sub in b.groupby(month, sort=False):
+            t = pa.Table.from_pandas(
+                sub.reset_index(drop=True), preserve_index=False
+            ).replace_schema_metadata(None)
+            h = hashlib.md5(
+                (m + "|" + str(pd.util.hash_pandas_object(
+                    sub["l_orderkey"], index=False).sum())).encode()
+            ).hexdigest()[:12]
+            path = f"{root}/shards/m={m}-{h}.parquet"
+            if not os.path.exists(path):
+                pq.write_table(t, path + ".tmp", row_group_size=65536)
+                os.replace(path + ".tmp", path)
+            out.append((m, path, len(sub)))
+        return pd.DataFrame(out, columns=["month", "path", "n"])
+
+    _read(sf_dir, "lineitem",
+          columns=["l_orderkey", "l_shipdate", "l_extendedprice"]
+          ).map_batches(arrow_out(write_months), batch_format="pandas"
+                        ).to_pandas()  # ≤ #batches×#months manifest rows
+    files = [f"{root}/shards/{f}" for f in sorted(os.listdir(f"{root}/shards"))
+             if f.endswith(".parquet")]
+    build_zonemap(files, "l_shipdate", out_dir=root)
+    with open(man, "w") as fh:
+        json.dump({"version": ZONEMAP_VERSION, "n_files": len(files)}, fh)
+    return root
+
+
+def lineitem_zonemap_scan(sf_dir: str) -> pd.DataFrame:
+    """Monthly line count + revenue over a shipdate range served through
+    the persisted ZONE MAP (`stages/zonemap.py`): the scan opens ONLY
+    shard files whose [min, max] intersects the range — file-level
+    pruning stacked on Parquet's own row-group stats (pruning measured
+    to bite in `tests/test_operators.py`).  The aggregate itself is the
+    exact int64-cent month census."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.zonemap import load_zonemap, pruned_range_read
+
+    root = _zonemap_shards(sf_dir)
+    zones = load_zonemap(root)
+    ds, _n_sel, _n_tot = pruned_range_read(
+        zones, "l_shipdate", ZM_LO, ZM_HI,
+        columns=["l_shipdate", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        month = (b["l_shipdate"].to_numpy()
+                 .astype("datetime64[M]").astype("datetime64[us]"))
+        c = np.rint(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        g = (pd.DataFrame({"month": month, "c": c, "n": 1})
+             .groupby("month", sort=False).agg(
+                 c=("c", "sum"), n=("n", "sum")).reset_index())
+        return g.astype({"c": "int64", "n": "int64"})
+
+    agg = (ds.map_batches(arrow_out(partial), batch_format="pandas")
+           .groupby("month").aggregate(Sum("c", alias_name="c"),
+                                       Sum("n", alias_name="n"))
+           .to_pandas()  # ≤ #months-in-range rows
+           .sort_values("month").reset_index(drop=True))
+    return pd.DataFrame(
+        {"month": agg["month"],
+         "n_lines": agg["n"].astype("int64"),
+         "revenue": agg["c"].astype("int64") / 100.0}
+    )
+
+
+ZONEMAP_SCAN_SQL = """
+SELECT date_trunc('month', l_shipdate) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                     AND TIMESTAMP '1996-06-30'
+GROUP BY 1
+"""

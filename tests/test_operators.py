@@ -1366,3 +1366,51 @@ def test_kmv_sketch_accuracy_merge_and_intersection(ray_session):
     for _, r in diag.iterrows():
         e = exact[r["type_a"]]
         assert abs(r["est_users"] - e) / max(e, 1) < 0.05
+
+
+def test_zonemap_prunes_and_is_exact(ray_session):
+    """Zone map: the range read opens only intersecting shard files
+    (pruning must actually bite on the month-sharded layout), stays
+    exact vs a brute filter, and conservative zones (withheld stats)
+    are never pruned."""
+    import numpy as np
+
+    from medical_knowledge_graph_ray.pipelines.relational import (
+        ZM_HI,
+        ZM_LO,
+        _zonemap_shards,
+    )
+    from medical_knowledge_graph_ray.stages.zonemap import (
+        load_zonemap,
+        pruned_range_read,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    root = _zonemap_shards(sf)
+    zones = load_zonemap(root)
+
+    ds, n_sel, n_tot = pruned_range_read(
+        zones, "l_shipdate", ZM_LO, ZM_HI,
+        columns=["l_shipdate", "l_extendedprice"])
+    assert 0 < n_sel < n_tot  # pruning bites
+
+    got = ds.to_pandas().sort_values(
+        ["l_shipdate", "l_extendedprice"]).reset_index(drop=True)
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_shipdate", "l_extendedprice"])
+    ref = (li[(li["l_shipdate"] >= ZM_LO) & (li["l_shipdate"] <= ZM_HI)]
+           .sort_values(["l_shipdate", "l_extendedprice"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref)
+
+    # conservative zones: blank out stats on half the zones -> superset
+    blind = zones.copy()
+    blind.loc[::2, ["vmin", "vmax"]] = pd.NaT
+    _, n_blind, _ = pruned_range_read(blind, "l_shipdate", ZM_LO, ZM_HI)
+    assert n_blind >= n_sel
+
+    # empty range -> no files, not an error
+    none_ds, n0, _ = pruned_range_read(
+        zones, "l_shipdate",
+        np.datetime64("1970-01-01", "us"), np.datetime64("1970-01-02", "us"))
+    assert none_ds is None and n0 == 0
