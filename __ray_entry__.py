@@ -614,6 +614,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zone-mapped range scan: persisted min/max file index prunes
         # shard files BEFORE any footer/data read (pruning pytest-gated)
         "lineitem_zonemap_scan": relational.lineitem_zonemap_scan,
+        # Mann–Whitney U (midrank-exact pure-integer statistic over the
+        # joint value census; the rank member of the nonparam family)
+        "events_mannwhitney": events.events_mannwhitney,
+        # geometric mean in exact log space (n, Σ micro-ln cents)
+        "events_geomean": events.events_geomean,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -957,6 +962,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_sources_overlap": docs.SOURCES_OVERLAP_SQL,
         "docs_ttr": docs.TTR_SQL,
         "lineitem_zonemap_scan": relational.ZONEMAP_SCAN_SQL,
+        "events_mannwhitney": events.MANNWHITNEY_SQL,
+        "events_geomean": events.GEOMEAN_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -3151,3 +3151,178 @@ def events_type_kmv(sf_dir: str) -> pd.DataFrame:
          "type_b": pd.array([r[1] for r in rows], "str"),
          "est_users": pd.array([r[2] for r in rows], "int64")}
     )
+
+
+# -- Mann–Whitney U rank test ----------------------------------------------------
+
+def events_mannwhitney(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Mann–Whitney U between the value distributions of the
+    same event-type pair as the KS test — the RANK-based member of the
+    nonparametric family (t-test compares means, KS the full ECDF, MWU
+    stochastic dominance; it is the one robust to outliers).
+
+    Exact-integer contract: with midranks over the JOINT distinct-value
+    census, a tied group at value v spanning s_v prior rows and t_v ties
+    has 2·midrank = 2·s_v + t_v + 1, so
+
+        2·U_A = Σ_v c1_v·(2·s_v + t_v + 1) − n₁(n₁+1)
+
+    is PURE int64 — no float, no division, unconditional parity
+    (U_B = n₁n₂ − U_A rides along).
+
+    Shape: identical plumbing to `events_ks_test` (census exchange on
+    the cent value, monotone q≫8 range buckets, driver prefix offsets
+    over bucket totals, one contribution partial per bucket)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.arrow import read_parquet_clean
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"],
+        filter=pc.field("event_type").isin([KS_A, KS_B]),
+    )
+
+    def census_partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(b["value"].to_numpy() * 100).astype("int64")
+        df = pd.DataFrame({"q": q, "c1": (b["event_type"] == KS_A)
+                           .to_numpy().astype("int64")})
+        df["c2"] = 1 - df["c1"]
+        out = df.groupby("q", sort=False, as_index=False)[["c1", "c2"]].sum()
+        out["vbucket"] = out["q"].to_numpy("int64") >> 8
+        return out.astype({"q": "int64", "c1": "int64", "c2": "int64",
+                           "vbucket": "int64"})
+
+    keyed = bucketed_group_map(
+        ev.map_batches(arrow_out(census_partial), batch_format="pandas"),
+        ["q"],
+        lambda g: g.groupby(["q", "vbucket"], sort=False, as_index=False)[
+            ["c1", "c2"]].sum(),
+    ).materialize()  # distinct-value census; two passes
+
+    bc = (
+        keyed.map_batches(
+            arrow_out(lambda b: b.groupby("vbucket", sort=False,
+                                          as_index=False)[["c1", "c2"]]
+                      .sum()),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("vbucket")[["c1", "c2"]].sum().sort_index()
+    )
+    n1, n2 = int(bc["c1"].sum()), int(bc["c2"].sum())
+    tot_off = (bc["c1"] + bc["c2"]).cumsum().shift(fill_value=0)
+    off_ref = ray.put({int(vb): int(o) for vb, o in zip(bc.index, tot_off)})
+
+    def contrib_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        acc = 0
+        for vb, sub in g.groupby("vbucket", sort=False):
+            s_ = sub.sort_values("q", kind="mergesort")
+            c1 = s_["c1"].to_numpy("int64")
+            t = c1 + s_["c2"].to_numpy("int64")
+            s_prior = off[int(vb)] + t.cumsum() - t
+            acc += int((c1 * (2 * s_prior + t + 1)).sum())
+        return pd.DataFrame({"acc": pd.array([acc], "int64")})
+
+    parts = bucketed_group_map(keyed, ["vbucket"], contrib_bucket).to_pandas()
+    two_rank_sum = int(parts["acc"].sum())
+    u2_a = two_rank_sum - n1 * (n1 + 1)
+    u2_b = 2 * n1 * n2 - u2_a
+    return pd.DataFrame(
+        {"n1": pd.array([n1], "int64"), "n2": pd.array([n2], "int64"),
+         "u2_a": pd.array([u2_a], "int64"),
+         "u2_b": pd.array([u2_b], "int64")}
+    )
+
+
+MANNWHITNEY_SQL = f"""
+WITH q AS (
+  SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS q
+  FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+),
+cen AS (
+  SELECT q,
+         CAST(SUM(CASE WHEN t = '{KS_A}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1,
+         CAST(SUM(CASE WHEN t = '{KS_B}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c2
+  FROM q GROUP BY 1
+),
+w AS (
+  SELECT c1, c1 + c2 AS t,
+         SUM(c1 + c2) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+           - (c1 + c2) AS s
+  FROM cen
+),
+tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM cen
+)
+SELECT n1, n2,
+       CAST(SUM(c1 * (2 * s + t + 1)) - n1 * (n1 + 1) AS BIGINT) AS u2_a,
+       CAST(2 * n1 * n2
+            - (SUM(c1 * (2 * s + t + 1)) - n1 * (n1 + 1)) AS BIGINT) AS u2_b
+FROM w, tot
+GROUP BY n1, n2
+"""
+
+
+# -- geometric mean (log-space exact) --------------------------------------------
+
+def events_geomean(sf_dir: str) -> pd.DataFrame:
+    """Per-type geometric mean of positive values, carried in LOG space
+    as the exact pair (n, Σ floor(ln(cent)·10⁶ + 0.5)) — the
+    `docs_unigram_logprob` rounding lesson: never oracle the rounded
+    DIVISION (exp(Σ/n) is one client-side call away).  ln computed once
+    per DISTINCT cent via glibc ``math.log`` (≡ DuckDB ``std::log``).
+
+    Shape: pure per-batch combiner (addends are per-occurrence sums of
+    per-distinct values — exact within any batch split), one tiny
+    |types|-row groupby."""
+    import math
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b["value"].to_numpy() * 100).astype("int64")
+        keep = c > 0
+        t = b["event_type"].to_numpy()[keep]
+        c = c[keep]
+        u, inv = np.unique(c, return_inverse=True)
+        lu = np.array([math.floor(math.log(float(x)) * 1_000_000 + 0.5)
+                       for x in u], dtype="int64")
+        out = (pd.DataFrame({"event_type": t, "s": lu[inv], "n": 1})
+               .groupby("event_type", sort=False, as_index=False)
+               .agg(n=("n", "sum"), ln_sum_micro=("s", "sum")))
+        return out.astype({"n": "int64", "ln_sum_micro": "int64",
+                           "event_type": "str"})
+
+    return (
+        ev.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("ln_sum_micro", alias_name="ln_sum_micro"))
+        .map_batches(
+            arrow_out(lambda b: b.astype(
+                {"n": "int64", "ln_sum_micro": "int64"})),
+            batch_format="pandas",
+        )
+    )
+
+
+GEOMEAN_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(
+           ln(CAST(round(value * 100) AS BIGINT)) * 1000000 + 0.5
+         ) AS BIGINT)) AS BIGINT) AS ln_sum_micro
+FROM events
+WHERE CAST(round(value * 100) AS BIGINT) > 0
+GROUP BY 1
+"""
