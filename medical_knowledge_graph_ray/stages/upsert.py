@@ -50,6 +50,30 @@ def _bucket_file(table_dir: str, b: int) -> str:
     return os.path.join(table_dir, f"bucket={b:04d}.parquet")
 
 
+def _history_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_history")
+
+
+def _snapshot_bucket(table_dir: str, b: int, old_version: int) -> None:
+    """Preserve bucket ``b``'s pre-merge state as the version-stamped
+    snapshot ``bucket=BBBB.vVVVVV.parquet`` (a HARD LINK — zero copy;
+    Parquet files are immutable once written, the merge replaces the
+    directory entry, never the bytes).  An absent bucket snapshots as an
+    ``.absent`` marker so time travel can tell "empty then" from
+    "untouched since"."""
+    hd = _history_dir(table_dir)
+    os.makedirs(hd, exist_ok=True)
+    live = _bucket_file(table_dir, b)
+    if os.path.exists(live):
+        dst = os.path.join(hd, f"bucket={b:04d}.v{old_version:05d}.parquet")
+        if not os.path.exists(dst):
+            os.link(live, dst)
+    else:
+        dst = os.path.join(hd, f"bucket={b:04d}.v{old_version:05d}.absent")
+        if not os.path.exists(dst):
+            open(dst, "w").close()
+
+
 def init_keyed_table(table_dir: str, key: str) -> dict:
     """Create an empty keyed table (directory + manifest)."""
     os.makedirs(table_dir, exist_ok=True)
@@ -99,11 +123,14 @@ def upsert(
 
     batch_ref = ray.put((batch, up_bucket, set(map(str, delete_keys))))
 
+    old_version = m["version"]
+
     @ray.remote
     def merge_bucket(b: int) -> tuple[int, int]:
         up, ub, dels = ray.get(batch_ref)
         new = up[ub == b]
         path = _bucket_file(table_dir, b)
+        _snapshot_bucket(table_dir, b, old_version)
         if os.path.exists(path):
             old = pq.read_table(path).to_pandas()
             old = old[~old[key].astype(str).isin(dels)]
@@ -138,18 +165,72 @@ def upsert(
     return m
 
 
-def read_keyed_table(table_dir: str):
-    """Full-table Dataset (empty tables read as an empty Dataset)."""
+def read_keyed_table(table_dir: str, version: int | None = None):
+    """Full-table Dataset; ``version=`` TIME-TRAVELS to the table as of
+    that manifest version (Delta/Iceberg-style snapshot read): a bucket's
+    state at V is its OLDEST history snapshot with version ≥ V (each
+    merge at version T snapshots the pre-merge file as v(T−1)), falling
+    back to the live file when no later touch exists.  Vacuumed-away
+    versions refuse loudly instead of answering wrong."""
     import ray.data as rd
 
-    files = [
-        os.path.join(table_dir, f)
-        for f in sorted(os.listdir(table_dir))
-        if f.endswith(".parquet")
-    ]
+    if version is None:
+        files = [
+            os.path.join(table_dir, f)
+            for f in sorted(os.listdir(table_dir))
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            return rd.from_items([])
+        return read_parquet_clean(files)
+
+    with open(_manifest_path(table_dir)) as fh:
+        m = json.load(fh)
+    if version > m["version"] or version < 0:
+        raise ValueError(f"version {version} out of range 0..{m['version']}")
+    if version < m.get("history_min", 0):
+        raise ValueError(
+            f"version {version} vacuumed away (history_min="
+            f"{m.get('history_min', 0)})")
+    hd = _history_dir(table_dir)
+    snaps: dict[int, list[tuple[int, str]]] = {}
+    if os.path.isdir(hd):
+        for f in os.listdir(hd):
+            stem = f.split(".")
+            b = int(stem[0].split("=")[1])
+            v = int(stem[1][1:])
+            snaps.setdefault(b, []).append((v, os.path.join(hd, f)))
+    files = []
+    for b in range(m["buckets"]):
+        later = sorted(v_p for v_p in snaps.get(b, []) if v_p[0] >= version)
+        if later:
+            path = later[0][1]
+            if path.endswith(".parquet"):
+                files.append(path)
+            # .absent marker: the bucket was empty at this version
+        elif os.path.exists(_bucket_file(table_dir, b)):
+            files.append(_bucket_file(table_dir, b))
     if not files:
         return rd.from_items([])
     return read_parquet_clean(files)
+
+
+def vacuum(table_dir: str, keep_versions: int) -> dict:
+    """Drop history snapshots older than ``current − keep_versions``;
+    time travel below the new floor refuses (recorded as
+    ``history_min``)."""
+    with open(_manifest_path(table_dir)) as fh:
+        m = json.load(fh)
+    floor = max(0, m["version"] - keep_versions)
+    hd = _history_dir(table_dir)
+    if os.path.isdir(hd):
+        for f in list(os.listdir(hd)):
+            if int(f.split(".")[1][1:]) < floor:
+                os.remove(os.path.join(hd, f))
+    m["history_min"] = floor
+    with open(_manifest_path(table_dir), "w") as fh:
+        json.dump(m, fh, indent=1)
+    return m
 
 
 def lookup(table_dir: str, keys: list) -> pd.DataFrame:

@@ -81,3 +81,57 @@ def test_upsert_rewrites_only_touched_buckets(table):
             assert t1 >= t0
         else:
             assert t1 == t0, f"untouched bucket {f} was rewritten"
+
+
+def test_time_travel_and_vacuum(ray_session, tmp_path):
+    """Snapshot reads reproduce every historical version exactly
+    (including deletions and bucket-created-later cases); vacuum keeps
+    the recent window serving and refuses older versions loudly."""
+    import pytest
+
+    from medical_knowledge_graph_ray.stages.upsert import (
+        init_keyed_table,
+        read_keyed_table,
+        upsert,
+        vacuum,
+    )
+
+    table = str(tmp_path / "tt")
+    init_keyed_table(table, "k")
+
+    def snap():
+        out = read_keyed_table(table).to_pandas()
+        if "k" not in out.columns:
+            return pd.DataFrame({"k": [], "v": []}).astype(
+                {"k": "object", "v": "int64"})
+        return out.sort_values("k").reset_index(drop=True)
+
+    states = {0: snap()}
+    upsert(table, pd.DataFrame({"k": [f"a{i}" for i in range(40)],
+                                "v": list(range(40))}))
+    states[1] = snap()
+    upsert(table, pd.DataFrame({"k": [f"a{i}" for i in range(20)]
+                                + [f"b{i}" for i in range(30)],
+                                "v": [100 + i for i in range(50)]}))
+    states[2] = snap()
+    upsert(table, pd.DataFrame({"k": ["b0"], "v": [999]}),
+           delete_keys=[f"a{i}" for i in range(10)])
+    states[3] = snap()
+
+    for v, want in states.items():
+        got = read_keyed_table(table, version=v).to_pandas()
+        if "k" not in got.columns:
+            got = want.iloc[:0]
+        got = got.sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    with pytest.raises(ValueError):
+        read_keyed_table(table, version=7)
+
+    vacuum(table, keep_versions=2)
+    for v in (1, 2, 3):
+        got = (read_keyed_table(table, version=v).to_pandas()
+               .sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, states[v], check_dtype=False)
+    with pytest.raises(ValueError):
+        read_keyed_table(table, version=0)
