@@ -717,6 +717,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KMV/theta sketch: distinct users + audience INTERSECTIONS from
         # one mergeable-sketch pass (accuracy/merge pytest-gated)
         "events_type_kmv": events.events_type_kmv,
+        # zlib compression-ratio quality signal (per-doc codec — no SQL
+        # DEFLATE; determinism/discrimination pytest-gated)
+        "docs_compress_ratio": docs.docs_compress_ratio,
     }
 
     # DRIVER-WINDOW ROTATION (VERDICT r3 item 8): the driver gate checks

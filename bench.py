@@ -114,7 +114,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "events_bursts", "embed_label_affinity", "parts_assoc_rules",
         "lineitem_weighted_median", "supplier_gini", "events_streaks",
         "nations_trade_matrix", "orders_trend", "docs_length_percentiles",
-        "docs_length_mad", "events_gap_histogram", "events_type_jaccard", "events_hourly_profile", "docs_heaps", "docs_source_js", "events_dau_mau", "events_cusum", "docs_search_rrf", "docs_es_sample", "docs_sources_overlap", "kg_lpa", "docs_ttr", "events_type_kmv", "lineitem_zonemap_scan", "events_mannwhitney", "events_geomean",
+        "docs_length_mad", "events_gap_histogram", "events_type_jaccard", "events_hourly_profile", "docs_heaps", "docs_source_js", "events_dau_mau", "events_cusum", "docs_search_rrf", "docs_es_sample", "docs_sources_overlap", "kg_lpa", "docs_ttr", "events_type_kmv", "lineitem_zonemap_scan", "events_mannwhitney", "events_geomean", "docs_compress_ratio",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -5085,3 +5085,14 @@ SELECT source,
        CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_micro
 FROM c GROUP BY 1
 """
+
+
+def docs_compress_ratio(sf_dir: str):
+    """Per-doc zlib compression-ratio quality signal
+    (`stages/text_stats.py:compress_ratio_batch`) — rows-only (no
+    DEFLATE in SQL); determinism + discrimination pytest-gated."""
+    from ..stages.text_stats import compress_ratio_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        arrow_out(compress_ratio_batch), batch_format="pandas"
+    )

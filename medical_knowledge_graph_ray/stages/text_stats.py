@@ -139,3 +139,31 @@ def token_explode_batch(batch: pd.DataFrame) -> pa.Table:
             "token": pa.array(toks, pa.string()),
         }
     )
+
+
+def compress_ratio_batch(b: "pd.DataFrame") -> "pd.DataFrame":
+    """Per-doc zlib compression ratio — the entropy-proxy quality signal
+    (CCNet-family: boilerplate/templated text compresses far below
+    natural prose; random noise barely compresses).  DEFLATE is
+    deterministic for a fixed level, so the ratio is content-stable.
+    The per-row zlib call is inherent (a per-document codec, like the
+    multimodal decoders) — C-level and CPU-bound, sized for an actor
+    pool, never a vectorization miss."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    texts = b["text"].astype(str)
+    raw = texts.str.encode("utf-8").map(len).to_numpy("int64")
+    comp = np.fromiter(
+        (len(zlib.compress(t.encode("utf-8"), 6)) for t in texts),
+        dtype="int64", count=len(texts))
+    return pd.DataFrame(
+        {"doc_id": b["doc_id"].astype("int64"),
+         "n_bytes": pd.array(raw, "int64"),
+         "n_compressed": pd.array(comp, "int64"),
+         "ratio_bp": pd.array(
+             np.where(raw > 0, comp * 10_000 // np.maximum(raw, 1), 0)
+             .astype("int64"), "int64")}
+    )

@@ -1414,3 +1414,32 @@ def test_zonemap_prunes_and_is_exact(ray_session):
         zones, "l_shipdate",
         np.datetime64("1970-01-01", "us"), np.datetime64("1970-01-02", "us"))
     assert none_ds is None and n0 == 0
+
+
+def test_compress_ratio_signal(ray_session):
+    """zlib ratio: deterministic, low for repetitive text, high for
+    high-entropy text, exact integer bp contract."""
+    from medical_knowledge_graph_ray.stages.text_stats import (
+        compress_ratio_batch,
+    )
+
+    rng = __import__("random").Random(7)
+    b = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["spam ham " * 300,
+                 "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789 ")
+                         for _ in range(2400)),
+                 ""],
+    })
+    out1 = compress_ratio_batch(b)
+    out2 = compress_ratio_batch(b)
+    pd.testing.assert_frame_equal(out1, out2)
+    rep, rnd, empty = out1.iloc[0], out1.iloc[1], out1.iloc[2]
+    assert rep["ratio_bp"] < 500          # boilerplate crushes
+    assert rnd["ratio_bp"] > 5000         # pseudo-random barely compresses
+    assert empty["ratio_bp"] == 0
+    import numpy as np
+    want = np.where(out1["n_bytes"] > 0,
+                    out1["n_compressed"] * 10_000
+                    // out1["n_bytes"].clip(lower=1), 0)
+    assert (out1["ratio_bp"].to_numpy() == want).all()
