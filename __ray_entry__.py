@@ -619,6 +619,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mannwhitney": events.events_mannwhitney,
         # geometric mean in exact log space (n, Σ micro-ln cents)
         "events_geomean": events.events_geomean,
+        # Kaplan-Meier survival over session durations (right-censored
+        # open sessions; exact integer log-survival, census-bounded curve)
+        "events_kaplan_meier": events.events_kaplan_meier,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -967,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_zonemap_scan": relational.ZONEMAP_SCAN_SQL,
         "events_mannwhitney": events.MANNWHITNEY_SQL,
         "events_geomean": events.GEOMEAN_SQL,
+        "events_kaplan_meier": events.KAPLAN_MEIER_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -3326,3 +3326,142 @@ FROM events
 WHERE CAST(round(value * 100) AS BIGINT) > 0
 GROUP BY 1
 """
+
+
+# -- Kaplan-Meier survival over session durations -------------------------------
+
+def events_kaplan_meier(sf_dir: str):
+    """Kaplan-Meier survival estimator over SESSION durations — the
+    survival-analysis primitive (churn curves, page-dwell analysis):
+    sessions still open at the observation end (last event within one
+    session gap of the global max ts) are right-CENSORED, everything
+    else is a completed "death" at duration (end − start) whole seconds.
+    At each death time t: S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) with
+    n_i = sessions whose duration ≥ t_i (censored sessions stay in the
+    risk set until their censoring time, the standard KM convention).
+
+    Float contract: every factor is a ratio of INTEGERS, so the log
+    survival travels exactly — term_i = iround(ln(n_i − d_i)·1e6) −
+    iround(ln(n_i)·1e6) (each ln taken on an integer, micro-nat
+    pre-rounded like ``events_entropy``), the running sum is exact
+    int64, and both engines exp() the identical double.  A zero factor
+    (n_i == d_i, only possible at the max duration) pins survival to
+    0.0 from that row on.
+
+    Shape: one cheap max(ts) column scan for the censor horizon, then
+    ONE bucketed exchange on user_id (sessionize + per-bucket duration
+    census partials); the KM curve itself is computed on the census —
+    bounded by DISTINCT durations, far smaller than the session table.
+    Reference framing: survival curves are standard pipeline-health
+    analytics; no reference-file counterpart (beyond-reference op)."""
+    import math
+
+    from ..stages.shuffle import bucketed_group_map
+    from ..stages.windows import SESSION_GAP_MIN
+
+    ev = _events(sf_dir, ["user_id", "event_id", "ts"])
+    mx = _events(sf_dir, ["ts"]).max("ts")
+    horizon = pd.Timestamp(mx) - pd.Timedelta(minutes=SESSION_GAP_MIN)
+
+    def census_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = s["user_id"].ne(s["user_id"].shift())
+        gap = s["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        sess = (new_user | gap).cumsum()
+        per = (
+            s.assign(sess=sess)
+            .groupby("sess", sort=False)
+            .agg(start=("ts", "min"), end=("ts", "max"))
+        )
+        us = per["end"].to_numpy().astype("datetime64[us]").astype("int64")
+        dur = (us - per["start"].to_numpy().astype("datetime64[us]")
+               .astype("int64")) // 1_000_000
+        death = (per["end"] < horizon).to_numpy()
+        return (
+            pd.DataFrame({"dur": dur, "deaths": death.astype("int64"), "n": 1})
+            .groupby("dur", sort=False, as_index=False)
+            .agg(deaths=("deaths", "sum"), tot=("n", "sum"))
+            .astype({"dur": "int64", "deaths": "int64", "tot": "int64"})
+        )
+
+    census = bucketed_group_map(ev, ["user_id"], census_bucket).to_pandas()
+    c = (
+        census.groupby("dur", as_index=False)
+        .agg(deaths=("deaths", "sum"), tot=("tot", "sum"))
+        .sort_values("dur", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    total = int(c["tot"].sum())
+    below = np.concatenate(([0], np.cumsum(c["tot"].to_numpy("int64"))[:-1]))
+    n_risk = total - below
+    d = c["deaths"].to_numpy("int64")
+    keep = d > 0
+    nr, dd, dur = n_risk[keep], d[keep], c["dur"].to_numpy("int64")[keep]
+
+    def iln(x: int) -> int:
+        return math.floor(math.log(x) * 1_000_000 + 0.5)
+
+    terms = np.fromiter(
+        ((iln(int(n) - int(k)) - iln(int(n))) if n > k else 0
+         for n, k in zip(nr, dd)),
+        dtype="int64", count=len(nr),
+    )
+    cum = np.cumsum(terms)
+    zero_seen = np.cumsum((nr == dd).astype("int64")) > 0
+    surv = np.where(
+        zero_seen, 0.0,
+        np.fromiter((math.exp(v / 1_000_000.0) for v in cum),
+                    dtype="float64", count=len(cum)),
+    )
+    return pd.DataFrame(
+        {"duration_s": dur, "n_risk": nr.astype("int64"),
+         "n_events": dd.astype("int64"), "survival": surv}
+    )
+
+
+KAPLAN_MEIER_SQL = """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+), per AS (
+  SELECT user_id, sid,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dur,
+         MAX(ts) AS e
+  FROM s GROUP BY user_id, sid
+), m AS (
+  SELECT MAX(ts) - INTERVAL 30 MINUTE AS horizon FROM events
+), c AS (
+  SELECT dur,
+         SUM(CASE WHEN e < horizon THEN 1 ELSE 0 END) AS deaths,
+         COUNT(*) AS tot
+  FROM per, m GROUP BY dur
+), r AS (
+  SELECT dur, deaths,
+         SUM(tot) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS n_risk
+  FROM c
+), k AS (
+  SELECT dur, n_risk, deaths,
+         CASE WHEN n_risk > deaths THEN
+           CAST(floor(ln(CAST(n_risk - deaths AS BIGINT)) * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln(CAST(n_risk AS BIGINT)) * 1000000 + 0.5) AS BIGINT)
+         ELSE 0 END AS term,
+         CASE WHEN n_risk = deaths THEN 1 ELSE 0 END AS zf
+  FROM r WHERE deaths > 0
+)
+SELECT CAST(dur AS BIGINT) AS duration_s,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(deaths AS BIGINT) AS n_events,
+       CASE WHEN SUM(zf) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) > 0
+            THEN 0.0
+            ELSE exp(CAST(SUM(term) OVER (ORDER BY dur
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000.0)
+       END AS survival
+FROM k
+"""
