@@ -622,6 +622,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Kaplan-Meier survival over session durations (right-censored
         # open sessions; exact integer log-survival, census-bounded curve)
         "events_kaplan_meier": events.events_kaplan_meier,
+        # Theil-T inequality decomposition of supplier revenue by nation
+        # (within + between terms; exact centi-nat integer addends)
+        "supplier_theil": relational.supplier_theil,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -971,6 +974,7 @@ def oracle_sql() -> dict[str, str]:
         "events_mannwhitney": events.MANNWHITNEY_SQL,
         "events_geomean": events.GEOMEAN_SQL,
         "events_kaplan_meier": events.KAPLAN_MEIER_SQL,
+        "supplier_theil": relational.SUPPLIER_THEIL_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -5017,3 +5017,144 @@ WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
                      AND TIMESTAMP '1996-06-30'
 GROUP BY 1
 """
+
+
+# -- Theil inequality decomposition of supplier revenue by nation ---------------
+
+def supplier_theil(sf_dir: str):
+    """Theil-T inequality decomposition of per-supplier revenue BY NATION
+    — the additive cousin of ``supplier_gini``: T_total = T_between +
+    Σ_g share_g·T_within_g, so each nation row carries its within-group
+    inequality plus its between-group term, and auditors can roll the
+    decomposition up exactly.
+
+    Exactness: per-supplier revenue r is an exact integer (1e-4 dollar
+    units, same contract as gini/HHI); the only transcendental inputs
+    are ln's of those exact integers, and each supplier's r·ln(r) addend
+    is pre-rounded to an integer centi-unit (``floor(r·ln(r)·100+0.5)``)
+    so the per-nation sums are exact int64 limbs — summation order never
+    matters.  The final ≤25-row formula is mirrored term-for-term in
+    the oracle (identical doubles in, identical doubles out — no
+    rounding needed).
+
+    Shape: per-batch (suppkey, revenue) combiner → ONE bucketed
+    exchange on suppkey → in-bucket supplier totals + broadcast
+    suppkey→nation resolve → per-nation limbed partials (≤ buckets×25
+    rows to the driver)."""
+    import math
+
+    import ray
+
+    from ..stages.shuffle import bucketed_group_map
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    nation = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    name_by_key = dict(zip(nation["n_nationkey"].astype(int),
+                           nation["n_name"]))
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp.sort_values("s_suppkey")
+    supp_ref = ray.put((supp["s_suppkey"].to_numpy("int64"),
+                        supp["s_nationkey"].to_numpy("int64")))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.rint(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 10_000
+        ).astype("int64")
+        return (
+            pd.DataFrame({"suppkey": b["l_suppkey"].astype("int64"), "u": u})
+            .groupby("suppkey", sort=False, as_index=False)["u"].sum()
+        )
+
+    LIMB = 10 ** 15
+
+    def nation_partial(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("suppkey", sort=False, as_index=False)["u"].sum()
+        keys, nats = ray.get(supp_ref)
+        pos = np.searchsorted(keys, tot["suppkey"].to_numpy("int64"))
+        rows = {}
+        for nk, r in zip(nats[pos], tot["u"].to_numpy("int64")):
+            r = int(r)
+            term = math.floor(float(r) * math.log(float(r)) * 100 + 0.5)
+            n, s, t = rows.get(int(nk), (0, 0, 0))
+            rows[int(nk)] = (n + 1, s + r, t + term)
+        out = pd.DataFrame(
+            [(nk, n, s % LIMB, s // LIMB, t % LIMB, t // LIMB)
+             for nk, (n, s, t) in rows.items()],
+            columns=["nationkey", "n", "s_lo", "s_hi", "t_lo", "t_hi"],
+        )
+        return out.astype("int64")
+
+    parts = bucketed_group_map(
+        li.map_batches(arrow_out(partial), batch_format="pandas",
+                       batch_size=65536),
+        ["suppkey"], nation_partial,
+    ).to_pandas()  # <= buckets x 25 rows
+
+    agg = parts.groupby("nationkey").agg(
+        n=("n", "sum"), s_lo=("s_lo", "sum"), s_hi=("s_hi", "sum"),
+        t_lo=("t_lo", "sum"), t_hi=("t_hi", "sum"),
+    )
+    per = {
+        int(nk): (int(r.n), int(r.s_hi) * LIMB + int(r.s_lo),
+                  int(r.t_hi) * LIMB + int(r.t_lo))
+        for nk, r in agg.iterrows()
+    }
+    st = float(sum(s for _, s, _ in per.values()))
+    nt = sum(n for n, _, _ in per.values())
+    rows = []
+    for nk in per:
+        n, s, t = per[nk]
+        share = float(s) / st
+        rows.append({
+            "nation": str(name_by_key[nk]),
+            "n_suppliers": n,
+            "revenue": float(s) / 10000.0,
+            "share": share,
+            "theil_within": float(t) / 100.0 / float(s)
+                            + math.log(n) - math.log(float(s)),
+            "theil_between_term": share * (
+                math.log(float(s)) - math.log(n)
+                - math.log(st) + math.log(nt)),
+        })
+    out = pd.DataFrame(rows)
+    return pd.DataFrame(
+        {"nation": out["nation"].astype(str),
+         "n_suppliers": out["n_suppliers"].astype("int64"),
+         "revenue": out["revenue"].astype("float64"),
+         "share": out["share"].astype("float64"),
+         "theil_within": out["theil_within"].astype("float64"),
+         "theil_between_term": out["theil_between_term"].astype("float64")}
+    )
+
+
+SUPPLIER_THEIL_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS r
+  FROM lineitem GROUP BY 1
+), sn AS (
+  SELECT n_name AS nation, r
+  FROM rev JOIN supplier ON s_suppkey = suppkey
+           JOIN nation ON n_nationkey = s_nationkey
+), g AS (
+  SELECT nation, COUNT(*) AS n_suppliers, SUM(r) AS s,
+         SUM(CAST(floor(CAST(r AS DOUBLE) * ln(CAST(r AS DOUBLE)) * 100 + 0.5)
+                  AS BIGINT)) AS terms
+  FROM sn GROUP BY nation
+), tot AS (
+  SELECT CAST(SUM(s) AS DOUBLE) AS st, SUM(n_suppliers) AS nt FROM g
+)
+SELECT nation,
+       CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(s AS DOUBLE) / 10000.0 AS revenue,
+       CAST(s AS DOUBLE) / st AS share,
+       CAST(terms AS DOUBLE) / 100.0 / CAST(s AS DOUBLE)
+         + ln(n_suppliers) - ln(CAST(s AS DOUBLE)) AS theil_within,
+       (CAST(s AS DOUBLE) / st)
+         * (ln(CAST(s AS DOUBLE)) - ln(n_suppliers) - ln(st) + ln(nt))
+         AS theil_between_term
+FROM g, tot
+"""
