@@ -625,6 +625,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Theil-T inequality decomposition of supplier revenue by nation
         # (within + between terms; exact centi-nat integer addends)
         "supplier_theil": relational.supplier_theil,
+        # Gopher quality-rule census (published word-level rule set;
+        # exact-integer comparisons, float-free pass flag)
+        "docs_gopher_rules": docs.docs_gopher_rules,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -975,6 +978,7 @@ def oracle_sql() -> dict[str, str]:
         "events_geomean": events.GEOMEAN_SQL,
         "events_kaplan_meier": events.KAPLAN_MEIER_SQL,
         "supplier_theil": relational.SUPPLIER_THEIL_SQL,
+        "docs_gopher_rules": docs.GOPHER_RULES_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -5096,3 +5096,47 @@ def docs_compress_ratio(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         arrow_out(compress_ratio_batch), batch_format="pandas"
     )
+
+
+# -- Gopher-rule quality filter (Rae et al. 2021, word-level subset) ------------
+
+def docs_gopher_rules(sf_dir: str):
+    """Per-document Gopher quality-rule census + pass flag — the
+    published curation rule set next to the repo's composite
+    ``docs_quality`` score: word count in [50, 1e5], mean word length
+    in [3, 10], ≥80 % alphabetic words, ≥2 stopwords, ≤10 % symbol
+    words.  All comparisons are exact-integer (no float thresholds), so
+    the flag is bit-stable; pure per-batch map, zero exchanges."""
+    from ..stages.text_stats import gopher_rules_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gopher_rules_batch, batch_format="pandas"
+    )
+
+
+GOPHER_RULES_SQL = f"""
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(sum_word_len AS BIGINT) AS sum_word_len,
+       CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+       CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       CAST(n_symbol_words AS BIGINT) AS n_symbol_words,
+       (n_words BETWEEN 50 AND 100000
+        AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+        AND 5 * n_alpha_words >= 4 * n_words
+        AND n_stopwords >= 2
+        AND 10 * n_symbol_words <= n_words) AS passes
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) - (len(string_split(text, ' ')) - 1) AS sum_word_len,
+         len(list_filter(string_split(text, ' '),
+                         x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha_words,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ({_STOP_SQL}))) AS n_stopwords,
+         len(list_filter(string_split(text, ' '),
+                         x -> contains(x, '#') OR contains(x, '...')))
+           AS n_symbol_words
+  FROM documents
+)
+"""

@@ -15,6 +15,7 @@ Reference analogues: prefix/suffix histograms + census (A2/A3,
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pandas as pd
 import pyarrow as pa
@@ -166,4 +167,42 @@ def compress_ratio_batch(b: "pd.DataFrame") -> "pd.DataFrame":
          "ratio_bp": pd.array(
              np.where(raw > 0, comp * 10_000 // np.maximum(raw, 1), 0)
              .astype("int64"), "int64")}
+    )
+
+
+_ALPHA_RE = re.compile(r"[a-zA-Z]")
+
+
+def gopher_rules_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style quality-rule census per document (Rae et al. 2021,
+    word-level subset that applies to single-line corpora): word-count
+    bounds, mean-word-length bounds, alphabetic-word share, stopword
+    floor, and symbol-word ceiling.  Every rule compares EXACT integers
+    (mean bounds as ``3n ≤ Σlen ≤ 10n`` etc.), so the pass flag is
+    float-free and bit-stable across engines."""
+    text = batch["text"].astype(str)
+    tokens = text.str.split(" ")
+    n = tokens.str.len().astype("int64")
+    sum_len = (text.str.len().astype("int64") - (n - 1)).astype("int64")
+    n_alpha = tokens.map(
+        lambda ts: sum(1 for t in ts if _ALPHA_RE.search(t))
+    ).astype("int64")
+    n_stop = tokens.map(
+        lambda ts: sum(t in EN_STOPWORDS for t in ts)
+    ).astype("int64")
+    n_sym = tokens.map(
+        lambda ts: sum(1 for t in ts if "#" in t or "..." in t)
+    ).astype("int64")
+    passes = (
+        (n >= 50) & (n <= 100_000)
+        & (sum_len >= 3 * n) & (sum_len <= 10 * n)
+        & (5 * n_alpha >= 4 * n)
+        & (n_stop >= 2)
+        & (10 * n_sym <= n)
+    )
+    return pd.DataFrame(
+        {"doc_id": batch["doc_id"].astype("int64"),
+         "n_words": n, "sum_word_len": sum_len,
+         "n_alpha_words": n_alpha, "n_stopwords": n_stop,
+         "n_symbol_words": n_sym, "passes": passes.astype(bool)}
     )
