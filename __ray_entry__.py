@@ -723,6 +723,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # label-propagation communities (fixed-budget synchronous
         # semantics; BSP ≡ dense pinned in tests/test_graph.py)
         "kg_lpa": docs_kg.kg_lpa,
+        # HITS hubs/authorities over the directed source→term graph
+        # (BSP ≡ dense pinned in tests/test_graph.py; iterative — no SQL)
+        "kg_hits": docs_kg.kg_hits,
         # KMV/theta sketch: distinct users + audience INTERSECTIONS from
         # one mergeable-sketch pass (accuracy/merge pytest-gated)
         "events_type_kmv": events.events_type_kmv,

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 
 from ..functions.arrow import arrow_out, read_parquet_clean
@@ -1244,4 +1245,47 @@ def kg_lpa(sf_dir: str):
     return pd.DataFrame(
         {"term": pd.array(out["node"], "str"),
          "community": pd.array(out["community"], "str")}
+    )
+
+
+def kg_hits(sf_dir: str, iters: int = 20) -> pd.DataFrame:
+    """HITS hubs & authorities over the DIRECTED source→term mention
+    graph (``doc_edges``, weight = n_docs): hub sources are the feeds
+    that mention authoritative entities; authoritative entities are the
+    ones hub sources mention — the mutually-recursive complement of
+    ``kg_entity_salience``'s PageRank.
+
+    The edge table is (sources × gazetteer)-bounded, so the iteration
+    runs dense driver-side (``stages/graph.py:hits_power``); the
+    distributed BSP path (``stages/graph.py:hits``) is pinned ≡ dense
+    in tests for unbounded graphs.  Scores rounded to 6 dp (float
+    contract); rows-only (iterative — no SQL oracle)."""
+    from ..stages.graph import hits_power
+
+    edges = doc_edges(sf_dir).to_pandas()  # bounded artifact
+    if not len(edges):
+        return pd.DataFrame(
+            {"kind": pd.array([], "str"), "name": pd.array([], "str"),
+             "hub": pd.array([], "float64"),
+             "authority": pd.array([], "float64")}
+        )
+    srcs = sorted(edges["source"].unique())
+    terms = sorted(edges["term"].unique())
+    sid = {s: i for i, s in enumerate(srcs)}
+    tid = {t: len(srcs) + i for i, t in enumerate(terms)}
+    df = pd.DataFrame(
+        {"src": edges["source"].map(sid).astype("int64"),
+         "dst": edges["term"].map(tid).astype("int64"),
+         "w": edges["n_docs"].astype("float64")}
+    )
+    res = hits_power(df, "src", "dst", "w", iters=iters)
+    names = np.array(srcs + terms, dtype=object)
+    kinds = np.array(["source"] * len(srcs) + ["term"] * len(terms),
+                     dtype=object)
+    node = res["node"].to_numpy("int64")
+    return pd.DataFrame(
+        {"kind": pd.array(kinds[node], "str"),
+         "name": pd.array(names[node], "str"),
+         "hub": np.round(res["hub"].to_numpy(), 6),
+         "authority": np.round(res["authority"].to_numpy(), 6)}
     )

@@ -765,3 +765,188 @@ def lpa_communities(
     out = pd.DataFrame({"node": list(lbl.keys()),
                         "community": [lbl[n] for n in lbl]})
     return out.sort_values("node", kind="mergesort").reset_index(drop=True)
+
+
+# -- HITS hubs & authorities ----------------------------------------------------
+
+_SCORE_SCHEMA = pa.schema([("src", pa.int64()), ("score", pa.float64())])
+
+
+def hits_power(
+    edges: pd.DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    *,
+    iters: int = 20,
+) -> pd.DataFrame:
+    """Dense driver-side HITS (Kleinberg 1999) over a DIRECTED edge
+    frame → (node, hub, authority), L1-normalized each half-step.
+    The test oracle the distributed ``hits`` path must match to 1e-9;
+    for bounded node sets (bipartite source→term graphs) it is also the
+    production finalizer, same convention as ``pagerank_power``."""
+    s = edges[src_col].to_numpy().astype("int64")
+    d = edges[dst_col].to_numpy().astype("int64")
+    w = (edges[weight_col].to_numpy().astype("float64")
+         if weight_col is not None else np.ones(len(edges), dtype="float64"))
+    nodes = np.unique(np.concatenate([s, d]))
+    n = len(nodes)
+    if not n:
+        return pd.DataFrame({"node": pd.array([], "int64"),
+                             "hub": pd.array([], "float64"),
+                             "authority": pd.array([], "float64")})
+    si = np.searchsorted(nodes, s)
+    di = np.searchsorted(nodes, d)
+    h = np.full(n, 1.0 / n, dtype="float64")
+    a = np.zeros(n, dtype="float64")
+    for _ in range(iters):
+        a = np.bincount(di, weights=h[si] * w, minlength=n)
+        ta = a.sum()
+        if ta > 0:
+            a = a / ta
+        h = np.bincount(si, weights=a[di] * w, minlength=n)
+        th = h.sum()
+        if th > 0:
+            h = h / th
+    return pd.DataFrame({"node": nodes.astype("int64"), "hub": h,
+                         "authority": a})
+
+
+def hits(
+    edges,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    *,
+    iters: int = 20,
+    num_buckets: int = 16,
+    mode: str = "auto",
+    dense_edge_bound: int = 4_000_000,
+):
+    """Distributed HITS over a directed edge Dataset → Dataset
+    (node, hub, authority).
+
+    Same adaptive-finalizer contract as :func:`pagerank`: the edge table
+    is materialized once (re-execution guard), and when its row count is
+    under ``dense_edge_bound`` the iteration collapses to the dense
+    driver path.  The BSP path runs each half-step as ONE partitioned
+    ``hash_join`` (state ⋈ edges, per-node sum fused into the join
+    buckets via a union of zero base rows) plus one L1-normalization
+    scalar pass — O(E + V) exchange per half-step, no dense state
+    anywhere.  Pinned ≡ ``hits_power`` to 1e-9 (``tests/test_graph.py``)."""
+    import ray.data as rd
+
+    def normalize(b: pd.DataFrame) -> pd.DataFrame:
+        w = (b[weight_col].to_numpy().astype("float64")
+             if weight_col is not None
+             else np.ones(len(b), dtype="float64"))
+        return pd.DataFrame({"src": b[src_col].to_numpy().astype("int64"),
+                             "dst": b[dst_col].to_numpy().astype("int64"),
+                             "w": w})
+
+    ew = edges.map_batches(
+        arrow_out(normalize), batch_format="pandas"
+    ).materialize()
+    n_edges = ew.count()
+    if not n_edges:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "hub": pa.array([], pa.float64()),
+                      "authority": pa.array([], pa.float64())})
+        )
+
+    if mode == "dense" or (mode == "auto" and n_edges <= dense_edge_bound):
+        return rd.from_pandas(
+            hits_power(ew.to_pandas(), "src", "dst", "w", iters=iters)
+        )
+
+    # reversed edge view: hub update is the authority update on (dst→src)
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": b["dst"].to_numpy(),
+                             "dst": b["src"].to_numpy(),
+                             "w": b["w"].to_numpy()})
+
+    ew_rev = ew.map_batches(arrow_out(rev), batch_format="pandas").materialize()
+
+    def node_partial(b: pd.DataFrame) -> pd.DataFrame:
+        nn = np.unique(np.concatenate([b["src"].to_numpy(),
+                                       b["dst"].to_numpy()]))
+        return pd.DataFrame({"src": nn})
+
+    nodes = bucketed_group_map(
+        ew.map_batches(arrow_out(node_partial), batch_format="pandas"),
+        ["src"], lambda g: g.drop_duplicates("src"),
+        num_buckets=num_buckets,
+    ).materialize()
+    n_nodes = nodes.count()
+
+    def init_h(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": b["src"].to_numpy(),
+                             "score": np.full(len(b), 1.0 / n_nodes)})
+
+    def zero_base(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": b["src"].to_numpy(),
+                             "val": np.zeros(len(b), "float64")})
+
+    base = nodes.map_batches(
+        arrow_out(zero_base), batch_format="pandas"
+    ).materialize()
+
+    h = nodes.map_batches(arrow_out(init_h), batch_format="pandas").materialize()
+
+    def half_step(edge_view, state):
+        """state(src, score) ⋈ edge_view on src → L1-normalized per-dst sums
+        (returned keyed as (src, score) for the next half-step)."""
+        def contrib_post(m: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"src": m["dst"].to_numpy(),
+                 "val": m["score"].to_numpy() * m["w"].to_numpy()}
+            )
+
+        contribs = hash_join(
+            edge_view, state, on=["src"],
+            left_schema=_EDGE_SCHEMA, right_schema=_SCORE_SCHEMA,
+            num_buckets=num_buckets, bucket_post=contrib_post,
+        )
+
+        def reduce_sum(g: pd.DataFrame) -> pd.DataFrame:
+            m = g.groupby("src", sort=False)["val"].sum()
+            return pd.DataFrame({"src": m.index.to_numpy(),
+                                 "val": m.to_numpy()})
+
+        raw = bucketed_group_map(
+            contribs.union(base), ["src"], reduce_sum,
+            num_buckets=num_buckets,
+        ).materialize()
+        tot = raw.sum("val") or 0.0
+
+        def norm(b: pd.DataFrame) -> pd.DataFrame:
+            v = b["val"].to_numpy()
+            return pd.DataFrame(
+                {"src": b["src"].to_numpy(),
+                 "score": (v / tot) if tot > 0 else v}
+            )
+
+        return raw.map_batches(
+            arrow_out(norm), batch_format="pandas"
+        ).materialize()
+
+    a = None
+    for _ in range(iters):
+        a = half_step(ew, h)        # authorities from hubs
+        h = half_step(ew_rev, a)    # hubs from authorities
+
+    _VAL_SCHEMA = pa.schema([("src", pa.int64()), ("score", pa.float64())])
+
+    def merge_post(m: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": m["src"].to_numpy(),
+             "hub": m["score_l"].to_numpy(),
+             "authority": m["score_r"].to_numpy()}
+        )
+
+    return hash_join(
+        h, a, on=["src"],
+        left_schema=_VAL_SCHEMA, right_schema=_VAL_SCHEMA,
+        num_buckets=num_buckets, bucket_post=merge_post,
+    )

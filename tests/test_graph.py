@@ -362,3 +362,70 @@ def test_lpa_bsp_equals_dense_and_hand_case(ray_session):
     a = {lab[n] for n in ["a1", "a2", "a3", "a4"]}
     b = {lab[n] for n in ["b1", "b2", "b3", "b4"]}
     assert len(a) == 1 and len(b) == 1 and a != b
+
+
+# -- HITS ------------------------------------------------------------------
+
+
+def test_hits_bsp_matches_power(ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.graph import hits, hits_power
+
+    e = _random_edges(seed=19)
+    got = (
+        hits(rd.from_pandas(e), "src", "dst", "w",
+             iters=5, num_buckets=8, mode="bsp")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    exp = (
+        hits_power(e, "src", "dst", "w", iters=5)
+        .sort_values("node").reset_index(drop=True)
+    )
+    assert np.array_equal(got["node"].to_numpy(), exp["node"].to_numpy())
+    assert np.allclose(got["hub"], exp["hub"], atol=1e-9)
+    assert np.allclose(got["authority"], exp["authority"], atol=1e-9)
+
+
+def test_hits_star_graph_authority(ray_session):
+    """All spokes point at the center: center = sole authority, spokes
+    share all hub mass, center hub = 0 (no out-edges)."""
+    from medical_knowledge_graph_ray.stages.graph import hits_power
+
+    e = pd.DataFrame({"src": [1, 2, 3, 4], "dst": [0, 0, 0, 0]})
+    r = hits_power(e, iters=10).set_index("node")
+    assert abs(r.loc[0, "authority"] - 1.0) < 1e-12
+    assert r.loc[0, "hub"] == 0.0
+    for s in (1, 2, 3, 4):
+        assert abs(r.loc[s, "hub"] - 0.25) < 1e-12
+        assert r.loc[s, "authority"] == 0.0
+
+
+def test_hits_bucket_invariance(ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.graph import hits
+
+    e = _random_edges(seed=23, n_nodes=60, n_edges=200)
+    a = (hits(rd.from_pandas(e), "src", "dst", "w",
+              iters=4, num_buckets=4, mode="bsp")
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (hits(rd.from_pandas(e), "src", "dst", "w",
+              iters=4, num_buckets=16, mode="bsp")
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert np.allclose(a["hub"], b["hub"], atol=1e-9)
+    assert np.allclose(a["authority"], b["authority"], atol=1e-9)
+
+
+def test_kg_hits_runs_and_is_normalized(ray_session):
+    from medical_knowledge_graph_ray.pipelines.docs_kg import kg_hits
+
+    r = kg_hits(SF, iters=8)
+    assert len(r) > 0
+    assert {"kind", "name", "hub", "authority"} <= set(r.columns)
+    # L1 normalization: each score vector sums to ~1 (6dp rounding slack)
+    assert abs(r["hub"].sum() - 1.0) < 1e-3
+    assert abs(r["authority"].sum() - 1.0) < 1e-3
+    # bipartite: sources are pure hubs, terms pure authorities
+    assert (r.loc[r["kind"] == "source", "authority"] == 0).all()
+    assert (r.loc[r["kind"] == "term", "hub"] == 0).all()
