@@ -726,6 +726,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HITS hubs/authorities over the directed source→term graph
         # (BSP ≡ dense pinned in tests/test_graph.py; iterative — no SQL)
         "kg_hits": docs_kg.kg_hits,
+        # MMR diversified top-k retrieval (distributed candidate pool +
+        # bounded greedy re-rank; pinned ≡ reference impl in tests)
+        "embed_mmr": docs.embed_mmr,
         # KMV/theta sketch: distinct users + audience INTERSECTIONS from
         # one mergeable-sketch pass (accuracy/merge pytest-gated)
         "events_type_kmv": events.events_type_kmv,

@@ -5140,3 +5140,15 @@ FROM (
   FROM documents
 )
 """
+
+
+def embed_mmr(sf_dir: str, k: int = 10, pool: int = 50, lam: float = 0.7):
+    """MMR-diversified top-k neighbors of vec_id 0 — relevance from the
+    distributed brute-force pass, diversity from the greedy
+    marginal-relevance re-rank over the bounded candidate pool
+    (``stages/similarity.py:mmr_topk``; pinned ≡ a single-process
+    reference implementation in tests)."""
+    from ..stages.similarity import mmr_topk
+
+    return mmr_topk(_embeddings(sf_dir), _query_vec(sf_dir), k,
+                    pool=pool, lam=lam)

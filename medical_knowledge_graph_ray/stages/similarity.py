@@ -773,3 +773,88 @@ def knn_cosine_range(embeddings, query: np.ndarray, threshold: float):
 
     return embeddings.map_batches(batch_fn, batch_format="pandas",
                                   batch_size=4096)
+
+
+# -- MMR diversified top-k ------------------------------------------------------
+
+def mmr_topk(
+    embeddings,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> pd.DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-k: greedily pick argmax ``λ·sim(q,d) −
+    (1−λ)·max_{s∈selected} sim(d,s)`` from the top-``pool`` relevance
+    candidates.
+
+    Two stages, the standard serve shape: (1) DISTRIBUTED candidate
+    generation — per-batch top-``pool`` cosine partials carrying the
+    embedding, tiny global sort, limit ``pool`` (driver receives ≤
+    ``pool`` rows, never the corpus); (2) driver-side greedy over the
+    bounded pool (the greedy loop is inherently sequential — k·pool
+    dot products on ≤ pool vectors).  Deterministic: sims rounded to
+    6 dp before the greedy, ties break on vec_id asc.  Returns
+    (rank, vec_id, rel, mmr) pandas (bounded artifact)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+
+    def cand_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"vec_id": pd.array([], "int64"),
+                 "sim": pd.array([], "float64"),
+                 "embedding": pd.array([], object)}
+            )
+        mat = _to_matrix(batch["embedding"])
+        norms = np.linalg.norm(mat, axis=1)
+        sims = np.round((mat @ qn) / np.where(norms == 0, 1.0, norms), 6)
+        order = np.lexsort((batch["vec_id"].to_numpy(), -sims))[:pool]
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].to_numpy()[order],
+             "sim": sims[order],
+             "embedding": batch["embedding"].to_numpy()[order]}
+        )
+
+    cands = (
+        embeddings.map_batches(cand_partial, batch_format="pandas",
+                               batch_size=4096)
+        .sort(["sim", "vec_id"], descending=[True, False])
+        .limit(pool)
+        .to_pandas()  # <= pool rows
+    )
+    if not len(cands):
+        return pd.DataFrame(
+            {"rank": pd.array([], "int64"), "vec_id": pd.array([], "int64"),
+             "rel": pd.array([], "float64"), "mmr": pd.array([], "float64")}
+        )
+    mat = _to_matrix(cands["embedding"])
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+    rel = cands["sim"].to_numpy("float64")
+    ids = cands["vec_id"].to_numpy("int64")
+    pair = np.round(unit @ unit.T, 6)  # candidate-candidate cosine
+
+    n = len(ids)
+    selected: list[int] = []
+    max_to_sel = np.zeros(n, dtype="float64")
+    picked = np.zeros(n, dtype=bool)
+    out = []
+    for rank in range(min(k, n)):
+        score = lam * rel - (0.0 if not selected else (1.0 - lam)) * max_to_sel
+        score[picked] = -np.inf
+        # deterministic argmax: max score, then smallest vec_id
+        best = np.lexsort((ids, -score))[0]
+        selected.append(best)
+        picked[best] = True
+        out.append((rank + 1, int(ids[best]), float(rel[best]),
+                    round(float(score[best]), 6)))
+        max_to_sel = np.maximum(max_to_sel, pair[:, best])
+    return pd.DataFrame(
+        {"rank": pd.array([r for r, *_ in out], "int64"),
+         "vec_id": pd.array([v for _, v, *_ in out], "int64"),
+         "rel": pd.array([r for *_, r, _ in out], "float64"),
+         "mmr": pd.array([m for *_, m in out], "float64")}
+    )

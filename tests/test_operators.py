@@ -1443,3 +1443,68 @@ def test_compress_ratio_signal(ray_session):
                     out1["n_compressed"] * 10_000
                     // out1["n_bytes"].clip(lower=1), 0)
     assert (out1["ratio_bp"].to_numpy() == want).all()
+
+
+# -- MMR diversified top-k ---------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mmr_reference(emb: "pd.DataFrame", q, k, pool, lam):
+    """Single-process reference: same two-stage definition (top-pool by
+    rounded cosine with vec_id tiebreak, then greedy MMR)."""
+    import numpy as np
+
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy("int64")
+    qn = np.asarray(q, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    norms = np.linalg.norm(mat, axis=1)
+    rel = np.round((mat @ qn) / np.where(norms == 0, 1.0, norms), 6)
+    order = np.lexsort((ids, -rel))[:pool]
+    ids, rel, mat = ids[order], rel[order], mat[order]
+    unit = mat / np.where(np.linalg.norm(mat, axis=1) == 0, 1.0,
+                          np.linalg.norm(mat, axis=1))[:, None]
+    pair = np.round(unit @ unit.T, 6)
+    picked = np.zeros(len(ids), bool)
+    max_sel = np.zeros(len(ids))
+    out = []
+    for rank in range(k):
+        score = lam * rel - (1.0 - lam) * max_sel if out else lam * rel
+        score = np.where(picked, -np.inf, score)
+        best = np.lexsort((ids, -score))[0]
+        picked[best] = True
+        out.append((rank + 1, int(ids[best]), float(rel[best]),
+                    round(float(score[best]), 6)))
+        max_sel = np.maximum(max_sel, pair[:, best])
+    return out
+
+
+def test_embed_mmr_matches_reference(ray_session):
+    import pandas as pd
+
+    from medical_knowledge_graph_ray.pipelines.docs import (
+        _query_vec, embed_mmr,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    want = _mmr_reference(emb, _query_vec(SF), 10, 50, 0.7)
+    got = embed_mmr(SF)
+    got_rows = list(
+        zip(got["rank"], got["vec_id"], got["rel"], got["mmr"])
+    )
+    assert [(int(a), int(b), float(c), float(d)) for a, b, c, d in got_rows] \
+        == [(a, b, c, d) for a, b, c, d in want]
+
+
+def test_embed_mmr_diversity_effect(ray_session):
+    """λ=1 reduces MMR to plain relevance top-k order."""
+    from medical_knowledge_graph_ray.pipelines.docs import (
+        _embeddings, _query_vec, knn_cosine_q0,
+    )
+    from medical_knowledge_graph_ray.stages.similarity import mmr_topk
+
+    topk = knn_cosine_q0(SF).to_pandas()
+    mmr = mmr_topk(_embeddings(SF), _query_vec(SF), 10,
+                   pool=50, lam=1.0)
+    assert list(mmr["vec_id"]) == list(topk["vec_id"])
