@@ -628,6 +628,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher quality-rule census (published word-level rule set;
         # exact-integer comparisons, float-free pass flag)
         "docs_gopher_rules": docs.docs_gopher_rules,
+        # sorted-neighborhood dedup pairs (SNM: monotone-prefix global
+        # rank + ghost-overlap span buckets; exact windowed Jaccard)
+        "docs_snm_pairs": docs.docs_snm_pairs,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -985,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
         "events_kaplan_meier": events.KAPLAN_MEIER_SQL,
         "supplier_theil": relational.SUPPLIER_THEIL_SQL,
         "docs_gopher_rules": docs.GOPHER_RULES_SQL,
+        "docs_snm_pairs": docs.SNM_PAIRS_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

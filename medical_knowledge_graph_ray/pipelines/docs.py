@@ -4,6 +4,7 @@ quality, exact dedup, near-dup, similarity search.  SQL oracles alongside.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from ..functions.arrow import arrow_out, read_parquet_clean
@@ -5152,3 +5153,133 @@ def embed_mmr(sf_dir: str, k: int = 10, pool: int = 50, lam: float = 0.7):
 
     return mmr_topk(_embeddings(sf_dir), _query_vec(sf_dir), k,
                     pool=pool, lam=lam)
+
+
+# -- sorted-neighborhood dedup pairs (SNM, Hernandez & Stolfo 1995) -------------
+
+def docs_snm_pairs(sf_dir: str, window: int = 4, threshold: float = 0.5,
+                   span: int = 256):
+    """Sorted-Neighborhood-Method candidate pairs: sort the corpus by
+    (text, doc_id), slide a ``window``-row frame, keep pairs with exact
+    distinct-token Jaccard ≥ ``threshold`` — the classic O(n·w)
+    blocking alternative to LSH for near-dup mining.
+
+    Distribution: global rank via the monotone-coarse-bucket idiom
+    (first-2-byte text prefix is monotone in the sort key, so bucket
+    order IS global text order; per-bucket counts → driver prefix-sum
+    offsets → in-bucket local ranks — no sort operator).  Pass 2
+    rebuckets by ``rank // span`` and REPLICATES each span's last
+    ``window−1`` rows into the next span as ghost rows, so every
+    window pair is computed in exactly one bucket (emitted iff the
+    larger-rank element is native — cross-span pairs count once).
+    Corpus is ASCII, so byte order ≡ DuckDB's binary collation.
+
+    Exactness: Jaccard is a ratio of set-cardinality INTEGERS; the
+    threshold compares the raw double (mirrored in the oracle's WHERE)
+    and the emitted value rounds to 6 dp on both sides."""
+    import ray
+
+    from ..stages.shuffle import bucketed_group_map
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    W = window - 1
+
+    def keyed_partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].astype(str)
+        cb = np.fromiter(
+            (int.from_bytes(s.encode("utf-8")[:2].ljust(2, b"\0"), "big")
+             for s in t),
+            dtype="int64", count=len(t),
+        )
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "text": t, "cbucket": cb})
+
+    keyed = docs.map_batches(
+        arrow_out(keyed_partial), batch_format="pandas"
+    ).materialize()
+
+    counts = (
+        keyed.map_batches(
+            arrow_out(lambda b: b.groupby("cbucket", sort=False)
+                      .size().rename("n").reset_index()),
+            batch_format="pandas",
+        )
+        .to_pandas()  # ≤ blocks × distinct-prefix tiny rows
+        .groupby("cbucket")["n"].sum().sort_index()
+    )
+    offsets = counts.cumsum().shift(fill_value=0).to_dict()
+    off_ref = ray.put(offsets)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        out = []
+        for cb, sub in g.groupby("cbucket", sort=False):
+            s = sub.sort_values(["text", "doc_id"], kind="mergesort")
+            out.append(pd.DataFrame(
+                {"doc_id": s["doc_id"].to_numpy("int64"),
+                 "text": s["text"].to_numpy(),
+                 "rank": int(off[int(cb)])
+                         + np.arange(len(s), dtype="int64")}
+            ))
+        return pd.concat(out, ignore_index=True)
+
+    ranked = bucketed_group_map(keyed, ["cbucket"], rank_bucket)
+
+    def spread(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["rank"].to_numpy("int64")
+        native = pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy("int64"),
+             "text": b["text"].to_numpy(), "rank": r,
+             "wb": r // span,
+             "ghost": np.zeros(len(r), dtype="int8")}
+        )
+        m = (r % span) >= span - W
+        ghost = pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy("int64")[m],
+             "text": b["text"].to_numpy()[m], "rank": r[m],
+             "wb": r[m] // span + 1,
+             "ghost": np.ones(int(m.sum()), dtype="int8")}
+        )
+        return pd.concat([native, ghost], ignore_index=True)
+
+    spread_ds = ranked.map_batches(arrow_out(spread), batch_format="pandas")
+
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, sub in g.groupby("wb", sort=False):
+            s = sub.sort_values("rank", kind="mergesort")
+            ids = s["doc_id"].to_numpy("int64")
+            rk = s["rank"].to_numpy("int64")
+            gh = s["ghost"].to_numpy()
+            sets = [set(t.split(" ")) for t in s["text"]]
+            n = len(s)
+            for i in range(n):
+                si = sets[i]
+                for j in range(i + 1, min(i + window, n)):
+                    if rk[j] - rk[i] > W:
+                        break
+                    if gh[j]:
+                        continue  # larger-rank element must be native
+                    jac = len(si & sets[j]) / len(si | sets[j])
+                    if jac >= threshold:
+                        rows.append((ids[i], ids[j], round(jac, 6)))
+        return pd.DataFrame(
+            rows, columns=["doc_a", "doc_b", "jaccard"]
+        ).astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+
+    return bucketed_group_map(spread_ds, ["wb"], pair_bucket)
+
+
+SNM_PAIRS_SQL = """
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+         ROW_NUMBER() OVER (ORDER BY text, doc_id) AS rn
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM t a JOIN t b ON b.rn > a.rn AND b.rn <= a.rn + 3
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+"""

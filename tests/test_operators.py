@@ -1508,3 +1508,16 @@ def test_embed_mmr_diversity_effect(ray_session):
     mmr = mmr_topk(_embeddings(SF), _query_vec(SF), 10,
                    pool=50, lam=1.0)
     assert list(mmr["vec_id"]) == list(topk["vec_id"])
+
+
+def test_snm_pairs_span_invariance(ray_session):
+    """Tiny span forces many cross-span ghost pairs — result must be
+    identical to one big span (overlap replication is exact)."""
+    from medical_knowledge_graph_ray.pipelines.docs import docs_snm_pairs
+
+    a = (docs_snm_pairs(SF, span=8).to_pandas()
+         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    b = (docs_snm_pairs(SF, span=100000).to_pandas()
+         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert a.equals(b)
+    assert len(a) > 0
