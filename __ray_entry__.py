@@ -625,6 +625,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Theil-T inequality decomposition of supplier revenue by nation
         # (within + between terms; exact centi-nat integer addends)
         "supplier_theil": relational.supplier_theil,
+        # full pairwise Pearson matrix (exact limbed moment matrix)
+        "lineitem_corr_matrix": relational.lineitem_corr_matrix,
         # Gopher quality-rule census (published word-level rule set;
         # exact-integer comparisons, float-free pass flag)
         "docs_gopher_rules": docs.docs_gopher_rules,
@@ -987,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
         "events_geomean": events.GEOMEAN_SQL,
         "events_kaplan_meier": events.KAPLAN_MEIER_SQL,
         "supplier_theil": relational.SUPPLIER_THEIL_SQL,
+        "lineitem_corr_matrix": relational.CORR_MATRIX_SQL,
         "docs_gopher_rules": docs.GOPHER_RULES_SQL,
         "docs_snm_pairs": docs.SNM_PAIRS_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,

@@ -5158,3 +5158,88 @@ SELECT nation,
          AS theil_between_term
 FROM g, tot
 """
+
+
+# -- pairwise Pearson correlation matrix over lineitem measures ------------------
+
+_CORR_COLS = [("quantity", "l_quantity", 1),
+              ("extendedprice", "l_extendedprice", 100),
+              ("discount", "l_discount", 100),
+              ("tax", "l_tax", 100)]
+
+
+def lineitem_corr_matrix(sf_dir: str):
+    """All 6 pairwise Pearson correlations between the four lineitem
+    measures — the feature-correlation screen every tabular-ML prep
+    pipeline runs.  Generalizes ``lineitem_regression``'s mergeable
+    exact-moment contract to the full moment MATRIX: every Σx, Σx²,
+    Σx·y is an exact integer (values pre-scaled to integers), every wide sum
+    travels as TWO int64 limbs, and the driver reassembles Python
+    bigints — zero precision drift at any parallelism.  The ≤6-row
+    finalize mirrors the oracle term-for-term (identical doubles in,
+    6-dp round out)."""
+    import math
+
+    li = _read(sf_dir, "lineitem",
+               columns=[src for _, src, _ in _CORR_COLS])
+
+    LIMB = 10 ** 15
+    names = [n for n, _, _ in _CORR_COLS]
+    pairs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cols = [np.rint(b[src].to_numpy() * scale).astype("int64")
+                for _, src, scale in _CORR_COLS]
+        vals = {"n": len(b)}
+        for i, c in enumerate(cols):
+            for tag, s in ((f"s{i}", int(c.sum())),
+                           (f"q{i}", int((c * c).sum()))):
+                vals[f"{tag}_lo"], vals[f"{tag}_hi"] = s % LIMB, s // LIMB
+        for i, j in pairs:
+            s = int((cols[i] * cols[j]).sum())
+            vals[f"c{i}{j}_lo"], vals[f"c{i}{j}_hi"] = s % LIMB, s // LIMB
+        return pd.DataFrame([vals]).astype("int64")
+
+    agg = li.map_batches(arrow_out(partial), batch_format="pandas",
+                         batch_size=16384).to_pandas()  # blocks×1 tiny rows
+    tot = {c: int(agg[c].sum()) for c in agg.columns}
+    n = tot["n"]
+
+    def big(tag: str) -> int:
+        return tot[f"{tag}_hi"] * LIMB + tot[f"{tag}_lo"]
+
+    rows = []
+    for i, j in pairs:
+        num = n * big(f"c{i}{j}") - big(f"s{i}") * big(f"s{j}")
+        di = n * big(f"q{i}") - big(f"s{i}") ** 2
+        dj = n * big(f"q{j}") - big(f"s{j}") ** 2
+        corr = (float(num) / math.sqrt(float(di) * float(dj))
+                if di > 0 and dj > 0 else 0.0)
+        rows.append({"col_x": names[i], "col_y": names[j],
+                     "n": n, "corr": round(corr, 6)})
+    out = pd.DataFrame(rows)
+    return pd.DataFrame(
+        {"col_x": out["col_x"].astype(str),
+         "col_y": out["col_y"].astype(str),
+         "n": out["n"].astype("int64"),
+         "corr": out["corr"].astype("float64")}
+    )
+
+
+def _corr_pair_sql(nx: str, cx: str, sx: int, ny: str, cy: str, sy: int) -> str:
+    return f"""
+SELECT '{nx}' AS col_x, '{ny}' AS col_y, CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS DOUBLE)
+             / sqrt(CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS DOUBLE)
+                    * CAST(COUNT(*) * SUM(y*y) - SUM(y) * SUM(y) AS DOUBLE)),
+             6) AS corr
+FROM (SELECT CAST(round({cx} * {sx}) AS BIGINT) AS x,
+             CAST(round({cy} * {sy}) AS BIGINT) AS y FROM lineitem)
+"""
+
+
+CORR_MATRIX_SQL = " UNION ALL ".join(
+    _corr_pair_sql(nx, cx, sx, ny, cy, sy)
+    for k, (nx, cx, sx) in enumerate(_CORR_COLS)
+    for (ny, cy, sy) in _CORR_COLS[k + 1:]
+)
