@@ -627,6 +627,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_theil": relational.supplier_theil,
         # full pairwise Pearson matrix (exact limbed moment matrix)
         "lineitem_corr_matrix": relational.lineitem_corr_matrix,
+        # Wald-Wolfowitz runs test (randomness of the daily revenue
+        # sign sequence; pure-integer R/n+/n-, mirrored z formula)
+        "orders_runs_test": relational.orders_runs_test,
         # Gopher quality-rule census (published word-level rule set;
         # exact-integer comparisons, float-free pass flag)
         "docs_gopher_rules": docs.docs_gopher_rules,
@@ -990,6 +993,7 @@ def oracle_sql() -> dict[str, str]:
         "events_kaplan_meier": events.KAPLAN_MEIER_SQL,
         "supplier_theil": relational.SUPPLIER_THEIL_SQL,
         "lineitem_corr_matrix": relational.CORR_MATRIX_SQL,
+        "orders_runs_test": relational.RUNS_TEST_SQL,
         "docs_gopher_rules": docs.GOPHER_RULES_SQL,
         "docs_snm_pairs": docs.SNM_PAIRS_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,

@@ -5243,3 +5243,93 @@ CORR_MATRIX_SQL = " UNION ALL ".join(
     for k, (nx, cx, sx) in enumerate(_CORR_COLS)
     for (ny, cy, sy) in _CORR_COLS[k + 1:]
 )
+
+
+# -- Wald-Wolfowitz runs test on the daily revenue series -----------------------
+
+def orders_runs_test(sf_dir: str):
+    """Wald–Wolfowitz runs test for randomness of the daily-revenue
+    sign sequence (above/below the median day): the nonparametric
+    trend/clustering detector next to ``events_mannwhitney`` and
+    ``events_ks_test``.  R runs among n₊ above / n₋ below days gives
+    z = (R − μ)/σ, μ = 2n₊n₋/n + 1, σ² = 2n₊n₋(2n₊n₋−n)/(n²(n−1)).
+
+    Exactness: daily revenue is an exact cent census (two-phase
+    combiner, ONE exchange on the day key); the pivot is the
+    LOWER-MEDIAN ELEMENT (rank (n+1)//2, a real data point — no
+    interpolation), tie days (== pivot) are dropped per the classic
+    test, and R, n₊, n₋ are pure integers, so the single z expression
+    is mirrored term-for-term on identical doubles.  The day census is
+    a bounded artifact (≤ #days rows) — finalize runs driver-side."""
+    import math
+
+    from ..stages.shuffle import bucketed_group_map
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        return (
+            pd.DataFrame({"day": b["o_orderdate"], "c": c})
+            .groupby("day", sort=False, as_index=False)["c"].sum()
+        )
+
+    census = bucketed_group_map(
+        orders.map_batches(arrow_out(partial), batch_format="pandas"),
+        ["day"],
+        lambda g: g.groupby("day", sort=False, as_index=False)["c"].sum(),
+    ).to_pandas()  # ≤ #days rows
+
+    daily = census.groupby("day", as_index=False)["c"].sum() \
+                  .sort_values("day").reset_index(drop=True)
+    rev = daily["c"].to_numpy("int64")
+    nd = len(rev)
+    pivot = int(np.sort(rev)[(nd + 1) // 2 - 1])
+    sign = rev[rev != pivot] > pivot  # ties dropped, date order kept
+    a = int(sign.sum())
+    b_ = int(len(sign) - a)
+    n = a + b_
+    runs = int(1 + np.count_nonzero(sign[1:] != sign[:-1])) if n else 0
+    mu = 2.0 * a * b_ / n + 1.0
+    var = (2.0 * a * b_ * (2.0 * a * b_ - n)) / (n * n * (n - 1.0))
+    z = (runs - mu) / math.sqrt(var)
+    return pd.DataFrame(
+        {"n_days": pd.array([nd], "int64"),
+         "n_above": pd.array([a], "int64"),
+         "n_below": pd.array([b_], "int64"),
+         "runs": pd.array([runs], "int64"),
+         "z": pd.array([z], "float64")}
+    )
+
+
+RUNS_TEST_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+), piv AS (
+  SELECT c AS pv FROM (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+           COUNT(*) OVER () AS cnt
+    FROM daily
+  ) WHERE rn = (cnt + 1) // 2
+), signs AS (
+  SELECT day, (c > pv) AS up FROM daily, piv WHERE c != pv
+), flips AS (
+  SELECT up, CASE WHEN up != lag(up) OVER (ORDER BY day) THEN 1 ELSE 0 END AS flip
+  FROM signs
+), agg AS (
+  SELECT SUM(CASE WHEN up THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN up THEN 0 ELSE 1 END) AS b,
+         1 + SUM(flip) AS runs,
+         COUNT(*) AS n
+  FROM flips
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       CAST(a AS BIGINT) AS n_above,
+       CAST(b AS BIGINT) AS n_below,
+       CAST(runs AS BIGINT) AS runs,
+       (runs - (2.0 * a * b / n + 1.0))
+         / sqrt((2.0 * a * b * (2.0 * a * b - n)) / (n * n * (n - 1.0))) AS z
+FROM agg
+"""
