@@ -630,6 +630,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Wald-Wolfowitz runs test (randomness of the daily revenue
         # sign sequence; pure-integer R/n+/n-, mirrored z formula)
         "orders_runs_test": relational.orders_runs_test,
+        # inclusion-dependency (FK) discovery with a negative control
+        # (distinct-deduped tagged exchange; exact containment ratio)
+        "tables_fk_discovery": relational.tables_fk_discovery,
         # Gopher quality-rule census (published word-level rule set;
         # exact-integer comparisons, float-free pass flag)
         "docs_gopher_rules": docs.docs_gopher_rules,
@@ -994,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_theil": relational.SUPPLIER_THEIL_SQL,
         "lineitem_corr_matrix": relational.CORR_MATRIX_SQL,
         "orders_runs_test": relational.RUNS_TEST_SQL,
+        "tables_fk_discovery": relational.FK_DISCOVERY_SQL,
         "docs_gopher_rules": docs.GOPHER_RULES_SQL,
         "docs_snm_pairs": docs.SNM_PAIRS_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,

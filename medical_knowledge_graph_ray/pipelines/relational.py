@@ -5333,3 +5333,94 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
          / sqrt((2.0 * a * b * (2.0 * a * b - n)) / (n * n * (n - 1.0))) AS z
 FROM agg
 """
+
+
+# -- inclusion-dependency (FK) discovery ------------------------------------------
+
+_FK_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    # negative control: a non-FK pair the discovery must reject
+    ("orders", "o_custkey", "supplier", "s_suppkey"),
+]
+
+
+def tables_fk_discovery(sf_dir: str):
+    """Inclusion-dependency mining over candidate key pairs — the
+    FK-discovery half of the profiling family (``tables_profile`` /
+    ``tables_integrity`` verify DECLARED constraints; this one measures
+    containment(child ⊆ parent) so undeclared joins — and
+    near-misses — surface, including a negative control pair.
+
+    Per pair: distinct child values + how many exist in the parent
+    column, via ONE bucketed hash exchange of tagged (value, side)
+    rows — both sides deduped batch-side first, so the exchange
+    carries ≤ distinct values, and each bucket counts its matches
+    vectorized (isin over the bucket's parent set).  Containment is a
+    ratio of exact integers, rounded 6 dp on both sides."""
+    from ..stages.shuffle import bucketed_group_map
+
+    rows = []
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        child = _read(sf_dir, ct, columns=[cc])
+        parent = _read(sf_dir, pt, columns=[pc])
+
+        def tag(col, side):
+            def fn(b: pd.DataFrame) -> pd.DataFrame:
+                v = np.unique(b[col].to_numpy().astype("int64"))
+                return pd.DataFrame(
+                    {"v": v, "side": np.full(len(v), side, dtype="int8")}
+                )
+            return fn
+
+        tagged = child.map_batches(
+            arrow_out(tag(cc, 0)), batch_format="pandas"
+        ).union(parent.map_batches(
+            arrow_out(tag(pc, 1)), batch_format="pandas"
+        ))
+
+        def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            cv = pd.unique(g.loc[g["side"] == 0, "v"])
+            pv = g.loc[g["side"] == 1, "v"]
+            nm = int(pd.Series(cv).isin(set(pv.tolist())).sum())
+            return pd.DataFrame({"nc": [len(cv)], "nm": [nm]}).astype("int64")
+
+        agg = bucketed_group_map(tagged, ["v"], count_bucket).to_pandas()
+        nc, nm = int(agg["nc"].sum()), int(agg["nm"].sum())
+        rows.append({"child_table": ct, "child_col": cc,
+                     "parent_table": pt, "parent_col": pc,
+                     "n_child_distinct": nc, "n_matched": nm,
+                     "containment": round(nm / nc, 6)})
+    out = pd.DataFrame(rows)
+    return pd.DataFrame(
+        {"child_table": out["child_table"].astype(str),
+         "child_col": out["child_col"].astype(str),
+         "parent_table": out["parent_table"].astype(str),
+         "parent_col": out["parent_col"].astype(str),
+         "n_child_distinct": out["n_child_distinct"].astype("int64"),
+         "n_matched": out["n_matched"].astype("int64"),
+         "containment": out["containment"].astype("float64")}
+    )
+
+
+def _fk_pair_sql(ct: str, cc: str, pt: str, pc: str) -> str:
+    return f"""
+SELECT '{ct}' AS child_table, '{cc}' AS child_col,
+       '{pt}' AS parent_table, '{pc}' AS parent_col,
+       (SELECT CAST(COUNT(DISTINCT {cc}) AS BIGINT) FROM {ct})
+         AS n_child_distinct,
+       (SELECT CAST(COUNT(DISTINCT {ct}.{cc}) AS BIGINT)
+          FROM {ct} JOIN {pt} ON {ct}.{cc} = {pt}.{pc}) AS n_matched,
+       round(CAST((SELECT COUNT(DISTINCT {ct}.{cc})
+                   FROM {ct} JOIN {pt} ON {ct}.{cc} = {pt}.{pc}) AS DOUBLE)
+             / (SELECT COUNT(DISTINCT {cc}) FROM {ct}), 6) AS containment
+"""
+
+
+FK_DISCOVERY_SQL = " UNION ALL ".join(
+    _fk_pair_sql(*p) for p in _FK_CANDIDATES
+)
