@@ -740,6 +740,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MMR diversified top-k retrieval (distributed candidate pool +
         # bounded greedy re-rank; pinned ≡ reference impl in tests)
         "embed_mmr": docs.embed_mmr,
+        # Markov stationary distribution of the event-type chain
+        # (distributed transition census + dense fixpoint; pytest-pinned)
+        "events_markov_stationary": events.events_markov_stationary,
         # KMV/theta sketch: distinct users + audience INTERSECTIONS from
         # one mergeable-sketch pass (accuracy/merge pytest-gated)
         "events_type_kmv": events.events_type_kmv,

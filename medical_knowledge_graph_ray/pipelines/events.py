@@ -3465,3 +3465,37 @@ SELECT CAST(dur AS BIGINT) AS duration_s,
        END AS survival
 FROM k
 """
+
+
+def events_markov_stationary(sf_dir: str, iters: int = 60):
+    """Stationary distribution of the event-type Markov chain — where a
+    user's behavior settles in the long run (the eigenvector summary of
+    ``events_transitions``).  The transition census is the distributed
+    part (|types|²-bounded artifact); the power iteration runs dense
+    driver-side from the uniform start, row-normalizing the count
+    matrix once.  Deterministic: fixed iteration count, fixed start,
+    one arithmetic path; probabilities rounded 6 dp.  Rows-only
+    (iterative fixpoint — no SQL oracle); pytest pins πP = π and
+    Σπ = 1."""
+    t = events_transitions(sf_dir).to_pandas()  # |types|² bounded
+    types = sorted(set(t["event_type"]) | set(t["next_type"]))
+    idx = {s: i for i, s in enumerate(types)}
+    k = len(types)
+    M = np.zeros((k, k), dtype="float64")
+    for et, nt, n in zip(t["event_type"], t["next_type"], t["n"]):
+        M[idx[et], idx[nt]] = float(n)
+    rs = M.sum(axis=1)
+    # types with no outgoing transition: self-loop (keeps P stochastic)
+    for i in range(k):
+        if rs[i] == 0:
+            M[i, i] = 1.0
+            rs[i] = 1.0
+    P = M / rs[:, None]
+    pi = np.full(k, 1.0 / k, dtype="float64")
+    for _ in range(iters):
+        pi = pi @ P
+        pi = pi / pi.sum()
+    return pd.DataFrame(
+        {"event_type": pd.array(types, "str"),
+         "stationary_p": np.round(pi, 6)}
+    )

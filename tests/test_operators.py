@@ -1521,3 +1521,30 @@ def test_snm_pairs_span_invariance(ray_session):
          .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_markov_stationary_is_fixpoint(ray_session):
+    import numpy as np
+
+    from medical_knowledge_graph_ray.pipelines.events import (
+        events_markov_stationary, events_transitions,
+    )
+
+    pi = events_markov_stationary(SF)
+    assert abs(pi["stationary_p"].sum() - 1.0) < 1e-4
+    # rebuild P and check the fixpoint residual
+    t = events_transitions(SF).to_pandas()
+    types = list(pi["event_type"])
+    idx = {s: i for i, s in enumerate(types)}
+    k = len(types)
+    M = np.zeros((k, k))
+    for et, nt, n in zip(t["event_type"], t["next_type"], t["n"]):
+        M[idx[et], idx[nt]] = n
+    rs = M.sum(axis=1)
+    for i in range(k):
+        if rs[i] == 0:
+            M[i, i] = 1.0
+            rs[i] = 1.0
+    P = M / rs[:, None]
+    v = pi["stationary_p"].to_numpy()
+    assert np.abs(v @ P - v).max() < 1e-5
