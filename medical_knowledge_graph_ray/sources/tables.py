@@ -94,3 +94,49 @@ def write_csv(ds, out_dir: str) -> dict:
     with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
     return manifest
+
+
+def read_export(out_dir: str, *, columns=None, audit: bool = False):
+    """Reader for the sharded export directories ``write_jsonl`` /
+    ``write_csv`` produce: resolves the shard list FROM the
+    ``_MANIFEST.json`` (never a blind glob — a partial/failed export
+    surfaces as missing files instead of silently reading fewer rows),
+    dispatches on the shard extension, and with ``audit=True`` verifies
+    the materialized row count against the manifest before returning.
+
+    Scale note: the file list is metadata; the read itself streams
+    shard-per-task exactly like any Ray Data read.  ``columns`` prunes
+    post-parse (JSON/CSV have no real pushdown — same contract as
+    ``read_table``)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(out_dir, f["file"]) for f in manifest["files"]]
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"export manifest lists {len(missing)} missing shard(s), "
+            f"first: {missing[0]}"
+        )
+    if not files:
+        raise ValueError(f"empty export manifest in {out_dir}")
+    if files[0].endswith((".json", ".jsonl")):
+        ds = rd.read_json(files)
+    elif files[0].endswith(".csv"):
+        ds = rd.read_csv(files)
+    else:
+        raise ValueError(f"unsupported export shard format: {files[0]}")
+    if columns is not None:
+        ds = ds.select_columns(list(columns))
+    if audit:
+        n = ds.count()
+        if n != manifest["rows"]:
+            raise ValueError(
+                f"export row-count mismatch: manifest says "
+                f"{manifest['rows']}, shards hold {n}"
+            )
+    return ds

@@ -1548,3 +1548,52 @@ def test_markov_stationary_is_fixpoint(ray_session):
     P = M / rs[:, None]
     v = pi["stationary_p"].to_numpy()
     assert np.abs(v @ P - v).max() < 1e-5
+
+
+def test_export_roundtrip_jsonl_and_csv(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.sources.tables import (
+        read_export, write_csv, write_jsonl,
+    )
+
+    df = pd.DataFrame(
+        {"k": np.arange(20, dtype="int64"),
+         "v": np.linspace(0, 1, 20),
+         "s": [f"row-{i}" for i in range(20)]}
+    )
+    ds = rd.from_pandas(df).repartition(3)
+
+    jd = str(tmp_path / "jsonl")
+    m = write_jsonl(ds, jd)
+    back = (read_export(jd, audit=True).to_pandas()
+            .sort_values("k").reset_index(drop=True))
+    assert m["rows"] == 20
+    pd.testing.assert_frame_equal(back[["k", "v", "s"]], df)
+
+    cd = str(tmp_path / "csv")
+    m2 = write_csv(ds, cd)
+    back2 = (read_export(cd, columns=["k", "s"], audit=True).to_pandas()
+             .sort_values("k").reset_index(drop=True))
+    assert m2["rows"] == 20
+    pd.testing.assert_frame_equal(back2, df[["k", "s"]])
+
+
+def test_read_export_detects_missing_shard(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.sources.tables import (
+        read_export, write_jsonl,
+    )
+
+    d = str(tmp_path / "x")
+    write_jsonl(rd.from_pandas(pd.DataFrame({"a": [1, 2, 3]})), d)
+    shard = next(f for f in os.listdir(d) if f.endswith(".json"))
+    os.remove(os.path.join(d, shard))
+    with _pytest.raises(FileNotFoundError):
+        read_export(d)
