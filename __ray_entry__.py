@@ -633,6 +633,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inclusion-dependency (FK) discovery with a negative control
         # (distinct-deduped tagged exchange; exact containment ratio)
         "tables_fk_discovery": relational.tables_fk_discovery,
+        # classical seasonal decomposition (7-day MA trend; exact
+        # integer detrended addends, per-weekday means)
+        "orders_seasonal_decompose": relational.orders_seasonal_decompose,
         # Gopher quality-rule census (published word-level rule set;
         # exact-integer comparisons, float-free pass flag)
         "docs_gopher_rules": docs.docs_gopher_rules,
@@ -1001,6 +1004,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_corr_matrix": relational.CORR_MATRIX_SQL,
         "orders_runs_test": relational.RUNS_TEST_SQL,
         "tables_fk_discovery": relational.FK_DISCOVERY_SQL,
+        "orders_seasonal_decompose": relational.SEASONAL_SQL,
         "docs_gopher_rules": docs.GOPHER_RULES_SQL,
         "docs_snm_pairs": docs.SNM_PAIRS_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,

@@ -5424,3 +5424,81 @@ SELECT '{ct}' AS child_table, '{cc}' AS child_col,
 FK_DISCOVERY_SQL = " UNION ALL ".join(
     _fk_pair_sql(*p) for p in _FK_CANDIDATES
 )
+
+
+# -- classical seasonal decomposition of daily revenue ---------------------------
+
+def orders_seasonal_decompose(sf_dir: str):
+    """Classical (moving-average) seasonal decomposition of the daily
+    revenue series, summarized per weekday: trend = centered 7-day MA,
+    seasonal(dow) = mean of (value − trend) over that weekday — the
+    STL-lite every ops dashboard runs.
+
+    Exactness: the 7-day trend SUM is an exact int64 (cent census), so
+    each detrended addend is the exact integer 7·c − T ("centi-cents
+    ×7" units) and the per-weekday mean is ONE mirrored double division
+    Σ(7c−T)/(7n).  Edge days (incomplete window) drop on both sides
+    (the SQL counts frame rows).  The day census is the distributed
+    part (one exchange); the ≤7-row finalize is driver-side."""
+    from ..stages.shuffle import bucketed_group_map
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        return (
+            pd.DataFrame({"day": b["o_orderdate"], "c": c})
+            .groupby("day", sort=False, as_index=False)["c"].sum()
+        )
+
+    census = bucketed_group_map(
+        orders.map_batches(arrow_out(partial), batch_format="pandas"),
+        ["day"],
+        lambda g: g.groupby("day", sort=False, as_index=False)["c"].sum(),
+    ).to_pandas()  # ≤ #days rows
+
+    daily = census.groupby("day", as_index=False)["c"].sum() \
+                  .sort_values("day").reset_index(drop=True)
+    c = daily["c"].to_numpy("int64")
+    nd = len(c)
+    # centered 7-day rolling sum, full windows only (positions 3..nd-4)
+    cs = np.concatenate(([0], np.cumsum(c)))
+    t7 = cs[7:] - cs[:-7]  # T[i] = sum of c[i..i+6]
+    mid = np.arange(3, nd - 3)
+    detr = 7 * c[mid] - t7  # exact int: 7·value − trend_sum
+    # ISO weekday of the middle day (DuckDB isodow: Mon=1..Sun=7)
+    dow = pd.to_datetime(daily["day"].to_numpy()[mid]).isocalendar().day \
+            .to_numpy().astype("int64")
+    g = pd.DataFrame({"dow": dow, "d": detr}).groupby("dow")
+    n = g["d"].size()
+    s = g["d"].sum()
+    return pd.DataFrame(
+        {"isodow": pd.array(n.index.to_numpy(), "int64"),
+         "n_days": pd.array(n.to_numpy(), "int64"),
+         "seasonal": (s.to_numpy("int64").astype("float64")
+                      / (7.0 * n.to_numpy("int64").astype("float64"))
+                      / 100.0)}
+    )
+
+
+SEASONAL_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+), win AS (
+  SELECT day, c,
+         SUM(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS t7,
+         COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS w
+  FROM daily
+), detr AS (
+  SELECT isodow(day) AS isodow, 7 * c - t7 AS d
+  FROM win WHERE w = 7
+)
+SELECT CAST(isodow AS BIGINT) AS isodow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(d) AS DOUBLE) / (7.0 * COUNT(*)) / 100.0 AS seasonal
+FROM detr GROUP BY isodow
+"""
