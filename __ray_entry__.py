@@ -622,6 +622,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Kaplan-Meier survival over session durations (right-censored
         # open sessions; exact integer log-survival, census-bounded curve)
         "events_kaplan_meier": events.events_kaplan_meier,
+        # STREAMING micro-batch tumbling aggregate: exactly-once chunk
+        # folds into the keyed upsert table ≡ the batch aggregate —
+        # shares the batch query's SQL oracle
+        "events_streaming_tumbling": events.events_streaming_tumbling,
         # Theil-T inequality decomposition of supplier revenue by nation
         # (within + between terms; exact centi-nat integer addends)
         "supplier_theil": relational.supplier_theil,
@@ -1000,6 +1004,7 @@ def oracle_sql() -> dict[str, str]:
         "events_mannwhitney": events.MANNWHITNEY_SQL,
         "events_geomean": events.GEOMEAN_SQL,
         "events_kaplan_meier": events.KAPLAN_MEIER_SQL,
+        "events_streaming_tumbling": events.TUMBLING_SQL,
         "supplier_theil": relational.SUPPLIER_THEIL_SQL,
         "lineitem_corr_matrix": relational.CORR_MATRIX_SQL,
         "orders_runs_test": relational.RUNS_TEST_SQL,

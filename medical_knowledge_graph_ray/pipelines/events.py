@@ -3499,3 +3499,52 @@ def events_markov_stationary(sf_dir: str, iters: int = 60):
         {"event_type": pd.array(types, "str"),
          "stationary_p": np.round(pi, 6)}
     )
+
+
+def events_streaming_tumbling(sf_dir: str, n_chunks: int = 4,
+                              state_dir: str | None = None):
+    """The tumbling-window aggregate computed as a STREAMING ingestion:
+    events arrive in ``n_chunks`` micro-batches (chunked by
+    event_id mod n — arrival order is irrelevant, the partials are
+    exact int64 and addition is associative), each folded exactly-once
+    into a persistent keyed state table
+    (``stages/streaming.py:microbatch_aggregate`` over the upsert
+    table).  The folded state equals the one-shot batch
+    ``events_tumbling`` bit-for-bit, so this query shares its SQL
+    oracle — the batch/streaming equivalence is the correctness gate,
+    not just a pytest.  Crash/restart exactly-once semantics are
+    pytest-gated separately."""
+    import tempfile
+
+    from ..stages.streaming import (
+        init_stream_table, microbatch_aggregate, stream_state,
+    )
+    from ..stages.windows import tumbling_partial_batch
+
+    ev = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+    table_dir = state_dir or tempfile.mkdtemp(prefix="mkg_stream_")
+    init_stream_table(table_dir, "_k")
+    for i in range(n_chunks):
+        def pick(b: pd.DataFrame, i=i) -> pd.DataFrame:
+            return b[b["event_id"] % n_chunks == i]
+
+        chunk = ev.map_batches(arrow_out(pick), batch_format="pandas")
+        partials = chunk.map_batches(
+            arrow_out(tumbling_partial_batch), batch_format="pandas"
+        )
+        microbatch_aggregate(
+            table_dir, f"chunk-{i}", partials,
+            ["event_type", "window_start"], ["n", "sum_value_c"],
+        )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": b["event_type"].astype(str),
+             "window_start": b["window_start"],
+             "n": b["n"].astype("int64"),
+             "sum_value": b["sum_value_c"].astype("int64") / 100.0}
+        )
+
+    return stream_state(table_dir).map_batches(
+        arrow_out(finalize), batch_format="pandas"
+    )

@@ -135,3 +135,103 @@ def test_time_travel_and_vacuum(ray_session, tmp_path):
         pd.testing.assert_frame_equal(got, states[v], check_dtype=False)
     with pytest.raises(ValueError):
         read_keyed_table(table, version=0)
+
+
+# -- streaming micro-batch aggregation ----------------------------------------
+
+
+def _mk_partials(rows):
+    import pandas as pd
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_microbatch_exactly_once_and_resume(ray_session, tmp_path):
+    import pandas as pd
+
+    from medical_knowledge_graph_ray.stages.streaming import (
+        init_stream_table, microbatch_aggregate, stream_state,
+    )
+
+    d = str(tmp_path / "state")
+    init_stream_table(d, "_k")
+    c1 = [{"k": "a", "n": 2}, {"k": "b", "n": 1}]
+    c2 = [{"k": "a", "n": 3}, {"k": "c", "n": 5}]
+
+    microbatch_aggregate(d, "c1", _mk_partials(c1), ["k"], ["n"])
+    # re-apply the SAME chunk: structural no-op (exactly-once)
+    microbatch_aggregate(d, "c1", _mk_partials(c1), ["k"], ["n"])
+    # "crash" here, then the restarted loop replays c1 AND applies c2
+    microbatch_aggregate(d, "c1", _mk_partials(c1), ["k"], ["n"])
+    microbatch_aggregate(d, "c2", _mk_partials(c2), ["k"], ["n"])
+
+    got = (stream_state(d).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    want = pd.DataFrame({"k": ["a", "b", "c"], "n": [5, 1, 5]})
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_streaming_tumbling_chunking_invariance(ray_session, tmp_path):
+    from medical_knowledge_graph_ray.pipelines.events import (
+        events_streaming_tumbling, events_tumbling,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = (events_tumbling(sf).to_pandas()
+             .sort_values(["event_type", "window_start"])
+             .reset_index(drop=True))
+    for n_chunks in (2, 4):
+        got = (events_streaming_tumbling(
+                   sf, n_chunks=n_chunks,
+                   state_dir=str(tmp_path / f"s{n_chunks}"))
+               .to_pandas()
+               .sort_values(["event_type", "window_start"])
+               .reset_index(drop=True))
+        assert got[["event_type", "n", "sum_value"]].equals(
+            batch[["event_type", "n", "sum_value"]])
+        assert (got["window_start"].to_numpy()
+                == batch["window_start"].to_numpy()).all()
+
+
+def test_streaming_resume_from_partial_run(ray_session, tmp_path):
+    """Apply half the chunks, 'crash', re-run the FULL loop on the same
+    state dir — result equals the batch aggregate (no double counts)."""
+    from medical_knowledge_graph_ray.pipelines.events import (
+        events_streaming_tumbling, events_tumbling,
+    )
+    from medical_knowledge_graph_ray.pipelines.events import _events
+    from medical_knowledge_graph_ray.stages.streaming import (
+        init_stream_table, microbatch_aggregate,
+    )
+    from medical_knowledge_graph_ray.stages.windows import (
+        tumbling_partial_batch,
+    )
+    from medical_knowledge_graph_ray.functions.arrow import arrow_out
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    d = str(tmp_path / "resume")
+    init_stream_table(d, "_k")
+    ev = _events(sf, ["event_id", "event_type", "ts", "value"])
+    for i in range(2):  # partial run: chunks 0 and 1 of 4
+        def pick(b: pd.DataFrame, i=i) -> pd.DataFrame:
+            return b[b["event_id"] % 4 == i]
+
+        partials = ev.map_batches(
+            arrow_out(pick), batch_format="pandas"
+        ).map_batches(arrow_out(tumbling_partial_batch),
+                      batch_format="pandas")
+        microbatch_aggregate(d, f"chunk-{i}", partials,
+                             ["event_type", "window_start"],
+                             ["n", "sum_value_c"])
+    # restart: the full query replays all 4 chunk ids on the same dir
+    got = (events_streaming_tumbling(sf, n_chunks=4, state_dir=d)
+           .to_pandas().sort_values(["event_type", "window_start"])
+           .reset_index(drop=True))
+    batch = (events_tumbling(sf).to_pandas()
+             .sort_values(["event_type", "window_start"])
+             .reset_index(drop=True))
+    assert got[["event_type", "n", "sum_value"]].equals(
+        batch[["event_type", "n", "sum_value"]])
