@@ -646,6 +646,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sorted-neighborhood dedup pairs (SNM: monotone-prefix global
         # rank + ghost-overlap span buckets; exact windowed Jaccard)
         "docs_snm_pairs": docs.docs_snm_pairs,
+        # near-superset detection: exact gram containment ≥ 0.8 via the
+        # asymmetric-index prefix-filter self-join
+        "docs_containment_pairs": docs.docs_containment_pairs,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -1012,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_seasonal_decompose": relational.SEASONAL_SQL,
         "docs_gopher_rules": docs.GOPHER_RULES_SQL,
         "docs_snm_pairs": docs.SNM_PAIRS_SQL,
+        "docs_containment_pairs": docs.CONTAINMENT_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

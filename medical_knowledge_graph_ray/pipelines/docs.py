@@ -5283,3 +5283,69 @@ FROM t a JOIN t b ON b.rn > a.rn AND b.rn <= a.rn + 3
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
 """
+
+
+CONTAIN_T_PERMILLE = 800  # containment threshold (‰), integer compare
+
+
+def docs_containment_pairs(sf_dir: str):
+    """Near-SUPERSET pairs: ordered (doc_sub, doc_sup) with
+    distinct-3-gram containment |sub∩sup| ≥ 0.8·|sub| — catches quoted
+    /extended/boilerplate-wrapped documents that symmetric Jaccard
+    misses (a 10× wrapper has tiny Jaccard but full containment).
+    Algorithm + exchange plan: ``stages/dedup.py:
+    prefix_containment_pairs`` (asymmetric-index prefix filter)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def gram_sets(b: pd.DataFrame) -> pd.DataFrame:
+        dids, _pos, h = _token_gram_hashes(b, PFX_GRAM_K)
+        return pd.DataFrame(
+            {"doc_id": pd.array(dids, "int64"), "h": pd.array(h, "uint64")}
+        ).drop_duplicates()
+
+    grams = docs.map_batches(arrow_out(gram_sets), batch_format="pandas")
+    from ..stages.dedup import prefix_containment_pairs
+
+    pairs = prefix_containment_pairs(
+        grams, threshold_permille=CONTAIN_T_PERMILLE
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_sub": b["doc_sub"].astype("int64"),
+             "doc_sup": b["doc_sup"].astype("int64"),
+             "inter": b["inter"].astype("int64"),
+             "sz_sub": b["sz_sub"].astype("int64"),
+             "containment": np.round(
+                 b["inter"].to_numpy("int64")
+                 / b["sz_sub"].to_numpy("int64"), 6)}
+        )
+
+    return pairs.map_batches(arrow_out(finalize), batch_format="pandas")
+
+
+CONTAINMENT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n FROM documents
+), gidx AS (
+  SELECT doc_id, toks, unnest(range(0, n - {PFX_GRAM_K} + 1)) AS pos
+  FROM t WHERE n >= {PFX_GRAM_K}
+), g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, pos + 1, pos + {PFX_GRAM_K}), ' ')
+           AS gram
+  FROM gidx
+), sz AS (
+  SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup, COUNT(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_sub, doc_sup, CAST(inter AS BIGINT) AS inter,
+       CAST(s.sz AS BIGINT) AS sz_sub,
+       round(CAST(inter AS DOUBLE) / s.sz, 6) AS containment
+FROM inter JOIN sz s ON doc_sub = s.doc_id
+WHERE inter * 1000 >= {CONTAIN_T_PERMILLE} * s.sz
+"""

@@ -647,3 +647,105 @@ def prefix_jaccard_pairs(
         lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
         num_buckets=8,
     )
+
+
+def prefix_containment_pairs(
+    gram_sets,
+    *,
+    threshold_permille: int = 800,
+    num_buckets: int | None = None,
+):
+    """EXACT set-CONTAINMENT self-join with prefix filtering: all ORDERED
+    pairs (sub, sup) with |sub ∩ sup| ≥ t·|sub| — the near-superset
+    detector (quote/extension/boilerplate-wrapper dedup), asymmetric
+    where :func:`prefix_jaccard_pairs` is symmetric.
+
+    Same input contract and exchange skeleton as the Jaccard join, with
+    the ASYMMETRIC-index variant of the prefix lemma: if
+    |A∩B| ≥ t·|A| then A's first |A| − ⌈t·|A|⌉ + 1 grams (global
+    df-asc order) must hit B, but B must be indexed under ALL its grams
+    (a superset has no prefix obligation).  Index rows therefore
+    replicate each doc's sorted set payload once per GRAM rather than
+    once per prefix gram — the known Vernica containment trade
+    (Σ|set|² bytes worst case); the Jaccard join remains the cheap
+    default when symmetry is acceptable.  Threshold tested as the
+    integer compare ``inter·1000 ≥ t‰·|sub|`` — no floats."""
+    from ..functions.arrow import arrow_out
+    from ..stages.shuffle import bucketed_group_map
+
+    t_pm = int(threshold_permille)
+
+    def df_annotate(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("h", sort=False)["h"].transform("size")
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].astype("int64"),
+             "h": pd.array(g["h"], "uint64"),
+             "df": df.astype("int64")}
+        )
+
+    annotated = bucketed_group_map(
+        gram_sets, ["h"], df_annotate, num_buckets=num_buckets
+    )
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["doc_id", "df", "h"], kind="mergesort")
+        sz = s.groupby("doc_id", sort=False)["h"].transform("size").to_numpy()
+        rank = s.groupby("doc_id", sort=False).cumcount().to_numpy()
+        p = sz - (t_pm * sz + 999) // 1000 + 1
+        sets: dict[int, bytes] = {}
+        for did, grp in s.groupby("doc_id", sort=False):
+            sets[did] = np.sort(grp["h"].to_numpy()).tobytes()
+        probe = rank < p
+        # every row is an INDEX row (all grams); prefix rows also probe
+        return pd.DataFrame(
+            {"ph": pd.array(s["h"], "uint64"),
+             "doc_id": s["doc_id"].astype("int64"),
+             "sz": pd.array(sz, "int64"),
+             "probe": pd.array(probe.astype("int8"), "int8"),
+             "set": pd.array([sets[d] for d in s["doc_id"]], dtype=object)}
+        )
+
+    prefixed = bucketed_group_map(
+        annotated, ["doc_id"], emit, num_buckets=num_buckets
+    )
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_s, out_p, out_i, out_z = [], [], [], []
+        for _, grp in g.groupby("ph", sort=False):
+            if len(grp) < 2:
+                continue
+            probes = grp[grp["probe"] == 1]
+            if not len(probes):
+                continue
+            ids = grp["doc_id"].to_numpy()
+            raw = grp["set"].tolist()
+            arrs = [np.frombuffer(r, dtype=np.uint64) for r in raw]
+            pidx = np.flatnonzero(grp["probe"].to_numpy() == 1)
+            szs = grp["sz"].to_numpy()
+            for i in pidx:
+                for j in range(len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    inter = int(np.intersect1d(
+                        arrs[i], arrs[j], assume_unique=True
+                    ).size)
+                    if inter * 1000 >= t_pm * int(szs[i]):
+                        out_s.append(int(ids[i]))
+                        out_p.append(int(ids[j]))
+                        out_i.append(inter)
+                        out_z.append(int(szs[i]))
+        return pd.DataFrame(
+            {"doc_sub": pd.array(out_s, "int64"),
+             "doc_sup": pd.array(out_p, "int64"),
+             "inter": pd.array(out_i, "int64"),
+             "sz_sub": pd.array(out_z, "int64")}
+        )
+
+    pairs = bucketed_group_map(
+        prefixed, ["ph"], verify_bucket, num_buckets=num_buckets
+    )
+    return bucketed_group_map(
+        pairs, ["doc_sub", "doc_sup"],
+        lambda g: g.drop_duplicates(["doc_sub", "doc_sup"]),
+        num_buckets=8,
+    )
