@@ -649,6 +649,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-superset detection: exact gram containment ≥ 0.8 via the
         # asymmetric-index prefix-filter self-join
         "docs_containment_pairs": docs.docs_containment_pairs,
+        # boolean-predicate counts served from the persisted bitmap index
+        # (AND/OR/NOT bitwise combine per bucket; data pages untouched)
+        "lineitem_bitmap_counts": relational.lineitem_bitmap_counts,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -1016,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_gopher_rules": docs.GOPHER_RULES_SQL,
         "docs_snm_pairs": docs.SNM_PAIRS_SQL,
         "docs_containment_pairs": docs.CONTAINMENT_SQL,
+        "lineitem_bitmap_counts": relational.BITMAP_COUNTS_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,
