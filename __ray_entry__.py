@@ -336,6 +336,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_multi": docs.knn_cosine_multi_q,
         # event-type transition census (LEAD window → Markov counts)
         "events_transitions": events.events_transitions,
+        # sequence mining: top contiguous event-type trigrams with
+        # occurrence + distinct-user counts (user-complete buckets)
+        "events_path_trigrams": events.events_path_trigrams,
         # global ordered running total over the bounded month census, and
         # the global-scalar-then-filter (correlated-subquery) shape
         "orders_monthly_cumrev": relational.orders_monthly_cumrev,
@@ -898,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
         "tables_integrity": relational.TABLES_INTEGRITY_SQL,
         "knn_cosine_multi": docs.KNN_MULTI_SQL,
         "events_transitions": events.TRANSITIONS_SQL,
+        "events_path_trigrams": events.PATH_TRIGRAMS_SQL,
         "orders_monthly_cumrev": relational.MONTHLY_CUMREV_SQL,
         "customers_above_avg": relational.ABOVE_AVG_SQL,
         "events_sliding_users": events.SLIDING_USERS_SQL,

@@ -3548,3 +3548,84 @@ def events_streaming_tumbling(sf_dir: str, n_chunks: int = 4,
     return stream_state(table_dir).map_batches(
         arrow_out(finalize), batch_format="pandas"
     )
+
+
+# -- sequence mining: top contiguous event-type trigrams -------------------------
+
+TRIGRAM_TOP_K = 20
+
+
+def events_path_trigrams(sf_dir: str):
+    """Top-``TRIGRAM_TOP_K`` contiguous event-type TRIGRAMS across all
+    user streams with occurrence AND distinct-user counts — the
+    sequence-mining census one order up from `events_transitions`'
+    bigrams (sub-path discovery rather than whole-path `events_top_paths`
+    counting).
+
+    Shape: ONE user_id exchange; inside each user-complete bucket both
+    statistics finalize per trigram EXACTLY (every occurrence and every
+    user of a stream lives in one bucket), so the second exchange is the
+    ≤|types|³-key census fold; top-k (n desc, trigram asc) is total and
+    parallelism-invariant."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        user = s["user_id"].to_numpy()
+        et = s["event_type"].to_numpy()
+        if len(s) < 3:
+            return pd.DataFrame(
+                {"t1": pd.array([], "str"), "t2": pd.array([], "str"),
+                 "t3": pd.array([], "str"),
+                 "n": pd.array([], "int64"),
+                 "n_users": pd.array([], "int64")}
+            )
+        same = (user[:-2] == user[1:-1]) & (user[1:-1] == user[2:])
+        df = pd.DataFrame(
+            {"u": user[:-2][same], "t1": et[:-2][same],
+             "t2": et[1:-1][same], "t3": et[2:][same]}
+        )
+        agg = (df.groupby(["t1", "t2", "t3"], sort=False)
+               .agg(n=("u", "size"), n_users=("u", "nunique"))
+               .reset_index())
+        return agg.astype({"n": "int64", "n_users": "int64"})
+
+    partials = bucketed_group_map(ev, ["user_id"], partial, num_buckets=32)
+    agg = partials.groupby(["t1", "t2", "t3"]).aggregate(
+        Sum("n", alias_name="n"), Sum("n_users", alias_name="n_users")
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"t1": b["t1"].astype(str), "t2": b["t2"].astype(str),
+             "t3": b["t3"].astype(str),
+             "n": b["n"].astype("int64"),
+             "n_users": b["n_users"].astype("int64")}
+        )
+
+    return (
+        agg.map_batches(arrow_out(finalize), batch_format="pandas")
+        .sort(["n", "t1", "t2", "t3"], descending=[True, False, False, False])
+        .limit(TRIGRAM_TOP_K)
+    )
+
+
+PATH_TRIGRAMS_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3
+LIMIT {TRIGRAM_TOP_K}
+"""
