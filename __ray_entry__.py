@@ -753,6 +753,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HITS hubs/authorities over the directed source→term graph
         # (BSP ≡ dense pinned in tests/test_graph.py; iterative — no SQL)
         "kg_hits": docs_kg.kg_hits,
+        # betweenness centrality (pivot-parallel Brandes, exact int64
+        # micro-dependency fold; distributed ≡ dense pytest-pinned)
+        "kg_betweenness": docs_kg.kg_betweenness,
         # MMR diversified top-k retrieval (distributed candidate pool +
         # bounded greedy re-rank; pinned ≡ reference impl in tests)
         "embed_mmr": docs.embed_mmr,

@@ -1289,3 +1289,51 @@ def kg_hits(sf_dir: str, iters: int = 20) -> pd.DataFrame:
          "hub": np.round(res["hub"].to_numpy(), 6),
          "authority": np.round(res["authority"].to_numpy(), 6)}
     )
+
+
+def kg_betweenness(sf_dir: str, n_pivots: int | None = None) -> pd.DataFrame:
+    """Betweenness centrality over the UNDIRECTED source↔term mention
+    graph (`doc_edges`) — the bridge detector: sources/terms whose
+    removal disconnects the most shortest paths (complements PageRank's
+    volume salience and HITS's mutual reinforcement).
+
+    Runs the DISTRIBUTED pivot-parallel Brandes
+    (`stages/graph.py:betweenness`: CSR broadcast once, pivot fan-out,
+    exact int64 micro-dependency fold ⇒ bit-identical at any
+    parallelism; ``n_pivots`` switches to the Brandes–Pich estimator
+    with md5-stable pivots).  Rows-only (iterative — no SQL oracle);
+    distributed ≡ dense pinned in `tests/test_graph.py`."""
+    import ray.data as rd
+
+    from ..stages.graph import betweenness
+
+    edges = doc_edges(sf_dir).to_pandas()  # (sources×gazetteer)-bounded
+    if not len(edges):
+        return pd.DataFrame(
+            {"kind": pd.array([], "str"), "name": pd.array([], "str"),
+             "bc": pd.array([], "float64")}
+        )
+    srcs = sorted(edges["source"].unique())
+    terms = sorted(edges["term"].unique())
+    sid = {s: i for i, s in enumerate(srcs)}
+    tid = {t: len(srcs) + i for i, t in enumerate(terms)}
+    df = pd.DataFrame(
+        {"src": edges["source"].map(sid).astype("int64"),
+         "dst": edges["term"].map(tid).astype("int64")}
+    )
+    res = betweenness(rd.from_pandas(df), n_pivots=n_pivots).to_pandas()
+    if "node" not in res.columns:  # zero-block to_pandas schema drop
+        res = pd.DataFrame({"node": pd.array([], "int64"),
+                            "bc_micro": pd.array([], "int64")})
+    names = np.array(srcs + terms, dtype=object)
+    kinds = np.array(["source"] * len(srcs) + ["term"] * len(terms),
+                     dtype=object)
+    node = res["node"].to_numpy("int64")
+    out = pd.DataFrame(
+        {"kind": pd.array(kinds[node], "str"),
+         "name": pd.array(names[node], "str"),
+         "bc": res["bc_micro"].to_numpy("int64") / 2e6}
+    )
+    return out.sort_values(["bc", "kind", "name"],
+                           ascending=[False, True, True],
+                           kind="mergesort").reset_index(drop=True)

@@ -950,3 +950,180 @@ def hits(
         left_schema=_VAL_SCHEMA, right_schema=_VAL_SCHEMA,
         num_buckets=num_buckets, bucket_post=merge_post,
     )
+
+
+# -- betweenness centrality (Brandes 2001, pivot-parallel) -----------------------
+
+
+def _csr_undirected(u: np.ndarray, v: np.ndarray):
+    """Dedup + symmetrize an edge list into CSR over the sorted node
+    array (self-loops dropped).  Returns (nodes, indptr, nbrs)."""
+    keep = u != v
+    u, v = u[keep], v[keep]
+    nodes = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    a = np.concatenate([ui, vi])
+    b = np.concatenate([vi, ui])
+    key = a.astype("int64") * len(nodes) + b
+    uk = np.unique(key)
+    a = (uk // len(nodes)).astype("int64")
+    b = (uk % len(nodes)).astype("int64")
+    indptr = np.zeros(len(nodes) + 1, dtype="int64")
+    np.add.at(indptr, a + 1, 1)
+    indptr = np.cumsum(indptr)
+    return nodes, indptr, b
+
+
+def _brandes_sources(sources: np.ndarray, indptr: np.ndarray,
+                     nbrs: np.ndarray, n: int) -> np.ndarray:
+    """Exact per-source Brandes dependency accumulation for a SLICE of
+    sources, each fully level-vectorized (frontier gathers over CSR,
+    np.add.at for σ and δ) — returns the slice's summed int64
+    MICRO-dependency vector.  Rounding each source's δ to integer
+    micro-units BEFORE any cross-source sum is what makes the global
+    result an exact integer fold: invariant to pivot batching and to
+    the final exchange's order (the engine's round-each-addend float
+    contract)."""
+    acc = np.zeros(n, dtype="int64")
+    deg = np.diff(indptr)
+    for s in sources:
+        dist = np.full(n, -1, dtype="int64")
+        sigma = np.zeros(n, dtype="float64")
+        dist[s] = 0
+        sigma[s] = 1.0
+        frontiers = [np.array([s], dtype="int64")]
+        lvl = 0
+        while True:
+            f = frontiers[-1]
+            reps = deg[f]
+            if not reps.sum():
+                break
+            src = np.repeat(f, reps)
+            tgt = np.concatenate([nbrs[indptr[x]:indptr[x + 1]] for x in f]) \
+                if len(f) < 64 else nbrs[_ranges(indptr, f)]
+            new_mask = dist[tgt] == -1
+            if new_mask.any():
+                dist[tgt[new_mask]] = lvl + 1
+            on_path = dist[tgt] == lvl + 1
+            if on_path.any():
+                np.add.at(sigma, tgt[on_path], sigma[src[on_path]])
+            nxt = np.unique(tgt[new_mask])
+            if not len(nxt):
+                break
+            frontiers.append(nxt)
+            lvl += 1
+        delta = np.zeros(n, dtype="float64")
+        for f in reversed(frontiers[1:]):
+            reps = deg[f]
+            src = np.repeat(f, reps)
+            tgt = nbrs[_ranges(indptr, f)]
+            down = dist[tgt] == dist[src] + 1
+            if down.any():
+                contrib = (sigma[src[down]] / sigma[tgt[down]]
+                           * (1.0 + delta[tgt[down]]))
+                np.add.at(delta, src[down], contrib)
+        delta[s] = 0.0
+        acc += np.floor(delta * 1_000_000 + 0.5).astype("int64")
+    return acc
+
+
+def _ranges(indptr: np.ndarray, f: np.ndarray) -> np.ndarray:
+    """Concatenated CSR index ranges for the frontier nodes ``f``."""
+    counts = indptr[f + 1] - indptr[f]
+    total = int(counts.sum())
+    out = np.ones(total, dtype="int64")
+    starts = np.cumsum(np.concatenate([[0], counts[:-1]]))
+    out[starts] = indptr[f]
+    out[starts[1:]] -= indptr[f[:-1] + 1] - 1
+    return np.cumsum(out)
+
+
+def betweenness_dense(adj: pd.DataFrame, u: str = "u", v: str = "v",
+                      *, pivots: np.ndarray | None = None) -> pd.DataFrame:
+    """Driver-side exact (or pivot-restricted) Brandes — the reference
+    pin for :func:`betweenness` and its bounded-graph finalizer.
+    Returns (node, bc_micro): the int64 sum of per-source micro-rounded
+    dependencies (undirected double counting NOT halved — callers
+    finalize ``bc = bc_micro / 2e6`` in one division)."""
+    nodes, indptr, nbrs = _csr_undirected(
+        adj[u].to_numpy("int64"), adj[v].to_numpy("int64"))
+    n = len(nodes)
+    if not n:
+        return pd.DataFrame({"node": pd.array([], "int64"),
+                             "bc_micro": pd.array([], "int64")})
+    src = (np.arange(n, dtype="int64") if pivots is None
+           else np.searchsorted(nodes, np.sort(pivots)))
+    acc = _brandes_sources(src, indptr, nbrs, n)
+    return pd.DataFrame({"node": nodes.astype("int64"),
+                         "bc_micro": acc})
+
+
+def betweenness(
+    edges,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    n_pivots: int | None = None,
+    pivot_batch: int = 8,
+    num_buckets: int = 16,
+):
+    """Distributed betweenness centrality (Brandes 2001; Brandes–Pich
+    pivot sampling when ``n_pivots`` caps the source set) over an
+    undirected edge Dataset → Dataset (node, bc_micro int64).
+
+    Partitioning assumption (documented, inherent to the algorithm):
+    each source's BFS needs the WHOLE graph, so the CSR is the
+    broadcast-side artifact (``ray.put`` once, read by every pivot
+    task) and the parallel axis is the PIVOT fan-out — the standard
+    practical shape for betweenness (the graph is orders of magnitude
+    smaller than the corpus that mined it).  Per-pivot-batch partial
+    vectors are pre-summed int64 micro addends, so the single node-keyed
+    exchange carries ≤ batches×n rows and the fold is exact-integer ⇒
+    bit-identical at any parallelism.  Pivot selection is md5-stable
+    (bottom-``n_pivots`` by ``md5_int`` of the node id), never
+    enumeration order."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import md5_int_vec_prefixed
+    from .shuffle import bucketed_group_map
+
+    def both(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": b[src_col].astype("int64"),
+                             "v": b[dst_col].astype("int64")})
+
+    adj = edges.map_batches(arrow_out(both), batch_format="pandas") \
+               .to_pandas()  # broadcast-side artifact by assumption
+    nodes, indptr, nbrs = _csr_undirected(
+        adj["u"].to_numpy("int64"), adj["v"].to_numpy("int64"))
+    n = len(nodes)
+    if not n:
+        return rd.from_pandas(pd.DataFrame(
+            {"node": pd.array([], "int64"),
+             "bc_micro": pd.array([], "int64")}))
+    if n_pivots is not None and n_pivots < n:
+        h = md5_int_vec_prefixed("bc-pivot|", nodes, bits=64)
+        src = np.sort(np.argsort(h, kind="stable")[:n_pivots]).astype("int64")
+    else:
+        src = np.arange(n, dtype="int64")
+    csr_ref = ray.put((nodes, indptr, nbrs))
+
+    piv = rd.from_pandas(pd.DataFrame({"s": src})).repartition(
+        max(1, (len(src) + pivot_batch - 1) // pivot_batch))
+
+    def run_batch(b: pd.DataFrame) -> pd.DataFrame:
+        nds, ip, nb = ray.get(csr_ref)
+        acc = _brandes_sources(b["s"].to_numpy("int64"), ip, nb, len(nds))
+        nz = np.flatnonzero(acc)
+        return pd.DataFrame({"node": nds[nz].astype("int64"),
+                             "bc_micro": acc[nz]})
+
+    parts = piv.map_batches(arrow_out(run_batch), batch_format="pandas",
+                            batch_size=pivot_batch)
+    return bucketed_group_map(
+        parts, ["node"],
+        lambda g: g.groupby("node", sort=False, as_index=False)["bc_micro"]
+        .sum(),
+        num_buckets=num_buckets,
+    )

@@ -429,3 +429,114 @@ def test_kg_hits_runs_and_is_normalized(ray_session):
     # bipartite: sources are pure hubs, terms pure authorities
     assert (r.loc[r["kind"] == "source", "authority"] == 0).all()
     assert (r.loc[r["kind"] == "term", "hub"] == 0).all()
+
+
+# -- betweenness centrality -------------------------------------------------
+
+
+def _slow_brandes(u, v):
+    from collections import defaultdict, deque
+
+    edges = set()
+    for a, b in zip(u, v):
+        if a != b:
+            edges.add((a, b))
+            edges.add((b, a))
+    nbr = defaultdict(list)
+    for a, b in sorted(edges):
+        nbr[a].append(b)
+    bc = defaultdict(float)
+    for s in sorted(nbr):
+        S, P = [], defaultdict(list)
+        sig, d = defaultdict(float), {s: 0}
+        sig[s] = 1
+        Q = deque([s])
+        while Q:
+            x = Q.popleft()
+            S.append(x)
+            for w in nbr[x]:
+                if w not in d:
+                    d[w] = d[x] + 1
+                    Q.append(w)
+                if d[w] == d[x] + 1:
+                    sig[w] += sig[x]
+                    P[w].append(x)
+        delta = defaultdict(float)
+        while S:
+            w = S.pop()
+            for x in P[w]:
+                delta[x] += sig[x] / sig[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {n: bc[n] / 2 for n in sorted(nbr)}
+
+
+def test_betweenness_dense_hand_cases():
+    from medical_knowledge_graph_ray.stages.graph import betweenness_dense
+
+    # P4 path: middle nodes lie on 2 endpoint pairs each
+    r = betweenness_dense(pd.DataFrame({"u": [1, 2, 3], "v": [2, 3, 4]}))
+    got = dict(zip(r["node"], r["bc_micro"] / 2e6))
+    assert got == {1: 0.0, 2: 2.0, 3: 2.0, 4: 0.0}
+    # star: center on all (n-1)(n-2)/2 pairs
+    r = betweenness_dense(
+        pd.DataFrame({"u": [0] * 5, "v": [1, 2, 3, 4, 5]}))
+    assert dict(zip(r["node"], r["bc_micro"] / 2e6))[0] == 10.0
+
+
+def test_betweenness_dense_matches_slow_reference():
+    from medical_knowledge_graph_ray.stages.graph import betweenness_dense
+
+    rng = np.random.RandomState(11)
+    u = rng.randint(0, 30, 90)
+    v = rng.randint(0, 30, 90)
+    got = betweenness_dense(pd.DataFrame({"u": u, "v": v}))
+    gm = dict(zip(got["node"], got["bc_micro"] / 2e6))
+    want = _slow_brandes(u, v)
+    assert set(gm) == set(want)
+    for n in want:
+        assert abs(gm[n] - want[n]) < 1e-4, n
+
+
+def test_betweenness_distributed_equals_dense_and_invariant(ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.graph import (betweenness,
+                                                          betweenness_dense)
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"src": rng.randint(0, 40, 150).astype("int64"),
+                       "dst": rng.randint(0, 40, 150).astype("int64")})
+    dense = betweenness_dense(df, "src", "dst").set_index("node")["bc_micro"]
+    dense = dense[dense != 0]
+    a = betweenness(rd.from_pandas(df), pivot_batch=4,
+                    num_buckets=4).to_pandas()
+    b = betweenness(rd.from_pandas(df), pivot_batch=17,
+                    num_buckets=9).to_pandas()
+    for got in (a, b):  # exact integer fold ⇒ bit-identical
+        g = got.set_index("node")["bc_micro"].sort_index()
+        assert g.equals(dense.sort_index())
+
+
+def test_betweenness_pivot_sampling_is_stable_subset(ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.graph import (betweenness,
+                                                          betweenness_dense)
+    from medical_knowledge_graph_ray.functions.hashing import \
+        md5_int_vec_prefixed
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({"src": rng.randint(0, 25, 80).astype("int64"),
+                       "dst": rng.randint(0, 25, 80).astype("int64")})
+    got = betweenness(rd.from_pandas(df), n_pivots=6,
+                      pivot_batch=2).to_pandas()
+    # pin the estimator: dense restricted to the SAME md5-stable pivots
+    nodes = np.unique(np.concatenate([df["src"], df["dst"]]))
+    h = md5_int_vec_prefixed("bc-pivot|", nodes, bits=64)
+    piv = nodes[np.sort(np.argsort(h, kind="stable")[:6])]
+    want = betweenness_dense(df, "src", "dst", pivots=piv)
+    want = want[want["bc_micro"] != 0]
+    g = got.set_index("node")["bc_micro"].sort_index()
+    w = want.set_index("node")["bc_micro"].sort_index()
+    assert g.equals(w)
