@@ -756,6 +756,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # betweenness centrality (pivot-parallel Brandes, exact int64
         # micro-dependency fold; distributed ≡ dense pytest-pinned)
         "kg_betweenness": docs_kg.kg_betweenness,
+        # weighted SSSP from an md5-stable hub (BSP relaxation ≡ Dijkstra)
+        "kg_distances": docs_kg.kg_distances,
         # MMR diversified top-k retrieval (distributed candidate pool +
         # bounded greedy re-rank; pinned ≡ reference impl in tests)
         "embed_mmr": docs.embed_mmr,

@@ -1337,3 +1337,43 @@ def kg_betweenness(sf_dir: str, n_pivots: int | None = None) -> pd.DataFrame:
     return out.sort_values(["bc", "kind", "name"],
                            ascending=[False, True, True],
                            kind="mergesort").reset_index(drop=True)
+
+
+def kg_distances(sf_dir: str) -> pd.DataFrame:
+    """Weighted shortest-path distances from an md5-stable hub over the
+    source↔term mention graph, edge cost = 1/n_docs (strongly-attested
+    edges are cheap) — the proximity ranking that complements k-hop's
+    unweighted reachability.  Runs `stages/graph.py:sssp` (exact int64
+    micro relaxation, BSP ≡ Dijkstra pinned); rows-only (iterative)."""
+    from ..functions.hashing import md5_int
+    from ..stages.graph import sssp
+
+    import ray.data as rd
+
+    edges = doc_edges(sf_dir).to_pandas()  # (sources×gazetteer)-bounded
+    if not len(edges):
+        return pd.DataFrame(
+            {"kind": pd.array([], "str"), "name": pd.array([], "str"),
+             "dist_micro": pd.array([], "int64")}
+        )
+    srcs = sorted(edges["source"].unique())
+    terms = sorted(edges["term"].unique())
+    names = np.array(srcs + terms, dtype=object)
+    kinds = np.array(["source"] * len(srcs) + ["term"] * len(terms),
+                     dtype=object)
+    sid = {s: i for i, s in enumerate(srcs)}
+    tid = {t: len(srcs) + i for i, t in enumerate(terms)}
+    df = pd.DataFrame(
+        {"src": edges["source"].map(sid).astype("int64"),
+         "dst": edges["term"].map(tid).astype("int64"),
+         "cost": 1.0 / edges["n_docs"].to_numpy("int64")}
+    )
+    start = min(range(len(names)), key=lambda i: md5_int(f"sssp|{names[i]}"))
+    res = sssp(rd.from_pandas(df), weight_col="cost", source=start)
+    node = res["node"].to_numpy("int64")
+    return pd.DataFrame(
+        {"kind": pd.array(kinds[node], "str"),
+         "name": pd.array(names[node], "str"),
+         "dist_micro": res["dist_micro"].astype("int64")}
+    ).sort_values(["dist_micro", "kind", "name"],
+                  kind="mergesort").reset_index(drop=True)

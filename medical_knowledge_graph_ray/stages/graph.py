@@ -1127,3 +1127,130 @@ def betweenness(
         .sum(),
         num_buckets=num_buckets,
     )
+
+
+# -- single-source shortest paths (weighted, BSP relaxation) ---------------------
+
+
+def sssp_dense(adj: pd.DataFrame, source: int, u: str = "u", v: str = "v",
+               w: str = "w_micro") -> pd.DataFrame:
+    """Driver-side Dijkstra over a both-directions integer-weight edge
+    frame — the reference pin for :func:`sssp` and its bounded-graph
+    finalizer.  Returns (node, dist_micro) for REACHABLE nodes only."""
+    import heapq
+    from collections import defaultdict
+
+    nbr = defaultdict(list)
+    for a, b, c in zip(adj[u].to_numpy("int64"), adj[v].to_numpy("int64"),
+                       adj[w].to_numpy("int64")):
+        nbr[a].append((b, c))
+    dist = {int(source): 0}
+    pq = [(0, int(source))]
+    while pq:
+        d, x = heapq.heappop(pq)
+        if d > dist.get(x, 1 << 62):
+            continue
+        for y, c in nbr.get(x, ()):
+            nd = d + int(c)
+            if nd < dist.get(y, 1 << 62):
+                dist[y] = nd
+                heapq.heappush(pq, (nd, y))
+    ks = sorted(dist)
+    return pd.DataFrame({"node": pd.array(ks, "int64"),
+                         "dist_micro": pd.array([dist[k] for k in ks],
+                                                "int64")})
+
+
+def sssp(
+    edges,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    *,
+    source: int,
+    num_buckets: int = 16,
+    mode: str = "auto",
+    dense_edge_bound: int = 4_000_000,
+):
+    """Distributed weighted single-source shortest paths over an
+    undirected edge Dataset → (node, dist_micro int64) for reachable
+    nodes — frontier-synchronous Bellman–Ford relaxation (the BSP shape
+    of Δ-stepping with one global bucket).
+
+    Weights are micro-scaled NON-NEGATIVE integers
+    (``floor(w·10⁶ + 0.5)``, 1 per edge when ``weight_col`` is None), so
+    every relaxation is exact int64 arithmetic ⇒ the fixpoint is unique
+    and bit-identical at any parallelism.  Per round: the frontier's
+    tentative distances broadcast (``ray.put``; the dist map is the
+    node-cardinality driver artifact this engine accepts — the k_core /
+    triangle_counts posture; unbounded node sets would hold dist as a
+    keyed table and make each round a partitioned join on src), edge
+    partials emit ``dist[src] + w`` candidates combined per batch, ONE
+    dst-keyed min exchange returns ≤ improved-node rows, the driver
+    folds improvements into the map.  Rounds ≤ the weighted-hop
+    diameter (frontier-synchronous), each a single exchange.
+
+    ``mode='auto'``: below ``dense_edge_bound`` directed edges the
+    finalize runs dense Dijkstra driver-side (mining stays distributed —
+    the adaptive posture shared with pagerank/k_core)."""
+    import ray
+    import ray.data as rd
+
+    from .shuffle import bucketed_group_map
+
+    def both(b: pd.DataFrame) -> pd.DataFrame:
+        wm = (np.floor(b[weight_col].to_numpy("float64") * 1_000_000 + 0.5)
+              .astype("int64")
+              if weight_col is not None
+              else np.full(len(b), 1_000_000, dtype="int64"))
+        if (wm < 0).any():
+            raise ValueError("sssp requires non-negative weights")
+        return pd.DataFrame(
+            {"u": pd.concat([b[src_col], b[dst_col]],
+                            ignore_index=True).astype("int64"),
+             "v": pd.concat([b[dst_col], b[src_col]],
+                            ignore_index=True).astype("int64"),
+             "w_micro": np.concatenate([wm, wm])}
+        )
+
+    adj = edges.map_batches(arrow_out(both),
+                            batch_format="pandas").materialize()
+    n_dir = adj.count()
+    if mode == "dense" or (mode == "auto" and n_dir <= dense_edge_bound):
+        return sssp_dense(adj.to_pandas(), source)
+
+    dist: dict[int, int] = {int(source): 0}
+    frontier: dict[int, int] = {int(source): 0}
+    while frontier:
+        f_ref = ray.put(frontier)
+
+        def relax_partial(b: pd.DataFrame) -> pd.DataFrame:
+            f = ray.get(f_ref)
+            m = b["u"].isin(f)
+            if not m.any():
+                return pd.DataFrame({"v": pd.array([], "int64"),
+                                     "d": pd.array([], "int64")})
+            sub = b[m]
+            d = (sub["u"].map(f).to_numpy("int64")
+                 + sub["w_micro"].to_numpy("int64"))
+            out = pd.DataFrame({"v": sub["v"].to_numpy("int64"), "d": d})
+            return (out.groupby("v", sort=False, as_index=False)["d"].min()
+                    .astype({"v": "int64", "d": "int64"}))
+
+        cand = bucketed_group_map(
+            adj.map_batches(arrow_out(relax_partial), batch_format="pandas"),
+            ["v"],
+            lambda g: g.groupby("v", sort=False, as_index=False)["d"].min(),
+            num_buckets=num_buckets,
+        ).to_pandas()  # ≤ touched-node rows
+        frontier = {}
+        if "v" in cand.columns:
+            for node, d in zip(cand["v"].to_numpy("int64"),
+                               cand["d"].to_numpy("int64")):
+                if d < dist.get(int(node), 1 << 62):
+                    dist[int(node)] = int(d)
+                    frontier[int(node)] = int(d)
+    ks = sorted(dist)
+    return pd.DataFrame({"node": pd.array(ks, "int64"),
+                         "dist_micro": pd.array([dist[k] for k in ks],
+                                                "int64")})

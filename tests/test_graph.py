@@ -540,3 +540,48 @@ def test_betweenness_pivot_sampling_is_stable_subset(ray_session):
     g = got.set_index("node")["bc_micro"].sort_index()
     w = want.set_index("node")["bc_micro"].sort_index()
     assert g.equals(w)
+
+
+# -- weighted SSSP ------------------------------------------------------------
+
+
+def test_sssp_hand_case_and_unreachable(ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.graph import sssp
+
+    # 0-1 heavy direct edge vs cheap 0-2-1 detour; 5-6 disconnected
+    df = pd.DataFrame({"src": [0, 0, 2, 5], "dst": [1, 2, 1, 6],
+                       "w": [5.0, 1.0, 1.0, 1.0]})
+    got = sssp(rd.from_pandas(df), weight_col="w", source=0, mode="dense")
+    m = dict(zip(got["node"], got["dist_micro"]))
+    assert m == {0: 0, 1: 2_000_000, 2: 1_000_000}  # detour wins; 5,6 absent
+
+
+def test_sssp_bsp_equals_dijkstra_bit_exact(ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.graph import sssp
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame({"src": rng.randint(0, 50, 200).astype("int64"),
+                       "dst": rng.randint(0, 50, 200).astype("int64"),
+                       "w": rng.uniform(0.1, 3.0, 200)})
+    dense = sssp(rd.from_pandas(df), weight_col="w", source=int(df["src"][0]),
+                 mode="dense")
+    bsp1 = sssp(rd.from_pandas(df), weight_col="w", source=int(df["src"][0]),
+                mode="bsp", num_buckets=4)
+    bsp2 = sssp(rd.from_pandas(df), weight_col="w", source=int(df["src"][0]),
+                mode="bsp", num_buckets=11)
+    for got in (bsp1, bsp2):
+        assert got.equals(dense)
+
+
+def test_sssp_rejects_negative_weights(ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.graph import sssp
+
+    df = pd.DataFrame({"src": [0], "dst": [1], "w": [-1.0]})
+    with pytest.raises(Exception):
+        sssp(rd.from_pandas(df), weight_col="w", source=0, mode="dense")
