@@ -801,6 +801,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_touch", "orders_open_by_day", "supplier_hhi",
         "events_rolling_median", "kg_assortativity", "events_ttest",
         "docs_zipf", "events_ks_test",
+        # round-4 fifth-sitting additions
+        "docs_containment_pairs", "lineitem_bitmap_counts",
+        "events_path_trigrams",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -820,6 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup_pairs", "dedup_components", "docs_dsir",
         "events_cume_dist", "docs_curation", "kg_doc_nodes",
         "q9_profit", "embed_neardup_pairs",
+        "docs_minhash_pairs", "events_ttest", "orders_yoy",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):

@@ -115,6 +115,18 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "lineitem_weighted_median", "supplier_gini", "events_streaks",
         "nations_trade_matrix", "orders_trend", "docs_length_percentiles",
         "docs_length_mad", "events_gap_histogram", "events_type_jaccard", "events_hourly_profile", "docs_heaps", "docs_source_js", "events_dau_mau", "events_cusum", "docs_search_rrf", "docs_es_sample", "docs_sources_overlap", "kg_lpa", "docs_ttr", "events_type_kmv", "lineitem_zonemap_scan", "events_mannwhitney", "events_geomean", "docs_compress_ratio",
+        # fifth sitting: survival, inequality decomposition, Gopher rules,
+        # HITS, MMR, SNM windows, correlation matrix, runs test, FK
+        # discovery, Markov fixpoint, seasonal decomposition, exactly-once
+        # micro-batch fold, containment join, bitmap index, trigram
+        # mining, betweenness, weighted SSSP
+        "events_kaplan_meier", "supplier_theil", "docs_gopher_rules",
+        "kg_hits", "embed_mmr", "docs_snm_pairs", "lineitem_corr_matrix",
+        "orders_runs_test", "tables_fk_discovery",
+        "events_markov_stationary", "orders_seasonal_decompose",
+        "events_streaming_tumbling", "docs_containment_pairs",
+        "lineitem_bitmap_counts", "events_path_trigrams",
+        "kg_betweenness", "kg_distances",
     ]
     qs = em.queries()
     times: dict[str, float] = {}
