@@ -339,6 +339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequence mining: top contiguous event-type trigrams with
         # occurrence + distinct-user counts (user-complete buckets)
         "events_path_trigrams": events.events_path_trigrams,
+        # one-way ANOVA across types (fully exact integer F contract)
+        "events_anova": events.events_anova,
         # global ordered running total over the bounded month census, and
         # the global-scalar-then-filter (correlated-subquery) shape
         "orders_monthly_cumrev": relational.orders_monthly_cumrev,
@@ -655,6 +657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # boolean-predicate counts served from the persisted bitmap index
         # (AND/OR/NOT bitwise combine per bucket; data pages untouched)
         "lineitem_bitmap_counts": relational.lineitem_bitmap_counts,
+        # functional-dependency discovery (profiling; det-complete buckets)
+        "tables_fd_discovery": relational.tables_fd_discovery,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -803,7 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zipf", "events_ks_test",
         # round-4 fifth-sitting additions
         "docs_containment_pairs", "lineitem_bitmap_counts",
-        "events_path_trigrams",
+        "events_path_trigrams", "events_anova", "tables_fd_discovery",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -824,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cume_dist", "docs_curation", "kg_doc_nodes",
         "q9_profit", "embed_neardup_pairs",
         "docs_minhash_pairs", "events_ttest", "orders_yoy",
+        "events_decay", "docs_feature_hashing",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -911,6 +916,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_multi": docs.KNN_MULTI_SQL,
         "events_transitions": events.TRANSITIONS_SQL,
         "events_path_trigrams": events.PATH_TRIGRAMS_SQL,
+        "events_anova": events.ANOVA_SQL,
         "orders_monthly_cumrev": relational.MONTHLY_CUMREV_SQL,
         "customers_above_avg": relational.ABOVE_AVG_SQL,
         "events_sliding_users": events.SLIDING_USERS_SQL,
@@ -1033,6 +1039,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_snm_pairs": docs.SNM_PAIRS_SQL,
         "docs_containment_pairs": docs.CONTAINMENT_SQL,
         "lineitem_bitmap_counts": relational.BITMAP_COUNTS_SQL,
+        "tables_fd_discovery": relational.FD_DISCOVERY_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

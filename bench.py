@@ -126,7 +126,8 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "events_markov_stationary", "orders_seasonal_decompose",
         "events_streaming_tumbling", "docs_containment_pairs",
         "lineitem_bitmap_counts", "events_path_trigrams",
-        "kg_betweenness", "kg_distances",
+        "kg_betweenness", "kg_distances", "events_anova",
+        "tables_fd_discovery",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -3629,3 +3629,99 @@ GROUP BY 1, 2, 3
 ORDER BY n DESC, t1, t2, t3
 LIMIT {TRIGRAM_TOP_K}
 """
+
+
+# -- one-way ANOVA across event types --------------------------------------------
+
+
+def events_anova(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA of ``value`` across event types with a FULLY EXACT
+    integer contract — no rounded division anywhere (the measured
+    half-even/half-away tie trap): per-type (n, Σc, Σc²-limbs) exact
+    cent moments ride one |types|-row census; each group's
+    ``a_g = (S_g²·10⁶) // n_g`` is an exact floor (round-each-addend
+    contract, order-free), SSB/SSW derive by subtraction (clamped at 0
+    against the ≤k-unit floor undershoot when true SSB≈0), wide sums
+    travel as the standard two int64 limbs, and the F statistic is the
+    exact integer ``(ssb·(n−k)·1000) // (ssw·(k−1))`` — arbitrary-int
+    Python ≡ DuckDB HUGEINT."""
+    from ray.data.aggregate import Sum
+
+    LIMB = 10 ** 15
+
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b["value"].to_numpy() * 100).astype("int64")
+        # per-row c² ≤ ~1e10 and per-batch Σc² ≤ 4096·1e10 ≪ 2⁶³: int64
+        # is exact inside a batch; the LIMB split below keeps the
+        # cross-batch fold exact past int64
+        df = pd.DataFrame({"t": b["event_type"].to_numpy(), "c": c,
+                           "cc": c * c})
+        g = df.groupby("t", sort=False).agg(
+            n=("c", "size"), s=("c", "sum"), q=("cc", "sum")).reset_index()
+        q = g["q"].to_numpy("int64")
+        return pd.DataFrame(
+            {"t": pd.array(g["t"], "str"),
+             "n": g["n"].astype("int64"),
+             "s": g["s"].astype("int64"),
+             "q_lo": pd.array(q % LIMB, "int64"),
+             "q_hi": pd.array(q // LIMB, "int64")}
+        )
+
+    agg = (
+        ev.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby("t").aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+            Sum("q_lo", alias_name="q_lo"), Sum("q_hi", alias_name="q_hi"))
+        .to_pandas()  # ≤ |types| rows
+    )
+    k = len(agg)
+    n = int(agg["n"].sum())
+    s_tot = int(agg["s"].sum())
+    q_tot = sum(int(lo) + int(hi) * LIMB
+                for lo, hi in zip(agg["q_lo"], agg["q_hi"]))
+    sa = sum((int(sg) * int(sg) * 1_000_000) // int(ng)
+             for sg, ng in zip(agg["s"], agg["n"]))
+    ssb = max(sa - (s_tot * s_tot * 1_000_000) // n, 0)
+    ssw = max(q_tot * 1_000_000 - sa, 0)
+    f_permille = ((ssb * (n - k) * 1000) // (ssw * (k - 1))
+                  if ssw > 0 and k > 1 else 0)
+    return pd.DataFrame(
+        {"k": pd.array([k], "int64"), "n": pd.array([n], "int64"),
+         "ssb_lo": pd.array([ssb % LIMB], "int64"),
+         "ssb_hi": pd.array([ssb // LIMB], "int64"),
+         "ssw_lo": pd.array([ssw % LIMB], "int64"),
+         "ssw_hi": pd.array([ssw // LIMB], "int64"),
+         "f_permille": pd.array([f_permille], "int64")}
+    )
+
+
+ANOVA_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)
+                  * CAST(round(value*100) AS BIGINT)) AS HUGEINT) AS q
+  FROM events GROUP BY 1
+), a AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(n) AS n, SUM(s) AS s,
+         SUM(q) AS q, SUM((s*s*1000000)//n) AS sa
+  FROM g
+), f AS (
+  SELECT k, n,
+         GREATEST(sa - (s*s*1000000)//n, 0) AS ssb,
+         GREATEST(q*1000000 - sa, 0) AS ssw
+  FROM a
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CAST(ssb % 1000000000000000 AS BIGINT) AS ssb_lo,
+       CAST(ssb // 1000000000000000 AS BIGINT) AS ssb_hi,
+       CAST(ssw % 1000000000000000 AS BIGINT) AS ssw_lo,
+       CAST(ssw // 1000000000000000 AS BIGINT) AS ssw_hi,
+       CAST(CASE WHEN ssw > 0 AND k > 1
+                 THEN (ssb*(n-k)*1000) // (ssw*(k-1)) ELSE 0 END
+            AS BIGINT) AS f_permille
+FROM f
+"""

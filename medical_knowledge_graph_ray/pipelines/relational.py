@@ -5581,3 +5581,110 @@ SELECT CAST(isodow AS BIGINT) AS isodow,
        CAST(SUM(d) AS DOUBLE) / (7.0 * COUNT(*)) / 100.0 AS seasonal
 FROM detr GROUP BY isodow
 """
+
+
+# -- functional-dependency discovery ---------------------------------------------
+
+FD_CANDIDATES: list[tuple[str, str, str]] = [
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("nation", "n_name", "n_regionkey"),
+    ("nation", "n_regionkey", "n_name"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("orders", "o_orderkey", "o_orderpriority"),
+    ("part", "p_brand", "p_type"),
+]
+
+
+def tables_fd_discovery(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency discovery (det → dep) over a candidate
+    list — the data-profiling sibling of `tables_fk_discovery`
+    (inclusion): the FD holds iff |distinct det| == |distinct
+    (det, dep)|, and the violation count is their difference.
+
+    Shape: each table is read ONCE (union of its candidates' columns,
+    column-pruned); per-batch DISTINCT (cand, det, dep) combiners
+    collapse the exchange to the candidate-pair cardinality, then ONE
+    (cand, det)-bucketed exchange finalizes both distinct censuses
+    exactly (det-complete buckets) and ≤ buckets×|cands| partial rows
+    fold driver-side.  Values compare as strings on both sides —
+    injective per column, so distinct counts are unchanged."""
+    import ray.data as rd
+
+    from ..stages.shuffle import bucketed_group_map
+
+    by_table: dict[str, list[tuple[int, str, str]]] = {}
+    for i, (tbl, det, dep) in enumerate(FD_CANDIDATES):
+        by_table.setdefault(tbl, []).append((i, det, dep))
+
+    parts = []
+    for tbl, cands in sorted(by_table.items()):
+        cols = sorted({c for _, det, dep in cands for c in (det, dep)})
+        ds = _read(sf_dir, tbl, columns=cols)
+
+        def make_partial(cands=cands):
+            def partial(b: pd.DataFrame) -> pd.DataFrame:
+                frames = []
+                for cid, det, dep in cands:
+                    sub = pd.DataFrame(
+                        {"det": b[det].astype(str),
+                         "dep": b[dep].astype(str)}).drop_duplicates()
+                    sub.insert(0, "cand", np.int64(cid))
+                    frames.append(sub)
+                out = pd.concat(frames, ignore_index=True)
+                return out.astype({"cand": "int64"})
+
+            return partial
+
+        parts.append(ds.map_batches(arrow_out(make_partial()),
+                                    batch_format="pandas"))
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.union(p)
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["cand", "det", "dep"])
+        agg = d.groupby("cand", sort=False).agg(
+            n_pairs=("det", "size"),
+            n_det=("det", "nunique")).reset_index()
+        return agg.astype({"cand": "int64", "n_pairs": "int64",
+                           "n_det": "int64"})
+
+    got = bucketed_group_map(uni, ["cand", "det"], census).to_pandas()
+    fold = (got.groupby("cand", sort=False)[["n_pairs", "n_det"]]
+            .sum().reindex(range(len(FD_CANDIDATES)), fill_value=0))
+    out = pd.DataFrame(
+        {"tbl": pd.array([t for t, _, _ in FD_CANDIDATES], "str"),
+         "det": pd.array([d for _, d, _ in FD_CANDIDATES], "str"),
+         "dep": pd.array([d for _, _, d in FD_CANDIDATES], "str"),
+         "n_det": fold["n_det"].to_numpy("int64"),
+         "n_pairs": fold["n_pairs"].to_numpy("int64"),
+         "n_violations": (fold["n_pairs"] - fold["n_det"])
+         .to_numpy("int64"),
+         "holds": (fold["n_pairs"] == fold["n_det"])
+         .to_numpy().astype("int64")}
+    )
+    return out.sort_values(["tbl", "det", "dep"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+def _fd_sql_one(tbl: str, det: str, dep: str) -> str:
+    return f"""
+SELECT '{tbl}' AS tbl, '{det}' AS det, '{dep}' AS dep,
+       (SELECT CAST(COUNT(DISTINCT {det}) AS BIGINT) FROM {tbl}) AS n_det,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT DISTINCT {det}, {dep} FROM {tbl})) AS n_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT DISTINCT {det}, {dep} FROM {tbl}))
+       - (SELECT CAST(COUNT(DISTINCT {det}) AS BIGINT) FROM {tbl})
+         AS n_violations,
+       CAST(CASE WHEN (SELECT COUNT(*)
+                       FROM (SELECT DISTINCT {det}, {dep} FROM {tbl}))
+                      = (SELECT COUNT(DISTINCT {det}) FROM {tbl})
+                 THEN 1 ELSE 0 END AS BIGINT) AS holds"""
+
+
+FD_DISCOVERY_SQL = "\nUNION ALL\n".join(
+    _fd_sql_one(t, det, dep) for t, det, dep in sorted(FD_CANDIDATES)
+)
