@@ -5608,8 +5608,9 @@ def tables_fd_discovery(sf_dir: str) -> pd.DataFrame:
     collapse the exchange to the candidate-pair cardinality, then ONE
     (cand, det)-bucketed exchange finalizes both distinct censuses
     exactly (det-complete buckets) and ≤ buckets×|cands| partial rows
-    fold driver-side.  Values compare as strings on both sides —
-    injective per column, so distinct counts are unchanged."""
+    fold driver-side.  Numeric values ride as float64 (exact below 2⁵³
+    — every key here), strings as objects; both injective per column,
+    so distinct counts are unchanged."""
     import ray.data as rd
 
     from ..stages.shuffle import bucketed_group_map
@@ -5624,16 +5625,28 @@ def tables_fd_discovery(sf_dir: str) -> pd.DataFrame:
         ds = _read(sf_dir, tbl, columns=cols)
 
         def make_partial(cands=cands):
+            # numeric columns ride as float64 (exact below 2⁵³ — every
+            # key here), strings stay objects: a first cut that
+            # astype(str)'d 6M-row int keys measured 25 s at sf0.1,
+            # dominated by the Python str conversions
+            def _split(col: pd.Series):
+                if pd.api.types.is_numeric_dtype(col):
+                    return col.to_numpy("float64"), ""
+                return np.nan, col.astype(str)
+
             def partial(b: pd.DataFrame) -> pd.DataFrame:
                 frames = []
                 for cid, det, dep in cands:
+                    det_i, det_s = _split(b[det])
+                    dep_i, dep_s = _split(b[dep])
                     sub = pd.DataFrame(
-                        {"det": b[det].astype(str),
-                         "dep": b[dep].astype(str)}).drop_duplicates()
+                        {"det_i": det_i, "det_s": det_s,
+                         "dep_i": dep_i, "dep_s": dep_s}).drop_duplicates()
                     sub.insert(0, "cand", np.int64(cid))
                     frames.append(sub)
                 out = pd.concat(frames, ignore_index=True)
-                return out.astype({"cand": "int64"})
+                return out.astype({"cand": "int64", "det_i": "float64",
+                                   "dep_i": "float64"})
 
             return partial
 
@@ -5642,16 +5655,25 @@ def tables_fd_discovery(sf_dir: str) -> pd.DataFrame:
     uni = parts[0]
     for p in parts[1:]:
         uni = uni.union(p)
+    # pin the combined partials: the downstream groupby's schema fetch
+    # partially executes the plan and the UNION then re-executes every
+    # table read (the measured 2× union trap) — the partials are the
+    # post-combiner distinct rows, a bounded fraction of the input
+    uni = uni.materialize()
 
     def census(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["cand", "det", "dep"])
-        agg = d.groupby("cand", sort=False).agg(
-            n_pairs=("det", "size"),
-            n_det=("det", "nunique")).reset_index()
-        return agg.astype({"cand": "int64", "n_pairs": "int64",
-                           "n_det": "int64"})
+        d = g.drop_duplicates(["cand", "det_i", "det_s", "dep_i", "dep_s"])
+        dd = d.drop_duplicates(["cand", "det_i", "det_s"])
+        n_pairs = d.groupby("cand", sort=False).size()
+        n_det = dd.groupby("cand", sort=False).size()
+        agg = pd.DataFrame({"cand": n_pairs.index.to_numpy("int64"),
+                            "n_pairs": n_pairs.to_numpy("int64"),
+                            "n_det": n_det.reindex(n_pairs.index)
+                            .to_numpy("int64")})
+        return agg
 
-    got = bucketed_group_map(uni, ["cand", "det"], census).to_pandas()
+    got = bucketed_group_map(uni, ["cand", "det_i", "det_s"],
+                             census).to_pandas()
     fold = (got.groupby("cand", sort=False)[["n_pairs", "n_det"]]
             .sum().reindex(range(len(FD_CANDIDATES)), fill_value=0))
     out = pd.DataFrame(

@@ -649,6 +649,7 @@ def prefix_jaccard_pairs(
     )
 
 
+
 def prefix_containment_pairs(
     gram_sets,
     *,
@@ -660,20 +661,26 @@ def prefix_containment_pairs(
     detector (quote/extension/boilerplate-wrapper dedup), asymmetric
     where :func:`prefix_jaccard_pairs` is symmetric.
 
-    Same input contract and exchange skeleton as the Jaccard join, with
-    the ASYMMETRIC-index variant of the prefix lemma: if
-    |A∩B| ≥ t·|A| then A's first |A| − ⌈t·|A|⌉ + 1 grams (global
-    df-asc order) must hit B, but B must be indexed under ALL its grams
-    (a superset has no prefix obligation).  Index rows therefore
-    replicate each doc's sorted set payload once per GRAM rather than
-    once per prefix gram — the known Vernica containment trade
-    (Σ|set|² bytes worst case); the Jaccard join remains the cheap
-    default when symmetry is acceptable.  Threshold tested as the
-    integer compare ``inter·1000 ≥ t‰·|sub|`` — no floats."""
+    Same input contract as the Jaccard join, with the ASYMMETRIC prefix
+    lemma: if |A∩B| ≥ t·|A| then A's first |A| − ⌈t·|A|⌉ + 1 grams
+    (global df-asc order) must hit B, while B has NO prefix obligation —
+    so B is indexed under ALL its grams but as BARE rows (no payload).
+    Replicated payload is ONLY the subset side's sorted set, once per
+    PREFIX gram (the same bounded ×(1−t) Vernica trade the Jaccard join
+    makes; a first cut that shipped every doc's set once per gram
+    measured 14.6 s at sf0.1 vs ~6 s for this shape).  Verification
+    happens one exchange later: candidate pairs (carrying the sub set)
+    re-key by the SUPERSET doc and meet its set row — each sup set
+    crosses the exchange exactly once per corpus, each sub set once per
+    candidate pair.  ONE lazy chain of four bucketed exchanges; the
+    (sub, sup) dedup is free because every copy of a pair keys to the
+    same sup bucket.  Threshold tested as the integer compare
+    ``inter·1000 ≥ t‰·|sub|`` — no floats."""
     from ..functions.arrow import arrow_out
     from ..stages.shuffle import bucketed_group_map
 
     t_pm = int(threshold_permille)
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
 
     def df_annotate(g: pd.DataFrame) -> pd.DataFrame:
         df = g.groupby("h", sort=False)["h"].transform("size")
@@ -687,53 +694,97 @@ def prefix_containment_pairs(
         gram_sets, ["h"], df_annotate, num_buckets=num_buckets
     )
 
+    def _rows(ph, key, a, b, sz, kind, sets) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"ph": pd.array(ph, "uint64"),
+             "key": pd.array(key, "int64"),
+             "a": pd.array(a, "int64"),
+             "b": pd.array(b, "int64"),
+             "sz": pd.array(sz, "int64"),
+             "kind": pd.array(kind, "int8"),
+             "set": pd.array(sets, dtype=object)}
+        )
+
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         s = g.sort_values(["doc_id", "df", "h"], kind="mergesort")
         sz = s.groupby("doc_id", sort=False)["h"].transform("size").to_numpy()
         rank = s.groupby("doc_id", sort=False).cumcount().to_numpy()
         p = sz - (t_pm * sz + 999) // 1000 + 1
+        probe = rank < p
         sets: dict[int, bytes] = {}
         for did, grp in s.groupby("doc_id", sort=False):
             sets[did] = np.sort(grp["h"].to_numpy()).tobytes()
-        probe = rank < p
-        # every row is an INDEX row (all grams); prefix rows also probe
-        return pd.DataFrame(
-            {"ph": pd.array(s["h"], "uint64"),
-             "doc_id": s["doc_id"].astype("int64"),
-             "sz": pd.array(sz, "int64"),
-             "probe": pd.array(probe.astype("int8"), "int8"),
-             "set": pd.array([sets[d] for d in s["doc_id"]], dtype=object)}
-        )
+        did_all = s["doc_id"].to_numpy("int64")
+        h_all = s["h"].to_numpy("uint64")
+        z = np.zeros(len(s), dtype="int64")
+        # index rows: EVERY gram, bare
+        idx = _rows(h_all, z, did_all, z, z, np.ones(len(s), "int8"),
+                    [b""] * len(s))
+        # probe rows: prefix grams, carrying the sub's sorted set
+        pdid = did_all[probe]
+        prb = _rows(h_all[probe], np.zeros(len(pdid), "int64"), pdid,
+                    np.zeros(len(pdid), "int64"), sz[probe],
+                    np.zeros(len(pdid), "int8"),
+                    [sets[d] for d in pdid])
+        # set rows: once per doc, keyed by the doc, spread over ph
+        uids = np.array(sorted(sets), dtype="int64")
+        with np.errstate(over="ignore"):
+            spread = uids.astype("uint64") * GOLD
+        srw = _rows(spread, uids, uids, np.zeros(len(uids), "int64"),
+                    [len(sets[d]) // 8 for d in uids],
+                    np.full(len(uids), 2, "int8"),
+                    [sets[d] for d in uids])
+        return pd.concat([idx, prb, srw], ignore_index=True)
 
     prefixed = bucketed_group_map(
         annotated, ["doc_id"], emit, num_buckets=num_buckets
     )
 
-    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized probe⋈member expansion per coarse bucket — a
+        # per-probe Python loop here measured as the stage's bottleneck
+        passthrough = g[g["kind"] == 2]
+        probes = g[g["kind"] == 0].drop_duplicates(["ph", "a"])
+        if not len(probes):
+            return passthrough
+        members = (g.loc[g["kind"] == 1, ["ph", "a"]].drop_duplicates()
+                   .rename(columns={"a": "sup"}))
+        m = probes.merge(members, on="ph")
+        m = m[m["a"] != m["sup"]].drop_duplicates(["a", "sup"])
+        if not len(m):
+            return passthrough
+        cand = _rows(
+            np.zeros(len(m), "uint64"), m["sup"].to_numpy("int64"),
+            m["a"].to_numpy("int64"), m["sup"].to_numpy("int64"),
+            m["sz"].to_numpy("int64"), np.full(len(m), 3, "int8"),
+            m["set"].tolist())
+        return pd.concat([passthrough, cand], ignore_index=True)
+
+    paired = bucketed_group_map(
+        prefixed, ["ph"], candidates, num_buckets=num_buckets
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        setmap = dict(zip(g.loc[g["kind"] == 2, "a"].to_numpy("int64"),
+                          g.loc[g["kind"] == 2, "set"].tolist()))
+        pairs = g[g["kind"] == 3].drop_duplicates(["a", "b"])
         out_s, out_p, out_i, out_z = [], [], [], []
-        for _, grp in g.groupby("ph", sort=False):
-            if len(grp) < 2:
+        for sub, sup, szv, st in zip(pairs["a"].to_numpy("int64"),
+                                     pairs["b"].to_numpy("int64"),
+                                     pairs["sz"].to_numpy("int64"),
+                                     pairs["set"].tolist()):
+            raw = setmap.get(int(sup))
+            if raw is None:
                 continue
-            probes = grp[grp["probe"] == 1]
-            if not len(probes):
-                continue
-            ids = grp["doc_id"].to_numpy()
-            raw = grp["set"].tolist()
-            arrs = [np.frombuffer(r, dtype=np.uint64) for r in raw]
-            pidx = np.flatnonzero(grp["probe"].to_numpy() == 1)
-            szs = grp["sz"].to_numpy()
-            for i in pidx:
-                for j in range(len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    inter = int(np.intersect1d(
-                        arrs[i], arrs[j], assume_unique=True
-                    ).size)
-                    if inter * 1000 >= t_pm * int(szs[i]):
-                        out_s.append(int(ids[i]))
-                        out_p.append(int(ids[j]))
-                        out_i.append(inter)
-                        out_z.append(int(szs[i]))
+            inter = int(np.intersect1d(
+                np.frombuffer(st, dtype=np.uint64),
+                np.frombuffer(raw, dtype=np.uint64),
+                assume_unique=True).size)
+            if inter * 1000 >= t_pm * int(szv):
+                out_s.append(int(sub))
+                out_p.append(int(sup))
+                out_i.append(inter)
+                out_z.append(int(szv))
         return pd.DataFrame(
             {"doc_sub": pd.array(out_s, "int64"),
              "doc_sup": pd.array(out_p, "int64"),
@@ -741,11 +792,6 @@ def prefix_containment_pairs(
              "sz_sub": pd.array(out_z, "int64")}
         )
 
-    pairs = bucketed_group_map(
-        prefixed, ["ph"], verify_bucket, num_buckets=num_buckets
-    )
     return bucketed_group_map(
-        pairs, ["doc_sub", "doc_sup"],
-        lambda g: g.drop_duplicates(["doc_sub", "doc_sup"]),
-        num_buckets=8,
+        paired, ["key"], verify, num_buckets=num_buckets
     )
