@@ -5608,11 +5608,14 @@ def tables_fd_discovery(sf_dir: str) -> pd.DataFrame:
     collapse the exchange to the candidate-pair cardinality, then ONE
     (cand, det)-bucketed exchange finalizes both distinct censuses
     exactly (det-complete buckets) and ≤ buckets×|cands| partial rows
-    fold driver-side.  Numeric values ride as float64 (exact below 2⁵³
-    — every key here), strings as objects; both injective per column,
-    so distinct counts are unchanged."""
+    fold driver-side.  The exchange payload is PURE int64: integer
+    columns ride verbatim (injective), string columns as vectorized
+    64-bit md5 (collision-free on these ≤150-value domains; a
+    float64+object-string payload measured 25 s at sf0.1, dominated by
+    per-row str conversions and object blocks through the shuffle)."""
     import ray.data as rd
 
+    from ..functions.hashing import md5_int_vec
     from ..stages.shuffle import bucketed_group_map
 
     by_table: dict[str, list[tuple[int, str, str]]] = {}
@@ -5625,28 +5628,21 @@ def tables_fd_discovery(sf_dir: str) -> pd.DataFrame:
         ds = _read(sf_dir, tbl, columns=cols)
 
         def make_partial(cands=cands):
-            # numeric columns ride as float64 (exact below 2⁵³ — every
-            # key here), strings stay objects: a first cut that
-            # astype(str)'d 6M-row int keys measured 25 s at sf0.1,
-            # dominated by the Python str conversions
-            def _split(col: pd.Series):
+            def _as_i64(col: pd.Series) -> np.ndarray:
                 if pd.api.types.is_numeric_dtype(col):
-                    return col.to_numpy("float64"), ""
-                return np.nan, col.astype(str)
+                    return col.to_numpy("int64")
+                return md5_int_vec(col.to_numpy(), bits=64).view("int64")
 
             def partial(b: pd.DataFrame) -> pd.DataFrame:
+                enc = {c: _as_i64(b[c]) for c in b.columns}
                 frames = []
                 for cid, det, dep in cands:
-                    det_i, det_s = _split(b[det])
-                    dep_i, dep_s = _split(b[dep])
                     sub = pd.DataFrame(
-                        {"det_i": det_i, "det_s": det_s,
-                         "dep_i": dep_i, "dep_s": dep_s}).drop_duplicates()
+                        {"det": enc[det], "dep": enc[dep]}
+                    ).drop_duplicates()
                     sub.insert(0, "cand", np.int64(cid))
                     frames.append(sub)
-                out = pd.concat(frames, ignore_index=True)
-                return out.astype({"cand": "int64", "det_i": "float64",
-                                   "dep_i": "float64"})
+                return pd.concat(frames, ignore_index=True)
 
             return partial
 
@@ -5658,12 +5654,17 @@ def tables_fd_discovery(sf_dir: str) -> pd.DataFrame:
     # pin the combined partials: the downstream groupby's schema fetch
     # partially executes the plan and the UNION then re-executes every
     # table read (the measured 2× union trap) — the partials are the
-    # post-combiner distinct rows, a bounded fraction of the input
-    uni = uni.materialize()
+    # post-combiner distinct rows, a bounded fraction of the input.
+    # COALESCE while pinning: the union leaves ~320 small blocks and the
+    # census sort pays ~30 ms/block of fixed cost (measured 10.8 s
+    # fragmented vs 1.4 s at 32 blocks on the same 1.5M rows)
+    from ..stages.shuffle import default_num_buckets
+
+    uni = uni.repartition(default_num_buckets()).materialize()
 
     def census(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["cand", "det_i", "det_s", "dep_i", "dep_s"])
-        dd = d.drop_duplicates(["cand", "det_i", "det_s"])
+        d = g.drop_duplicates(["cand", "det", "dep"])
+        dd = d.drop_duplicates(["cand", "det"])
         n_pairs = d.groupby("cand", sort=False).size()
         n_det = dd.groupby("cand", sort=False).size()
         agg = pd.DataFrame({"cand": n_pairs.index.to_numpy("int64"),
@@ -5672,8 +5673,7 @@ def tables_fd_discovery(sf_dir: str) -> pd.DataFrame:
                             .to_numpy("int64")})
         return agg
 
-    got = bucketed_group_map(uni, ["cand", "det_i", "det_s"],
-                             census).to_pandas()
+    got = bucketed_group_map(uni, ["cand", "det"], census).to_pandas()
     fold = (got.groupby("cand", sort=False)[["n_pairs", "n_det"]]
             .sum().reindex(range(len(FD_CANDIDATES)), fill_value=0))
     out = pd.DataFrame(
