@@ -659,6 +659,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_bitmap_counts": relational.lineitem_bitmap_counts,
         # functional-dependency discovery (profiling; det-complete buckets)
         "tables_fd_discovery": relational.tables_fd_discovery,
+        # 2-D rectangle scan off the z-order-clustered layout (Morton
+        # range decomposition + zone-map file pruning; exact re-filter)
+        "lineitem_zorder_scan": relational.lineitem_zorder_scan,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -1040,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_containment_pairs": docs.CONTAINMENT_SQL,
         "lineitem_bitmap_counts": relational.BITMAP_COUNTS_SQL,
         "tables_fd_discovery": relational.FD_DISCOVERY_SQL,
+        "lineitem_zorder_scan": relational.ZORDER_SCAN_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -128,6 +128,8 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "lineitem_bitmap_counts", "events_path_trigrams",
         "kg_betweenness", "kg_distances", "events_anova",
         "tables_fd_discovery",
+        # sixth sitting
+        "lineitem_zorder_scan",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

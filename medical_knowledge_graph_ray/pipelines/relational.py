@@ -5710,3 +5710,163 @@ SELECT '{tbl}' AS tbl, '{det}' AS det, '{dep}' AS dep,
 FD_DISCOVERY_SQL = "\nUNION ALL\n".join(
     _fd_sql_one(t, det, dep) for t, det, dep in sorted(FD_CANDIDATES)
 )
+
+
+# -- z-order clustered 2-D rectangle scan ----------------------------------------
+
+ZO_PLO, ZO_PHI = 40, 400     # l_partkey range of the query rectangle
+ZO_SLO, ZO_SHI = 2, 9        # l_suppkey range
+
+#: observability for tests/bench: (n_files_selected, n_files_total,
+#: n_z_ranges) of the last `lineitem_zorder_scan` serve
+LAST_ZORDER_PRUNE: tuple[int, int, int] | None = None
+
+
+def _zorder_shards(sf_dir: str) -> tuple[str, int]:
+    """Build-once z-clustered copy of lineitem under /tmp: rows are
+    bucketed by the TOP BITS of their Morton code over
+    (l_partkey, l_suppkey) — bucket order IS global z order — written
+    task-side sorted by z within each shard (tight per-file z stats),
+    then zone-mapped on the z column (`stages/zonemap.py`).  The
+    coordinate bit width comes from the source footer's column stats
+    (metadata-only, no data pass) and is persisted in the manifest so
+    serve-time range decomposition uses the exact build-time grid."""
+    import hashlib
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from ..stages.zonemap import ZONEMAP_VERSION, build_zonemap
+    from ..stages.zorder import morton2
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/mkg_zorder/{tag}"
+    man = os.path.join(root, "_MANIFEST.json")
+    version = f"{ZONEMAP_VERSION}-zorder1"
+    if os.path.exists(man):
+        with open(man) as fh:
+            m = json.load(fh)
+        if m.get("version") == version:
+            return root, int(m["bits"])
+    os.makedirs(f"{root}/shards", exist_ok=True)
+
+    # coordinate bit width from footer stats only (one metadata open)
+    md = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    pmax = smax = 0
+    for rg in range(md.num_row_groups):
+        pmax = max(pmax, md.row_group(rg).column(names["l_partkey"])
+                   .statistics.max)
+        smax = max(smax, md.row_group(rg).column(names["l_suppkey"])
+                   .statistics.max)
+    bits = max(int(pmax).bit_length(), int(smax).bit_length(), 1)
+    shift = max(0, 2 * bits - 6)  # top bit-pairs -> <= 64 coarse buckets
+
+    def write_zbuckets(b: pd.DataFrame) -> pd.DataFrame:
+        z = morton2(b["l_partkey"].to_numpy("int64"),
+                    b["l_suppkey"].to_numpy("int64"))
+        b = b.assign(z=z).sort_values("z", kind="mergesort")
+        out = []
+        for bk, sub in b.groupby(b["z"].to_numpy() >> shift, sort=True):
+            t = pa.Table.from_pandas(
+                sub.reset_index(drop=True), preserve_index=False
+            ).replace_schema_metadata(None)
+            h = hashlib.md5(
+                (f"{bk}|" + str(pd.util.hash_pandas_object(
+                    sub["z"], index=False).sum())).encode()
+            ).hexdigest()[:12]
+            path = f"{root}/shards/z={bk:05d}-{h}.parquet"
+            if not os.path.exists(path):
+                pq.write_table(t, path + ".tmp", row_group_size=65536)
+                os.replace(path + ".tmp", path)
+            out.append((int(bk), path, len(sub)))
+        return pd.DataFrame(out, columns=["bucket", "path", "n"])
+
+    _read(sf_dir, "lineitem",
+          columns=["l_partkey", "l_suppkey", "l_quantity",
+                   "l_extendedprice"]
+          ).map_batches(arrow_out(write_zbuckets), batch_format="pandas"
+                        ).to_pandas()  # <= #batches x #buckets manifest rows
+    files = [f"{root}/shards/{f}" for f in sorted(os.listdir(f"{root}/shards"))
+             if f.endswith(".parquet")]
+    build_zonemap(files, "z", out_dir=root)
+    with open(man, "w") as fh:
+        json.dump({"version": version, "bits": bits,
+                   "n_files": len(files)}, fh)
+    return root, bits
+
+
+def lineitem_zorder_scan(sf_dir: str) -> pd.DataFrame:
+    """Per-supplier line count / quantity / revenue inside a 2-D key
+    rectangle, served off the Z-ORDER-CLUSTERED layout: the rectangle
+    decomposes into few contiguous Morton ranges
+    (`stages/zorder.py:z_ranges_for_rect`), the persisted zone map
+    prunes shard files to those ranges, and the pushed-down row filter
+    re-checks the rectangle EXACTLY — pruning can only skip files,
+    never change the answer.  The Delta/Iceberg OPTIMIZE-ZORDER serve
+    path on the engine's own index machinery."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.zonemap import load_zonemap
+    from ..stages.zorder import prune_files_by_ranges, z_ranges_for_rect
+
+    global LAST_ZORDER_PRUNE
+    root, bits = _zorder_shards(sf_dir)
+    zones = load_zonemap(root)
+    ranges = z_ranges_for_rect(ZO_PLO, ZO_PHI, ZO_SLO, ZO_SHI,
+                               bits=bits, max_ranges=64)
+    files = prune_files_by_ranges(zones, ranges)
+    n_total = int(zones["path"].nunique())
+    LAST_ZORDER_PRUNE = (len(files), n_total, len(ranges))
+
+    empty = pd.DataFrame({"suppkey": pd.Series([], dtype="int64"),
+                          "n_lines": pd.Series([], dtype="int64"),
+                          "sum_qty": pd.Series([], dtype="int64"),
+                          "rev_cents": pd.Series([], dtype="int64")})
+    if not files:
+        return empty
+    flt = ((pc.field("l_partkey") >= ZO_PLO)
+           & (pc.field("l_partkey") <= ZO_PHI)
+           & (pc.field("l_suppkey") >= ZO_SLO)
+           & (pc.field("l_suppkey") <= ZO_SHI))
+    ds = read_parquet_clean(
+        files, columns=["l_suppkey", "l_quantity", "l_extendedprice"],
+        filter=flt)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        qty = np.rint(b["l_quantity"].to_numpy()).astype("int64")
+        c = np.rint(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        g = (pd.DataFrame({"suppkey": b["l_suppkey"].astype("int64"),
+                           "n": 1, "q": qty, "c": c})
+             .groupby("suppkey", sort=False, as_index=False).sum())
+        return g.astype("int64")
+
+    agg = (ds.map_batches(arrow_out(partial), batch_format="pandas")
+           .groupby("suppkey")
+           .aggregate(Sum("n", alias_name="n"), Sum("q", alias_name="q"),
+                      Sum("c", alias_name="c"))
+           .to_pandas())  # <= #suppliers-in-range rows
+    if not len(agg):
+        return empty
+    return (pd.DataFrame({"suppkey": agg["suppkey"].astype("int64"),
+                          "n_lines": agg["n"].astype("int64"),
+                          "sum_qty": agg["q"].astype("int64"),
+                          "rev_cents": agg["c"].astype("int64")})
+            .sort_values("suppkey").reset_index(drop=True))
+
+
+ZORDER_SCAN_SQL = f"""
+SELECT l_suppkey AS suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM lineitem
+WHERE l_partkey BETWEEN {ZO_PLO} AND {ZO_PHI}
+  AND l_suppkey BETWEEN {ZO_SLO} AND {ZO_SHI}
+GROUP BY 1
+ORDER BY 1
+"""

@@ -1597,3 +1597,62 @@ def test_read_export_detects_missing_shard(ray_session, tmp_path):
     os.remove(os.path.join(d, shard))
     with _pytest.raises(FileNotFoundError):
         read_export(d)
+
+
+def test_zorder_rect_scan(ray_session):
+    """Z-order clustering: the rectangle's Morton decomposition COVERS
+    every in-rect point (correctness of the pruning predicate), file
+    pruning actually bites on the z-clustered layout, and the served
+    aggregate matches a brute filtered read with driver-exact dtypes."""
+    import numpy as np
+
+    from medical_knowledge_graph_ray.pipelines import relational as R
+    from medical_knowledge_graph_ray.stages.zorder import (
+        morton2,
+        z_ranges_for_rect,
+    )
+
+    # cover property on a small exhaustive grid
+    bits = 6
+    for rect in [(3, 17, 5, 40), (0, 5, 60, 63), (10, 10, 20, 20)]:
+        xlo, xhi, ylo, yhi = rect
+        ranges = z_ranges_for_rect(xlo, xhi, ylo, yhi,
+                                   bits=bits, max_ranges=32)
+        X, Y = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+        Z = morton2(X.ravel(), Y.ravel())
+        inrect = ((X.ravel() >= xlo) & (X.ravel() <= xhi)
+                  & (Y.ravel() >= ylo) & (Y.ravel() <= yhi))
+        covered = np.zeros(64 * 64, bool)
+        for lo, hi in ranges:
+            covered[lo:hi + 1] = True
+        assert covered[Z[inrect]].all()
+        # tight budget still covers (conservative whole-cell emission)
+        tight = z_ranges_for_rect(xlo, xhi, ylo, yhi,
+                                  bits=bits, max_ranges=4)
+        covered[:] = False
+        for lo, hi in tight:
+            covered[lo:hi + 1] = True
+        assert covered[Z[inrect]].all()
+
+    sf = "/root/testdata/sf0.001"
+    got = R.lineitem_zorder_scan(sf)
+    n_sel, n_tot, n_ranges = R.LAST_ZORDER_PRUNE
+    assert 0 < n_sel < n_tot  # pruning bites
+    assert n_ranges >= 1
+
+    li = pd.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"])
+    m = ((li["l_partkey"].between(R.ZO_PLO, R.ZO_PHI))
+         & (li["l_suppkey"].between(R.ZO_SLO, R.ZO_SHI)))
+    sub = li[m]
+    ref = (pd.DataFrame({
+        "suppkey": sub["l_suppkey"].astype("int64"),
+        "n_lines": 1,
+        "sum_qty": np.rint(sub["l_quantity"].to_numpy()).astype("int64"),
+        "rev_cents": np.rint(sub["l_extendedprice"].to_numpy() * 100)
+        .astype("int64")})
+        .groupby("suppkey", as_index=False).sum()
+        .astype("int64")
+        .sort_values("suppkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref)  # values AND dtypes
