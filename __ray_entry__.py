@@ -662,6 +662,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 2-D rectangle scan off the z-order-clustered layout (Morton
         # range decomposition + zone-map file pruning; exact re-filter)
         "lineitem_zorder_scan": relational.lineitem_zorder_scan,
+        # CDC snapshot diff: added/removed/changed keys between two
+        # table versions, one key exchange, unchanged bulk dies in-bucket
+        "orders_snapshot_diff": relational.orders_snapshot_diff,
+        # readability census: float-free regex-count contract, zero
+        # data-sized exchanges
+        "docs_readability": docs.docs_readability,
+        # delta-join IVM: the nation-revenue join view folded from
+        # micro-batch deltas, exactly-once state, batch-equivalence oracle
+        "nation_rev_ivm": relational.nation_rev_ivm,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -1044,6 +1053,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_bitmap_counts": relational.BITMAP_COUNTS_SQL,
         "tables_fd_discovery": relational.FD_DISCOVERY_SQL,
         "lineitem_zorder_scan": relational.ZORDER_SCAN_SQL,
+        "orders_snapshot_diff": relational.ORDERS_SNAPSHOT_DIFF_SQL,
+        "docs_readability": docs.READABILITY_SQL,
+        "nation_rev_ivm": relational.NATION_REV_IVM_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -129,7 +129,8 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "kg_betweenness", "kg_distances", "events_anova",
         "tables_fd_discovery",
         # sixth sitting
-        "lineitem_zorder_scan",
+        "lineitem_zorder_scan", "orders_snapshot_diff",
+        "docs_readability", "nation_rev_ivm",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -5349,3 +5349,82 @@ SELECT doc_sub, doc_sup, CAST(inter AS BIGINT) AS inter,
 FROM inter JOIN sz s ON doc_sub = s.doc_id
 WHERE inter * 1000 >= {CONTAIN_T_PERMILLE} * s.sz
 """
+
+
+def docs_readability(sf_dir: str) -> pd.DataFrame:
+    """Per-source readability census — the surface-complexity quality
+    signal next to `docs_quality`/`docs_gopher_rules`: word count,
+    vowel-group syllable proxy, polysyllabic-word (>= 3 vowel groups)
+    count, and the exact integer complexity index
+    ``syllables*10^6 // words`` (a SMOG/Flesch-style rate without the
+    sentence term — the corpus has no sentence punctuation).
+
+    Float-free contract: every per-doc quantity is an exact regex-match
+    count (pandas non-overlapping counts == DuckDB regexp_extract_all
+    lengths, RE2-compatible patterns), the final rate is one integer
+    floor division on the driver-side fold, so the oracle matches
+    bit-for-bit.  Shape: pure per-batch map + a <= |sources| census —
+    ZERO data-sized exchanges."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].astype(str)
+        words = t.str.count("[^ ]+").to_numpy("int64")
+        syl = t.str.count("[aeiou]+").to_numpy("int64")
+        toks = t.str.findall("[^ ]+")
+        n = toks.str.len().to_numpy("int64")
+        flat = toks.explode().dropna()
+        is_poly = (flat.str.count("[aeiou]+") >= 3).to_numpy()
+        poly = np.zeros(len(b), dtype="int64")
+        np.add.at(poly, np.repeat(np.arange(len(b)), n), is_poly)
+        g = (pd.DataFrame({"source": b["source"], "n_docs": 1,
+                           "n_words": words, "n_syllables": syl,
+                           "n_poly": poly})
+             .groupby("source", sort=False, as_index=False).sum())
+        return g.astype({"source": "str", "n_docs": "int64",
+                         "n_words": "int64", "n_syllables": "int64",
+                         "n_poly": "int64"})
+
+    agg = (docs.map_batches(arrow_out(partial), batch_format="pandas")
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_words", alias_name="n_words"),
+                      Sum("n_syllables", alias_name="n_syllables"),
+                      Sum("n_poly", alias_name="n_poly"))
+           .to_pandas())  # <= |sources| rows
+    # Python-int floor division driver-side: the product
+    # syllables * 10^6 outgrows int64 around 10^12 words per source
+    comp = [int(s) * 1_000_000 // int(w) if w else 0
+            for s, w in zip(agg["n_syllables"], agg["n_words"])]
+    return (pd.DataFrame(
+        {"source": agg["source"].astype("str"),
+         "n_docs": agg["n_docs"].astype("int64"),
+         "n_words": agg["n_words"].astype("int64"),
+         "n_syllables": agg["n_syllables"].astype("int64"),
+         "n_poly": agg["n_poly"].astype("int64"),
+         "complexity_micro": pd.Series(comp, dtype="int64")})
+        .sort_values("source").reset_index(drop=True))
+
+
+READABILITY_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(words) AS BIGINT) AS n_words,
+       CAST(SUM(syl) AS BIGINT) AS n_syllables,
+       CAST(SUM(poly) AS BIGINT) AS n_poly,
+       CAST((1000000 * SUM(syl)) // SUM(words) AS BIGINT)
+         AS complexity_micro
+FROM (
+  SELECT source,
+         len(regexp_extract_all(text, '[^ ]+')) AS words,
+         len(regexp_extract_all(text, '[aeiou]+')) AS syl,
+         len(list_filter(regexp_extract_all(text, '[^ ]+'),
+             w -> len(regexp_extract_all(w, '[aeiou]+')) >= 3)) AS poly
+  FROM documents)
+GROUP BY 1
+ORDER BY 1
+"""

@@ -5870,3 +5870,199 @@ WHERE l_partkey BETWEEN {ZO_PLO} AND {ZO_PHI}
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# -- snapshot diff / reconciliation ----------------------------------------------
+
+def orders_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Keyed DIFF between two table snapshots — the CDC/reconciliation
+    operator (what changed between yesterday's and today's lake copy):
+    emits one row per added / removed / value-changed key, never the
+    unchanged bulk.  Both snapshots are deterministic views of orders
+    (v1 drops keys ≡3 mod 10 and perturbs prices of keys ≡2 mod 7;
+    v2 drops keys ≡5 mod 13), so the oracle is a plain FULL OUTER JOIN.
+
+    Shape: ONE read pass emits both sides tagged; ONE hash exchange on
+    the key co-locates a key's two versions; the in-bucket compare is a
+    vectorized outer merge.  The exchange carries (key, side, value)
+    triples — at 100 TB the diff never materializes either snapshot
+    driver-side, and unchanged keys die inside their bucket."""
+    from ..stages.shuffle import bucketed_group_map
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def both_sides(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy("int64")
+        p = np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        old = pd.DataFrame({"o_orderkey": k, "side": 0,
+                            "p": p + np.where(k % 7 == 2, 500, 0)}
+                           )[k % 10 != 3]
+        new = pd.DataFrame({"o_orderkey": k, "side": 1, "p": p}
+                           )[k % 13 != 5]
+        out = pd.concat([old, new], ignore_index=True)
+        return out.astype({"o_orderkey": "int64", "side": "int64",
+                           "p": "int64"})
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["side"] == 0][["o_orderkey", "p"]]
+        new = g[g["side"] == 1][["o_orderkey", "p"]]
+        m = old.merge(new, on="o_orderkey", how="outer",
+                      suffixes=("_old", "_new"))
+        po = m["p_old"].to_numpy("float64")
+        pn = m["p_new"].to_numpy("float64")
+        status = np.where(np.isnan(po), "added",
+                          np.where(np.isnan(pn), "removed", "changed"))
+        keep = np.isnan(po) | np.isnan(pn) | (po != pn)
+        m = m[keep]
+        return pd.DataFrame(
+            {"o_orderkey": m["o_orderkey"].to_numpy("int64"),
+             "status": pd.array(status[keep], "str"),
+             "old_price_cents": np.nan_to_num(
+                 m["p_old"].to_numpy("float64"), nan=-1).astype("int64"),
+             "new_price_cents": np.nan_to_num(
+                 m["p_new"].to_numpy("float64"), nan=-1).astype("int64")})
+
+    tagged = ds.map_batches(arrow_out(both_sides), batch_format="pandas")
+    out = bucketed_group_map(tagged, ["o_orderkey"], diff).to_pandas()
+    # <= |added| + |removed| + |changed| rows reach the driver — the
+    # diff itself, never the snapshots
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+ORDERS_SNAPSHOT_DIFF_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice*100) AS BIGINT)
+         + CASE WHEN o_orderkey % 7 = 2 THEN 500 ELSE 0 END AS p
+  FROM orders WHERE o_orderkey % 10 <> 3),
+v2 AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice*100) AS BIGINT) AS p
+  FROM orders WHERE o_orderkey % 13 <> 5)
+SELECT COALESCE(v1.k, v2.k) AS o_orderkey,
+       CASE WHEN v1.k IS NULL THEN 'added'
+            WHEN v2.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       COALESCE(v1.p, -1) AS old_price_cents,
+       COALESCE(v2.p, -1) AS new_price_cents
+FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+WHERE v1.k IS NULL OR v2.k IS NULL OR v1.p <> v2.p
+ORDER BY 1
+"""
+
+
+# -- incremental view maintenance of a JOIN view ---------------------------------
+
+def nation_rev_ivm(sf_dir: str, n_chunks: int = 3,
+                   state_dir: str | None = None) -> pd.DataFrame:
+    """Per-nation revenue JOIN view maintained INCREMENTALLY — the
+    delta-join IVM operator (ΔV = ΔA ⋈ B): lineitem arrives in
+    ``n_chunks`` micro-batches; each delta joins the base side
+    (orders already resolved to nation through the broadcast
+    customer dimension) and folds exactly-once into the persistent
+    keyed state (`stages/streaming.py` over the upsert table).  The
+    folded state equals the one-shot 4-table join aggregate
+    bit-for-bit (exact int64 partials, associative addition), so this
+    query shares the batch SQL oracle — the incremental/batch
+    equivalence IS the correctness gate.
+
+    Scale shape: the resolved base side (o_orderkey → nationkey) is
+    materialized ONCE and reused by every delta apply — the persisted
+    denormalized artifact a production IVM keeps next to the view;
+    each apply is one partitioned join with the per-nation aggregate
+    fused into the join buckets, and the state table rewrites touched
+    buckets only.  rev_u outgrows int64 around 10^14 revenue units per
+    nation — the two-limb contract (`lineitem_regression`) is the
+    documented escape."""
+    import tempfile
+
+    import pyarrow as pa
+    import ray
+
+    from ..stages.joins import hash_join
+    from ..stages.streaming import (
+        init_stream_table, microbatch_aggregate, stream_state,
+    )
+
+    nation = _read_dim(sf_dir, "nation")
+    cust = (_read(sf_dir, "customer",
+                  columns=["c_custkey", "c_nationkey"])
+            .to_pandas().sort_values("c_custkey"))
+    cust_ref = ray.put((cust["c_custkey"].to_numpy(),
+                        cust["c_nationkey"].to_numpy().astype("int64")))
+
+    class OrderNation:
+        def __init__(self, ref):
+            self.ref = ref
+            self.keys = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.keys is None:
+                self.keys, self.nats = ray.get(self.ref)
+            ck = b["o_custkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.keys, ck), 0,
+                          max(len(self.keys) - 1, 0))
+            hit = self.keys[pos] == ck if len(self.keys) else \
+                np.zeros(len(b), bool)
+            return pd.DataFrame(
+                {"l_orderkey": b["o_orderkey"].to_numpy("int64")[hit],
+                 "nationkey": self.nats[pos[hit]]})
+
+    base = (_read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+            .map_batches(arrow_out(OrderNation(cust_ref)),
+                         batch_format="pandas")
+            .materialize())  # reused by every delta apply
+    base_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("nationkey", pa.int64())])
+    delta_schema = pa.schema([("l_orderkey", pa.int64()),
+                              ("u", pa.int64())])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    table_dir = state_dir or tempfile.mkdtemp(prefix="mkg_ivm_")
+    init_stream_table(table_dir, "_k")
+
+    def nation_partial(m: pd.DataFrame) -> pd.DataFrame:
+        g = (m.groupby("nationkey", sort=False, as_index=False)["u"].sum())
+        return g.astype({"nationkey": "int64", "u": "int64"})
+
+    for i in range(n_chunks):
+        def delta(b: pd.DataFrame, i=i) -> pd.DataFrame:
+            b = b[b["l_orderkey"] % n_chunks == i]
+            u = np.rint(b["l_extendedprice"].to_numpy()
+                        * (1.0 - b["l_discount"].to_numpy())
+                        * 10_000).astype("int64")
+            g = (pd.DataFrame({"l_orderkey":
+                               b["l_orderkey"].to_numpy("int64"), "u": u})
+                 .groupby("l_orderkey", sort=False, as_index=False)["u"]
+                 .sum())
+            return g.astype("int64")
+
+        partials = hash_join(
+            li.map_batches(arrow_out(delta), batch_format="pandas"),
+            base, on=["l_orderkey"],
+            left_schema=delta_schema, right_schema=base_schema,
+            bucket_post=nation_partial)
+        microbatch_aggregate(table_dir, f"chunk-{i}", partials,
+                             ["nationkey"], ["u"])
+
+    state = stream_state(table_dir).to_pandas()  # <= |nations| rows
+    names = dict(zip(nation["n_nationkey"].astype("int64"),
+                     nation["n_name"]))
+    return (pd.DataFrame(
+        {"n_name": pd.array([names[int(k)] for k in state["nationkey"]],
+                            "str"),
+         "rev_u": state["u"].astype("int64")})
+        .sort_values("n_name").reset_index(drop=True))
+
+
+NATION_REV_IVM_SQL = """
+SELECT n.n_name AS n_name,
+       CAST(SUM(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000)
+                AS BIGINT)) AS BIGINT) AS rev_u
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+ORDER BY 1
+"""
