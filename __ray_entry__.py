@@ -786,6 +786,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zlib compression-ratio quality signal (per-doc codec — no SQL
         # DEFLATE; determinism/discrimination pytest-gated)
         "docs_compress_ratio": docs.docs_compress_ratio,
+        # KG-embedding training prep: k deterministic tail-corrupted
+        # negatives per co-occurrence edge (validity/invariance pytests)
+        "kg_negative_samples": docs_kg.kg_negative_samples,
     }
 
     # DRIVER-WINDOW ROTATION (VERDICT r3 item 8): the driver gate checks

@@ -130,7 +130,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "tables_fd_discovery",
         # sixth sitting
         "lineitem_zorder_scan", "orders_snapshot_diff",
-        "docs_readability", "nation_rev_ivm",
+        "docs_readability", "nation_rev_ivm", "kg_negative_samples",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -204,51 +204,43 @@ def doc_mentions(sf_dir: str):
     return docs.map_batches(arrow_out(doc_mentions_batch), batch_format="pandas")
 
 
-def doc_edges(sf_dir: str):
-    """(source —mentions→ term) edges: two-phase aggregate over mentions."""
-    from ray.data.aggregate import Sum
+def _mention_census(sf_dir: str, keys: list[str]):
+    """Two-phase (keys → n_docs, n_occ_total) census over mentions via
+    the hash-bucketed exchange — Ray's sort-based ``aggregate`` on these
+    string keys measured 31 s of pure AggregateReduce CPU on 19k partial
+    rows at sf0.1 (the per-reduce-block fixed cost), vs ~0.3 s for the
+    same census through ``bucketed_group_map``."""
+    from ..stages.shuffle import bucketed_group_map
 
     mentions = doc_mentions(sf_dir)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return (
-            b.groupby(["source", "term", "ent_type"], sort=False)
+        g = (
+            b.groupby(keys, sort=False)
             .agg(n_docs=("doc_id", "size"), n_occ_total=("n_occ", "sum"))
             .reset_index()
         )
+        return g.astype({"n_docs": "int64", "n_occ_total": "int64"})
 
-    return (
-        mentions.map_batches(arrow_out(partial), batch_format="pandas")
-        .groupby(["source", "term", "ent_type"])
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("n_occ_total", alias_name="n_occ_total"),
-        )
-    )
+    partials = mentions.map_batches(arrow_out(partial), batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(keys, sort=False, as_index=False)
+               [["n_docs", "n_occ_total"]].sum())
+        return out.astype({"n_docs": "int64", "n_occ_total": "int64"})
+
+    return bucketed_group_map(partials, keys, combine)
+
+
+def doc_edges(sf_dir: str):
+    """(source —mentions→ term) edges: two-phase aggregate over mentions."""
+    return _mention_census(sf_dir, ["source", "term", "ent_type"])
 
 
 def doc_nodes(sf_dir: str):
     """term-level node table: in how many docs / how often each entity
     surface occurs (A5/A6 distinct+census analogue)."""
-    from ray.data.aggregate import Sum
-
-    mentions = doc_mentions(sf_dir)
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return (
-            b.groupby(["term", "ent_type"], sort=False)
-            .agg(n_docs=("doc_id", "size"), n_occ_total=("n_occ", "sum"))
-            .reset_index()
-        )
-
-    return (
-        mentions.map_batches(arrow_out(partial), batch_format="pandas")
-        .groupby(["term", "ent_type"])
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("n_occ_total", alias_name="n_occ_total"),
-        )
-    )
+    return _mention_census(sf_dir, ["term", "ent_type"])
 
 
 # -- entity co-occurrence graph (relation-candidate generation) ---------------
@@ -1377,3 +1369,19 @@ def kg_distances(sf_dir: str) -> pd.DataFrame:
          "dist_micro": res["dist_micro"].astype("int64")}
     ).sort_values(["dist_micro", "kind", "name"],
                   kind="mergesort").reset_index(drop=True)
+
+
+def kg_negative_samples(sf_dir: str, k: int = 4):
+    """KG-embedding training prep: ``k`` deterministic tail-corrupted
+    NEGATIVES per co-occurrence edge (`stages/negsample.py`) — the
+    true-edge membership check and the first-surviving-attempt
+    election both ride bucketed exchanges, the entity vocabulary
+    ships once.  Content-stable md5 randomness keeps the sample
+    identical at any parallelism (pytest-pinned)."""
+    from ..ontology import WEBTEXT_GAZETTEER
+    from ..stages.negsample import negative_samples
+
+    # the co-occurrence census is gazetteer-bounded; pin it so the two
+    # consumers (candidate emit, true-edge tag) don't re-mine the corpus
+    edges = doc_cooccurrence(sf_dir).materialize()
+    return negative_samples(edges, list(WEBTEXT_GAZETTEER), k=k)

@@ -5435,43 +5435,67 @@ def tables_fk_discovery(sf_dir: str):
     containment(child ⊆ parent) so undeclared joins — and
     near-misses — surface, including a negative control pair.
 
-    Per pair: distinct child values + how many exist in the parent
-    column, via ONE bucketed hash exchange of tagged (value, side)
-    rows — both sides deduped batch-side first, so the exchange
-    carries ≤ distinct values, and each bucket counts its matches
-    vectorized (isin over the bucket's parent set).  Containment is a
-    ratio of exact integers, rounded 6 dp on both sides."""
-    from ..stages.shuffle import bucketed_group_map
+    ALL candidate pairs ride ONE bucketed hash exchange of tagged
+    (pair, value, side) rows — each TABLE is read once (all its child
+    and parent roles emitted from one pruned scan; a union branch
+    costs ~1-2 s of fixed execution wall regardless of rows, so
+    14 branches → 6 was half the win), both sides deduped batch-side
+    so the exchange carries ≤ Σ distinct values, and each bucket counts
+    its pairs' matches with one vectorized merge.  The per-pair driver
+    loop this replaced cost one chained execution PER PAIR (22 s at
+    sf0.1 vs ~7 s folded — the minimize-EXECUTIONS lesson).
+    Containment is a ratio of exact integers, rounded 6 dp on both
+    sides."""
+    from ..stages.shuffle import bucketed_group_map, default_num_buckets
 
-    rows = []
-    for ct, cc, pt, pc in _FK_CANDIDATES:
-        child = _read(sf_dir, ct, columns=[cc])
-        parent = _read(sf_dir, pt, columns=[pc])
+    roles: dict[str, list[tuple[str, int, int]]] = {}
+    for idx, (ct, cc, pt, pcol) in enumerate(_FK_CANDIDATES):
+        roles.setdefault(ct, []).append((cc, 0, idx))
+        roles.setdefault(pt, []).append((pcol, 1, idx))
 
-        def tag(col, side):
+    parts = []
+    for tbl, rl in roles.items():
+        def tag_all(rl):
             def fn(b: pd.DataFrame) -> pd.DataFrame:
-                v = np.unique(b[col].to_numpy().astype("int64"))
-                return pd.DataFrame(
-                    {"v": v, "side": np.full(len(v), side, dtype="int8")}
-                )
+                outs = []
+                for col, side, idx in rl:
+                    v = np.unique(b[col].to_numpy().astype("int64"))
+                    outs.append(pd.DataFrame(
+                        {"pair": np.full(len(v), idx, dtype="int64"),
+                         "v": v,
+                         "side": np.full(len(v), side, dtype="int64")}))
+                return pd.concat(outs, ignore_index=True)
             return fn
 
-        tagged = child.map_batches(
-            arrow_out(tag(cc, 0)), batch_format="pandas"
-        ).union(parent.map_batches(
-            arrow_out(tag(pc, 1)), batch_format="pandas"
-        ))
+        cols = sorted({c for c, _, _ in rl})
+        parts.append(_read(sf_dir, tbl, columns=cols).map_batches(
+            arrow_out(tag_all(rl)), batch_format="pandas"))
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.union(p)
+    # pin + coalesce the union of tagged-distinct partials: the
+    # downstream groupby's schema fetch would re-execute every read
+    # (the measured 2x union trap), and the per-batch dedup already
+    # bounded the rows to <= sum of distinct values
+    uni = uni.repartition(default_num_buckets()).materialize()
 
-        def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            cv = pd.unique(g.loc[g["side"] == 0, "v"])
-            pv = g.loc[g["side"] == 1, "v"]
-            nm = int(pd.Series(cv).isin(set(pv.tolist())).sum())
-            return pd.DataFrame({"nc": [len(cv)], "nm": [nm]}).astype("int64")
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["pair", "v", "side"])
+        d0 = d.loc[d["side"] == 0, ["pair", "v"]]
+        d1 = d.loc[d["side"] == 1, ["pair", "v"]].assign(m=1)
+        mg = d0.merge(d1, on=["pair", "v"], how="left")
+        agg = mg.groupby("pair", sort=False).agg(
+            nc=("v", "size"), nm=("m", "count")).reset_index()
+        return agg.astype({"pair": "int64", "nc": "int64", "nm": "int64"})
 
-        agg = bucketed_group_map(tagged, ["v"], count_bucket).to_pandas()
-        nc, nm = int(agg["nc"].sum()), int(agg["nm"].sum())
+    got = bucketed_group_map(uni, ["pair", "v"], count_bucket).to_pandas()
+    fold = (got.groupby("pair", sort=False)[["nc", "nm"]].sum()
+            .reindex(range(len(_FK_CANDIDATES)), fill_value=0))
+    rows = []
+    for idx, (ct, cc, pt, pcol) in enumerate(_FK_CANDIDATES):
+        nc, nm = int(fold.loc[idx, "nc"]), int(fold.loc[idx, "nm"])
         rows.append({"child_table": ct, "child_col": cc,
-                     "parent_table": pt, "parent_col": pc,
+                     "parent_table": pt, "parent_col": pcol,
                      "n_child_distinct": nc, "n_matched": nm,
                      "containment": round(nm / nc, 6)})
     out = pd.DataFrame(rows)
