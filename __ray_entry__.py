@@ -671,6 +671,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # delta-join IVM: the nation-revenue join view folded from
         # micro-batch deltas, exactly-once state, batch-equivalence oracle
         "nation_rev_ivm": relational.nation_rev_ivm,
+        # hierarchical rollup with exact integer share-of-parent at
+        # both levels (region, world)
+        "sales_hierarchy_share": relational.sales_hierarchy_share,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -1059,6 +1062,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_snapshot_diff": relational.ORDERS_SNAPSHOT_DIFF_SQL,
         "docs_readability": docs.READABILITY_SQL,
         "nation_rev_ivm": relational.NATION_REV_IVM_SQL,
+        "sales_hierarchy_share": relational.SALES_HIERARCHY_SHARE_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

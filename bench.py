@@ -131,6 +131,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         # sixth sitting
         "lineitem_zorder_scan", "orders_snapshot_diff",
         "docs_readability", "nation_rev_ivm", "kg_negative_samples",
+        "sales_hierarchy_share",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -6090,3 +6090,115 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# -- hierarchical share-of-parent rollup ------------------------------------------
+
+def sales_hierarchy_share(sf_dir: str) -> pd.DataFrame:
+    """Region → nation revenue rollup with SHARE-OF-PARENT at each
+    level (each nation's share of its region and of the world, exact
+    integer micro = ``rev·10⁶ // parent_total`` in Python ints — no
+    float division anywhere).  The fact side is one partitioned
+    lineitem ⋈ (orders resolved to nation map-side through the
+    broadcast customer dimension) join with the per-nation aggregate
+    fused into the join buckets; the hierarchy math runs on the
+    ≤ |nations| census driver-side."""
+    import pyarrow as pa
+    import ray
+
+    from ..stages.joins import hash_join
+
+    nation = _read_dim(sf_dir, "nation")
+    region = _read_dim(sf_dir, "region")
+    cust = (_read(sf_dir, "customer",
+                  columns=["c_custkey", "c_nationkey"])
+            .to_pandas().sort_values("c_custkey"))
+    cust_ref = ray.put((cust["c_custkey"].to_numpy(),
+                        cust["c_nationkey"].to_numpy().astype("int64")))
+
+    class OrderNation:
+        def __init__(self, ref):
+            self.ref = ref
+            self.keys = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.keys is None:
+                self.keys, self.nats = ray.get(self.ref)
+            ck = b["o_custkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.keys, ck), 0,
+                          max(len(self.keys) - 1, 0))
+            hit = self.keys[pos] == ck if len(self.keys) else \
+                np.zeros(len(b), bool)
+            return pd.DataFrame(
+                {"l_orderkey": b["o_orderkey"].to_numpy("int64")[hit],
+                 "nationkey": self.nats[pos[hit]]})
+
+    base = (_read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+            .map_batches(arrow_out(OrderNation(cust_ref)),
+                         batch_format="pandas"))
+
+    def rev_partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.rint(b["l_extendedprice"].to_numpy()
+                    * (1.0 - b["l_discount"].to_numpy())
+                    * 10_000).astype("int64")
+        g = (pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy("int64"),
+                           "u": u})
+             .groupby("l_orderkey", sort=False, as_index=False)["u"].sum())
+        return g.astype("int64")
+
+    def nation_partial(m: pd.DataFrame) -> pd.DataFrame:
+        g = m.groupby("nationkey", sort=False, as_index=False)["u"].sum()
+        return g.astype({"nationkey": "int64", "u": "int64"})
+
+    li = (_read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_extendedprice", "l_discount"])
+          .map_batches(arrow_out(rev_partial), batch_format="pandas"))
+    cen = (hash_join(
+        li, base, on=["l_orderkey"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("u", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("nationkey", pa.int64())]),
+        bucket_post=nation_partial)
+        .to_pandas()  # <= |nations| x buckets partial rows
+        .groupby("nationkey", as_index=False)["u"].sum())
+
+    nat = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")
+    m = cen.merge(nat, left_on="nationkey", right_on="n_nationkey")
+    total = int(m["u"].sum())
+    rtot = m.groupby("r_name")["u"].transform("sum")
+    share_r = [int(u) * 1_000_000 // int(rt)
+               for u, rt in zip(m["u"], rtot)]
+    share_t = [int(u) * 1_000_000 // total for u in m["u"]]
+    return (pd.DataFrame(
+        {"r_name": m["r_name"].astype("str"),
+         "n_name": m["n_name"].astype("str"),
+         "rev_u": m["u"].astype("int64"),
+         "share_region_micro": pd.Series(share_r, dtype="int64"),
+         "share_total_micro": pd.Series(share_t, dtype="int64")})
+        .sort_values(["r_name", "n_name"]).reset_index(drop=True))
+
+
+SALES_HIERARCHY_SHARE_SQL = """
+WITH nat AS (
+  SELECT n.n_nationkey, n.n_name, r.r_name
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+rev AS (
+  SELECT c.c_nationkey AS nk,
+         SUM(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000)
+             AS BIGINT)) AS u
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1)
+SELECT nat.r_name AS r_name, nat.n_name AS n_name,
+       CAST(rev.u AS BIGINT) AS rev_u,
+       CAST((1000000 * rev.u)
+            // SUM(rev.u) OVER (PARTITION BY nat.r_name) AS BIGINT)
+         AS share_region_micro,
+       CAST((1000000 * rev.u) // SUM(rev.u) OVER () AS BIGINT)
+         AS share_total_micro
+FROM rev JOIN nat ON rev.nk = nat.n_nationkey
+ORDER BY 1, 2
+"""

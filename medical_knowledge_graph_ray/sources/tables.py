@@ -140,3 +140,81 @@ def read_export(out_dir: str, *, columns=None, audit: bool = False):
                 f"{manifest['rows']}, shards hold {n}"
             )
     return ds
+
+
+def read_parquet_evolved(paths, *, columns=None):
+    """Read a Parquet directory whose shards were written under
+    EVOLVING schemas — the lake-ingestion reality (a column added last
+    month is absent from old shards; an id column was widened
+    int32→int64 halfway through) that a plain ``read_parquet`` answers
+    with a unification error or silently inconsistent blocks.
+
+    Resolution rules (Iceberg/Delta's by-name evolution semantics):
+    the unified schema is the FIELD-NAME UNION across shards in
+    first-seen order; conflicting types resolve by Arrow numeric
+    widening (int32→int64, float32→float64, int→float); columns a
+    shard lacks read as typed nulls.
+
+    Shape: one metadata-only footer pass driver-side groups shards by
+    exact physical schema; each group is ONE pruned read branch
+    (column pruning still pushes down per group), a vectorized
+    per-batch cast aligns every block to the unified schema, and the
+    branches union — block schemas are identical by construction, so
+    every downstream shuffle sees one Arrow schema."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.arrow import arrow_out, read_parquet_clean
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = [os.path.join(paths, f) for f in sorted(os.listdir(paths))
+                     if f.endswith(".parquet")]
+        else:
+            paths = [paths]
+
+    def _widen(a: pa.DataType, b: pa.DataType) -> pa.DataType:
+        if a.equals(b):
+            return a
+        order = {pa.int32(): 0, pa.int64(): 1,
+                 pa.float32(): 2, pa.float64(): 3}
+        if a in order and b in order:
+            return max(a, b, key=lambda t: order[t])
+        raise TypeError(f"unreconcilable shard types: {a} vs {b}")
+
+    groups: dict[tuple, list[str]] = {}
+    unified: dict[str, pa.DataType] = {}
+    for p in paths:
+        sch = pq.read_schema(p)
+        key = tuple((f.name, str(f.type)) for f in sch)
+        groups.setdefault(key, []).append(p)
+        for f in sch:
+            unified[f.name] = (_widen(unified[f.name], f.type)
+                               if f.name in unified else f.type)
+    if columns is not None:
+        unified = {c: unified[c] for c in columns}
+    target = pa.schema([pa.field(n, t, nullable=True)
+                        for n, t in unified.items()])
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in target:
+            if f.name in t.column_names:
+                cols.append(t.column(f.name).cast(f.type))
+            else:
+                cols.append(pa.nulls(len(t), type=f.type))
+        return pa.Table.from_arrays(cols, schema=target)
+
+    branches = []
+    for key, files in groups.items():
+        have = {n for n, _ in key}
+        want = [c for c in target.names if c in have]
+        branches.append(
+            read_parquet_clean(sorted(files), columns=want or None)
+            .map_batches(align, batch_format="pyarrow"))
+    ds = branches[0]
+    for b in branches[1:]:
+        ds = ds.union(b)
+    return ds

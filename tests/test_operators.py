@@ -1708,3 +1708,55 @@ def test_orders_snapshot_diff_statuses(ray_session):
     assert (add["old_price_cents"] == -1).all()
     rem = out[out["status"] == "removed"]
     assert (rem["new_price_cents"] == -1).all()
+
+
+def test_read_parquet_evolved(ray_session):
+    """Schema-evolution reader: name-union columns, numeric widening,
+    typed nulls for absent columns, exact row count, one unified block
+    schema."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medical_knowledge_graph_ray.sources.tables import (
+        read_parquet_evolved,
+    )
+
+    root = "/tmp/mkg_test_evolved"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    pq.write_table(pa.table(
+        {"id": pa.array([1, 2], pa.int32()),
+         "text": ["a", "b"]}), f"{root}/s0.parquet")
+    pq.write_table(pa.table(
+        {"id": pa.array([3], pa.int64()),
+         "text": ["c"], "lang": ["en"]}), f"{root}/s1.parquet")
+    pq.write_table(pa.table(
+        {"id": pa.array([4, 5], pa.int64()),
+         "lang": ["de", "fr"],
+         "score": pa.array([0.5, 1.5], pa.float32())}),
+        f"{root}/s2.parquet")
+
+    ds = read_parquet_evolved(root)
+    df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(df.columns) == ["id", "text", "lang", "score"]
+    assert str(df["id"].dtype) == "int64"  # widened
+    assert len(df) == 5
+    assert df["text"].tolist()[:3] == ["a", "b", "c"]
+    assert df["text"].isna().tolist() == [False, False, False, True, True]
+    assert df["lang"].isna().tolist() == [True, True, False, False, False]
+    # float32 widens only within its group here; unified type is float32
+    # (no conflicting shard) — absent shards read as nulls
+    assert df["score"].isna().sum() == 3
+
+    # column pruning still applies
+    pruned = read_parquet_evolved(root, columns=["id", "lang"]).to_pandas()
+    assert list(pruned.columns) == ["id", "lang"]
+
+    # unreconcilable types fail loudly, not silently
+    pq.write_table(pa.table({"id": ["x"]}), f"{root}/bad.parquet")
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        read_parquet_evolved(root)
