@@ -674,6 +674,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hierarchical rollup with exact integer share-of-parent at
         # both levels (region, world)
         "sales_hierarchy_share": relational.sales_hierarchy_share,
+        # type×hour mutual information (entropy micro-nat contract,
+        # one combiner pass, zero exchanges)
+        "events_mutual_info": events.events_mutual_info,
+        # per-source Simpson repeat-probability numerator (two-limb
+        # past-int64 Σc(c−1), division never materialized)
+        "docs_simpson": docs.docs_simpson,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -1063,6 +1069,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_readability": docs.READABILITY_SQL,
         "nation_rev_ivm": relational.NATION_REV_IVM_SQL,
         "sales_hierarchy_share": relational.SALES_HIERARCHY_SHARE_SQL,
+        "events_mutual_info": events.MUTUAL_INFO_SQL,
+        "docs_simpson": docs.SIMPSON_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

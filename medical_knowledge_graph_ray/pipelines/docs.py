@@ -5088,6 +5088,96 @@ FROM c GROUP BY 1
 """
 
 
+def docs_simpson(sf_dir: str) -> pd.DataFrame:
+    """Per-source Simpson repeat probability numerator Σ c·(c−1) over
+    the token census — the collision-probability diversity index
+    (D = Σc(c−1)/(n(n−1)) is the chance two sampled tokens match;
+    template/boilerplate sources spike it long before TTR moves).
+
+    Exact-integer contract: Σ c·(c−1) can pass int64 at corpus scale
+    (c_max·n per source), so the sum travels as TWO int64 limbs in
+    base 10¹⁵ (the ``lineitem_regression`` past-int64 contract) —
+    per-bucket partials are exact Python ints, the driver fold
+    re-normalizes.  The division is NEVER materialized (rounded
+    divisions tie — see docs_unigram_logprob lesson).
+
+    Shape: per-batch (source, token, count) combiner → ONE bucketed
+    exchange on token (token-complete buckets ⇒ global (source, token)
+    counts exact) → per-bucket limbed partials → ≤|S|·buckets driver
+    fold."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype(str).str.split(" ")
+        n = toks.str.len().to_numpy("int64")
+        src = np.repeat(b["source"].to_numpy(), n)
+        t = np.concatenate([np.asarray(x, dtype=object) for x in toks]) \
+            if len(b) else np.array([], dtype=object)
+        out = (pd.DataFrame({"source": src, "t": t})
+               .groupby(["source", "t"], sort=False).size()
+               .reset_index(name="c"))
+        out["c"] = out["c"].astype("int64")
+        return out.astype({"source": "str", "t": "str"})
+
+    partials = docs.map_batches(arrow_out(partial), batch_format="pandas")
+
+    LIMB = 10**15
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby(["source", "t"], sort=False, as_index=False)["c"].sum()
+        rows = []
+        for src, sub in full.groupby("source", sort=False):
+            c = sub["c"].to_numpy("int64")
+            # exact Python-int fold: c*(c-1) can pass int64 at scale
+            s = sum(int(v) * (int(v) - 1) for v in c.tolist())
+            rows.append((str(src), int(c.sum()), s % LIMB, s // LIMB))
+        return pd.DataFrame(rows, columns=["source", "n_tokens",
+                                           "cc1_lo", "cc1_hi"]).astype(
+            {"source": "str", "n_tokens": "int64",
+             "cc1_lo": "int64", "cc1_hi": "int64"})
+
+    cen = bucketed_group_map(partials, ["t"], bucket).to_pandas()
+    if "source" not in cen.columns:
+        return pd.DataFrame({c: pd.array([], "str" if c == "source"
+                                         else "int64")
+                             for c in ["source", "n_tokens",
+                                       "cc1_lo", "cc1_hi"]})
+    rows = []
+    for src, sub in cen.groupby("source", sort=False):
+        s = sum(int(lo) + int(hi) * LIMB
+                for lo, hi in zip(sub["cc1_lo"], sub["cc1_hi"]))
+        rows.append((str(src), int(sub["n_tokens"].sum()),
+                     s % LIMB, s // LIMB))
+    out = pd.DataFrame(rows, columns=["source", "n_tokens",
+                                      "cc1_lo", "cc1_hi"]).astype(
+        {"source": "str", "n_tokens": "int64",
+         "cc1_lo": "int64", "cc1_hi": "int64"})
+    return out.sort_values("source", kind="mergesort").reset_index(drop=True)
+
+
+SIMPSON_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+c AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+),
+s AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         SUM(CAST(c AS HUGEINT) * (c - 1)) AS cc1
+  FROM c GROUP BY 1
+)
+SELECT source, n_tokens,
+       CAST(cc1 % 1000000000000000 AS BIGINT) AS cc1_lo,
+       CAST(cc1 // 1000000000000000 AS BIGINT) AS cc1_hi
+FROM s
+"""
+
+
 def docs_compress_ratio(sf_dir: str):
     """Per-doc zlib compression-ratio quality signal
     (`stages/text_stats.py:compress_ratio_batch`) — rows-only (no

@@ -2917,6 +2917,94 @@ SELECT c.event_type, c.hour, c.n,
 FROM c JOIN t USING (event_type)
 """
 
+
+def events_mutual_info(sf_dir: str) -> pd.DataFrame:
+    """Mutual information between event type and hour-of-day — the
+    dependence strength of the diurnal pattern (feature-selection /
+    drift signal: MI 0 = types fire uniformly around the clock).
+
+    MI = (Σ_xy c·ln c − Σ_x c·ln c − Σ_y c·ln c + n·ln n) / n, every
+    c·ln c addend pre-rounded to an INTEGER micro-nat (the
+    ``events_entropy`` float contract — summation order stops
+    mattering, ln from the same glibc on both engines, final double
+    expression mirrored term-for-term in the oracle).
+
+    Shape: per-batch (type, hour) count combiner → ≤ |types|×24-row
+    driver fold (marginals and total derive from the same cells —
+    ONE pass, ZERO exchanges)."""
+    import math
+
+    import numpy as np
+
+    ev = _events(sf_dir, ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        hrs = b["ts"].dt.hour.to_numpy().astype("int64")
+        return (pd.DataFrame({"event_type": b["event_type"], "hour": hrs})
+                .groupby(["event_type", "hour"], sort=False)
+                .size().rename("n").reset_index())
+
+    cells = (
+        ev.map_batches(arrow_out(partial), batch_format="pandas")
+        .to_pandas()  # ≤ batches × |types| × 24
+        .groupby(["event_type", "hour"], as_index=False)["n"].sum()
+    )
+
+    def micro_terms(counts: np.ndarray) -> int:
+        c = counts.astype("int64")
+        ln = {int(v): math.log(int(v)) for v in np.unique(c)}
+        lnc = np.fromiter((ln[int(v)] for v in c), dtype="float64",
+                          count=len(c))
+        return int(np.floor(
+            c.astype("float64") * lnc * 1000000.0 + 0.5
+        ).astype("int64").sum())
+
+    txy = micro_terms(cells["n"].to_numpy())
+    tx = micro_terms(cells.groupby("event_type")["n"].sum().to_numpy())
+    ty = micro_terms(cells.groupby("hour")["n"].sum().to_numpy())
+    n = int(cells["n"].sum())
+    tn = int(math.floor(n * math.log(n) * 1000000.0 + 0.5))
+    mi = ((txy - tx - ty + tn) / 1000000.0) / float(n)
+    return pd.DataFrame(
+        {"n_events": pd.array([n], "int64"),
+         "term_xy": pd.array([txy], "int64"),
+         "term_x": pd.array([tx], "int64"),
+         "term_y": pd.array([ty], "int64"),
+         "term_n": pd.array([tn], "int64"),
+         "mi_nats": pd.array([mi], "float64")}
+    )
+
+
+MUTUAL_INFO_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+xy AS (
+  SELECT CAST(SUM(CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS txy,
+         CAST(SUM(c) AS BIGINT) AS n
+  FROM c
+),
+mx AS (
+  SELECT CAST(SUM(CAST(floor(cx * ln(cx) * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS tx
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS cx FROM c GROUP BY event_type)
+),
+my AS (
+  SELECT CAST(SUM(CAST(floor(cy * ln(cy) * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS ty
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS cy FROM c GROUP BY hour)
+)
+SELECT n AS n_events, txy AS term_xy, tx AS term_x, ty AS term_y,
+       CAST(floor(n * ln(n) * 1000000.0 + 0.5) AS BIGINT) AS term_n,
+       (CAST(txy - tx - ty
+             + CAST(floor(n * ln(n) * 1000000.0 + 0.5) AS BIGINT)
+             AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS mi_nats
+FROM xy, mx, my
+"""
+
 # -- DAU / trailing-28-day MAU / stickiness --------------------------------------
 
 def events_dau_mau(sf_dir: str) -> pd.DataFrame:
