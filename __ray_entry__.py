@@ -680,6 +680,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source Simpson repeat-probability numerator (two-limb
         # past-int64 Σc(c−1), division never materialized)
         "docs_simpson": docs.docs_simpson,
+        # Theil–Sen robust daily-revenue slope (median of pairwise
+        # slopes; trunc-div micro slopes, order statistics — no division)
+        "orders_theilsen": relational.orders_theilsen,
+        # candidate-key discovery (exact distinct-vs-rows over single +
+        # composite column sets; ONE value exchange, footer row counts)
+        "tables_key_discovery": relational.tables_key_discovery,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -1071,6 +1077,8 @@ def oracle_sql() -> dict[str, str]:
         "sales_hierarchy_share": relational.SALES_HIERARCHY_SHARE_SQL,
         "events_mutual_info": events.MUTUAL_INFO_SQL,
         "docs_simpson": docs.SIMPSON_SQL,
+        "orders_theilsen": relational.ORDERS_THEILSEN_SQL,
+        "tables_key_discovery": relational.tables_key_discovery_sql(),
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

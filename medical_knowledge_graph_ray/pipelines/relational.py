@@ -2121,6 +2121,100 @@ SKEW_SPECS: list[tuple[str, list[str]]] = [
 ]
 
 
+KEY_SPECS: list[tuple[str, list[list[str]]]] = [
+    ("orders", [["o_orderkey"], ["o_custkey", "o_orderdate"]]),
+    ("lineitem", [["l_orderkey"], ["l_orderkey", "l_linenumber"],
+                  ["l_partkey", "l_suppkey"]]),
+    ("events", [["event_id"], ["user_id", "ts"]]),
+    ("documents", [["doc_id"], ["source", "n_chars"]]),
+]
+
+
+def tables_key_discovery(sf_dir: str) -> pd.DataFrame:
+    """Candidate-KEY discovery — the uniqueness complement of
+    ``tables_fd_discovery``: for each candidate column set (singles and
+    composites), the EXACT distinct count vs the row count decides
+    whether it is a key (reference schema audit: primary keys are never
+    declared in a lake, they're discovered).
+
+    Shape: per-batch per-candidate value dedup (the combiner — a key
+    candidate dedups to ~batch size, a non-key collapses) → ALL
+    candidates of all four tables ride ONE bucketed exchange on the
+    value string (value-complete buckets ⇒ in-bucket unique (cand,
+    value) pairs partition the global distinct set) → ≤ |cands|·buckets
+    driver fold.  Row counts come from parquet footers (zero scan).
+
+    Exactness: the value itself travels (pair columns joined on the
+    0x1f unit separator — injective for the key-typed columns), never a
+    lossy hash, so n_distinct is exact, not probabilistic."""
+    import pyarrow.parquet as pq
+
+    from ..stages.shuffle import bucketed_group_map
+
+    cands: list[tuple[int, str, list[str]]] = []
+    for tbl, sets in KEY_SPECS:
+        for cols in sets:
+            cands.append((len(cands), tbl, cols))
+
+    n_rows = {tbl: pq.ParquetFile(f"{sf_dir}/{tbl}.parquet").metadata.num_rows
+              for tbl, _ in KEY_SPECS}
+
+    def dedup_fn(cand_id: int, cols: list[str]):
+        def dedup(b: pd.DataFrame) -> pd.DataFrame:
+            u = b[cols].drop_duplicates()
+            v = u[cols[0]].astype(str)
+            for c in cols[1:]:
+                v = v + "\x1f" + u[c].astype(str)
+            return pd.DataFrame({"cand": pd.array([cand_id] * len(u),
+                                                  "int64"),
+                                 "v": v.astype(str)})
+        return dedup
+
+    parts = None
+    for cand_id, tbl, cols in cands:
+        ds = _read(sf_dir, tbl, columns=cols).map_batches(
+            arrow_out(dedup_fn(cand_id, cols)), batch_format="pandas")
+        parts = ds if parts is None else parts.union(ds)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[["cand", "v"]].drop_duplicates()
+        out = u.groupby("cand", sort=False).size().reset_index(name="nd")
+        return out.astype({"cand": "int64", "nd": "int64"})
+
+    cen = bucketed_group_map(parts, ["v"], bucket).to_pandas()
+    nd = (cen.groupby("cand")["nd"].sum() if "cand" in cen.columns
+          else pd.Series(dtype="int64"))
+    rows = []
+    for cand_id, tbl, cols in cands:
+        d = int(nd.get(cand_id, 0))
+        n = int(n_rows[tbl])
+        rows.append((tbl, ",".join(cols), n, d, int(d == n)))
+    return pd.DataFrame(rows, columns=["table_name", "cols", "n_rows",
+                                       "n_distinct", "is_key"]).astype(
+        {"table_name": "str", "cols": "str", "n_rows": "int64",
+         "n_distinct": "int64", "is_key": "int64"})
+
+
+def tables_key_discovery_sql() -> str:
+    parts = []
+    for tbl, sets in KEY_SPECS:
+        for cols in sets:
+            expr = (cols[0] if len(cols) == 1
+                    else "(" + ", ".join(cols) + ")")
+            parts.append(
+                f"SELECT '{tbl}' AS table_name, '{','.join(cols)}' AS cols,\n"
+                f"       (SELECT CAST(COUNT(*) AS BIGINT) FROM {tbl})"
+                f" AS n_rows,\n"
+                f"       CAST(COUNT(DISTINCT {expr}) AS BIGINT)"
+                f" AS n_distinct,\n"
+                f"       CAST(CASE WHEN COUNT(DISTINCT {expr}) ="
+                f" (SELECT COUNT(*) FROM {tbl}) THEN 1 ELSE 0 END"
+                f" AS BIGINT) AS is_key\n"
+                f"FROM {tbl}"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
 def tables_skew_report(sf_dir: str) -> pd.DataFrame:
     """Heavy-key mining over the join/group key columns the production
     pipelines exchange on — the diagnostics feed for
@@ -4906,6 +5000,80 @@ SELECT m, CAST(rev_cents AS BIGINT) AS rev_cents,
                       ROWS BETWEEN {TREND_W - 1} PRECEDING AND CURRENT ROW)
                  END AS DOUBLE) AS ma12_cents
 FROM dense
+"""
+
+
+def orders_theilsen(sf_dir: str):
+    """Theil–Sen robust slope of the daily-revenue series — the median
+    of ALL pairwise slopes (Δrevenue/Δday over every day pair), the
+    breakdown-resistant trend estimator (up to 29% outlier days cannot
+    move it — unlike the OLS slope in ``lineitem_regression``).
+
+    Exact-integer contract: each slope travels as
+    ``trunc((Δcents·10⁶)/Δdays)`` — numerator widened to HUGEINT in the
+    oracle, trunc-toward-zero division mirrored on the numpy side
+    (den>0 always, so trunc = floordiv + (rem≠0 ∧ num<0)) — and the
+    median itself NEVER divides: the two middle order statistics are
+    emitted as int64 (equal when the pair count is odd).
+
+    Shape: distributed per-batch (day, cents) combiner → calendar-
+    bounded driver artifact (≤ one row per day at ANY scale) → the
+    O(days²) pairwise stage runs vectorized on the bounded series
+    (the ``orders_trend`` / ``events_dau_mau`` bounded-artifact
+    pattern)."""
+    import numpy as np
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].to_numpy().astype("datetime64[D]").view("int64")
+        cents = np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        return (pd.DataFrame({"d": d, "cents": cents})
+                .groupby("d", sort=False, as_index=False)["cents"].sum())
+
+    cen = (
+        orders.map_batches(arrow_out(partial), batch_format="pandas")
+        .to_pandas()  # calendar-bounded artifact
+        .groupby("d")["cents"].sum().sort_index()
+    )
+    d = cen.index.to_numpy("int64")
+    r = cen.to_numpy("int64")
+    i, j = np.triu_indices(len(d), k=1)
+    num = (r[j] - r[i]) * 1_000_000
+    den = d[j] - d[i]
+    q = num // den
+    q += ((num % den != 0) & (num < 0)).astype("int64")  # floor → trunc
+    q.sort()
+    m = len(q)
+    return pd.DataFrame(
+        {"n_days": pd.array([len(d)], "int64"),
+         "n_pairs": pd.array([m], "int64"),
+         "slope_mid_lo": pd.array([int(q[(m - 1) // 2])], "int64"),
+         "slope_mid_hi": pd.array([int(q[m // 2])], "int64")}
+    )
+
+
+ORDERS_THEILSEN_SQL = """
+WITH cen AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT CAST((CAST(b.r - a.r AS HUGEINT) * 1000000) // (b.d - a.d)
+              AS BIGINT) AS s
+  FROM cen a JOIN cen b ON b.d > a.d
+),
+rk AS (SELECT s, row_number() OVER (ORDER BY s) AS rn,
+              COUNT(*) OVER () AS m
+       FROM p)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cen) AS n_days,
+       CAST(MAX(m) AS BIGINT) AS n_pairs,
+       CAST(MAX(CASE WHEN rn = (m + 1) // 2 THEN s END) AS BIGINT)
+         AS slope_mid_lo,
+       CAST(MAX(CASE WHEN rn = m // 2 + 1 THEN s END) AS BIGINT)
+         AS slope_mid_hi
+FROM rk
 """
 
 
