@@ -765,6 +765,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partials; parallelism-invariance + dense-≡ + planted-label
         # pytest gates — no SQL oracle exists for an iterative fit)
         "embed_kmeans": docs.embed_kmeans,
+        # DBSCAN density clustering (exact eps-neighbor self-join →
+        # core-core components → min-label border attach; ≡-dense pinned)
+        "embed_dbscan": docs.embed_dbscan,
         # distributed PCA: exact-int sufficient statistics (one pass,
         # #batches x d(d+1)/2 exchange), driver d x d eigh; bit-identical
         # at any parallelism (tests/test_clustering.py)
@@ -789,6 +792,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_betweenness": docs_kg.kg_betweenness,
         # weighted SSSP from an md5-stable hub (BSP relaxation ≡ Dijkstra)
         "kg_distances": docs_kg.kg_distances,
+        # maximum-evidence spanning backbone (Borůvka MSF on −n_docs;
+        # BSP ≡ dense Kruskal pytest-pinned, unique forest)
+        "kg_mst": docs_kg.kg_mst,
         # MMR diversified top-k retrieval (distributed candidate pool +
         # bounded greedy re-rank; pinned ≡ reference impl in tests)
         "embed_mmr": docs.embed_mmr,

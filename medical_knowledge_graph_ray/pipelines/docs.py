@@ -303,6 +303,23 @@ def embed_pca(sf_dir: str) -> pd.DataFrame:
     return pca_fit(_embeddings(sf_dir), n_components=4)
 
 
+DBSCAN_EPS_COS = 0.30
+DBSCAN_MIN_PTS = 4
+
+
+def embed_dbscan(sf_dir: str) -> pd.DataFrame:
+    """Density clustering (DBSCAN) over the embeddings table —
+    (vec_id, cluster, is_core), noise −1 (`stages/clustering.py:dbscan`:
+    exact eps-neighbor self-join → degree census → core-core components
+    → deterministic min-label border attach).  Rows-only (density
+    clustering has no SQL oracle); pinned ≡ the brute-force dense
+    reference and parallelism-invariant in tests/test_clustering.py."""
+    from ..stages.clustering import dbscan
+
+    return dbscan(_embeddings(sf_dir), eps_cos=DBSCAN_EPS_COS,
+                  min_pts=DBSCAN_MIN_PTS)
+
+
 def embed_kmeans(sf_dir: str) -> pd.DataFrame:
     """Cluster census from distributed spherical k-means over the
     embeddings table (`stages/clustering.py`): per cluster its size and

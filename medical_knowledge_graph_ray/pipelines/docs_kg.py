@@ -1371,6 +1371,47 @@ def kg_distances(sf_dir: str) -> pd.DataFrame:
                   kind="mergesort").reset_index(drop=True)
 
 
+def kg_mst(sf_dir: str) -> pd.DataFrame:
+    """Maximum-evidence spanning backbone of the entity co-occurrence
+    graph — the minimum spanning forest under cost = −n_docs (Borůvka,
+    `stages/graph.py:msf`): the |V|−1 strongest edges that keep every
+    connected entity reachable, the standard graph-summarization /
+    taxonomy-induction reduction of a dense co-occurrence graph.
+
+    Rows-only (iterative algorithm); distributed-BSP ≡ dense-Kruskal is
+    pytest-pinned, and the forest is UNIQUE under the lexicographic
+    (cost, u, v) composite ⇒ parallelism-invariant."""
+    import ray.data as rd
+
+    from ..stages.graph import msf
+
+    edges = doc_cooccurrence(sf_dir).to_pandas()  # gazetteer-bounded
+    if not len(edges):
+        return pd.DataFrame(
+            {"term_a": pd.array([], "str"), "term_b": pd.array([], "str"),
+             "n_docs": pd.array([], "int64")}
+        )
+    terms = sorted(set(edges["term_a"]) | set(edges["term_b"]))
+    tid = {t: i for i, t in enumerate(terms)}
+    names = np.array(terms, dtype=object)
+    df = pd.DataFrame(
+        {"src": edges["term_a"].map(tid).astype("int64"),
+         "dst": edges["term_b"].map(tid).astype("int64"),
+         "neg_docs": (-edges["n_docs"].to_numpy("int64")).astype("float64")}
+    )
+    res = msf(rd.from_pandas(df), weight_col="neg_docs")
+    a = res["u"].to_numpy("int64")
+    b = res["v"].to_numpy("int64")
+    out = pd.DataFrame(
+        {"term_a": pd.array(names[a], "str"),
+         "term_b": pd.array(names[b], "str"),
+         "n_docs": pd.array((-res["w_micro"].to_numpy("int64"))
+                            // 1_000_000, "int64")}
+    )
+    return out.sort_values(["term_a", "term_b"],
+                           kind="mergesort").reset_index(drop=True)
+
+
 def kg_negative_samples(sf_dir: str, k: int = 4):
     """KG-embedding training prep: ``k`` deterministic tail-corrupted
     NEGATIVES per co-occurrence edge (`stages/negsample.py`) — the

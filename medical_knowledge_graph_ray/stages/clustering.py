@@ -287,3 +287,157 @@ def pca_fit(ds, n_components: int = 4, *, embedding_col: str = "embedding"):
     for col in ("component", "dim", "evr_bp"):
         out[col] = out[col].astype("int64")
     return out
+
+
+# -- DBSCAN (density clustering over the exact eps-neighbor graph) -----------
+
+def dbscan_dense(mat: np.ndarray, ids: np.ndarray, *, eps_cos: float,
+                 min_pts: int) -> pd.DataFrame:
+    """Brute-force reference DBSCAN (the pin for :func:`dbscan`).
+    Neighborhood = cosine ≥ eps_cos on unit vectors (≡ a euclidean eps
+    ball on the sphere), core = ≥ min_pts points in the CLOSED
+    neighborhood, clusters = components of the core-core graph labeled
+    by their min core id, borders attach to the MIN adjacent core
+    cluster (deterministic, replaces scan-order assignment), noise −1."""
+    u = _unit(mat.astype("float64"))
+    sims = np.round(u @ u.T, 6)
+    nbr = sims >= eps_cos
+    np.fill_diagonal(nbr, False)
+    core = nbr.sum(1) + 1 >= min_pts
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    ci = np.nonzero(core)[0]
+    for i in ci:
+        for j in np.nonzero(nbr[i] & core)[0]:
+            ra, rb = find(int(ids[i])), find(int(ids[j]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    lab = np.full(len(ids), -1, dtype="int64")
+    for i in ci:
+        lab[i] = find(int(ids[i]))
+    for i in np.nonzero(~core)[0]:
+        cn = np.nonzero(nbr[i] & core)[0]
+        if len(cn):
+            lab[i] = min(find(int(ids[j])) for j in cn)
+    out = pd.DataFrame({"vec_id": pd.array(ids.astype("int64"), "int64"),
+                        "cluster": pd.array(lab, "int64"),
+                        "is_core": pd.array(core.astype("int64"), "int64")})
+    return out.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+
+
+def dbscan(embeddings, *, eps_cos: float, min_pts: int, n_chunks: int = 8,
+           num_buckets: int = 16) -> pd.DataFrame:
+    """Distributed DBSCAN over an embedding Dataset → (vec_id, cluster,
+    is_core), cluster = min core id of the density component, noise −1.
+
+    Decomposition: DBSCAN is exactly (1) the eps-neighbor graph —
+    `similarity.py:neardup_pairs_chunked`, the EXACT all-pairs
+    chunk-replicated self-join (cos ≥ eps_cos ≡ a euclidean ball on
+    unit vectors); (2) a symmetric degree census (ONE bucketed
+    exchange) deciding core points (closed-neighborhood ≥ min_pts);
+    (3) connected components of the core-core subgraph
+    (`components.py:connected_components`, min-id labels); (4) border
+    attachment = per-border MIN over adjacent core labels (a second
+    pass over the materialized pair table + ONE min exchange).  The
+    deterministic min-label border rule replaces the scan-order
+    assignment of textbook DBSCAN — parallelism-invariant, pinned ≡
+    :func:`dbscan_dense`.
+
+    The degree/label maps are node-cardinality driver artifacts (the
+    k_core/sssp posture); the pair table itself never leaves the
+    cluster."""
+    import ray
+
+    from .components import connected_components
+    from .shuffle import bucketed_group_map
+    from .similarity import neardup_pairs_chunked
+
+    pairs = neardup_pairs_chunked(embeddings, eps_cos,
+                                  n_chunks=n_chunks).materialize()
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.concatenate([b["vec_a"].to_numpy("int64"),
+                            b["vec_b"].to_numpy("int64")])
+        out = pd.Series(v).value_counts()
+        return pd.DataFrame({"v": pd.array(out.index, "int64"),
+                             "deg": pd.array(out.to_numpy(), "int64")})
+
+    deg = bucketed_group_map(
+        pairs.map_batches(arrow_out(deg_partial), batch_format="pandas"),
+        ["v"],
+        lambda g: g.groupby("v", sort=False, as_index=False)["deg"].sum(),
+        num_buckets=num_buckets,
+    ).to_pandas()  # node-cardinality artifact
+    core: set[int] = (
+        set(deg.loc[deg["deg"].to_numpy("int64") + 1 >= min_pts, "v"]
+            .astype("int64").tolist())
+        if "v" in deg.columns else set()
+    )
+    core_ref = ray.put(core)
+
+    def core_edges(b: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(core_ref)
+        m = (b["vec_a"].isin(cs) & b["vec_b"].isin(cs)).to_numpy()
+        return b.loc[m, ["vec_a", "vec_b"]].astype("int64")
+
+    cc = connected_components(
+        pairs.map_batches(arrow_out(core_edges), batch_format="pandas"),
+        "vec_a", "vec_b", num_buckets=num_buckets,
+    ).to_pandas()
+    comp = (dict(zip(cc["node"].astype("int64"),
+                     cc["component_id"].astype("int64")))
+            if "node" in cc.columns else {})
+    # isolated cores (no core neighbor): their own cluster
+    label = {c: comp.get(c, c) for c in core}
+    lab_ref = ray.put(label)
+
+    def border_partial(b: pd.DataFrame) -> pd.DataFrame:
+        lab = ray.get(lab_ref)
+        a = b["vec_a"].to_numpy("int64")
+        c = b["vec_b"].to_numpy("int64")
+        rows = []
+        for x, y in ((a, c), (c, a)):
+            xs, ys = pd.Series(x), pd.Series(y)
+            m = (xs.isin(lab) & ~ys.isin(lab)).to_numpy()
+            if m.any():
+                lx = xs[m].map(lab).to_numpy("int64")
+                rows.append(pd.DataFrame({"v": y[m], "cl": lx}))
+        if not rows:
+            return pd.DataFrame({"v": pd.array([], "int64"),
+                                 "cl": pd.array([], "int64")})
+        out = pd.concat(rows, ignore_index=True)
+        return (out.groupby("v", sort=False, as_index=False)["cl"].min()
+                .astype({"v": "int64", "cl": "int64"}))
+
+    border = bucketed_group_map(
+        pairs.map_batches(arrow_out(border_partial), batch_format="pandas"),
+        ["v"],
+        lambda g: g.groupby("v", sort=False, as_index=False)["cl"].min(),
+        num_buckets=num_buckets,
+    ).to_pandas()
+    if "v" in border.columns:
+        label.update(dict(zip(border["v"].astype("int64"),
+                              border["cl"].astype("int64"))))
+    full_ref = ray.put((label, core))
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        lab, cs = ray.get(full_ref)
+        ids = b["vec_id"].to_numpy("int64")
+        return pd.DataFrame(
+            {"vec_id": pd.array(ids, "int64"),
+             "cluster": pd.array([lab.get(int(i), -1) for i in ids],
+                                 "int64"),
+             "is_core": pd.array([int(int(i) in cs) for i in ids],
+                                 "int64")})
+
+    out = embeddings.select_columns(["vec_id"]).map_batches(
+        arrow_out(emit), batch_format="pandas").to_pandas()
+    return out.sort_values("vec_id", kind="mergesort").reset_index(drop=True)

@@ -1254,3 +1254,145 @@ def sssp(
     return pd.DataFrame({"node": pd.array(ks, "int64"),
                          "dist_micro": pd.array([dist[k] for k in ks],
                                                 "int64")})
+
+
+def _uf_find(parent: dict, x: int) -> int:
+    r = x
+    while parent.get(r, r) != r:
+        r = parent[r]
+    while parent.get(x, x) != x:  # path compression
+        parent[x], x = r, parent[x]
+    return r
+
+
+def msf_dense(adj: pd.DataFrame, u: str = "u", v: str = "v",
+              w: str = "w_micro") -> pd.DataFrame:
+    """Driver-side Kruskal over a normalized (u<v) integer-weight edge
+    frame — the reference pin for :func:`msf` and its bounded-graph
+    finalizer.  Tie-break is the lexicographic (w, u, v) composite, so
+    the forest is UNIQUE even with repeated weights."""
+    a = adj[u].to_numpy("int64")
+    b = adj[v].to_numpy("int64")
+    c = adj[w].to_numpy("int64")
+    order = np.lexsort((b, a, c))
+    parent: dict[int, int] = {}
+    rows = []
+    for i in order:
+        ra, rb = _uf_find(parent, int(a[i])), _uf_find(parent, int(b[i]))
+        if ra != rb:
+            parent[ra] = rb
+            rows.append((int(a[i]), int(b[i]), int(c[i])))
+    out = pd.DataFrame(rows, columns=[u, v, w]).astype(
+        {u: "int64", v: "int64", w: "int64"})
+    return out.sort_values([u, v], kind="mergesort").reset_index(drop=True)
+
+
+def msf(
+    edges,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    *,
+    num_buckets: int = 16,
+    mode: str = "auto",
+    dense_edge_bound: int = 4_000_000,
+):
+    """Distributed minimum spanning FOREST via frontier-synchronous
+    Borůvka — each round every component elects its cheapest outgoing
+    edge (a per-batch min combiner + ONE component-keyed min exchange),
+    the driver merges components with union-find, and the round count
+    is ≤ log₂(nodes).  Negative weights are fine (maximum spanning
+    backbones negate their evidence weight).
+
+    Determinism: the effective edge weight is the LEXICOGRAPHIC
+    composite (w_micro, u, v) on the normalized u<v edge — unique ⇒ the
+    forest is unique ⇒ bit-identical at any parallelism (pytest-pinned
+    against dense Kruskal).  Weights are micro-scaled int64
+    (``floor(w·10⁶ + 0.5)``; 10⁶ per edge when ``weight_col`` is None).
+
+    The component map is the node-cardinality driver artifact this
+    engine accepts (the sssp/k_core posture; an unbounded node set
+    would keep comp as a keyed table and make each round a partitioned
+    join).  ``mode='auto'``: small graphs finalize dense (mining stays
+    distributed)."""
+    import ray
+
+    from .shuffle import bucketed_group_map
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[src_col].to_numpy("int64")
+        d = b[dst_col].to_numpy("int64")
+        wm = (np.floor(b[weight_col].to_numpy("float64") * 1_000_000 + 0.5)
+              .astype("int64")
+              if weight_col is not None
+              else np.full(len(b), 1_000_000, dtype="int64"))
+        keep = s != d  # self-loops never span
+        a = np.minimum(s[keep], d[keep])
+        bb = np.maximum(s[keep], d[keep])
+        out = pd.DataFrame({"u": a, "v": bb, "w_micro": wm[keep]})
+        # batch-local combiner: cheapest parallel edge only
+        out = out.sort_values(["u", "v", "w_micro"], kind="mergesort")
+        return out.drop_duplicates(["u", "v"]).astype(
+            {"u": "int64", "v": "int64", "w_micro": "int64"})
+
+    adj = edges.map_batches(arrow_out(norm),
+                            batch_format="pandas").materialize()
+    n_edges = adj.count()
+    if mode == "dense" or (mode == "auto" and n_edges <= dense_edge_bound):
+        return msf_dense(adj.to_pandas())
+
+    parent: dict[int, int] = {}
+    forest: list[tuple[int, int, int]] = []
+    while True:
+        roots = {x: _uf_find(parent, x) for x in list(parent)}
+        r_ref = ray.put(roots)
+
+        def pick_partial(b: pd.DataFrame) -> pd.DataFrame:
+            r = ray.get(r_ref)
+            ca = b["u"].map(r).fillna(b["u"]).astype("int64")
+            cb = b["v"].map(r).fillna(b["v"]).astype("int64")
+            m = (ca != cb).to_numpy()
+            if not m.any():
+                return pd.DataFrame({"comp": pd.array([], "int64"),
+                                     "w_micro": pd.array([], "int64"),
+                                     "u": pd.array([], "int64"),
+                                     "v": pd.array([], "int64")})
+            sub = b[m]
+            two = pd.DataFrame(
+                {"comp": np.concatenate([ca[m].to_numpy("int64"),
+                                         cb[m].to_numpy("int64")]),
+                 "w_micro": np.tile(sub["w_micro"].to_numpy("int64"), 2),
+                 "u": np.tile(sub["u"].to_numpy("int64"), 2),
+                 "v": np.tile(sub["v"].to_numpy("int64"), 2)}
+            )
+            two = two.sort_values(["comp", "w_micro", "u", "v"],
+                                  kind="mergesort")
+            return two.drop_duplicates("comp").astype(
+                {"comp": "int64", "w_micro": "int64",
+                 "u": "int64", "v": "int64"})
+
+        cand = bucketed_group_map(
+            adj.map_batches(arrow_out(pick_partial), batch_format="pandas"),
+            ["comp"],
+            lambda g: (g.sort_values(["comp", "w_micro", "u", "v"],
+                                     kind="mergesort")
+                       .drop_duplicates("comp")),
+            num_buckets=num_buckets,
+        ).to_pandas()  # ≤ one row per live component
+        if "u" not in cand.columns or not len(cand):
+            break
+        sel = (cand[["w_micro", "u", "v"]]
+               .drop_duplicates(["u", "v"])
+               .sort_values(["w_micro", "u", "v"], kind="mergesort"))
+        merged = False
+        for wm, a, b in sel.itertuples(index=False):
+            ra, rb = _uf_find(parent, int(a)), _uf_find(parent, int(b))
+            if ra != rb:
+                parent[ra] = rb
+                forest.append((int(a), int(b), int(wm)))
+                merged = True
+        if not merged:
+            break
+    out = pd.DataFrame(forest, columns=["u", "v", "w_micro"]).astype(
+        {"u": "int64", "v": "int64", "w_micro": "int64"})
+    return out.sort_values(["u", "v"], kind="mergesort").reset_index(drop=True)

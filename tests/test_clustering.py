@@ -131,3 +131,79 @@ def test_pca_matches_dense(ray_session):
     # explained-variance shares are sane and ordered
     evr = got.groupby("component")["evr_bp"].first()
     assert (evr.diff().dropna() <= 0).all() and (evr > 0).all()
+
+
+# -- DBSCAN ------------------------------------------------------------------
+
+def _planted_blobs(n_per=30, k=3, d=16, noise=5):
+    rng = np.random.RandomState(11)
+    centers = rng.normal(0, 1, (k, d)) * 4
+    rows = []
+    for c in range(k):
+        rows.append(centers[c] + rng.normal(0, 0.05, (n_per, d)))
+    rows.append(rng.normal(0, 1, (noise, d)) * 4)  # isolated noise
+    mat = np.vstack(rows)
+    ids = np.arange(len(mat), dtype="int64") * 7 + 3  # non-contiguous ids
+    return mat, ids
+
+
+def _emb_ds(mat, ids):
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(
+        {"vec_id": ids, "embedding": [r.astype("float32") for r in mat]}))
+
+
+def test_dbscan_matches_dense_on_planted_blobs(ray_session):
+    from medical_knowledge_graph_ray.stages.clustering import (
+        dbscan, dbscan_dense)
+
+    mat, ids = _planted_blobs()
+    dense = dbscan_dense(mat, ids, eps_cos=0.95, min_pts=4)
+    got = dbscan(_emb_ds(mat, ids), eps_cos=0.95, min_pts=4, n_chunks=3)
+    assert got.equals(dense)
+    # three planted blobs recovered as clusters, noise stays -1
+    clusters = dense[dense["cluster"] >= 0]["cluster"].nunique()
+    assert clusters == 3
+    assert (dense["cluster"].to_numpy()[-5:] == -1).all()
+
+
+def test_dbscan_parallelism_invariance_and_real_table(ray_session):
+    from medical_knowledge_graph_ray.pipelines.docs import (
+        DBSCAN_EPS_COS, DBSCAN_MIN_PTS, _embeddings)
+    from medical_knowledge_graph_ray.stages.clustering import (
+        dbscan, dbscan_dense, _to_matrix)
+
+    sf = "/root/testdata/sf0.001"
+    df = pd.read_parquet(f"{sf}/embeddings.parquet")
+    dense = dbscan_dense(_to_matrix(df["embedding"]),
+                         df["vec_id"].to_numpy("int64"),
+                         eps_cos=DBSCAN_EPS_COS, min_pts=DBSCAN_MIN_PTS)
+    a = dbscan(_embeddings(sf), eps_cos=DBSCAN_EPS_COS,
+               min_pts=DBSCAN_MIN_PTS, n_chunks=4, num_buckets=8)
+    b = dbscan(_embeddings(sf), eps_cos=DBSCAN_EPS_COS,
+               min_pts=DBSCAN_MIN_PTS, n_chunks=7, num_buckets=16)
+    assert a.equals(dense) and b.equals(dense)
+    assert (dense["is_core"] == 1).any()  # non-trivial at these params
+
+
+def test_dbscan_border_attaches_to_min_cluster(ray_session):
+    from medical_knowledge_graph_ray.stages.clustering import dbscan_dense
+
+    # two 4-point arcs on the unit circle + one border point midway,
+    # within eps of exactly ONE core from EACH arc (so it is not a core
+    # itself): the deterministic rule picks the MIN cluster label
+    def pt(deg):
+        r = np.deg2rad(deg)
+        return [np.cos(r), np.sin(r), 0.0, 0.0]
+
+    eps = np.cos(np.deg2rad(10.0)) - 1e-9
+    arc1 = [pt(d) for d in (0, 3, 6, 9)]       # mutually adjacent → cores
+    arc2 = [pt(d) for d in (28, 31, 34, 37)]   # mutually adjacent → cores
+    border = [pt(18.5)]                        # 9.5° to 9° and to 28° only
+    mat = np.array(arc1 + arc2 + border)
+    ids = np.arange(len(mat), dtype="int64")
+    out = dbscan_dense(mat, ids, eps_cos=eps, min_pts=4)
+    b = out[out["vec_id"] == ids[-1]].iloc[0]
+    assert out[out["vec_id"] < 8]["cluster"].nunique() == 2  # two clusters
+    assert b["is_core"] == 0 and b["cluster"] == out["cluster"].min()

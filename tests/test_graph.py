@@ -585,3 +585,72 @@ def test_sssp_rejects_negative_weights(ray_session):
     df = pd.DataFrame({"src": [0], "dst": [1], "w": [-1.0]})
     with pytest.raises(Exception):
         sssp(rd.from_pandas(df), weight_col="w", source=0, mode="dense")
+
+
+def test_msf_hand_case(ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.graph import msf
+
+    # square with a cheap diagonal: MSF = the three cheapest non-cyclic
+    df = pd.DataFrame({"src": [0, 1, 2, 3, 0],
+                       "dst": [1, 2, 3, 0, 2],
+                       "w":   [1.0, 4.0, 2.0, 3.0, 1.5]})
+    got = msf(rd.from_pandas(df), weight_col="w", mode="dense")
+    assert [tuple(r) for r in got[["u", "v"]].to_numpy()] == \
+        [(0, 1), (0, 2), (2, 3)]
+    assert got["w_micro"].tolist() == [1_000_000, 1_500_000, 2_000_000]
+
+
+def test_msf_bsp_equals_kruskal_bit_exact(ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.graph import msf
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"src": rng.randint(0, 60, 300).astype("int64"),
+                       "dst": rng.randint(0, 60, 300).astype("int64"),
+                       # repeated weights on purpose: the (w, u, v)
+                       # composite must keep the forest unique
+                       "w": rng.randint(1, 6, 300).astype("float64")})
+    dense = msf(rd.from_pandas(df), weight_col="w", mode="dense")
+    bsp1 = msf(rd.from_pandas(df), weight_col="w", mode="bsp", num_buckets=4)
+    bsp2 = msf(rd.from_pandas(df), weight_col="w", mode="bsp", num_buckets=11)
+    assert len(dense) > 0
+    for got in (bsp1, bsp2):
+        assert got.equals(dense)
+
+
+def test_msf_negative_weights_and_forest(ray_session):
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.graph import msf
+
+    # two disconnected components -> a forest, negative weights allowed
+    df = pd.DataFrame({"src": [0, 1, 10, 11],
+                       "dst": [1, 2, 11, 12],
+                       "w": [-5.0, -1.0, -2.0, -3.0]})
+    dense = msf(rd.from_pandas(df), weight_col="w", mode="dense")
+    bsp = msf(rd.from_pandas(df), weight_col="w", mode="bsp", num_buckets=3)
+    assert bsp.equals(dense)
+    assert len(dense) == 4  # both components fully spanned
+
+
+def test_kg_mst_is_spanning_and_max_evidence(ray_session):
+    from medical_knowledge_graph_ray.pipelines.docs_kg import (
+        doc_cooccurrence, kg_mst)
+
+    sf = "/root/testdata/sf0.001"
+    got = kg_mst(sf)
+    edges = doc_cooccurrence(sf).to_pandas()
+    terms = set(edges["term_a"]) | set(edges["term_b"])
+    # a spanning forest of a connected co-occurrence graph: |V|-1 edges
+    touched = set(got["term_a"]) | set(got["term_b"])
+    assert touched == terms
+    assert len(got) <= len(terms) - 1
+    # every kept edge's evidence appears in the source graph
+    key = {(a, b): n for a, b, n in zip(
+        edges["term_a"], edges["term_b"], edges["n_docs"])}
+    key.update({(b, a): n for (a, b), n in list(key.items())})
+    assert all(key[(a, b)] == n for a, b, n in
+               zip(got["term_a"], got["term_b"], got["n_docs"]))
