@@ -686,6 +686,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # candidate-key discovery (exact distinct-vs-rows over single +
         # composite column sets; ONE value exchange, footer row counts)
         "tables_key_discovery": relational.tables_key_discovery,
+        # MATCH_RECOGNIZE-style CEP: per-user count of the ordered
+        # view (click)+ purchase pattern (regex per USER-sequence inside
+        # one user-bucketed exchange)
+        "events_cep": events.events_cep,
+        # deterministic node2vec-style walks over the co-occurrence
+        # graph (md5-argmin steps; recursive-CTE oracle)
+        "kg_walks": docs_kg.kg_walks,
+        # Neyman variance-optimal stratified sampling (exact-integer
+        # rate contract; two streaming passes)
+        "lineitem_neyman": relational.lineitem_neyman,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -1085,6 +1095,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_simpson": docs.SIMPSON_SQL,
         "orders_theilsen": relational.ORDERS_THEILSEN_SQL,
         "tables_key_discovery": relational.tables_key_discovery_sql(),
+        "events_cep": events.CEP_SQL,
+        "kg_walks": docs_kg.walks_sql(),
+        "lineitem_neyman": relational.LINEITEM_NEYMAN_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -1412,6 +1412,129 @@ def kg_mst(sf_dir: str) -> pd.DataFrame:
                            kind="mergesort").reset_index(drop=True)
 
 
+WALK_STEPS = 3
+
+
+def kg_walks(sf_dir: str, steps: int = WALK_STEPS) -> pd.DataFrame:
+    """Deterministic node2vec-style walk corpus over the mined entity
+    co-occurrence graph — the KG-embedding training prep (DeepWalk /
+    node2vec input): ONE walk per start entity, where step t moves from
+    the current node to the neighbor minimizing the lexicographic
+    (md5_64(f"{start}|{t}|{nbr}"), nbr) composite.  The md5-derived
+    choice replaces an RNG (this engine's distributed-randomness
+    contract: content-stable, parallelism-invariant) and makes the walk
+    SQL-expressible — the oracle is a recursive CTE whose step picks the
+    same argmin via NOT EXISTS on the same 16-hex-char md5 prefix.
+
+    Shape: the (both-direction) edge table stays a distributed Dataset;
+    each step broadcasts the frontier (ONE row per start — node-
+    cardinality, the sssp/k_core driver-artifact posture), candidate
+    (start, nbr, hash) rows are minted vectorized inside ``map_batches``
+    (Arrow-side message build + the numpy md5 kernel — no per-row
+    Python), and the per-start argmin rides ONE bucketed exchange keyed
+    by start.  ``steps`` exchanges total; walks from a corpus-scale
+    start set would shard the frontier instead of broadcasting."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.hashing import md5_int_vec
+    from ..stages.shuffle import bucketed_group_map
+
+    co = doc_cooccurrence(sf_dir)
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": pd.array(np.concatenate([b["term_a"], b["term_b"]]),
+                             "str"),
+             "dst": pd.array(np.concatenate([b["term_b"], b["term_a"]]),
+                             "str")}
+        )
+
+    edges = co.map_batches(arrow_out(both_dirs),
+                           batch_format="pandas").materialize()
+    starts_df = bucketed_group_map(
+        edges.select_columns(["src"]), ["src"],
+        lambda g: g.drop_duplicates("src"), num_buckets=4,
+    ).to_pandas()  # ≤ |gazetteer| rows
+    if "src" not in starts_df.columns or not len(starts_df):
+        return pd.DataFrame({"term": pd.array([], "str"),
+                             "step": pd.array([], "int64"),
+                             "node": pd.array([], "str")})
+    starts = sorted(starts_df["src"].astype(str))
+    frontier = {s: s for s in starts}
+    rows = [pd.DataFrame({"term": pd.array(starts, "str"),
+                          "step": np.zeros(len(starts), "int64"),
+                          "node": pd.array(starts, "str")})]
+    for t in range(steps):
+        fr_ref = ray.put(frontier)
+        t_str = str(t)
+
+        def cand(b: pd.DataFrame) -> pd.DataFrame:
+            fr = ray.get(fr_ref)
+            fdf = pd.DataFrame({"term": list(fr), "node": list(fr.values())})
+            m = b.merge(fdf, left_on="src", right_on="node")
+            if not len(m):
+                return pd.DataFrame({"term": pd.array([], "str"),
+                                     "dst": pd.array([], "str"),
+                                     "h": np.array([], "uint64")})
+            msg = pc.binary_join_element_wise(
+                pa.array(m["term"], pa.string()), pa.scalar(t_str),
+                pa.array(m["dst"], pa.string()), pa.scalar("|"),
+            )
+            return pd.DataFrame(
+                {"term": pd.array(m["term"], "str"),
+                 "dst": pd.array(m["dst"], "str"),
+                 "h": md5_int_vec(msg, bits=64)}
+            )
+
+        def pick(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.sort_values(["term", "h", "dst"], kind="mergesort")
+            return s.drop_duplicates("term")[["term", "dst"]]
+
+        nxt = bucketed_group_map(
+            edges.map_batches(arrow_out(cand), batch_format="pandas"),
+            ["term"], pick, num_buckets=8,
+        ).to_pandas()  # ONE row per start
+        if "term" not in nxt.columns or not len(nxt):
+            break
+        frontier = dict(zip(nxt["term"].astype(str), nxt["dst"].astype(str)))
+        rows.append(pd.DataFrame(
+            {"term": pd.array(nxt["term"], "str"),
+             "step": np.full(len(nxt), t + 1, "int64"),
+             "node": pd.array(nxt["dst"], "str")}))
+    out = pd.concat(rows, ignore_index=True)
+    return out.sort_values(["term", "step"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+def walks_sql(steps: int = WALK_STEPS) -> str:
+    return f"""
+WITH RECURSIVE co AS ({cooccur_sql()}),
+edges AS (
+  SELECT term_a AS src, term_b AS dst FROM co
+  UNION ALL
+  SELECT term_b, term_a FROM co
+),
+walk(term, step, node) AS (
+  SELECT DISTINCT src, 0, src FROM edges
+  UNION ALL
+  SELECT w.term, w.step + 1, e.dst
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.step < {steps} AND NOT EXISTS (
+    SELECT 1 FROM edges e2
+    WHERE e2.src = w.node AND (
+      substr(md5(w.term || '|' || w.step || '|' || e2.dst), 1, 16) <
+      substr(md5(w.term || '|' || w.step || '|' || e.dst), 1, 16)
+      OR (substr(md5(w.term || '|' || w.step || '|' || e2.dst), 1, 16) =
+          substr(md5(w.term || '|' || w.step || '|' || e.dst), 1, 16)
+          AND e2.dst < e.dst))
+  )
+)
+SELECT term, CAST(step AS BIGINT) AS step, node FROM walk
+"""
+
+
 def kg_negative_samples(sf_dir: str, k: int = 4):
     """KG-embedding training prep: ``k`` deterministic tail-corrupted
     NEGATIVES per co-occurrence edge (`stages/negsample.py`) — the

@@ -1580,6 +1580,72 @@ FROM events GROUP BY user_id
 """
 
 
+# one char per event type so the CEP pattern is a plain regex; first
+# letters are distinct across the five types on this schema
+CEP_CODES = {"click": "c", "error": "e", "purchase": "p",
+             "signup": "s", "view": "v"}
+CEP_PATTERN = "vc+p"  # view, 1+ clicks, purchase — strictly in order
+
+
+def events_cep(sf_dir: str):
+    """MATCH_RECOGNIZE-style complex-event-processing: per user, the
+    count of non-overlapping leftmost matches of the ordered pattern
+    ``view (click)+ purchase`` in the event-type sequence — the SQL:2016
+    row-pattern primitive (PATTERN (V C+ P) ONE ROW PER MATCH), which no
+    windowed aggregate expresses.
+
+    Shape: event types collapse to one char per row, each user's ordered
+    sequence assembles inside ONE user-bucketed exchange (the
+    ``events_user_path`` co-location argument — order state never
+    crosses buckets), and the pattern runs as one compiled regex per
+    USER-sequence, not per event.  Leftmost non-overlapping ``findall``
+    semantics are exactly DuckDB's ``regexp_extract_all`` (both RE2-ish
+    leftmost); users with zero matches drop in-bucket, so the driver
+    sees only matching users."""
+    import re
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+    pat = re.compile(CEP_PATTERN)
+
+    def cep_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        codes = s["event_type"].map(CEP_CODES).fillna("?")
+        seq = codes.groupby(s["user_id"].to_numpy(), sort=False).agg("".join)
+        n = np.fromiter((len(pat.findall(q)) for q in seq.to_numpy()),
+                        dtype="int64", count=len(seq))
+        keep = n > 0
+        return pd.DataFrame(
+            {"user_id": pd.array(seq.index.to_numpy()[keep], "int64"),
+             "n_matches": pd.array(n[keep], "int64")}
+        )
+
+    out = bucketed_group_map(
+        ev, ["user_id"], cep_bucket, num_buckets=32
+    ).to_pandas()  # ≤ matching users
+    if "user_id" not in out.columns:
+        out = pd.DataFrame({"user_id": pd.array([], "int64"),
+                            "n_matches": pd.array([], "int64")})
+    return (out.astype({"user_id": "int64", "n_matches": "int64"})
+            .sort_values("user_id", kind="mergesort").reset_index(drop=True))
+
+
+CEP_SQL = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'v'
+                    WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                    WHEN 'signup' THEN 's' WHEN 'error' THEN 'e'
+                    ELSE '?' END, '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id, len(regexp_extract_all(seq, 'vc+p')) AS n_matches
+FROM s
+WHERE len(regexp_extract_all(seq, 'vc+p')) > 0
+"""
+
+
 def events_share_of_total(sf_dir: str):
     """Per-event-type share of total value (the RATIO_TO_REPORT /
     percent-of-total window shape): exact int-cent sums per type via the

@@ -2072,6 +2072,146 @@ WHERE n > 1 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
 """
 
 
+NEYMAN_TARGET = 2000  # total sample budget across all strata
+
+
+def lineitem_neyman(sf_dir: str):
+    """Variance-optimal (Neyman-allocation) stratified sampling — the
+    survey-sampling upgrade of proportional stratification: stratum h
+    gets sampling rate ∝ its stddev, so a fixed sample budget minimizes
+    the estimator variance.  Two streaming passes over lineitem, strata
+    = l_returnflag:
+
+    pass 1 — exact int64 moment partials (n, Σx, Σx²) per stratum (the
+    ``lineitem_qty_stats`` combiner shape), folded to |strata| rows;
+    pass 2 — broadcast the integer rates, accept rows by content hash,
+    and fold a per-stratum census of the sample.
+
+    Determinism contract (the reason this oracles): the ONLY float ops
+    are one IEEE division of two exact integers and one IEEE sqrt (both
+    correctly rounded, bit-identical across numpy and DuckDB), pinned to
+    an integer immediately — s_micro = ⌊σ̂·10⁶ + 0.5⌋ — after which the
+    rate is pure integer arithmetic: rate_ppm = min(10⁶,
+    (10⁶·T·s_micro) // Σ n·s_micro).  Acceptance is md5_64 % 10⁶ <
+    rate_ppm on the (flag, orderkey, linenumber) content key — the
+    engine's sampling idiom, reproducible at any parallelism."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_int_vec
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_orderkey", "l_linenumber",
+                        "l_quantity"])
+
+    def moment_partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(b["l_quantity"].to_numpy()).astype("int64")
+        df = pd.DataFrame({"l_returnflag": b["l_returnflag"],
+                           "s1": q, "s2": q * q})
+        return (df.groupby("l_returnflag", sort=False)
+                .agg(n=("s1", "size"), s1=("s1", "sum"), s2=("s2", "sum"))
+                .reset_index())
+
+    m = (li.map_batches(arrow_out(moment_partial), batch_format="pandas")
+         .groupby("l_returnflag")
+         .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                    Sum("s2", alias_name="s2"))
+         .to_pandas())  # |strata| rows
+    s_micro: dict[str, int] = {}
+    n_rows: dict[str, int] = {}
+    for flag, n, s1, s2 in m[["l_returnflag", "n", "s1", "s2"]].itertuples(
+            index=False):
+        n, s1, s2 = int(n), int(s1), int(s2)
+        n_rows[str(flag)] = n
+        if n < 2:
+            s_micro[str(flag)] = 0
+            continue
+        var = float(n * s2 - s1 * s1) / float(n * (n - 1))
+        s_micro[str(flag)] = int(math.floor(math.sqrt(var) * 1_000_000
+                                            + 0.5))
+    w = sum(n_rows[f] * s_micro[f] for f in s_micro)
+    rate_ppm = {f: min(1_000_000,
+                       (1_000_000 * NEYMAN_TARGET * s_micro[f]) // w)
+                for f in s_micro}
+    r_ref = ray.put(rate_ppm)
+
+    def sample_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rates = ray.get(r_ref)
+        msg = pc.binary_join_element_wise(
+            pa.array(b["l_returnflag"], pa.string()),
+            pc.cast(pa.array(b["l_orderkey"].to_numpy("int64")),
+                    pa.string()),
+            pc.cast(pa.array(b["l_linenumber"].to_numpy("int64")),
+                    pa.string()),
+            pa.scalar("|"),
+        )
+        h = md5_int_vec(msg, bits=64) % np.uint64(1_000_000)
+        lim = b["l_returnflag"].map(rates).to_numpy("uint64")
+        keep = h < lim
+        q = np.rint(b["l_quantity"].to_numpy()).astype("int64")[keep]
+        df = pd.DataFrame({"l_returnflag": b["l_returnflag"][keep],
+                           "q": q})
+        return (df.groupby("l_returnflag", sort=False)
+                .agg(n_sampled=("q", "size"), qty_sum=("q", "sum"))
+                .reset_index())
+
+    cen = (li.map_batches(arrow_out(sample_partial), batch_format="pandas")
+           .groupby("l_returnflag")
+           .aggregate(Sum("n_sampled", alias_name="n_sampled"),
+                      Sum("qty_sum", alias_name="qty_sum"))
+           .to_pandas())
+    cen = cen[cen["n_sampled"].to_numpy() > 0]
+    flags = cen["l_returnflag"].astype(str)
+    out = pd.DataFrame(
+        {"l_returnflag": pd.array(flags, "str"),
+         "n_rows": pd.array([n_rows[f] for f in flags], "int64"),
+         "rate_ppm": pd.array([rate_ppm[f] for f in flags], "int64"),
+         "n_sampled": cen["n_sampled"].astype("int64").to_numpy(),
+         "qty_sum": cen["qty_sum"].astype("int64").to_numpy()}
+    )
+    return (out.sort_values("l_returnflag", kind="mergesort")
+            .reset_index(drop=True))
+
+
+LINEITEM_NEYMAN_SQL = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS sxx
+  FROM lineitem GROUP BY 1
+),
+a AS (
+  SELECT l_returnflag, n,
+         CASE WHEN n < 2 THEN 0 ELSE
+           CAST(floor(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                           / CAST(n*(n-1) AS DOUBLE)) * 1000000 + 0.5)
+                AS BIGINT) END AS s_micro
+  FROM m
+),
+r AS (
+  SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+         CAST(LEAST(1000000,
+              (1000000 * {NEYMAN_TARGET} * CAST(s_micro AS HUGEINT))
+              // (SELECT SUM(n * s_micro) FROM a)) AS BIGINT) AS rate_ppm
+  FROM a
+)
+SELECT r.l_returnflag, r.n_rows, r.rate_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum
+FROM r JOIN lineitem l ON l.l_returnflag = r.l_returnflag
+WHERE ('0x' || substr(md5(l.l_returnflag || '|' || l.l_orderkey || '|' ||
+                          l.l_linenumber), 1, 16))::UBIGINT % 1000000
+      < r.rate_ppm
+GROUP BY 1, 2, 3
+"""
+
+
 PROFILE_SPECS: list[tuple[str, dict[str, str]]] = [
     ("orders", {
         "o_orderkey": "num", "o_custkey": "num", "o_orderstatus": "str",
