@@ -854,6 +854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 fifth-sitting additions
         "docs_containment_pairs", "lineitem_bitmap_counts",
         "events_path_trigrams", "events_anova", "tables_fd_discovery",
+        # round-4 close-out additions (CEP, walks, Neyman)
+        "events_cep", "kg_walks", "lineitem_neyman",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -875,6 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_profit", "embed_neardup_pairs",
         "docs_minhash_pairs", "events_ttest", "orders_yoy",
         "events_decay", "docs_feature_hashing",
+        "q1_pricing", "q3_top_orders", "docs_tfidf_top",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
