@@ -131,7 +131,12 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         # sixth sitting
         "lineitem_zorder_scan", "orders_snapshot_diff",
         "docs_readability", "nation_rev_ivm", "kg_negative_samples",
-        "sales_hierarchy_share",
+        "sales_hierarchy_share", "events_mutual_info", "docs_simpson",
+        "orders_theilsen", "tables_key_discovery",
+        # round-4 close-out: density clustering, spanning backbone, CEP,
+        # deterministic walk corpus, Neyman stratified sampling
+        "embed_dbscan", "kg_mst", "events_cep", "kg_walks",
+        "lineitem_neyman",
     ]
     qs = em.queries()
     times: dict[str, float] = {}
