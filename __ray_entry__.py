@@ -696,6 +696,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Neyman variance-optimal stratified sampling (exact-integer
         # rate contract; two streaming passes)
         "lineitem_neyman": relational.lineitem_neyman,
+        # per-type PSI drift between the early/late half of the event
+        # log (Laplace-smoothed, integer nano-nat addends)
+        "events_psi": events.events_psi,
+        # Holt level+trend smoothing of monthly revenue (α=β=1/2,
+        # bit-identical int64 floor recursion; recursive-CTE oracle)
+        "orders_holt": relational.orders_holt,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -1101,6 +1107,8 @@ def oracle_sql() -> dict[str, str]:
         "events_cep": events.CEP_SQL,
         "kg_walks": docs_kg.walks_sql(),
         "lineitem_neyman": relational.LINEITEM_NEYMAN_SQL,
+        "events_psi": events.PSI_SQL,
+        "orders_holt": relational.HOLT_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -267,7 +267,10 @@ def embed_norms(sf_dir: str):
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "label": df["label"],
+                # Ray's groupby widens int32 keys to int64; the oracle
+                # keeps the parquet int32 — retype to match the driver's
+                # dtype-strict compare
+                "label": df["label"].astype("int32"),
                 "n_vecs": df["n_vecs"],
                 "avg_norm": df["norm_u"] / 1_000_000.0 / df["n_vecs"],
             }

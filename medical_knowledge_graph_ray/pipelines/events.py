@@ -119,6 +119,11 @@ def events_sliding(sf_dir: str):
             .reset_index()
         )
         out["sum_value"] = out["sum_value_c"] / 100.0
+        # explicit µs — pandas floor() yields ns, which the driver's
+        # dtype-strict compare would flag vs the oracle's timestamp[us]
+        out["window_start"] = (
+            out["window_start"].to_numpy().astype("datetime64[us]")
+        )
         return out[["event_type", "window_start", "n", "sum_value"]]
 
     return bucketed_group_map(partials, ["event_type", "window_start"], combine)
@@ -1016,6 +1021,9 @@ def events_sliding_users(sf_dir: str):
             .size().rename("n_users").reset_index()
         )
         out["n_users"] = out["n_users"].astype("int64")
+        out["window_start"] = (
+            out["window_start"].to_numpy().astype("datetime64[us]")
+        )
         return out
 
     return bucketed_group_map(
@@ -1283,12 +1291,12 @@ WITH s AS (
   WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > c.t2
   GROUP BY e.user_id
 )
-SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+SELECT CAST(1 AS BIGINT) AS step, '{FUNNEL_STEPS[0]}' AS event_type,
        (SELECT COUNT(*) FROM s) AS n_users
 UNION ALL
-SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT COUNT(*) FROM c)
+SELECT CAST(2 AS BIGINT), '{FUNNEL_STEPS[1]}', (SELECT COUNT(*) FROM c)
 UNION ALL
-SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT COUNT(*) FROM p)
+SELECT CAST(3 AS BIGINT), '{FUNNEL_STEPS[2]}', (SELECT COUNT(*) FROM p)
 """
 
 
@@ -3878,4 +3886,148 @@ SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
                  THEN (ssb*(n-k)*1000) // (ssw*(k-1)) ELSE 0 END
             AS BIGINT) AS f_permille
 FROM f
+"""
+
+# -- population stability index (distribution drift monitor) -------------------
+
+PSI_BINS = 10
+PSI_BIN_CENTS = 10_000  # $100-wide bins in integer cents
+
+
+def events_psi(sf_dir: str):
+    """Per-type Population Stability Index between the EARLY and LATE
+    half of the event log — the standard drift monitor a production
+    data pipeline runs on every feature (PSI < 0.1 stable, > 0.25
+    drifted).  Reference analogue: the engine-health censuses the
+    reference derives per source (``clean_and_save.py`` weight audits);
+    over the events table the same idea is a distribution diff.
+
+    Deterministic contract:
+
+    * period split at ``mid = min_ts + (max_ts − min_ts) // 2`` in
+      integer µs (identical floor-division both engines),
+    * value binned in integer cents: ``bin = min(cents // 10000, 9)``
+      (10 × $100 bins; cents = rint(value·100) — the repo-wide float
+      contract),
+    * Laplace-smoothed PSI with every bin materialized:
+      ``a = early_count + 1`` over ``n1' = n_early + B`` (same for
+      late); per-bin addend
+      ``(a/n1' − b/n2')·(ln a − ln n1' − ln b + ln n2')`` mirrored
+      term-for-term on both engines (ln of INTEGERS only — CPython's
+      ``math.log`` ≡ DuckDB's ``std::log``), pre-rounded to an integer
+      nano via ``floor(x·1e9 + 0.5)`` so the sum is exact int64 and
+      summation order never matters (the ``events_entropy`` recipe).
+
+    Shape: one ts-only min/max pass (bounded), then ONE full scan with
+    a per-batch (type, period, bin) combiner — the exchange carries
+    ≤ types×2×B rows per batch; finalize is driver-side on the bounded
+    census."""
+    import math
+
+    from ray.data.aggregate import Max, Min
+
+    ts_stats = (
+        _events(sf_dir, ["ts"])
+        .aggregate(Min("ts"), Max("ts"))
+    )
+    lo = pd.Timestamp(ts_stats["min(ts)"]).value // 1000  # ns → µs
+    hi = pd.Timestamp(ts_stats["max(ts)"]).value // 1000
+    mid = lo + (hi - lo) // 2
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        period = (us > mid).astype("int64")
+        cents = np.rint(b["value"].to_numpy() * 100).astype("int64")
+        bins = np.minimum(cents // PSI_BIN_CENTS, PSI_BINS - 1)
+        return (
+            pd.DataFrame(
+                {"event_type": b["event_type"], "period": period, "bin": bins}
+            )
+            .groupby(["event_type", "period", "bin"], sort=False)
+            .size().rename("n").reset_index()
+        )
+
+    census = (
+        _events(sf_dir, ["event_type", "ts", "value"])
+        .map_batches(arrow_out(partial), batch_format="pandas")
+        .to_pandas()  # ≤ types×2×B rows per batch — bounded artifact
+        .groupby(["event_type", "period", "bin"], sort=False)["n"]
+        .sum().reset_index()
+    )
+
+    out_rows = []
+    for etype, g in census.groupby("event_type", sort=True):
+        early = np.zeros(PSI_BINS, dtype="int64")
+        late = np.zeros(PSI_BINS, dtype="int64")
+        ge = g[g["period"] == 0]
+        gl = g[g["period"] == 1]
+        early[ge["bin"].to_numpy()] = ge["n"].to_numpy()
+        late[gl["bin"].to_numpy()] = gl["n"].to_numpy()
+        n1p = int(early.sum()) + PSI_BINS
+        n2p = int(late.sum()) + PSI_BINS
+        a = early + 1
+        b = late + 1
+        ln = {int(v): math.log(int(v))
+              for v in set(a.tolist()) | set(b.tolist()) | {n1p, n2p}}
+        lna = np.array([ln[int(v)] for v in a])
+        lnb = np.array([ln[int(v)] for v in b])
+        term = (a / n1p - b / n2p) * (lna - ln[n1p] - lnb + ln[n2p])
+        nano = np.floor(term * 1e9 + 0.5).astype("int64")
+        out_rows.append(
+            (etype, int(early.sum()), int(late.sum()),
+             int(nano.sum()) / 1e9)
+        )
+    return pd.DataFrame(
+        {"event_type": pd.array([r[0] for r in out_rows], "str"),
+         "n_early": pd.array([r[1] for r in out_rows], "int64"),
+         "n_late": pd.array([r[2] for r in out_rows], "int64"),
+         "psi": pd.array([r[3] for r in out_rows], "float64")}
+    )
+
+
+PSI_SQL = f"""
+WITH bounds AS (
+  SELECT epoch_us(MIN(ts)) + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2
+         AS mid
+  FROM events
+), binned AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) > (SELECT mid FROM bounds)
+              THEN 1 ELSE 0 END AS period,
+         LEAST(CAST(round(value*100) AS BIGINT) // {PSI_BIN_CENTS},
+               {PSI_BINS - 1}) AS bin
+  FROM events
+), census AS (
+  SELECT event_type, period, bin, COUNT(*) AS n
+  FROM binned GROUP BY 1, 2, 3
+), grid AS (
+  SELECT t.event_type, g.bin,
+         COALESCE(e.n, 0) AS early, COALESCE(l.n, 0) AS late
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range({PSI_BINS})) AS bin) g
+  LEFT JOIN census e ON e.event_type = t.event_type AND e.bin = g.bin
+                     AND e.period = 0
+  LEFT JOIN census l ON l.event_type = t.event_type AND l.bin = g.bin
+                     AND l.period = 1
+), tot AS (
+  SELECT event_type, SUM(early) AS n_early, SUM(late) AS n_late
+  FROM grid GROUP BY 1
+), terms AS (
+  SELECT g.event_type,
+         CAST(floor(
+           (CAST(g.early + 1 AS DOUBLE) / (t.n_early + {PSI_BINS})
+            - CAST(g.late + 1 AS DOUBLE) / (t.n_late + {PSI_BINS}))
+           * (ln(g.early + 1) - ln(t.n_early + {PSI_BINS})
+              - ln(g.late + 1) + ln(t.n_late + {PSI_BINS}))
+           * 1e9 + 0.5) AS BIGINT) AS nano
+  FROM grid g JOIN tot t USING (event_type)
+)
+SELECT t.event_type AS event_type,
+       CAST(t.n_early AS BIGINT) AS n_early,
+       CAST(t.n_late AS BIGINT) AS n_late,
+       CAST(s.nano_sum AS DOUBLE) / 1e9 AS psi
+FROM tot t JOIN (
+  SELECT event_type, CAST(SUM(nano) AS BIGINT) AS nano_sum
+  FROM terms GROUP BY 1
+) s USING (event_type)
 """

@@ -1572,7 +1572,9 @@ def orders_monthly_cumrev(sf_dir: str) -> pd.DataFrame:
     )
     c = agg["c"].astype("int64")
     return pd.DataFrame(
-        {"month": agg["month"],
+        # explicit µs — Ray's to_pandas upcasts timestamps to ns, which
+        # the driver's dtype-strict compare would flag vs the oracle
+        {"month": agg["month"].to_numpy().astype("datetime64[us]"),
          "revenue": c / 100.0,
          "cum_revenue": c.cumsum() / 100.0}
     )
@@ -1634,7 +1636,7 @@ def orders_yoy(sf_dir: str) -> pd.DataFrame:
     rev = j["c"].astype("int64")
     pv = j["c_prev"].astype("int64")
     return pd.DataFrame(
-        {"month": j["month"],
+        {"month": j["month"].to_numpy().astype("datetime64[us]"),
          "rev_cents": rev,
          "prev_cents": pv,
          "growth_bp": (rev * 10000 // pv).astype("int64")}
@@ -5310,7 +5312,7 @@ def lineitem_zonemap_scan(sf_dir: str) -> pd.DataFrame:
            .to_pandas()  # ≤ #months-in-range rows
            .sort_values("month").reset_index(drop=True))
     return pd.DataFrame(
-        {"month": agg["month"],
+        {"month": agg["month"].to_numpy().astype("datetime64[us]"),
          "n_lines": agg["n"].astype("int64"),
          "revenue": agg["c"].astype("int64") / 100.0}
     )
@@ -6509,4 +6511,91 @@ SELECT nat.r_name AS r_name, nat.n_name AS n_name,
          AS share_total_micro
 FROM rev JOIN nat ON rev.nk = nat.n_nationkey
 ORDER BY 1, 2
+"""
+
+
+# -- Holt linear exponential smoothing (integer-exact recursion) ---------------
+
+def orders_holt(sf_dir: str) -> pd.DataFrame:
+    """Holt double exponential smoothing (level+trend, α=β=1/2) of
+    monthly order revenue, plus the one-step-ahead forecast — the
+    classic ops-dashboard trend line.
+
+    Exact contract: the recursion runs entirely in int64 CENTS with an
+    explicit floor at each halving — ``l_t = ⌊(x_t + l_{t-1} +
+    b_{t-1})/2⌋``, ``b_t = ⌊(l_t − l_{t-1} + b_{t-1})/2⌋`` (Python
+    ``//`` ≡ the oracle's ``floor(x/2)``; |values| ≪ 2^52 so the
+    double-float floor is exact) — so both engines walk bit-identical
+    integer states and the ONE division by 100.0 per output column
+    happens on identical ints.
+
+    Shape: distributed per-batch month census (exact int64 cents) →
+    ≤ #months driver rows (bounded artifact) → O(months) driver
+    recursion.  The oracle is a recursive CTE over the same census."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        month = (
+            b["o_orderdate"].to_numpy()
+            .astype("datetime64[M]").astype("datetime64[us]")
+        )
+        c = np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        return (
+            pd.DataFrame({"month": month, "c": c})
+            .groupby("month", sort=False)["c"].sum().reset_index()
+        )
+
+    agg = (
+        orders.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby("month").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # ≤ #months rows — bounded artifact
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    x = [int(v) for v in agg["c"]]
+    levels, trends = [], []
+    l_prev = b_prev = 0
+    for t, xt in enumerate(x):
+        if t == 0:
+            l_t, b_t = xt, 0
+        else:
+            l_t = (xt + l_prev + b_prev) // 2
+            b_t = (l_t - l_prev + b_prev) // 2
+        levels.append(l_t)
+        trends.append(b_t)
+        l_prev, b_prev = l_t, b_t
+    lv = np.array(levels, dtype="int64")
+    tr = np.array(trends, dtype="int64")
+    return pd.DataFrame(
+        {"month": agg["month"].to_numpy().astype("datetime64[us]"),
+         "revenue": np.array(x, dtype="int64") / 100.0,
+         "level": lv / 100.0,
+         "trend": tr / 100.0,
+         "forecast_next": (lv + tr) / 100.0}
+    )
+
+
+HOLT_SQL = """
+WITH RECURSIVE m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS c,
+         CAST(row_number() OVER (ORDER BY date_trunc('month', o_orderdate))
+              AS BIGINT) AS idx
+  FROM orders GROUP BY 1
+), h(idx, month, x, l, b) AS (
+  SELECT idx, month, CAST(c AS BIGINT), CAST(c AS BIGINT),
+         CAST(0 AS BIGINT)
+  FROM m WHERE idx = 1
+  UNION ALL
+  SELECT m.idx, m.month, CAST(m.c AS BIGINT),
+         CAST(floor(CAST(m.c + h.l + h.b AS DOUBLE) / 2) AS BIGINT),
+         CAST(floor((CAST(floor(CAST(m.c + h.l + h.b AS DOUBLE) / 2)
+                          AS DOUBLE) - h.l + h.b) / 2) AS BIGINT)
+  FROM h JOIN m ON m.idx = h.idx + 1
+)
+SELECT month, x / 100.0 AS revenue, l / 100.0 AS level,
+       b / 100.0 AS trend, (l + b) / 100.0 AS forecast_next
+FROM h
 """

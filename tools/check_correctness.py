@@ -47,6 +47,19 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     if sorted(got.columns) != sorted(want.columns):
         issues.append(f"columns differ: ray={sorted(got.columns)} sql={sorted(want.columns)}")
         return issues
+    # the driver's compare hashes dtypes too — be strict on numeric /
+    # datetime kinds (int32 vs int64, float32 vs 64, ns vs us, nullable
+    # Int64 vs int64); string columns stay lax (object vs extension is a
+    # pandas representation detail, not a schema difference)
+    for c in got.columns:
+        g_dt, w_dt = got[c].dtype, want[c].dtype
+        if g_dt == w_dt:
+            continue
+        if got[c].dtype == object or str(g_dt) in ("string", "str"):
+            continue
+        issues.append(f"column {c}: dtype differs ray={g_dt} sql={w_dt}")
+    if issues:
+        return issues
     if len(got) != len(want):
         issues.append(f"row count differs: ray={len(got)} sql={len(want)}")
     g, w = canon(got), canon(want)
