@@ -702,6 +702,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Holt level+trend smoothing of monthly revenue (α=β=1/2,
         # bit-identical int64 floor recursion; recursive-CTE oracle)
         "orders_holt": relational.orders_holt,
+        # weighted isotonic regression of daily avg price (exact-int
+        # PAVA ≡ the O(n²) minimax-identity oracle)
+        "orders_isotonic": relational.orders_isotonic,
+        # degree-distribution power-law MLE over the co-occurrence
+        # graph (CSN discrete α at x_min=1; micro-nat integer Σln d)
+        "kg_powerlaw": docs_kg.kg_powerlaw,
+        # order-insensitive md5-sum content checksums of the four
+        # data-sized tables (migration validator; one fused execution)
+        "tables_checksum": relational.tables_checksum,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -1109,6 +1118,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_neyman": relational.LINEITEM_NEYMAN_SQL,
         "events_psi": events.PSI_SQL,
         "orders_holt": relational.HOLT_SQL,
+        "orders_isotonic": relational.ISOTONIC_SQL,
+        "kg_powerlaw": docs_kg.powerlaw_sql(),
+        "tables_checksum": relational.tables_checksum_sql(),
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -1549,3 +1549,83 @@ def kg_negative_samples(sf_dir: str, k: int = 4):
     # consumers (candidate emit, true-edge tag) don't re-mine the corpus
     edges = doc_cooccurrence(sf_dir).materialize()
     return negative_samples(edges, list(WEBTEXT_GAZETTEER), k=k)
+
+
+# -- degree-distribution power-law MLE (graph-shape diagnostic) ----------------
+
+def kg_powerlaw(sf_dir: str) -> pd.DataFrame:
+    """Power-law exponent MLE over the co-occurrence graph's degree
+    distribution — the scale-free-ness diagnostic (Clauset-Shalizi-
+    Newman discrete MLE at x_min=1: α = 1 + n / Σ ln(d_i)).
+
+    Float contract: each ln(degree) is pre-rounded to an integer
+    MICRO-nat (``floor(ln d · 1e6 + 0.5)``, ln of INTEGERS only — same
+    glibc in both engines), the sum travels exact int64, and α mirrors
+    the one division chain term-for-term.  An all-degree-1 graph makes
+    α undefined → NULL ⇄ NaN in float64 (never nullable Int64 — the
+    assortativity lesson).
+
+    Distributed shape: the edge mining is ``doc_cooccurrence`` (batch
+    combiner + ONE bucketed exchange); the degree fold runs on the
+    gazetteer-bounded edge artifact driver-side."""
+    import math
+
+    edges = doc_cooccurrence(sf_dir).to_pandas()  # ≤ |gazetteer|² rows
+    if not len(edges):
+        return pd.DataFrame(
+            {"n_nodes": pd.array([0], "int64"),
+             "n_edges": pd.array([0], "int64"),
+             "max_degree": pd.array([0], "int64"),
+             "sum_ln_deg_micro": pd.array([0], "int64"),
+             "alpha": pd.array([np.nan], "float64")}
+        )
+    deg = (
+        pd.concat([edges["term_a"], edges["term_b"]])
+        .value_counts()
+    )
+    d = deg.to_numpy().astype("int64")
+    ln = {int(v): math.log(int(v)) for v in np.unique(d)}
+    micro = np.array(
+        [math.floor(ln[int(v)] * 1e6 + 0.5) for v in d], dtype="int64"
+    )
+    tot = int(micro.sum())
+    n = len(d)
+    alpha = 1.0 + n / (tot / 1e6) if tot > 0 else np.nan
+    return pd.DataFrame(
+        {"n_nodes": pd.array([n], "int64"),
+         "n_edges": pd.array([len(edges)], "int64"),
+         "max_degree": pd.array([int(d.max())], "int64"),
+         "sum_ln_deg_micro": pd.array([tot], "int64"),
+         "alpha": pd.array([alpha], "float64")}
+    )
+
+
+def powerlaw_sql() -> str:
+    return (
+        f"WITH mentions AS ({mentions_sql()}),\n"
+        "pairs AS (\n"
+        "  SELECT a.term AS ta, b.term AS tb\n"
+        "  FROM mentions a JOIN mentions b\n"
+        "    ON a.doc_id = b.doc_id AND a.term < b.term\n"
+        "  GROUP BY 1, 2\n"
+        "),\n"
+        "deg AS (\n"
+        "  SELECT t, COUNT(*) AS d FROM (\n"
+        "    SELECT ta AS t FROM pairs UNION ALL SELECT tb FROM pairs\n"
+        "  ) GROUP BY t\n"
+        "),\n"
+        "s AS (\n"
+        "  SELECT COUNT(*) AS n, MAX(d) AS maxd,\n"
+        "         SUM(CAST(floor(ln(d) * 1000000.0 + 0.5) AS BIGINT))\n"
+        "           AS micro\n"
+        "  FROM deg\n"
+        ")\n"
+        "SELECT CAST(n AS BIGINT) AS n_nodes,\n"
+        "       (SELECT COUNT(*) FROM pairs) AS n_edges,\n"
+        "       CAST(maxd AS BIGINT) AS max_degree,\n"
+        "       CAST(micro AS BIGINT) AS sum_ln_deg_micro,\n"
+        "       CASE WHEN micro > 0\n"
+        "            THEN 1.0 + n / (CAST(micro AS DOUBLE) / 1000000.0)\n"
+        "            ELSE NULL END AS alpha\n"
+        "FROM s"
+    )

@@ -6599,3 +6599,289 @@ SELECT month, x / 100.0 AS revenue, l / 100.0 AS level,
        b / 100.0 AS trend, (l + b) / 100.0 AS forecast_next
 FROM h
 """
+
+
+# -- isotonic regression (PAVA ≡ minimax identity) ------------------------------
+
+def orders_isotonic(sf_dir: str) -> pd.DataFrame:
+    """Weighted isotonic (non-decreasing) regression of the daily average
+    order price over date — the monotone-calibration primitive (price
+    floors, dose-response curves, probability calibration).
+
+    Algorithm: distributed per-batch (day, Σcents, n) census → ≤ #days
+    driver rows (bounded artifact) → pool-adjacent-violators on exact
+    integer (sum, weight) pairs, violations compared by int
+    cross-multiplication so pooling decisions never touch a float.  The
+    oracle uses the classical minimax identity fitted_i =
+    max_{j≤i} min_{k≥i} mean(y_j..y_k) — an O(#days²) window in SQL,
+    equal to PAVA's pooled means: both engines derive each candidate
+    mean as CAST(int sum AS DOUBLE)/int weight, so the achieved optimum
+    is the same double bit-for-bit.  avg/fitted stay UNROUNDED (never
+    oracle a rounded division — CLAUDE.md tie lesson); prices in
+    dollars via one final /100.0 of identical ints."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            b["o_orderdate"].to_numpy()
+            .astype("datetime64[D]").astype("datetime64[us]")
+        )
+        c = np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        return (
+            pd.DataFrame({"day": day, "s": c})
+            .groupby("day", sort=False)
+            .agg(s=("s", "sum"), n=("s", "size"))
+            .reset_index()
+        )
+
+    agg = (
+        orders.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby("day").aggregate(
+            Sum("s", alias_name="s"), Sum("n", alias_name="n")
+        )
+        .to_pandas()  # ≤ #days rows — bounded artifact
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    s = [int(v) for v in agg["s"]]
+    n = [int(v) for v in agg["n"]]
+    # PAVA over (sum, weight) blocks; Python ints → exact comparisons
+    blocks: list[list[int]] = []  # [sum, weight, count_of_days]
+    for si, ni in zip(s, n):
+        blocks.append([si, ni, 1])
+        while (
+            len(blocks) > 1
+            and blocks[-2][0] * blocks[-1][1] > blocks[-1][0] * blocks[-2][1]
+        ):
+            s2, n2, c2 = blocks.pop()
+            blocks[-1][0] += s2
+            blocks[-1][1] += n2
+            blocks[-1][2] += c2
+    fitted = np.concatenate(
+        [np.full(c, (bs / bn) / 100.0) for bs, bn, c in blocks]
+    ) if blocks else np.array([], dtype="float64")
+    sv = np.array(s, dtype="int64")
+    nv = np.array(n, dtype="int64")
+    return pd.DataFrame(
+        {"day": agg["day"].to_numpy().astype("datetime64[us]"),
+         "n_orders": nv,
+         "avg_price": (sv / nv) / 100.0,
+         "fitted": fitted}
+    )
+
+
+ISOTONIC_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+), o AS (
+  SELECT day, s, n, row_number() OVER (ORDER BY day) AS i FROM d
+), p AS (
+  SELECT i, day, s, n,
+         SUM(s) OVER (ORDER BY i) AS cs,
+         SUM(n) OVER (ORDER BY i) AS cn
+  FROM o
+), a AS (
+  SELECT j.i AS j, k.i AS k,
+         CAST(k.cs - j.cs + j.s AS DOUBLE) / (k.cn - j.cn + j.n) AS m
+  FROM p j JOIN p k ON k.i >= j.i
+), sm AS (
+  SELECT j, k AS i,
+         MIN(m) OVER (PARTITION BY j ORDER BY k DESC
+                      ROWS UNBOUNDED PRECEDING) AS mn
+  FROM a
+), f AS (
+  SELECT i, MAX(mn) AS fit FROM sm GROUP BY i
+)
+SELECT o.day AS day, CAST(o.n AS BIGINT) AS n_orders,
+       (CAST(o.s AS DOUBLE) / o.n) / 100.0 AS avg_price,
+       f.fit / 100.0 AS fitted
+FROM o JOIN f ON f.i = o.i
+"""
+
+
+# -- order-insensitive table checksums (migration validation) -------------------
+
+_CHECKSUM_LIMB = 10**15
+
+
+def _checksum_partial(tbl: str, serialize):
+    """Make a pyarrow-batch partial: row message → vectorized 64-bit md5
+    → 32-bit-split sums (int64-exact per batch: ≤ 2^32·batch_rows)."""
+    import pyarrow as pa
+
+    from ..functions.hashing import md5_int_vec
+
+    def fn(t: pa.Table) -> pa.Table:
+        msg = serialize(t)
+        h = md5_int_vec(msg, bits=64)
+        lo = (h & np.uint64(0xFFFFFFFF)).astype("int64")
+        hi = (h >> np.uint64(32)).astype("int64")
+        return pa.table(
+            {"tbl": pa.array([tbl]),
+             "slo": pa.array([int(lo.sum())], pa.int64()),
+             "shi": pa.array([int(hi.sum())], pa.int64()),
+             "n": pa.array([len(h)], pa.int64())}
+        )
+
+    return fn
+
+
+def _join_cols(cols) -> "object":
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(*cols, pa.scalar("|"))
+
+
+def _s_int(t, name):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.cast(t[name], pa.string())
+
+
+def _s_cents(t, name):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cents = pc.cast(
+        pc.round(pc.multiply(t[name], 100.0), round_mode="half_to_even"),
+        pa.int64(),
+    )
+    return pc.cast(cents, pa.string())
+
+
+def _s_us(t, name):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.cast(t[name], pa.int64()), pa.string())
+
+
+_CHECKSUM_TABLES: dict[str, tuple[list[str], object]] = {
+    "lineitem": (
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+         "l_returnflag", "l_linestatus", "l_shipdate"],
+        lambda t: _join_cols([
+            _s_int(t, "l_orderkey"), _s_int(t, "l_partkey"),
+            _s_int(t, "l_suppkey"), _s_int(t, "l_linenumber"),
+            _s_cents(t, "l_quantity"), _s_cents(t, "l_extendedprice"),
+            _s_cents(t, "l_discount"), _s_cents(t, "l_tax"),
+            t["l_returnflag"], t["l_linestatus"], _s_us(t, "l_shipdate"),
+        ]),
+    ),
+    "orders": (
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+        lambda t: _join_cols([
+            _s_int(t, "o_orderkey"), _s_int(t, "o_custkey"),
+            t["o_orderstatus"], _s_cents(t, "o_totalprice"),
+            _s_us(t, "o_orderdate"), t["o_orderpriority"],
+        ]),
+    ),
+    "events": (
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        lambda t: _join_cols([
+            _s_int(t, "event_id"), _s_us(t, "ts"), _s_int(t, "user_id"),
+            t["event_type"], _s_cents(t, "value"), t["props"],
+        ]),
+    ),
+    "documents": (
+        ["doc_id", "text", "lang", "source", "n_chars"],
+        lambda t: _join_cols([
+            _s_int(t, "doc_id"), t["text"], t["lang"], t["source"],
+            _s_int(t, "n_chars"),
+        ]),
+    ),
+}
+
+
+def tables_checksum(sf_dir: str) -> pd.DataFrame:
+    """Order-insensitive content checksum of the four data-sized tables
+    — the cross-system migration validator (run it on both sides of a
+    copy/engine swap; equal limbs ⟺ identical multisets of rows, mod
+    md5 collisions).
+
+    Row canon: every numeric field serializes through the repo's exact
+    contracts (ints as digits, money as cents via half-even round ≡
+    DuckDB round at cent-resolution, timestamps as epoch-µs), fields
+    joined with '|', hashed with the vectorized 64-bit md5
+    (``md5_int(x,64) ≡ ('0x'||substr(md5(x),1,16))::UBIGINT``).  The
+    checksum Σh is exact: per-batch 32-bit-split int64 sums → Python
+    big-int fold → two int64 limbs (lo = Σh mod 10¹⁵, hi = Σh div
+    10¹⁵ — the repo's past-int64 contract).
+
+    Shape: ONE fused execution — the four reads union their one-row-
+    per-batch partials; no exchange at all (sum is commutative)."""
+    partials = None
+    for tbl, (cols, ser) in _CHECKSUM_TABLES.items():
+        ds = _read(sf_dir, tbl, columns=cols).map_batches(
+            _checksum_partial(tbl, ser), batch_format="pyarrow"
+        )
+        partials = ds if partials is None else partials.union(ds)
+    p = partials.to_pandas()  # one row per input batch — bounded
+    rows = []
+    for tbl in _CHECKSUM_TABLES:
+        g = p[p["tbl"] == tbl]
+        total = (sum(int(v) for v in g["shi"]) << 32) + sum(
+            int(v) for v in g["slo"]
+        )
+        rows.append(
+            (tbl, int(g["n"].sum()),
+             total % _CHECKSUM_LIMB, total // _CHECKSUM_LIMB)
+        )
+    return pd.DataFrame(
+        {"tbl": pd.array([r[0] for r in rows], "str"),
+         "n_rows": pd.array([r[1] for r in rows], "int64"),
+         "sum_lo": pd.array([r[2] for r in rows], "int64"),
+         "sum_hi": pd.array([r[3] for r in rows], "int64")}
+    )
+
+
+def tables_checksum_sql() -> str:
+    per = {
+        "lineitem": (
+            "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)"
+            " || '|' || CAST(l_suppkey AS VARCHAR)"
+            " || '|' || CAST(l_linenumber AS VARCHAR)"
+            " || '|' || CAST(CAST(round(l_quantity*100) AS BIGINT) AS VARCHAR)"
+            " || '|' || CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS VARCHAR)"
+            " || '|' || CAST(CAST(round(l_discount*100) AS BIGINT) AS VARCHAR)"
+            " || '|' || CAST(CAST(round(l_tax*100) AS BIGINT) AS VARCHAR)"
+            " || '|' || l_returnflag || '|' || l_linestatus"
+            " || '|' || CAST(epoch_us(l_shipdate) AS VARCHAR)"
+        ),
+        "orders": (
+            "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+            " || '|' || o_orderstatus"
+            " || '|' || CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR)"
+            " || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR)"
+            " || '|' || o_orderpriority"
+        ),
+        "events": (
+            "CAST(event_id AS VARCHAR) || '|' || CAST(epoch_us(ts) AS VARCHAR)"
+            " || '|' || CAST(user_id AS VARCHAR) || '|' || event_type"
+            " || '|' || CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR)"
+            " || '|' || props"
+        ),
+        "documents": (
+            "CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang"
+            " || '|' || source || '|' || CAST(n_chars AS VARCHAR)"
+        ),
+    }
+    selects = [
+        f"SELECT '{tbl}' AS tbl, COUNT(*) AS n_rows,\n"
+        f"  CAST(SUM(CAST(('0x'||substr(md5({msg}),1,16))::UBIGINT AS HUGEINT))"
+        f" % {_CHECKSUM_LIMB} AS BIGINT) AS sum_lo,\n"
+        f"  CAST(SUM(CAST(('0x'||substr(md5({msg}),1,16))::UBIGINT AS HUGEINT))"
+        f" // {_CHECKSUM_LIMB} AS BIGINT) AS sum_hi\n"
+        f"FROM {tbl}"
+        for tbl, msg in per.items()
+    ]
+    return "\nUNION ALL\n".join(selects)
