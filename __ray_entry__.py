@@ -711,6 +711,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order-insensitive md5-sum content checksums of the four
         # data-sized tables (migration validator; one fused execution)
         "tables_checksum": relational.tables_checksum,
+        # linear multi-touch attribution (7-day lookback; exact integer
+        # (1e6*c)//k credit shares; one user-bucketed exchange)
+        "events_linear_attrib": events.events_linear_attrib,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -1121,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_isotonic": relational.ISOTONIC_SQL,
         "kg_powerlaw": docs_kg.powerlaw_sql(),
         "tables_checksum": relational.tables_checksum_sql(),
+        "events_linear_attrib": events.LINEAR_ATTRIB_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

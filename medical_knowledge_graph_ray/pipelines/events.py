@@ -4031,3 +4031,114 @@ FROM tot t JOIN (
   FROM terms GROUP BY 1
 ) s USING (event_type)
 """
+
+
+# -- linear multi-touch attribution ---------------------------------------------
+
+ATTRIB_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+def events_linear_attrib(sf_dir: str):
+    """LINEAR multi-touch attribution: every purchase splits one unit of
+    conversion credit equally across ALL the user's non-purchase touches
+    in the trailing 7 days (strictly before the purchase); per type we
+    report how many purchase windows it appeared in and its total
+    credit — the marketing-analytics complement of the last-touch model
+    (``events_last_touch``).
+
+    Exact contract: per (purchase, type) the credit is the INTEGER
+    ``(10⁶·c) // k`` (c = touches of that type in the window, k = all
+    touches in the window) — floor division on integers both engines,
+    so the per-type sums are exact int64 and the one /1e6 division
+    happens on identical ints.
+
+    Shape: ONE user-bucketed exchange; in-bucket the window counts are
+    composite-key ``searchsorted`` diffs (the ``events_rolling_time``
+    idiom — user_rank·2^45 + Δµs keeps users contiguous), one pair of
+    searchsorteds per event type, no per-purchase Python loop; the
+    per-type partials fold driver-side (≤ #types rows)."""
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = s["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        ts_rel = ts_us - (ts_us.min() if len(ts_us) else 0)
+        u = s["user_id"].to_numpy()
+        new_user = np.empty(len(u), dtype=bool)
+        if len(u):
+            new_user[0] = True
+            new_user[1:] = u[1:] != u[:-1]
+        ranks = np.cumsum(new_user) - 1 if len(u) else np.array([], np.int64)
+        if len(ts_rel) and int(ts_rel.max()) >= (1 << 45) - ATTRIB_WINDOW_US:
+            raise ValueError("events_linear_attrib: ts span exceeds 2^45 µs")
+        keys = ranks.astype(np.int64) * (1 << 45) + ts_rel
+        et = s["event_type"].to_numpy()
+        is_p = et == "purchase"
+        pkeys = keys[is_p]
+        touch_keys = keys[~is_p]
+        k = (
+            np.searchsorted(touch_keys, pkeys, side="left")
+            - np.searchsorted(touch_keys, pkeys - ATTRIB_WINDOW_US, side="left")
+        )
+        rows = []
+        for t in np.unique(et[~is_p]):
+            tk = keys[et == t]
+            c = (
+                np.searchsorted(tk, pkeys, side="left")
+                - np.searchsorted(tk, pkeys - ATTRIB_WINDOW_US, side="left")
+            )
+            m = c > 0  # k >= c > 0 implied
+            if not m.any():
+                continue
+            credit = (1_000_000 * c[m].astype("int64")) // k[m]
+            rows.append((str(t), int(m.sum()), int(credit.sum())))
+        if not rows:
+            return pd.DataFrame(
+                {"event_type": pd.array([], "str"),
+                 "n_windows": pd.array([], "int64"),
+                 "credit_micro": pd.array([], "int64")}
+            )
+        return pd.DataFrame(
+            {"event_type": pd.array([r[0] for r in rows], "str"),
+             "n_windows": pd.array([r[1] for r in rows], "int64"),
+             "credit_micro": pd.array([r[2] for r in rows], "int64")}
+        )
+
+    partials = bucketed_group_map(ev, ["user_id"], bucket).to_pandas()
+    agg = (
+        partials.groupby("event_type", sort=True)
+        .agg(n_windows=("n_windows", "sum"), credit_micro=("credit_micro", "sum"))
+        .reset_index()
+    )
+    return pd.DataFrame(
+        {"event_type": pd.array(agg["event_type"], "str"),
+         "n_windows": agg["n_windows"].astype("int64"),
+         "credit_micro": agg["credit_micro"].astype("int64"),
+         "credit": agg["credit_micro"].to_numpy("int64") / 1_000_000.0}
+    )
+
+
+LINEAR_ATTRIB_SQL = """
+WITH p AS (
+  SELECT event_id AS pid, user_id, ts AS pt FROM events
+  WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, event_type, ts FROM events WHERE event_type <> 'purchase'
+), w AS (
+  SELECT p.pid, t.event_type, COUNT(*) AS c
+  FROM p JOIN t ON t.user_id = p.user_id AND t.ts < p.pt
+              AND t.ts >= p.pt - INTERVAL 7 DAY
+  GROUP BY 1, 2
+), k AS (
+  SELECT pid, SUM(c) AS k FROM w GROUP BY 1
+)
+SELECT w.event_type AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM((1000000 * c) // k.k) AS BIGINT) AS credit_micro,
+       CAST(CAST(SUM((1000000 * c) // k.k) AS BIGINT) AS DOUBLE)
+         / 1000000.0 AS credit
+FROM w JOIN k USING (pid)
+GROUP BY 1
+"""
