@@ -714,6 +714,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # linear multi-touch attribution (7-day lookback; exact integer
         # (1e6*c)//k credit shares; one user-bucketed exchange)
         "events_linear_attrib": events.events_linear_attrib,
+        # per-user Viterbi score under the 2-state session-intent HMM
+        # (exact int64 micro-nat dp; recursive-CTE oracle)
+        "events_hmm_score": events.events_hmm_score,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -838,6 +841,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG-embedding training prep: k deterministic tail-corrupted
         # negatives per co-occurrence edge (validity/invariance pytests)
         "kg_negative_samples": docs_kg.kg_negative_samples,
+        # full per-event Viterbi decode (backtrace face of the oracled
+        # events_hmm_score; distributed ≡ dense pinned in tests)
+        "events_hmm_decode": events.events_hmm_decode,
     }
 
     # DRIVER-WINDOW ROTATION (VERDICT r3 item 8): the driver gate checks
@@ -1125,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_powerlaw": docs_kg.powerlaw_sql(),
         "tables_checksum": relational.tables_checksum_sql(),
         "events_linear_attrib": events.LINEAR_ATTRIB_SQL,
+        "events_hmm_score": events.HMM_SCORE_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -4142,3 +4142,72 @@ SELECT w.event_type AS event_type,
 FROM w JOIN k USING (pid)
 GROUP BY 1
 """
+
+
+# -- HMM Viterbi session-intent decoding ------------------------------------------
+
+
+def events_hmm_score(sf_dir: str) -> pd.DataFrame:
+    """Per-user Viterbi score under the fixed 2-state session-intent HMM
+    (``stages/hmm.py``): sequence length, final best path score in
+    micro-nats (exact int64 dp — bit-identical at any parallelism) and
+    the argmax final state.  ONE user-bucketed exchange; the dp sweep
+    vectorizes across users per time step, so the Python loop is
+    bounded by the longest user sequence in a bucket, never row count.
+    Oracle: recursive CTE running the same integer recursion."""
+    from ..stages.hmm import viterbi_scores_bucket
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    out = bucketed_group_map(ev, ["user_id"], viterbi_scores_bucket).to_pandas()
+    return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
+def events_hmm_decode(sf_dir: str):
+    """Full per-event Viterbi decode (adds the backtrace to
+    ``events_hmm_score``): every event row gets its decoded latent
+    state.  Rows-only (backtrace is not SQL-expressible in one pass);
+    ``tests/test_hmm.py`` pins distributed ≡ per-user dense decode and
+    parallelism invariance, and the score face of the same sweep is
+    SQL-oracled (``events_hmm_score``)."""
+    from ..stages.hmm import viterbi_bucket
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    return bucketed_group_map(ev, ["user_id"], viterbi_bucket)
+
+
+HMM_SCORE_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos
+  FROM events
+), e AS (
+  SELECT user_id, pos,
+    CASE event_type WHEN 'view' THEN -1000000 WHEN 'click' THEN -2000000
+      WHEN 'purchase' THEN -8000000 WHEN 'signup' THEN -6000000
+      WHEN 'error' THEN -3000000 ELSE -4000000 END AS e0,
+    CASE event_type WHEN 'view' THEN -3000000 WHEN 'click' THEN -2000000
+      WHEN 'purchase' THEN -1000000 WHEN 'signup' THEN -2000000
+      WHEN 'error' THEN -3000000 ELSE -4000000 END AS e1
+  FROM seq
+), dp AS (
+  SELECT user_id, pos,
+         CAST(0 - 0 + e0 AS BIGINT) AS dp0,
+         CAST(-2000000 + e1 AS BIGINT) AS dp1
+  FROM e WHERE pos = 0
+  UNION ALL
+  SELECT x.user_id, x.pos,
+         CAST(GREATEST(d.dp0 - 100000, d.dp1 - 3000000) + x.e0 AS BIGINT),
+         CAST(GREATEST(d.dp0 - 3000000, d.dp1 - 100000) + x.e1 AS BIGINT)
+  FROM dp d JOIN e x ON x.user_id = d.user_id AND x.pos = d.pos + 1
+), fin AS (
+  SELECT user_id, MAX(pos) AS maxpos FROM seq GROUP BY 1
+)
+SELECT d.user_id AS user_id,
+       CAST(f.maxpos + 1 AS BIGINT) AS n_events,
+       CAST(GREATEST(d.dp0, d.dp1) AS BIGINT) AS score_micro,
+       CAST(CASE WHEN d.dp0 >= d.dp1 THEN 0 ELSE 1 END AS BIGINT) AS state
+FROM dp d JOIN fin f ON d.user_id = f.user_id AND d.pos = f.maxpos
+ORDER BY 1
+"""
