@@ -717,6 +717,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user Viterbi score under the 2-state session-intent HMM
         # (exact int64 micro-nat dp; recursive-CTE oracle)
         "events_hmm_score": events.events_hmm_score,
+        # Johnson–Lindenstrauss ±1 sign projection 64→8 (floor-micro
+        # int64 matmul, md5-parity signs — exact; ZERO exchanges)
+        "embed_rproj": docs.embed_rproj,
+        # rolling-origin forecast backtest: naive vs MA3 on monthly
+        # revenue (×3-scaled exact int64 absolute errors)
+        "orders_backtest": relational.orders_backtest,
+        # Newman modularity of the entity-type partition of the
+        # co-occurrence graph (exact int64 q_num = 4mL_c − D_c²)
+        "kg_label_modularity": docs_kg.kg_label_modularity,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -1132,6 +1141,9 @@ def oracle_sql() -> dict[str, str]:
         "tables_checksum": relational.tables_checksum_sql(),
         "events_linear_attrib": events.LINEAR_ATTRIB_SQL,
         "events_hmm_score": events.HMM_SCORE_SQL,
+        "embed_rproj": docs.RPROJ_SQL,
+        "orders_backtest": relational.BACKTEST_SQL,
+        "kg_label_modularity": docs_kg.label_modularity_sql(),
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

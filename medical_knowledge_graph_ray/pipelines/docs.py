@@ -5538,3 +5538,85 @@ FROM (
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# -- Johnson–Lindenstrauss sign random projection ---------------------------------
+
+RPROJ_DIM = 64     # embeddings table vector width (guarded at runtime)
+RPROJ_DPRIME = 8   # projected width
+
+
+def _rproj_signs() -> np.ndarray:
+    """(64, 8) ±1 sign matrix from md5 parity — deterministic, content-
+    derived (never Python ``hash``), and exactly mirrorable in SQL via
+    ``('0x'||substr(md5(i||'|'||j),1,8))::UBIGINT % 2``."""
+    from ..functions.hashing import md5_int
+
+    s = np.empty((RPROJ_DIM, RPROJ_DPRIME), dtype=np.int64)
+    for i in range(RPROJ_DIM):
+        for j in range(RPROJ_DPRIME):
+            s[i, j] = 1 if md5_int(f"{i}|{j}", 32) % 2 == 0 else -1
+    return s
+
+
+def embed_rproj(sf_dir: str) -> pd.DataFrame:
+    """Sign (Achlioptas) random projection of the embedding table from
+    64 → 8 dims — the Johnson–Lindenstrauss preprocessing step for
+    cheap distance sketches ahead of ANN / clustering.
+
+    Exact contract: inputs quantize to ``floor(x·10⁶)`` int64 (pure
+    FLOOR — no rounding tie to diverge on, unlike round-half; both
+    engines compute the same IEEE double ``x·10⁶`` first) and the
+    projection is an integer matmul against the md5-parity ±1 sign
+    matrix, so every output cell is exact int64.  Pure ``map_batches``
+    — ZERO exchanges; the 64×8 sign matrix is a module constant.
+    Scale-out is the per-batch matmul (numpy, zero-copy Arrow in)."""
+    signs = _rproj_signs()
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"vec_id": pd.array([], "int64"),
+                 **{f"p{j}": pd.array([], "int64")
+                    for j in range(RPROJ_DPRIME)}}
+            )
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        if mat.shape[1] != RPROJ_DIM:
+            raise ValueError(f"embed_rproj expects dim {RPROJ_DIM}, got {mat.shape[1]}")
+        xmic = np.floor(mat * 1_000_000.0).astype(np.int64)
+        proj = xmic @ signs
+        out = {"vec_id": b["vec_id"].astype("int64")}
+        for j in range(RPROJ_DPRIME):
+            out[f"p{j}"] = pd.array(proj[:, j], "int64")
+        return pd.DataFrame(out)
+
+    return (
+        _embeddings(sf_dir)
+        .map_batches(arrow_out(project), batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+RPROJ_SQL = f"""
+WITH s AS (
+  SELECT i, j,
+         CASE WHEN ('0x' || substr(md5(i || '|' || j), 1, 8))::UBIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT unnest(range(0, {RPROJ_DIM})) AS i),
+       (SELECT unnest(range(0, {RPROJ_DPRIME})) AS j)
+), x AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), xm AS (
+  SELECT vec_id, i,
+         CAST(FLOOR(e[i + 1] * 1000000) AS BIGINT) AS xmic
+  FROM x, (SELECT unnest(range(0, {RPROJ_DIM})) AS i)
+), p AS (
+  SELECT vec_id, j, CAST(SUM(sgn * xmic) AS BIGINT) AS pm
+  FROM xm JOIN s USING (i) GROUP BY 1, 2
+)
+SELECT vec_id,
+{",".join(f"       MAX(CASE WHEN j = {j} THEN pm END) AS p{j}" for j in range(8))}
+FROM p GROUP BY vec_id ORDER BY vec_id
+"""

@@ -1629,3 +1629,80 @@ def powerlaw_sql() -> str:
         "            ELSE NULL END AS alpha\n"
         "FROM s"
     )
+
+
+# -- label modularity of the co-occurrence graph ------------------------------------
+
+
+def kg_label_modularity(sf_dir: str) -> pd.DataFrame:
+    """Newman modularity of the ENTITY-TYPE partition of the
+    co-occurrence graph — does the mined graph cluster by semantic type
+    (Q > 0) or mix across types (Q ≤ 0)?  The categorical complement of
+    ``kg_assortativity`` (degree mixing).
+
+    Exact contract: per type c the modularity numerator
+    ``q_num = 4·m·L_c − D_c²`` is exact int64 (L_c = intra-type edges,
+    D_c = degree sum over type-c nodes, m = total edges); the global
+    ``Q = Σ q_num / 4m²`` is left to the consumer — no rounded division
+    to tie-break (the docs_unigram_logprob lesson).
+
+    Distributed shape: edge mining is the bucketed ``doc_cooccurrence``
+    census; the edge table is gazetteer-bounded (≤ |G|² rows — the
+    engine's bounded-artifact convention), so the per-type fold runs
+    driver-side.  For unbounded typed graphs the same fold is one
+    ``bucketed_group_map`` on the type key."""
+    edges = doc_cooccurrence(sf_dir).to_pandas()  # ≤ |gazetteer|² rows
+    if not len(edges):
+        return pd.DataFrame(
+            {"ent_type": pd.array([], "str"),
+             "n_nodes": pd.array([], "int64"),
+             "intra_edges": pd.array([], "int64"),
+             "degree_sum": pd.array([], "int64"),
+             "m_edges": pd.array([], "int64"),
+             "q_num": pd.array([], "int64")}
+        )
+    m = len(edges)
+    ends = pd.concat([
+        edges[["term_a", "type_a"]].rename(columns={"term_a": "term", "type_a": "t"}),
+        edges[["term_b", "type_b"]].rename(columns={"term_b": "term", "type_b": "t"}),
+    ])
+    deg = ends.groupby("t").agg(
+        n_nodes=("term", "nunique"), degree_sum=("term", "size")
+    )
+    intra = (
+        edges[edges["type_a"] == edges["type_b"]]
+        .groupby("type_a").size().rename("intra_edges")
+    )
+    out = deg.join(intra, how="left").fillna({"intra_edges": 0}).reset_index()
+    out = out.sort_values("t", kind="mergesort").reset_index(drop=True)
+    d = out["degree_sum"].to_numpy("int64")
+    l = out["intra_edges"].to_numpy("int64")
+    return pd.DataFrame(
+        {"ent_type": pd.array(out["t"], "str"),
+         "n_nodes": out["n_nodes"].astype("int64"),
+         "intra_edges": pd.array(l, "int64"),
+         "degree_sum": pd.array(d, "int64"),
+         "m_edges": pd.array(np.full(len(out), m), "int64"),
+         "q_num": pd.array(4 * m * l - d * d, "int64")}
+    )
+
+
+def label_modularity_sql() -> str:
+    return (
+        f"WITH e AS ({cooccur_sql()}),\n"
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),\n"
+        "ends AS (SELECT term_a AS term, type_a AS t FROM e\n"
+        "         UNION ALL SELECT term_b, type_b FROM e),\n"
+        "deg AS (SELECT t, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_nodes,\n"
+        "               CAST(COUNT(*) AS BIGINT) AS degree_sum\n"
+        "        FROM ends GROUP BY 1),\n"
+        "intra AS (SELECT type_a AS t, CAST(COUNT(*) AS BIGINT) AS intra_edges\n"
+        "          FROM e WHERE type_a = type_b GROUP BY 1)\n"
+        "SELECT deg.t AS ent_type, n_nodes,\n"
+        "       CAST(COALESCE(intra_edges, 0) AS BIGINT) AS intra_edges,\n"
+        "       degree_sum, m.m AS m_edges,\n"
+        "       CAST(4 * m.m * COALESCE(intra_edges, 0)\n"
+        "            - degree_sum * degree_sum AS BIGINT) AS q_num\n"
+        "FROM deg LEFT JOIN intra ON deg.t = intra.t, m\n"
+        "ORDER BY 1"
+    )

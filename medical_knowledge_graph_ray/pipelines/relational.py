@@ -6885,3 +6885,95 @@ def tables_checksum_sql() -> str:
         for tbl, msg in per.items()
     ]
     return "\nUNION ALL\n".join(selects)
+
+
+# -- rolling-origin forecast backtest ---------------------------------------------
+
+
+def orders_backtest(sf_dir: str) -> pd.DataFrame:
+    """Rolling-origin backtest of two baseline forecasters over monthly
+    order revenue: NAIVE (last month) and MA3 (3-month trailing mean),
+    each evaluated on every month with a full 3-month history — the
+    model-selection harness that pairs with ``orders_holt`` /
+    ``orders_seasonal_decompose``.
+
+    Exact contract: revenue folds as int64 cents; per-month absolute
+    errors are scaled ×3 so the MA3 mean never divides
+    (|3·actual − Σ₃| and 3·|actual − prev| are both exact int64), and
+    the MAE ratio is ONE final division mirrored in the oracle.
+
+    Distributed shape: the int64-cent monthly census is per-batch
+    combiner partials + one tiny groupby (≤ #months rows — a bounded
+    artifact), then the backtest itself is a driver-side prefix sweep
+    over the sorted census.  Nothing row-scale leaves the cluster."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        month = (
+            b["o_orderdate"].to_numpy()
+            .astype("datetime64[M]").astype("datetime64[us]")
+        )
+        c = np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        return (
+            pd.DataFrame({"month": month, "c": c})
+            .groupby("month", sort=False)["c"].sum().reset_index()
+        )
+
+    census = (
+        orders.map_batches(arrow_out(partial), batch_format="pandas")
+        .groupby("month").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # ≤ #months rows — bounded artifact
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    rev = census["c"].to_numpy("int64")
+    if len(rev) < 4:
+        return pd.DataFrame(
+            {"model": pd.array([], "str"),
+             "n_months": pd.array([], "int64"),
+             "abs_err_x3_cents": pd.array([], "int64"),
+             "mae_dollars": pd.array([], "float64")}
+        )
+    actual = rev[3:]
+    naive = rev[2:-1]
+    ma3 = rev[0:-3] + rev[1:-2] + rev[2:-1]
+    err_naive = np.abs(3 * actual - 3 * naive).sum()
+    err_ma3 = np.abs(3 * actual - ma3).sum()
+    n = len(actual)
+    return pd.DataFrame(
+        {"model": pd.array(["ma3", "naive"], "str"),
+         "n_months": pd.array([n, n], "int64"),
+         "abs_err_x3_cents": pd.array([int(err_ma3), int(err_naive)], "int64"),
+         "mae_dollars": np.array([err_ma3, err_naive], "float64") / (3.0 * n * 100.0)}
+    )
+
+
+BACKTEST_SQL = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT month, c,
+         LAG(c, 1) OVER (ORDER BY month) AS prev1,
+         SUM(c) OVER (ORDER BY month
+                      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS s3,
+         ROW_NUMBER() OVER (ORDER BY month) AS rn
+  FROM m
+), ev AS (
+  SELECT c, prev1, s3 FROM w WHERE rn >= 4
+), agg AS (
+  SELECT 'naive' AS model, CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(ABS(3 * c - 3 * prev1)) AS BIGINT) AS abs_err_x3_cents
+  FROM ev
+  UNION ALL
+  SELECT 'ma3', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(ABS(3 * c - s3)) AS BIGINT)
+  FROM ev
+)
+SELECT model, n_months, abs_err_x3_cents,
+       CAST(abs_err_x3_cents AS DOUBLE) / (3.0 * n_months * 100.0) AS mae_dollars
+FROM agg ORDER BY model
+"""
