@@ -726,6 +726,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Newman modularity of the entity-type partition of the
         # co-occurrence graph (exact int64 q_num = 4mL_c − D_c²)
         "kg_label_modularity": docs_kg.kg_label_modularity,
+        # WOE credit-scoring binning: exact equal-frequency quartiles
+        # (histogram-narrowing) + floor-micro ln(g·B/(b·G))
+        "orders_woe": relational.orders_woe,
+        # Hamilton largest-remainder apportionment of 1000 units across
+        # nations by revenue (bigint-exact; fused join census)
+        "orders_apportion": relational.orders_apportion,
+        # top-10 peak concurrent-session minutes (interval sweep over
+        # the sessionized log; time-bounded delta census)
+        "events_peak_concurrency": events.events_peak_concurrency,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -1144,6 +1153,9 @@ def oracle_sql() -> dict[str, str]:
         "embed_rproj": docs.RPROJ_SQL,
         "orders_backtest": relational.BACKTEST_SQL,
         "kg_label_modularity": docs_kg.label_modularity_sql(),
+        "orders_woe": relational.WOE_SQL,
+        "orders_apportion": relational.APPORTION_SQL,
+        "events_peak_concurrency": events.PEAK_CONCURRENCY_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -4211,3 +4211,89 @@ SELECT d.user_id AS user_id,
 FROM dp d JOIN fin f ON d.user_id = f.user_id AND d.pos = f.maxpos
 ORDER BY 1
 """
+
+
+# -- peak concurrent sessions ---------------------------------------------
+
+
+def events_peak_concurrency(sf_dir: str) -> pd.DataFrame:
+    """Top-10 peak-concurrency minutes: sessionize (30-min gap), treat
+    each session as the interval [start-minute, end-minute] and sweep
+    +1/−1 deltas — the classic max-overlap problem (capacity planning /
+    surge detection) at minute resolution.
+
+    Scale shape: ONE user-bucketed exchange (sessionization); each
+    bucket emits its per-minute delta PARTIALS, so what leaves the
+    bucket is bounded by the TIME SPAN (minutes with changes), never by
+    rows; the prefix sweep + top-10 runs driver-side on that bounded
+    census.  Ties break toward the earlier minute, mirrored in SQL."""
+    from ..stages.shuffle import bucketed_group_map
+    from ..stages.windows import sessionize_bucket
+
+    ev = _events(sf_dir, ["user_id", "event_id", "ts"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"m": pd.array([], "datetime64[us]"),
+                 "delta": pd.array([], "int64")}
+            )
+        s = sessionize_bucket(g)
+        d = pd.concat([
+            pd.DataFrame({"m": s["session_start"].dt.floor("min"),
+                          "delta": np.int64(1)}),
+            pd.DataFrame({"m": s["session_end"].dt.floor("min")
+                               + pd.Timedelta(minutes=1),
+                          "delta": np.int64(-1)}),
+        ], ignore_index=True)
+        out = d.groupby("m", sort=False)["delta"].sum().reset_index()
+        out["m"] = out["m"].to_numpy().astype("datetime64[us]")
+        out["delta"] = out["delta"].astype("int64")
+        return out
+
+    census = (
+        bucketed_group_map(ev, ["user_id"], bucket)
+        .to_pandas()  # bounded by minutes-with-changes, not rows
+        .groupby("m", sort=True)["delta"].sum()
+    )
+    conc = census.cumsum()
+    top = (
+        conc.reset_index(name="concurrency")
+        .sort_values(["concurrency", "m"], ascending=[False, True],
+                     kind="mergesort")
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {"minute": top["m"].to_numpy().astype("datetime64[us]"),
+         "concurrency": top["concurrency"].astype("int64")}
+    )
+
+
+PEAK_CONCURRENCY_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess,
+         event_id
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS so
+  FROM x
+), sess AS (
+  SELECT user_id, so, MIN(ts) AS st, MAX(ts) AS en FROM s GROUP BY 1, 2
+), d AS (
+  SELECT date_trunc('minute', st) AS m, 1 AS delta FROM sess
+  UNION ALL
+  SELECT date_trunc('minute', en) + INTERVAL 1 MINUTE, -1 FROM sess
+), c AS (
+  SELECT m, CAST(SUM(delta) AS BIGINT) AS nd FROM d GROUP BY 1
+), r AS (
+  SELECT m, CAST(SUM(nd) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+  FROM c
+)
+SELECT m AS minute, conc AS concurrency
+FROM r ORDER BY conc DESC, m ASC LIMIT 10
+"""

@@ -6977,3 +6977,204 @@ SELECT model, n_months, abs_err_x3_cents,
        CAST(abs_err_x3_cents AS DOUBLE) / (3.0 * n_months * 100.0) AS mae_dollars
 FROM agg ORDER BY model
 """
+
+
+# -- weight-of-evidence feature binning ---------------------------------------------
+
+
+def orders_woe(sf_dir: str) -> pd.DataFrame:
+    """Weight-of-evidence (WOE) credit-scoring binning of order value:
+    o_totalprice bins into exact equal-frequency quartiles (the
+    rank-targeted quantile core — no global sort) and each bin scores
+    ``ln(good_share / bad_share)`` against the bad flag
+    ``o_orderstatus = 'F'`` — the classic supervised feature-encoding
+    operator (paired with IV for feature selection).
+
+    Float contract: counts are exact int64; woe_micro =
+    ``floor(10⁶·ln(g·B / (b·G)) + 0.5)`` — CPython ``math.log`` ≡ DuckDB
+    ``std::log`` (same glibc, the events_entropy precedent), carried in
+    float64 (NaN ⇄ NULL when a bin has one class only).
+
+    Distributed shape: one histogram-narrowing quantile pass (exchanges
+    4096-bin histograms, never rows) + one combiner census pass
+    (4-row partials); nothing row-scale leaves the cluster."""
+    from ..stages.quantiles import quantiles_disc_int
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice", "o_orderstatus"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")}
+        )
+
+    ints = orders.map_batches(arrow_out(to_cents), batch_format="pandas")
+    cuts = quantiles_disc_int(ints, [0.25, 0.5, 0.75])["value"].to_numpy("int64")
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        bad = (b["o_orderstatus"].to_numpy() == "F").astype("int64")
+        bin_ = (v[:, None] > cuts[None, :]).sum(axis=1).astype("int64")
+        return (
+            pd.DataFrame({"bin": bin_, "bad": bad})
+            .groupby("bin", sort=False)
+            .agg(n_good=("bad", lambda s: int((1 - s).sum())),
+                 n_bad=("bad", "sum"))
+            .reset_index()
+        )
+
+    parts = (
+        orders.map_batches(arrow_out(census), batch_format="pandas")
+        .to_pandas()  # ≤ 4 rows per batch — bounded partials
+        .groupby("bin", sort=True)
+        .agg(n_good=("n_good", "sum"), n_bad=("n_bad", "sum"))
+        .reset_index()
+    )
+    G = int(parts["n_good"].sum())
+    B = int(parts["n_bad"].sum())
+    g = parts["n_good"].to_numpy("int64")
+    b = parts["n_bad"].to_numpy("int64")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        woe = np.floor(
+            1_000_000.0 * np.log(g.astype("float64") * B / (b.astype("float64") * G))
+            + 0.5
+        )
+    woe = np.where((g == 0) | (b == 0), np.nan, woe)
+    return pd.DataFrame(
+        {"bin": parts["bin"].astype("int64"),
+         "n_good": parts["n_good"].astype("int64"),
+         "n_bad": parts["n_bad"].astype("int64"),
+         "woe_micro": woe.astype("float64")}
+    )
+
+
+WOE_SQL = """
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+  FROM orders
+), q AS (
+  SELECT quantile_disc(v, 0.25) AS c1, quantile_disc(v, 0.5) AS c2,
+         quantile_disc(v, 0.75) AS c3
+  FROM c
+), b AS (
+  SELECT CAST((v > c1)::INT + (v > c2)::INT + (v > c3)::INT AS BIGINT) AS bin, bad
+  FROM c, q
+), g AS (
+  SELECT bin, CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+         CAST(SUM(bad) AS BIGINT) AS n_bad
+  FROM b GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n_good) AS BIGINT) AS gt, CAST(SUM(n_bad) AS BIGINT) AS bt FROM g
+)
+SELECT bin, n_good, n_bad,
+       CASE WHEN n_good = 0 OR n_bad = 0 THEN NULL
+            ELSE FLOOR(1000000 * ln(CAST(n_good AS DOUBLE) * bt
+                                    / (CAST(n_bad AS DOUBLE) * gt)) + 0.5)
+       END AS woe_micro
+FROM g, t ORDER BY bin
+"""
+
+
+# -- largest-remainder apportionment ---------------------------------------------
+
+APPORTION_SEATS = 1000
+
+
+def orders_apportion(sf_dir: str) -> pd.DataFrame:
+    """Largest-remainder (Hamilton) apportionment: allocate a fixed
+    budget of 1000 units across nations proportional to order revenue —
+    the exact-integer allocation operator behind quota / budget / seat
+    splits (floor shares + top remainders, ties → nation name asc).
+
+    Distributed shape: orders pre-aggregate per custkey in the combiner,
+    ONE partitioned orders⋈customer exchange with the per-nation
+    aggregate fused into the join buckets (``bucket_post``), the
+    25-row nation census folds driver-side, and the apportionment
+    itself is Python bigint arithmetic (seats·cents exceeds int64 at
+    warehouse scale — HUGEINT in the oracle)."""
+    import pyarrow as pa
+
+    from ..stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def o_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {"custkey": b["o_custkey"].astype("int64"),
+                 "cents": np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")}
+            )
+            .groupby("custkey", sort=False)["cents"].sum().reset_index()
+        )
+
+    left = orders.map_batches(arrow_out(o_partial), batch_format="pandas")
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def c_rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"custkey": b["c_custkey"].astype("int64"),
+             "nationkey": b["c_nationkey"].astype("int64")}
+        )
+
+    right = cust.map_batches(arrow_out(c_rename), batch_format="pandas")
+
+    def per_nation(m: pd.DataFrame) -> pd.DataFrame:
+        return m.groupby("nationkey", sort=False)["cents"].sum().reset_index()
+
+    joined = hash_join(
+        left, right, on=["custkey"],
+        left_schema=pa.schema([("custkey", pa.int64()), ("cents", pa.int64())]),
+        right_schema=pa.schema([("custkey", pa.int64()), ("nationkey", pa.int64())]),
+        bucket_post=per_nation,
+    ).to_pandas()  # ≤ 25×buckets rows — bounded artifact
+    rev = joined.groupby("nationkey", sort=True)["cents"].sum().reset_index()
+
+    nation = _read_dim(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    rev = rev.merge(
+        nation.rename(columns={"n_nationkey": "nationkey", "n_name": "nation"}),
+        on="nationkey", validate="1:1",
+    )
+    total = int(rev["cents"].sum())
+    quota = [APPORTION_SEATS * int(c) for c in rev["cents"]]  # bigint-safe
+    fl = [q // total for q in quota]
+    rem = [q % total for q in quota]
+    extra = APPORTION_SEATS - sum(fl)
+    order = sorted(
+        range(len(rev)), key=lambda i: (-rem[i], rev["nation"].iloc[i])
+    )
+    units = list(fl)
+    for i in order[:extra]:
+        units[i] += 1
+    out = pd.DataFrame(
+        {"nation": pd.array(rev["nation"], "str"),
+         "revenue_cents": rev["cents"].astype("int64"),
+         "units": pd.array(units, "int64")}
+    )
+    return out.sort_values("nation", kind="mergesort").reset_index(drop=True)
+
+
+APPORTION_SQL = f"""
+WITH rev AS (
+  SELECT n_name AS nation,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+), t AS (SELECT CAST(SUM(cents) AS HUGEINT) AS total FROM rev),
+fl AS (
+  SELECT nation, cents,
+         CAST(({APPORTION_SEATS} * CAST(cents AS HUGEINT)) // total AS BIGINT) AS fl,
+         ({APPORTION_SEATS} * CAST(cents AS HUGEINT)) % total AS rem
+  FROM rev, t
+), ex AS (SELECT CAST({APPORTION_SEATS} - SUM(fl) AS BIGINT) AS extra FROM fl),
+rk AS (
+  SELECT nation, cents, fl,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, nation ASC) AS rk
+  FROM fl
+)
+SELECT nation, cents AS revenue_cents,
+       CAST(fl + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS units
+FROM rk, ex ORDER BY nation
+"""
