@@ -898,6 +898,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_path_trigrams", "events_anova", "tables_fd_discovery",
         # round-4 close-out additions (CEP, walks, Neyman)
         "events_cep", "kg_walks", "lineitem_neyman",
+        # round-4 final-sitting additions (attribution, HMM, JL
+        # projection, backtest, modularity, WOE, apportionment, sweep)
+        "events_linear_attrib", "events_hmm_score", "embed_rproj",
+        "orders_backtest", "kg_label_modularity", "orders_woe",
+        "orders_apportion", "events_peak_concurrency",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -920,6 +925,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs", "events_ttest", "orders_yoy",
         "events_decay", "docs_feature_hashing",
         "q1_pricing", "q3_top_orders", "docs_tfidf_top",
+        # final-sitting demotions (stable since r3/early-r4 windows)
+        "kg_doc_mentions", "kg_doc_edges", "q5_region_revenue",
+        "docs_zipf", "lineitem_spearman", "kg_adamic_adar",
+        "docs_search_indexed", "events_scd2",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):

@@ -137,6 +137,11 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         # deterministic walk corpus, Neyman stratified sampling
         "embed_dbscan", "kg_mst", "events_cep", "kg_walks",
         "lineitem_neyman",
+        # round-4 final sitting: attribution, sequence decoding, JL
+        # projection, backtest, modularity, WOE, apportionment, sweep
+        "events_linear_attrib", "events_hmm_score", "embed_rproj",
+        "orders_backtest", "kg_label_modularity", "orders_woe",
+        "orders_apportion", "events_peak_concurrency",
     ]
     qs = em.queries()
     times: dict[str, float] = {}
