@@ -735,6 +735,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-10 peak concurrent-session minutes (interval sweep over
         # the sessionized log; time-bounded delta census)
         "events_peak_concurrency": events.events_peak_concurrency,
+        # k-anonymity privacy audit under the (nation, segment,
+        # $1000-band) quasi-identifier (one QI-bucketed exchange)
+        "customers_kanon": relational.customers_kanon,
+        # top-20 discounted customer lifetime value (0.98^months,
+        # floor-micro addends; combiner + grouped top-20)
+        "customers_clv": relational.customers_clv,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -903,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_linear_attrib", "events_hmm_score", "embed_rproj",
         "orders_backtest", "kg_label_modularity", "orders_woe",
         "orders_apportion", "events_peak_concurrency",
+        "customers_kanon", "customers_clv",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -929,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_doc_mentions", "kg_doc_edges", "q5_region_revenue",
         "docs_zipf", "lineitem_spearman", "kg_adamic_adar",
         "docs_search_indexed", "events_scd2",
+        "docs_containment_pairs", "kg_clustering_coeff",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1165,6 +1173,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_woe": relational.WOE_SQL,
         "orders_apportion": relational.APPORTION_SQL,
         "events_peak_concurrency": events.PEAK_CONCURRENCY_SQL,
+        "customers_kanon": relational.KANON_SQL,
+        "customers_clv": relational.CLV_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -7178,3 +7178,185 @@ SELECT nation, cents AS revenue_cents,
        CAST(fl + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS units
 FROM rk, ex ORDER BY nation
 """
+
+
+# -- k-anonymity privacy audit ---------------------------------------------
+
+KANON_K = 5
+KANON_BAND_CENTS = 100_000  # $1000 account-balance bands
+
+
+def customers_kanon(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity audit of the customer table under the
+    quasi-identifier (nation, market segment, $1000 account-balance
+    band): per nation, how many equivalence classes exist, how many
+    fall below k=5, and how many ROWS sit in those re-identifiable
+    classes — the privacy gate a release pipeline runs before
+    publishing a \"de-identified\" extract.
+
+    Distributed shape: ONE hash-bucketed exchange on the QI key
+    (all rows of a class co-locate), class sizes fold vectorized
+    in-bucket, and only the ≤25-row per-nation summary leaves."""
+    from ..stages.shuffle import bucketed_group_map
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def qi(b: pd.DataFrame) -> pd.DataFrame:
+        band = np.floor(
+            np.rint(b["c_acctbal"].to_numpy() * 100).astype("int64")
+            / KANON_BAND_CENTS
+        ).astype("int64")
+        return pd.DataFrame(
+            {"nationkey": b["c_nationkey"].astype("int64"),
+             "segment": b["c_mktsegment"].astype(str),
+             "band": band}
+        )
+
+    rows = cust.map_batches(arrow_out(qi), batch_format="pandas")
+
+    def classes(g: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            g.groupby(["nationkey", "segment", "band"], sort=False)
+            .size().rename("n").reset_index()
+        )
+        small = c[c["n"] < KANON_K]
+        out = c.groupby("nationkey", sort=False).agg(
+            n_rows=("n", "sum"), n_classes=("n", "size")
+        )
+        s = small.groupby("nationkey", sort=False).agg(
+            n_small_classes=("n", "size"), n_rows_at_risk=("n", "sum")
+        )
+        return (
+            out.join(s, how="left")
+            .fillna({"n_small_classes": 0, "n_rows_at_risk": 0})
+            .reset_index()
+        )
+
+    # bucket on the FULL QI key so a class never splits across buckets
+    parts = bucketed_group_map(
+        rows, ["nationkey", "segment", "band"], classes
+    ).to_pandas()
+    agg = (
+        parts.groupby("nationkey", sort=True)
+        .agg(n_rows=("n_rows", "sum"), n_classes=("n_classes", "sum"),
+             n_small_classes=("n_small_classes", "sum"),
+             n_rows_at_risk=("n_rows_at_risk", "sum"))
+        .reset_index()
+    )
+    return pd.DataFrame({c: agg[c].astype("int64") for c in agg.columns})
+
+
+KANON_SQL = f"""
+WITH qi AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS segment,
+         CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                    / {KANON_BAND_CENTS}.0) AS BIGINT) AS band
+  FROM customer
+), c AS (
+  SELECT nationkey, segment, band, CAST(COUNT(*) AS BIGINT) AS n
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT nationkey,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_classes,
+       CAST(SUM(CASE WHEN n < {KANON_K} THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+# -- discounted customer lifetime value ---------------------------------------------
+
+CLV_DECAY = 0.98  # per-month discount factor
+
+
+def customers_clv(sf_dir: str) -> pd.DataFrame:
+    """Top-20 customers by discounted lifetime value: each order
+    contributes ``floor(cents · 0.98^age_months + 0.5)`` micro-discounted
+    cents, age measured in calendar months back from the NEWEST order in
+    the log (the analysis anchor).  glibc ``pow`` is shared by numpy and
+    DuckDB (the events_entropy ln precedent), and the power is taken on
+    exact integer month counts, so the per-order addends match bit-for-bit.
+
+    Distributed shape: the month anchor is one cheap max-census; the
+    per-customer fold is a combiner + ONE bucketed exchange; top-20 by
+    (clv DESC, custkey ASC) is a grouped-topn, then the name resolve
+    joins only 20 keys."""
+    from ..stages.shuffle import bucketed_group_map
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def month_partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["o_orderdate"].to_numpy().astype("datetime64[M]")
+        return pd.DataFrame({"mx": [m.max()]}) if len(m) else pd.DataFrame(
+            {"mx": pd.array([], "datetime64[M]")}
+        )
+
+    anchor = (
+        orders.map_batches(arrow_out(month_partial), batch_format="pandas")
+        .to_pandas()["mx"].max()
+    )
+    anchor_m = np.datetime64(anchor, "M")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        age = (anchor_m - b["o_orderdate"].to_numpy().astype("datetime64[M]")).astype(
+            "int64"
+        )
+        disc = np.floor(cents * np.power(CLV_DECAY, age.astype("float64")) + 0.5).astype(
+            "int64"
+        )
+        return (
+            pd.DataFrame({"custkey": b["o_custkey"].astype("int64"), "d": disc})
+            .groupby("custkey", sort=False)
+            .agg(n_orders=("d", "size"), clv_cents=("d", "sum"))
+            .reset_index()
+        )
+
+    parts = orders.map_batches(arrow_out(partial), batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby("custkey", sort=False)
+            .agg(n_orders=("n_orders", "sum"), clv_cents=("clv_cents", "sum"))
+            .reset_index()
+        )
+        return agg.sort_values(
+            ["clv_cents", "custkey"], ascending=[False, True], kind="mergesort"
+        ).head(20)  # per-bucket top-20 — global top-20 survives
+
+    cand = bucketed_group_map(parts, ["custkey"], fold).to_pandas()
+    top = (
+        cand.sort_values(["clv_cents", "custkey"], ascending=[False, True],
+                         kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {"custkey": top["custkey"].astype("int64"),
+         "n_orders": top["n_orders"].astype("int64"),
+         "clv_cents": top["clv_cents"].astype("int64")}
+    )
+
+
+CLV_SQL = f"""
+WITH a AS (
+  SELECT date_trunc('month', MAX(o_orderdate)) AS anchor FROM orders
+), d AS (
+  SELECT o_custkey AS custkey,
+         CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    * POWER({CLV_DECAY},
+                            datediff('month', date_trunc('month', o_orderdate),
+                                     anchor))
+                    + 0.5) AS BIGINT) AS disc
+  FROM orders, a
+)
+SELECT custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(disc) AS BIGINT) AS clv_cents
+FROM d GROUP BY 1
+ORDER BY clv_cents DESC, custkey ASC LIMIT 20
+"""
