@@ -741,6 +741,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-20 discounted customer lifetime value (0.98^months,
         # floor-micro addends; combiner + grouped top-20)
         "customers_clv": relational.customers_clv,
+        # batch-hard triplet mining (hardest pos/neg per anchor; exact
+        # chunk-pair all-pairs, ANN as the scale substitute)
+        "embed_triplets": docs.embed_triplets,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -909,7 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_linear_attrib", "events_hmm_score", "embed_rproj",
         "orders_backtest", "kg_label_modularity", "orders_woe",
         "orders_apportion", "events_peak_concurrency",
-        "customers_kanon", "customers_clv",
+        "customers_kanon", "customers_clv", "embed_triplets",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -937,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zipf", "lineitem_spearman", "kg_adamic_adar",
         "docs_search_indexed", "events_scd2",
         "docs_containment_pairs", "kg_clustering_coeff",
+        "lineitem_bitmap_counts",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1175,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
         "events_peak_concurrency": events.PEAK_CONCURRENCY_SQL,
         "customers_kanon": relational.KANON_SQL,
         "customers_clv": relational.CLV_SQL,
+        "embed_triplets": docs.TRIPLETS_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -142,7 +142,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "events_linear_attrib", "events_hmm_score", "embed_rproj",
         "orders_backtest", "kg_label_modularity", "orders_woe",
         "orders_apportion", "events_peak_concurrency",
-        "customers_kanon", "customers_clv",
+        "customers_kanon", "customers_clv", "embed_triplets",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

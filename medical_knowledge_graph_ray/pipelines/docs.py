@@ -5620,3 +5620,40 @@ SELECT vec_id,
 {",".join(f"       MAX(CASE WHEN j = {j} THEN pm END) AS p{j}" for j in range(8))}
 FROM p GROUP BY vec_id ORDER BY vec_id
 """
+
+
+def embed_triplets(sf_dir: str) -> pd.DataFrame:
+    """Batch-hard triplet mining over the embeddings table
+    (``stages/similarity.py:triplet_mine``): per anchor, the hardest
+    positive (most-similar same-label vector) and hardest negative
+    (most-similar different-label vector) — the contrastive-training
+    data generator.  Cosines round to 6 dp (engine float contract);
+    ties → lowest candidate id, mirrored by the oracle window."""
+    from ..stages.similarity import triplet_mine
+
+    out = triplet_mine(_embeddings(sf_dir)).to_pandas()
+    return out.sort_values("anchor", kind="mergesort").reset_index(drop=True)
+
+
+TRIPLETS_SQL = """
+WITH p AS (
+  SELECT a.vec_id AS anchor, a.label AS alab, b.vec_id AS cand, b.label AS clab,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), pos AS (
+  SELECT anchor, cand, cos,
+         ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY cos DESC, cand ASC) AS rn
+  FROM p WHERE alab = clab
+), neg AS (
+  SELECT anchor, cand, cos,
+         ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY cos DESC, cand ASC) AS rn
+  FROM p WHERE alab <> clab
+)
+SELECT pos.anchor AS anchor,
+       pos.cand AS pos_id, pos.cos AS pos_cos,
+       neg.cand AS neg_id, neg.cos AS neg_cos
+FROM pos JOIN neg ON pos.anchor = neg.anchor
+WHERE pos.rn = 1 AND neg.rn = 1
+ORDER BY pos.anchor
+"""

@@ -858,3 +858,137 @@ def mmr_topk(
          "rel": pd.array([r for *_, r, _ in out], "float64"),
          "mmr": pd.array([m for *_, m in out], "float64")}
     )
+
+
+def triplet_mine(embeddings, *, n_chunks: int = 8):
+    """Hardest-positive / hardest-negative triplet mining for metric
+    learning: per anchor vector, the most-similar SAME-label candidate
+    (pos) and the most-similar DIFFERENT-label candidate (neg) — the
+    batch-hard triplet construction behind contrastive / triplet-loss
+    training sets.
+
+    Exact all-pairs by construction (the ``neardup_pairs_chunked``
+    replication: every (a, b) pair meets in exactly one chunk pair-group;
+    same O(N²d) compute spread over C(C+1)/2 tasks, O(N/C·d) worker
+    memory).  At corpus scale substitute the ANN paths (IVF/PQ) for the
+    candidate generation and keep this as the exact verifier.
+
+    Tie contract: cosines round to 6 dp at emission; candidate matrices
+    sort by vec_id ASC so the first argmax IS the lowest-id tie-winner,
+    mirrored by the oracle's ``ORDER BY cos DESC, cand ASC``.  Anchors
+    whose label has no second member drop out (inner join in both
+    engines)."""
+    from ..functions.arrow import arrow_out
+    from .shuffle import bucketed_group_map
+
+    C = n_chunks
+
+    def replicate(b: pd.DataFrame):
+        if not len(b):
+            import pyarrow as pa
+
+            return pa.table(
+                {"pk": pa.array([], pa.int32()), "chunk": pa.array([], pa.int32()),
+                 "vec_id": pa.array([], pa.int64()), "label": pa.array([], pa.int64()),
+                 "unit": pa.array([], pa.binary())}
+            )
+        mat = _to_matrix(b["embedding"])
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        ids = b["vec_id"].to_numpy().astype(np.int64)
+        labels = b["label"].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            chunk = ((ids.astype(np.uint64) * _CHUNK_MIX) >> np.uint64(33)) % np.uint64(C)
+        chunk = chunk.astype(np.int64)
+        other = np.arange(C, dtype=np.int64)
+        lo = np.minimum(chunk[:, None], other[None, :])
+        hi = np.maximum(chunk[:, None], other[None, :])
+        pk = (lo * C + hi).reshape(-1)
+        rep = np.repeat(np.arange(len(ids)), C)
+        return pd.DataFrame(
+            {"pk": pd.array(pk, "int32"),
+             "chunk": pd.array(np.repeat(chunk, C), "int32"),
+             "vec_id": pd.array(ids[rep], "int64"),
+             "label": pd.array(labels[rep], "int64"),
+             "unit": [unit[i].tobytes() for i in rep]}
+        )
+
+    def _mine(ids_a, lab_a, mat_a, ids_b, lab_b, mat_b, self_pair: bool):
+        """Best pos/neg in B for every anchor in A → partial rows."""
+        sims = np.round(mat_a @ mat_b.T, 6)
+        same = lab_a[:, None] == lab_b[None, :]
+        if self_pair:
+            selfm = ids_a[:, None] == ids_b[None, :]
+        else:
+            selfm = np.zeros_like(same)
+        rows = []
+        for kind, mask in (("p", same & ~selfm), ("n", ~same)):
+            s = np.where(mask, sims, -np.inf)
+            j = np.argmax(s, axis=1)  # cols sorted by id → lowest id wins ties
+            best = s[np.arange(len(ids_a)), j]
+            ok = np.isfinite(best)
+            if ok.any():
+                rows.append(pd.DataFrame(
+                    {"anchor": pd.array(ids_a[ok], "int64"),
+                     "kind": pd.array([kind] * int(ok.sum()), "str"),
+                     "cand": pd.array(ids_b[j[ok]], "int64"),
+                     "cos": pd.array(best[ok], "float64")}
+                ))
+        return rows
+
+    _EMPTY = pd.DataFrame(
+        {"anchor": pd.array([], "int64"), "kind": pd.array([], "str"),
+         "cand": pd.array([], "int64"), "cos": pd.array([], "float64")}
+    )
+
+    def pair_group(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pk, sub in g.groupby("pk", sort=False):
+            a_chunk, b_chunk = divmod(int(pk), C)
+            sub = sub.drop_duplicates("vec_id").sort_values("vec_id")
+            ga = sub[sub["chunk"] == a_chunk]
+            ids_a = ga["vec_id"].to_numpy()
+            lab_a = ga["label"].to_numpy()
+            mat_a = (np.stack([np.frombuffer(v, np.float64) for v in ga["unit"]])
+                     if len(ga) else np.empty((0, 1)))
+            if a_chunk == b_chunk:
+                if len(ga):
+                    rows += _mine(ids_a, lab_a, mat_a, ids_a, lab_a, mat_a, True)
+            else:
+                gb = sub[sub["chunk"] == b_chunk]
+                if not len(ga) or not len(gb):
+                    continue
+                ids_b = gb["vec_id"].to_numpy()
+                lab_b = gb["label"].to_numpy()
+                mat_b = np.stack([np.frombuffer(v, np.float64) for v in gb["unit"]])
+                rows += _mine(ids_a, lab_a, mat_a, ids_b, lab_b, mat_b, False)
+                rows += _mine(ids_b, lab_b, mat_b, ids_a, lab_a, mat_a, False)
+        return pd.concat(rows, ignore_index=True) if rows else _EMPTY
+
+    partials = bucketed_group_map(
+        embeddings.map_batches(arrow_out(replicate), batch_format="pandas"),
+        ["pk"], pair_group, num_buckets=32,
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"anchor": pd.array([], "int64"),
+                 "pos_id": pd.array([], "int64"), "pos_cos": pd.array([], "float64"),
+                 "neg_id": pd.array([], "int64"), "neg_cos": pd.array([], "float64")}
+            )
+        s = g.sort_values(["anchor", "kind", "cos", "cand"],
+                          ascending=[True, True, False, True], kind="mergesort")
+        best = s.groupby(["anchor", "kind"], sort=False).head(1)
+        p = best[best["kind"] == "p"].set_index("anchor")
+        n = best[best["kind"] == "n"].set_index("anchor")
+        j = p.join(n, how="inner", lsuffix="_p", rsuffix="_n").reset_index()
+        return pd.DataFrame(
+            {"anchor": j["anchor"].astype("int64"),
+             "pos_id": j["cand_p"].astype("int64"),
+             "pos_cos": j["cos_p"].astype("float64"),
+             "neg_id": j["cand_n"].astype("int64"),
+             "neg_cos": j["cos_n"].astype("float64")}
+        )
+
+    return bucketed_group_map(partials, ["anchor"], fold, num_buckets=8)
