@@ -744,6 +744,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # batch-hard triplet mining (hardest pos/neg per anchor; exact
         # chunk-pair all-pairs, ANN as the scale substitute)
         "embed_triplets": docs.embed_triplets,
+        # Wilson-score 95% CI on per-type user reach (sentinel-row user
+        # census through one user-bucketed exchange)
+        "events_wilson": events.events_wilson,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -871,6 +874,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full per-event Viterbi decode (backtrace face of the oracled
         # events_hmm_score; distributed ≡ dense pinned in tests)
         "events_hmm_decode": events.events_hmm_decode,
+        # canonical Huffman code lengths for the top-256 token census
+        # (optimality/Kraft/Shannon-bound pytest-pinned)
+        "docs_huffman": docs.docs_huffman,
     }
 
     # DRIVER-WINDOW ROTATION (VERDICT r3 item 8): the driver gate checks
@@ -913,6 +919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_backtest", "kg_label_modularity", "orders_woe",
         "orders_apportion", "events_peak_concurrency",
         "customers_kanon", "customers_clv", "embed_triplets",
+        "events_wilson",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -940,7 +947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zipf", "lineitem_spearman", "kg_adamic_adar",
         "docs_search_indexed", "events_scd2",
         "docs_containment_pairs", "kg_clustering_coeff",
-        "lineitem_bitmap_counts",
+        "lineitem_bitmap_counts", "events_cep",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1180,6 +1187,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_kanon": relational.KANON_SQL,
         "customers_clv": relational.CLV_SQL,
         "embed_triplets": docs.TRIPLETS_SQL,
+        "events_wilson": events.WILSON_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -143,6 +143,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "orders_backtest", "kg_label_modularity", "orders_woe",
         "orders_apportion", "events_peak_concurrency",
         "customers_kanon", "customers_clv", "embed_triplets",
+        "events_wilson", "docs_huffman",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

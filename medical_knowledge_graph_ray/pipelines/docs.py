@@ -5657,3 +5657,65 @@ FROM pos JOIN neg ON pos.anchor = neg.anchor
 WHERE pos.rn = 1 AND neg.rn = 1
 ORDER BY pos.anchor
 """
+
+
+HUFFMAN_V = 256
+
+
+def docs_huffman(sf_dir: str) -> pd.DataFrame:
+    """Canonical Huffman code lengths for the corpus's top-256 tokens
+    (+ one aggregated ``<other>`` symbol) — the compression-planning
+    census: expected code length vs the entropy lower bound tells you
+    what a token-level entropy coder would achieve on this corpus
+    (``tests/test_huffman.py`` pins optimality, Kraft equality, the
+    [H, H+1) bound, and determinism).
+
+    Scale shape: per-batch token-count partials → ONE token-bucketed
+    exchange with exact in-bucket sums; each bucket forwards only its
+    top-256 (a global top-256 symbol is top-256 in its own bucket) plus
+    a sentinel row carrying the bucket's total occurrences, so the
+    driver folds ≤ buckets·257 rows; the tree build is O(V log V) on
+    the bounded vocabulary.  Rows-only: the greedy merge has no SQL
+    form (the cost identity is the in-repo oracle)."""
+    from ..functions.coding import huffman_lengths
+    from ..stages.shuffle import bucketed_group_map
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.Series(
+            np.concatenate([t.split(" ") for t in b["text"].astype(str)])
+            if len(b) else [], dtype=object
+        )
+        c = toks.value_counts()
+        return pd.DataFrame(
+            {"token": pd.array(c.index.astype(str), "str"),
+             "n": pd.array(c.to_numpy(), "int64")}
+        )
+
+    parts = _docs(sf_dir, ["text"]).map_batches(
+        arrow_out(census), batch_format="pandas"
+    )
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("token", sort=False)["n"].sum().reset_index()
+        top = agg.sort_values(["n", "token"], ascending=[False, True],
+                              kind="mergesort").head(HUFFMAN_V)
+        sentinel = pd.DataFrame({"token": [""], "n": [int(agg["n"].sum())]})
+        out = pd.concat([top, sentinel], ignore_index=True)
+        out["token"] = out["token"].astype(str)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    cand = bucketed_group_map(parts, ["token"], bucket).to_pandas()
+    total = int(cand.loc[cand["token"] == "", "n"].sum())
+    toks = cand[cand["token"] != ""].sort_values(
+        ["n", "token"], ascending=[False, True], kind="mergesort"
+    ).head(HUFFMAN_V).reset_index(drop=True)
+    other = total - int(toks["n"].sum())
+    names = list(toks["token"]) + (["<other>"] if other > 0 else [])
+    weights = [int(x) for x in toks["n"]] + ([other] if other > 0 else [])
+    lens = huffman_lengths(weights)
+    return pd.DataFrame(
+        {"token": pd.array(names, "str"),
+         "n_occ": pd.array(weights, "int64"),
+         "code_len": pd.array(lens, "int64")}
+    )

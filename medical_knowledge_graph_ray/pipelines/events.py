@@ -4297,3 +4297,82 @@ WITH x AS (
 SELECT m AS minute, conc AS concurrency
 FROM r ORDER BY conc DESC, m ASC LIMIT 10
 """
+
+
+# -- Wilson confidence interval on per-type reach ----------------------------------
+
+
+def events_wilson(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type REACH (share of all users who ever emit the type)
+    with a Wilson-score 95% confidence interval — the uncertainty-
+    quantified census an experimentation stack reports instead of bare
+    proportions.
+
+    Float contract: counts are exact int64 from ONE user-bucketed
+    exchange (a user never splits, so per-bucket distinct counts fold
+    exactly; the bucket's user total rides a sentinel row through the
+    same exchange — the docs_dupspans trick); the interval is ONE
+    closed-form double expression (sqrt is IEEE-correctly-rounded, so
+    numpy ≡ DuckDB bit-for-bit) written identically on both sides and
+    emitted floor-micro."""
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])
+        per_type = (
+            d.groupby("event_type", sort=False).size().rename("x").reset_index()
+        )
+        sentinel = pd.DataFrame(
+            {"event_type": [""], "x": [g["user_id"].nunique()]}
+        )
+        out = pd.concat([per_type, sentinel], ignore_index=True)
+        out["event_type"] = out["event_type"].astype(str)
+        out["x"] = out["x"].astype("int64")
+        return out
+
+    parts = bucketed_group_map(ev, ["user_id"], bucket).to_pandas()
+    total = int(parts.loc[parts["event_type"] == "", "x"].sum())
+    agg = (
+        parts[parts["event_type"] != ""]
+        .groupby("event_type", sort=True)["x"].sum().reset_index()
+    )
+    x = agg["x"].to_numpy("int64").astype("float64")
+    n = float(total)
+    p = x / n
+    z = 1.96
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = z * np.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    return pd.DataFrame(
+        {"event_type": pd.array(agg["event_type"], "str"),
+         "n_users": agg["x"].astype("int64"),
+         "total_users": pd.array([total] * len(agg), "int64"),
+         "lo_micro": np.floor(1_000_000.0 * (center - half) + 0.5),
+         "hi_micro": np.floor(1_000_000.0 * (center + half) + 0.5)}
+    )
+
+
+WILSON_SQL = """
+WITH u AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS total FROM events
+), x AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+  FROM events GROUP BY 1
+), f AS (
+  SELECT event_type, nu, total,
+         CAST(nu AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+         CAST(total AS DOUBLE) AS n
+  FROM x, u
+)
+SELECT event_type, nu AS n_users, total AS total_users,
+       FLOOR(1000000.0 * ((p + (1.96 * 1.96) / (2.0 * n)) / (1.0 + (1.96 * 1.96) / n)
+             - 1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n))
+               / (1.0 + (1.96 * 1.96) / n)) + 0.5) AS lo_micro,
+       FLOOR(1000000.0 * ((p + (1.96 * 1.96) / (2.0 * n)) / (1.0 + (1.96 * 1.96) / n)
+             + 1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n))
+               / (1.0 + (1.96 * 1.96) / n)) + 0.5) AS hi_micro
+FROM f ORDER BY event_type
+"""
