@@ -747,6 +747,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Wilson-score 95% CI on per-type user reach (sentinel-row user
         # census through one user-bucketed exchange)
         "events_wilson": events.events_wilson,
+        # contamination-safe split: every near-dup CLUSTER lands whole
+        # in one of train/val/test (components → md5-mod by group)
+        "docs_leakage_safe_split": docs.docs_leakage_safe_split,
+        # KWIC concordance snippets for the search family (pure map,
+        # instr/substr byte-parity)
+        "docs_search_snippets": docs.docs_search_snippets,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -919,7 +925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_backtest", "kg_label_modularity", "orders_woe",
         "orders_apportion", "events_peak_concurrency",
         "customers_kanon", "customers_clv", "embed_triplets",
-        "events_wilson",
+        "events_wilson", "docs_leakage_safe_split", "docs_search_snippets",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -947,7 +953,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zipf", "lineitem_spearman", "kg_adamic_adar",
         "docs_search_indexed", "events_scd2",
         "docs_containment_pairs", "kg_clustering_coeff",
-        "lineitem_bitmap_counts", "events_cep",
+        "lineitem_bitmap_counts", "events_cep", "kg_walks",
+        "docs_winnow",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1188,6 +1195,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_clv": relational.CLV_SQL,
         "embed_triplets": docs.TRIPLETS_SQL,
         "events_wilson": events.WILSON_SQL,
+        "docs_leakage_safe_split": docs.leakage_split_sql(),
+        "docs_search_snippets": docs.SNIPPETS_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -144,6 +144,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "orders_apportion", "events_peak_concurrency",
         "customers_kanon", "customers_clv", "embed_triplets",
         "events_wilson", "docs_huffman",
+        "docs_leakage_safe_split", "docs_search_snippets",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

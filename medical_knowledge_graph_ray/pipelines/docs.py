@@ -5719,3 +5719,122 @@ def docs_huffman(sf_dir: str) -> pd.DataFrame:
          "n_occ": pd.array(weights, "int64"),
          "code_len": pd.array(lens, "int64")}
     )
+
+
+# -- leakage-safe (cluster-aware) train/test split -------------------------------
+
+
+def docs_leakage_safe_split(sf_dir: str):
+    """Near-dup-aware train/val/test split: every document inherits the
+    split of its near-dup CLUSTER (SimHash components → canonical
+    min-id; isolated docs are their own group), so near-duplicates can
+    never straddle train and test — the contamination-safe variant of
+    ``docs_split`` (Lee et al. "Deduplicating Training Data Makes LMs
+    Better" splits by cluster for exactly this reason).
+
+    Shape: the component table is the banded-SimHash + BSP-components
+    chain (both already scale-shaped); one partitioned LEFT join keys
+    every doc to its group, then a pure vectorized md5-mod assign.
+    group_id rides along so the no-leakage property is auditable."""
+    import pyarrow as pa
+
+    from ..functions.hashing import md5_int_vec_prefixed
+    from ..stages.joins import hash_join
+
+    ids = _docs(sf_dir, ["doc_id"])
+    comp = docs_dedup_components(sf_dir)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"doc_id": pd.array([], "int64"),
+                 "group_id": pd.array([], "int64"),
+                 "split": pd.array([], "str")}
+            )
+        gid = b["component_id"].fillna(b["doc_id"]).astype("int64")
+        h = md5_int_vec_prefixed("gsplit", gid.to_numpy(), bits=32)
+        split = np.where(h % 80 == 0, "val",
+                         np.where(h % 90 == 0, "test", "train"))
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "group_id": gid,
+             "split": pd.array(split, "str")}
+        )
+
+    joined = hash_join(
+        ids, comp, on=["doc_id"], how="left",
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema(
+            [("doc_id", pa.int64()), ("component_id", pa.int64())]
+        ),
+        bucket_post=assign,
+    )
+    return joined
+
+
+def leakage_split_sql() -> str:
+    return f"""
+SELECT d.doc_id AS doc_id,
+       COALESCE(c.component_id, d.doc_id) AS group_id,
+       CASE WHEN ('0x' || substr(md5('gsplit|' ||
+                 CAST(COALESCE(c.component_id, d.doc_id) AS VARCHAR)), 1, 8)
+                 )::UBIGINT % 80 = 0 THEN 'val'
+            WHEN ('0x' || substr(md5('gsplit|' ||
+                 CAST(COALESCE(c.component_id, d.doc_id) AS VARCHAR)), 1, 8)
+                 )::UBIGINT % 90 = 0 THEN 'test'
+            ELSE 'train' END AS split
+FROM documents d LEFT JOIN ({dedup_components_sql()}) c ON d.doc_id = c.doc_id
+"""
+
+
+# -- keyword-in-context search snippets -------------------------------------------
+
+SNIPPET_TERM = "spark"
+SNIPPET_PAD = 20
+
+
+def docs_search_snippets(sf_dir: str):
+    """KWIC (keyword-in-context) concordance: for every document
+    containing the query term, its FIRST occurrence position (1-based,
+    the SQL ``instr`` convention) and a ±20-char snippet — the
+    human-review surface of the search family (``docs_search_*``).
+    Pure pruned-scan map — ZERO exchanges; string arithmetic is
+    byte-identical to the oracle's ``instr``/``substr``."""
+
+    def kwic(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"doc_id": pd.array([], "int64"),
+                 "pos": pd.array([], "int64"),
+                 "snippet": pd.array([], "str")}
+            )
+        texts = b["text"].astype(str)
+        pos0 = texts.str.find(SNIPPET_TERM)  # -1 = no match
+        m = pos0 >= 0
+        t = texts[m]
+        p0 = pos0[m].to_numpy()
+        # mirror substr(text, GREATEST(1, pos-PAD), end-start+1) exactly
+        start0 = np.maximum(0, p0 - SNIPPET_PAD)
+        end0 = p0 + len(SNIPPET_TERM) + SNIPPET_PAD  # exclusive
+        snip = [s[a:e] for s, a, e in zip(t, start0, end0)]
+        return pd.DataFrame(
+            {"doc_id": b.loc[m, "doc_id"].astype("int64"),
+             "pos": pd.array(p0 + 1, "int64"),
+             "snippet": pd.array(snip, "str")}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        arrow_out(kwic), batch_format="pandas"
+    )
+
+
+SNIPPETS_SQL = f"""
+SELECT doc_id,
+       CAST(instr(text, '{SNIPPET_TERM}') AS BIGINT) AS pos,
+       substr(text,
+              GREATEST(1, instr(text, '{SNIPPET_TERM}') - {SNIPPET_PAD}),
+              instr(text, '{SNIPPET_TERM}') + {len(SNIPPET_TERM)} + {SNIPPET_PAD}
+                - GREATEST(1, instr(text, '{SNIPPET_TERM}') - {SNIPPET_PAD})
+              ) AS snippet
+FROM documents WHERE instr(text, '{SNIPPET_TERM}') > 0
+"""
