@@ -753,6 +753,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KWIC concordance snippets for the search family (pure map,
         # instr/substr byte-parity)
         "docs_search_snippets": docs.docs_search_snippets,
+        # harmonic centrality (exact 10⁶//d integer addends — an
+        # ORACLED graph metric; recursive-CTE BFS oracle)
+        "kg_harmonic": docs_kg.kg_harmonic,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -926,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_apportion", "events_peak_concurrency",
         "customers_kanon", "customers_clv", "embed_triplets",
         "events_wilson", "docs_leakage_safe_split", "docs_search_snippets",
+        "kg_harmonic",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -954,7 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search_indexed", "events_scd2",
         "docs_containment_pairs", "kg_clustering_coeff",
         "lineitem_bitmap_counts", "events_cep", "kg_walks",
-        "docs_winnow",
+        "docs_winnow", "docs_winnow_pairs",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1197,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
         "events_wilson": events.WILSON_SQL,
         "docs_leakage_safe_split": docs.leakage_split_sql(),
         "docs_search_snippets": docs.SNIPPETS_SQL,
+        "kg_harmonic": docs_kg.harmonic_sql(),
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -1706,3 +1706,82 @@ def label_modularity_sql() -> str:
         "FROM deg LEFT JOIN intra ON deg.t = intra.t, m\n"
         "ORDER BY 1"
     )
+
+
+# -- harmonic centrality ---------------------------------------------
+
+HARMONIC_MAX_D = 20  # BFS cap ≥ any plausible diameter of the mined graph
+
+
+def kg_harmonic(sf_dir: str) -> pd.DataFrame:
+    """Harmonic centrality over the (unweighted) co-occurrence graph:
+    ``Σ_u 1/d(u,v)`` — the disconnected-robust closeness variant
+    (Boldi–Vigna).  Exact contract: each addend is the INTEGER
+    ``1000000 // d`` (floor division both engines), so the per-node sum
+    is exact int64 — no float path at all, unusual for a graph metric
+    and what makes this one SQL-oracleable (recursive-CTE BFS with a
+    depth cap ≥ diameter).
+
+    Shape: distributed co-occurrence mining → gazetteer-bounded edge
+    artifact → driver BFS per node over the ≤|G|-node graph (the
+    engine's bounded-finalizer posture; the BSP path in
+    ``stages/graph.py`` is the unbounded substitute)."""
+    edges = doc_cooccurrence(sf_dir).to_pandas()  # ≤ |gazetteer|² rows
+    if not len(edges):
+        return pd.DataFrame(
+            {"term": pd.array([], "str"),
+             "n_reachable": pd.array([], "int64"),
+             "harmonic_micro": pd.array([], "int64")}
+        )
+    nodes = sorted(set(edges["term_a"]) | set(edges["term_b"]))
+    idx = {t: i for i, t in enumerate(nodes)}
+    n = len(nodes)
+    adj: list[set[int]] = [set() for _ in range(n)]
+    for a, b in zip(edges["term_a"], edges["term_b"]):
+        adj[idx[a]].add(idx[b])
+        adj[idx[b]].add(idx[a])
+    n_reach = np.zeros(n, dtype=np.int64)
+    harm = np.zeros(n, dtype=np.int64)
+    for s in range(n):
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier and d < HARMONIC_MAX_D:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        for v, dv in dist.items():
+            if v != s:
+                n_reach[s] += 1
+                harm[s] += 1_000_000 // dv
+    return pd.DataFrame(
+        {"term": pd.array(nodes, "str"),
+         "n_reachable": pd.array(n_reach, "int64"),
+         "harmonic_micro": pd.array(harm, "int64")}
+    )
+
+
+def harmonic_sql() -> str:
+    return (
+        f"WITH RECURSIVE ee AS (SELECT term_a, term_b FROM ({cooccur_sql()})),\n"
+        "e AS (SELECT term_a AS u, term_b AS v FROM ee\n"
+        "      UNION SELECT term_b, term_a FROM ee),\n"
+        "nodes AS (SELECT DISTINCT u FROM e),\n"
+        "reach(src, node, d) AS (\n"
+        "  SELECT u AS src, u AS node, 0 AS d FROM nodes\n"
+        "  UNION\n"
+        f"  SELECT r.src, e.v, r.d + 1 FROM reach r JOIN e ON e.u = r.node\n"
+        f"  WHERE r.d < {HARMONIC_MAX_D}\n"
+        "),\n"
+        "dist AS (SELECT src, node, MIN(d) AS d FROM reach GROUP BY 1, 2)\n"
+        "SELECT src AS term,\n"
+        "       CAST(COUNT(*) FILTER (WHERE node <> src) AS BIGINT) AS n_reachable,\n"
+        "       CAST(COALESCE(SUM(1000000 // d) FILTER (WHERE node <> src), 0)\n"
+        "            AS BIGINT) AS harmonic_micro\n"
+        "FROM dist GROUP BY 1 ORDER BY 1"
+    )
