@@ -886,6 +886,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # canonical Huffman code lengths for the top-256 token census
         # (optimality/Kraft/Shannon-bound pytest-pinned)
         "docs_huffman": docs.docs_huffman,
+        # absorbing-Markov expected steps to conversion (exact integer
+        # transition census → fundamental-matrix solve; pytest-pinned)
+        "events_absorbing": events.events_absorbing,
+        # bridge (fragile) links in the near-dup graph — per-component
+        # Tarjan after a component-bucketed exchange (≡-brute pinned)
+        "docs_fragile_links": docs.docs_fragile_links,
     }
 
     # DRIVER-WINDOW ROTATION (VERDICT r3 item 8): the driver gate checks

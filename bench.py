@@ -145,7 +145,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "customers_kanon", "customers_clv", "embed_triplets",
         "events_wilson", "docs_huffman",
         "docs_leakage_safe_split", "docs_search_snippets",
-        "kg_harmonic",
+        "kg_harmonic", "events_absorbing", "docs_fragile_links",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

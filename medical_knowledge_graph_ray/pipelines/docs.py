@@ -5838,3 +5838,69 @@ SELECT doc_id,
               ) AS snippet
 FROM documents WHERE instr(text, '{SNIPPET_TERM}') > 0
 """
+
+
+def docs_fragile_links(sf_dir: str, max_hamming: int = 3):
+    """Fragile (bridge) links in the near-dup graph: pairs whose removal
+    would split their dedup cluster — the classic false-positive
+    amplifiers of transitive near-dup clustering (one bad pair glues two
+    unrelated groups; auditing bridges first is the highest-leverage
+    manual review).  Output: (doc_a, doc_b, component_id), doc_a < doc_b.
+
+    Distributed shape: SimHash banded pairs → min-label components (both
+    existing scale-shaped chains) → pairs join their component id via
+    one partitioned hash join → ONE component-bucketed exchange runs
+    iterative Tarjan PER COMPONENT (`stages/graph.py:bridge_edges`,
+    O(V+E) per cluster — clusters are small by construction; a bridge
+    never crosses components, so the bucketing is exact).  Rows-only;
+    `tests/test_bridges.py` pins Tarjan ≡ brute edge-removal and
+    parallelism invariance."""
+    import pyarrow as pa
+
+    from ..stages.components import connected_components
+    from ..stages.dedup import simhash_neardup_pairs
+    from ..stages.graph import bridge_edges
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import bucketed_group_map
+
+    pairs = simhash_neardup_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming)
+
+    def strip(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_a": b["doc_a"].astype("int64"),
+             "doc_b": b["doc_b"].astype("int64")}
+        )
+
+    pairs = pairs.map_batches(arrow_out(strip), batch_format="pandas").materialize()
+    comp = connected_components(pairs, "doc_a", "doc_b")
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_a": b["node"].astype("int64"),
+             "component_id": b["component_id"].astype("int64")}
+        )
+
+    comp_a = comp.map_batches(arrow_out(rename), batch_format="pandas")
+    tagged = hash_join(
+        pairs, comp_a, on=["doc_a"],
+        left_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+        right_schema=pa.schema([("doc_a", pa.int64()), ("component_id", pa.int64())]),
+    )
+
+    def per_component(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cid, sub in g.groupby("component_id", sort=False):
+            br = bridge_edges(sub, "doc_a", "doc_b")
+            if len(br):
+                br["component_id"] = np.int64(cid)
+                outs.append(br)
+        if not outs:
+            return pd.DataFrame(
+                {"doc_a": pd.array([], "int64"),
+                 "doc_b": pd.array([], "int64"),
+                 "component_id": pd.array([], "int64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    out = bucketed_group_map(tagged, ["component_id"], per_component).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"], kind="mergesort").reset_index(drop=True)

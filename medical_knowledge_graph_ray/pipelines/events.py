@@ -4376,3 +4376,84 @@ SELECT event_type, nu AS n_users, total AS total_users,
                / (1.0 + (1.96 * 1.96) / n)) + 0.5) AS hi_micro
 FROM f ORDER BY event_type
 """
+
+
+# -- absorbing-Markov expected steps to conversion --------------------------------
+
+ABSORBING_STATE = "purchase"
+
+
+def events_absorbing(sf_dir: str) -> pd.DataFrame:
+    """Expected number of events until the next PURCHASE from each
+    starting event type, under the absorbing-Markov model of the
+    empirical transition chain (fundamental matrix t = (I−Q)⁻¹·1 —
+    the funnel-depth statistic behind "how far is each surface from
+    conversion?").
+
+    Distributed shape: the exact integer (type → next type) transition
+    census is ONE user-bucketed exchange (the ``events_transitions``
+    idiom, census ≤ |types|² rows); the linear solve is driver-side on
+    the ≤|types|² float matrix.  Rows-only (matrix inverse has no SQL
+    form); ``tests/test_absorbing.py`` pins the solve against a
+    hand-built chain, the defining identity (I−Q)·t = 1, and census
+    exactness (parallelism-invariant by construction)."""
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        user = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = user[:-1] == user[1:]
+        df = pd.DataFrame(
+            {"event_type": et[:-1][same], "next_type": et[1:][same]}
+        )
+        return (
+            df.groupby(["event_type", "next_type"], sort=False)
+            .size().rename("n").reset_index()
+        )
+
+    census = (
+        bucketed_group_map(ev, ["user_id"], pair_partial, num_buckets=32)
+        .to_pandas()  # ≤ |types|²·buckets rows
+        .groupby(["event_type", "next_type"], sort=True)["n"].sum().reset_index()
+    )
+    return absorbing_expected_steps(census)
+
+
+def absorbing_expected_steps(census: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side fundamental-matrix solve over an exact integer
+    (event_type, next_type, n) census.  Split out so tests can feed
+    hand-built chains."""
+    types = sorted(
+        set(census["event_type"]) | set(census["next_type"])
+    )
+    transient = [t for t in types if t != ABSORBING_STATE]
+    idx = {t: i for i, t in enumerate(transient)}
+    k = len(transient)
+    q = np.zeros((k, k), dtype=np.float64)
+    out_n = np.zeros(k, dtype=np.int64)
+    for t, nx, n in zip(census["event_type"], census["next_type"], census["n"]):
+        if t == ABSORBING_STATE:
+            continue
+        out_n[idx[t]] += int(n)
+    for t, nx, n in zip(census["event_type"], census["next_type"], census["n"]):
+        if t == ABSORBING_STATE:
+            continue
+        if nx != ABSORBING_STATE:
+            q[idx[t], idx[nx]] = float(n)
+    live = out_n > 0  # rows with no outgoing mass stay out of the solve
+    q[live] = q[live] / out_n[live, None]
+    t_steps = np.full(k, np.nan)
+    if live.any():
+        sub = np.ix_(live, live)
+        n_mat = np.linalg.solve(
+            np.eye(int(live.sum())) - q[sub], np.ones(int(live.sum()))
+        )
+        t_steps[live] = n_mat
+    return pd.DataFrame(
+        {"event_type": pd.array(transient, "str"),
+         "n_out": pd.array(out_n, "int64"),
+         "expected_steps": np.round(t_steps, 6)}
+    )

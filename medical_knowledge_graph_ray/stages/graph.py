@@ -1396,3 +1396,69 @@ def msf(
     out = pd.DataFrame(forest, columns=["u", "v", "w_micro"]).astype(
         {"u": "int64", "v": "int64", "w_micro": "int64"})
     return out.sort_values(["u", "v"], kind="mergesort").reset_index(drop=True)
+
+
+def bridge_edges(g: "pd.DataFrame", col_a: str = "a", col_b: str = "b") -> "pd.DataFrame":
+    """Bridge edges of the undirected graph given as an edge frame —
+    iterative Tarjan low-link (no recursion: explicit stack), O(V+E).
+    Returns the bridges as (col_a, col_b) with a < b, sorted.  Pure
+    function over one (small) graph — callers bucket by component and
+    apply per bucket (a bridge never crosses components)."""
+    import numpy as np
+    import pandas as pd
+
+    if not len(g):
+        return pd.DataFrame({col_a: pd.array([], "int64"),
+                             col_b: pd.array([], "int64")})
+    a = g[col_a].to_numpy()
+    b = g[col_b].to_numpy()
+    nodes = np.unique(np.concatenate([a, b]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj: list[list[tuple[int, int]]] = [[] for _ in range(n)]  # (nbr, edge_id)
+    for eid, (u, v) in enumerate(zip(a, b)):
+        ui, vi = idx[int(u)], idx[int(v)]
+        adj[ui].append((vi, eid))
+        adj[vi].append((ui, eid))
+    disc = np.full(n, -1, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    timer = 0
+    bridges: list[int] = []
+    for root in range(n):
+        if disc[root] != -1:
+            continue
+        stack: list[tuple[int, int, int]] = [(root, -1, 0)]  # (node, in-edge, child-ptr)
+        while stack:
+            u, in_eid, ptr = stack.pop()
+            if ptr == 0:
+                disc[u] = low[u] = timer
+                timer += 1
+            if ptr < len(adj[u]):
+                stack.append((u, in_eid, ptr + 1))
+                v, eid = adj[u][ptr]
+                if eid == in_eid:
+                    continue
+                if disc[v] == -1:
+                    stack.append((v, eid, 0))
+                else:
+                    low[u] = min(low[u], disc[v])
+            else:
+                if in_eid != -1:
+                    # finished u: propagate low to parent, test the bridge
+                    parent = stack[-1][0] if stack else -1
+                    if parent != -1:
+                        low[parent] = min(low[parent], low[u])
+                    # tree edge (parent,u) is a bridge iff no back edge
+                    # escapes subtree(u): low[u] == disc[u] (⟺ > disc[parent])
+                    if low[u] == disc[u]:
+                        bridges.append(in_eid)
+    if not bridges:
+        return pd.DataFrame({col_a: pd.array([], "int64"),
+                             col_b: pd.array([], "int64")})
+    ba = a[bridges]
+    bb = b[bridges]
+    lo = np.minimum(ba, bb)
+    hi = np.maximum(ba, bb)
+    out = pd.DataFrame({col_a: pd.array(lo, "int64"),
+                        col_b: pd.array(hi, "int64")})
+    return out.sort_values([col_a, col_b], kind="mergesort").reset_index(drop=True)
