@@ -756,6 +756,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # harmonic centrality (exact 10⁶//d integer addends — an
         # ORACLED graph metric; recursive-CTE BFS oracle)
         "kg_harmonic": docs_kg.kg_harmonic,
+        # bounce rate per session entry type (vectorized in-bucket
+        # sessionize + first-event census)
+        "events_bounce_rate": events.events_bounce_rate,
+        # CUPED variance-reduced A/B readout (md5-parity variants,
+        # exact int64 moments, floor-micro θ / adjusted means)
+        "events_cuped": events.events_cuped,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -935,7 +941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_apportion", "events_peak_concurrency",
         "customers_kanon", "customers_clv", "embed_triplets",
         "events_wilson", "docs_leakage_safe_split", "docs_search_snippets",
-        "kg_harmonic",
+        "kg_harmonic", "events_bounce_rate", "events_cuped",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -964,7 +970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search_indexed", "events_scd2",
         "docs_containment_pairs", "kg_clustering_coeff",
         "lineitem_bitmap_counts", "events_cep", "kg_walks",
-        "docs_winnow", "docs_winnow_pairs",
+        "docs_winnow", "docs_winnow_pairs", "docs_dupspans",
+        "lineitem_regression",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1208,6 +1215,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_leakage_safe_split": docs.leakage_split_sql(),
         "docs_search_snippets": docs.SNIPPETS_SQL,
         "kg_harmonic": docs_kg.harmonic_sql(),
+        "events_bounce_rate": events.BOUNCE_SQL,
+        "events_cuped": events.CUPED_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

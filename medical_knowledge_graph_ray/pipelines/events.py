@@ -4457,3 +4457,198 @@ def absorbing_expected_steps(census: pd.DataFrame) -> pd.DataFrame:
          "n_out": pd.array(out_n, "int64"),
          "expected_steps": np.round(t_steps, 6)}
     )
+
+
+# -- bounce rate per entry type ---------------------------------------------
+
+
+def events_bounce_rate(sf_dir: str) -> pd.DataFrame:
+    """Per ENTRY event type (the first event of a session), how many
+    sessions start there and how many of them BOUNCE (exactly one
+    event) — the landing-surface quality metric.  Integer-only output
+    (n_sessions, n_bounces); rate is the consumer's division.
+
+    Shape: ONE user-bucketed exchange; sessionization and the
+    first-event/size census are vectorized inside the bucket (sessions
+    never span buckets), and only the ≤|types| census leaves."""
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = s["user_id"].ne(s["user_id"].shift())
+        gap = s["ts"].diff() > pd.Timedelta(minutes=30)
+        new_sess = (new_user | gap).to_numpy()
+        sess_id = np.cumsum(new_sess)
+        sizes = np.bincount(sess_id)[1:]  # sessions are 1-indexed
+        entry_type = s["event_type"].to_numpy()[new_sess]
+        return (
+            pd.DataFrame({"entry_type": entry_type, "bounce": (sizes == 1)})
+            .groupby("entry_type", sort=False)
+            .agg(n_sessions=("bounce", "size"), n_bounces=("bounce", "sum"))
+            .reset_index()
+        )
+
+    parts = bucketed_group_map(ev, ["user_id"], bucket).to_pandas()
+    agg = (
+        parts.groupby("entry_type", sort=True)
+        .agg(n_sessions=("n_sessions", "sum"), n_bounces=("n_bounces", "sum"))
+        .reset_index()
+    )
+    return pd.DataFrame(
+        {"entry_type": pd.array(agg["entry_type"], "str"),
+         "n_sessions": agg["n_sessions"].astype("int64"),
+         "n_bounces": agg["n_bounces"].astype("int64")}
+    )
+
+
+BOUNCE_SQL = """
+WITH x AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS so
+  FROM x
+), sess AS (
+  SELECT user_id, so, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s GROUP BY 1, 2
+), fe AS (
+  SELECT user_id, so, event_type AS entry_type FROM (
+    SELECT user_id, so, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, so
+                              ORDER BY ts, event_id) AS rn
+    FROM s
+  ) WHERE rn = 1
+)
+SELECT entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+FROM sess JOIN fe USING (user_id, so) GROUP BY 1 ORDER BY 1
+"""
+
+
+# -- CUPED variance-reduced experiment readout ---------------------------------
+
+
+def events_cuped(sf_dir: str) -> pd.DataFrame:
+    """CUPED (Deng et al. 2013) variance-reduced A/B readout: users
+    split into two variants by content-stable md5 parity; the metric Y =
+    second-half purchase value (cents), the pre-period covariate X =
+    first-half view count; the pooled ``θ = cov(X,Y)/var(X)`` adjusts
+    each variant mean — the experimentation-stack operator that shrinks
+    CIs without touching the treatment effect.
+
+    Exact contract: the period split is the integer µs midpoint
+    ``(min+max)//2``; all five moments and per-variant sums fold as
+    exact int64 through ONE user-bucketed exchange; θ and the adjusted
+    means are the only float arithmetic — ONE mirrored double expression
+    each, emitted floor-micro."""
+    from ..functions.hashing import md5_int_vec_prefixed
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["user_id", "event_type", "ts", "value"])
+
+    # pass 1: global µs time bounds (cheap column census)
+    def bounds(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].to_numpy("datetime64[us]").astype("int64")
+        if not len(t):
+            return pd.DataFrame({"lo": pd.array([], "int64"),
+                                 "hi": pd.array([], "int64")})
+        return pd.DataFrame({"lo": [int(t.min())], "hi": [int(t.max())]})
+
+    bf = ev.map_batches(arrow_out(bounds), batch_format="pandas").to_pandas()
+    lo, hi = int(bf["lo"].min()), int(bf["hi"].max())
+    mid = (lo + hi) // 2
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        et = g["event_type"].to_numpy()
+        cents = np.rint(g["value"].to_numpy() * 100).astype("int64")
+        x_ev = ((t < mid) & (et == "view")).astype("int64")
+        y_ev = np.where((t >= mid) & (et == "purchase"), cents, 0)
+        per_user = (
+            pd.DataFrame({"user_id": g["user_id"], "x": x_ev, "y": y_ev})
+            .groupby("user_id", sort=False).agg(x=("x", "sum"), y=("y", "sum"))
+            .reset_index()
+        )
+        variant = (
+            md5_int_vec_prefixed("exp1", per_user["user_id"].to_numpy(), bits=32)
+            % 2
+        ).astype("int64")
+        x = per_user["x"].to_numpy("int64")
+        y = per_user["y"].to_numpy("int64")
+        rows = []
+        for v in (0, 1):
+            m = variant == v
+            rows.append((v, int(m.sum()), int(x[m].sum()), int(y[m].sum()),
+                         int((x[m] * y[m]).sum()), int((x[m] * x[m]).sum())))
+        return pd.DataFrame(
+            rows, columns=["variant", "n", "sx", "sy", "sxy", "sxx"]
+        ).astype("int64")
+
+    parts = bucketed_group_map(ev, ["user_id"], bucket).to_pandas()
+    agg = parts.groupby("variant", sort=True).sum().reset_index()
+    n = float(agg["n"].sum())
+    sx = float(agg["sx"].sum())
+    sy = float(agg["sy"].sum())
+    sxy = float(agg["sxy"].sum())
+    sxx = float(agg["sxx"].sum())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    mean_x = sx / n
+    nv = agg["n"].to_numpy("int64").astype("float64")
+    sxv = agg["sx"].to_numpy("int64").astype("float64")
+    syv = agg["sy"].to_numpy("int64").astype("float64")
+    mean_adj = (syv - theta * (sxv - nv * mean_x)) / nv
+    return pd.DataFrame(
+        {"variant": agg["variant"].astype("int64"),
+         "n_users": agg["n"].astype("int64"),
+         "sum_x": agg["sx"].astype("int64"),
+         "sum_y_cents": agg["sy"].astype("int64"),
+         "theta_micro": np.floor(1_000_000.0 * theta + 0.5) * np.ones(len(agg)),
+         "mean_adj_micro": np.floor(1_000_000.0 * mean_adj + 0.5)}
+    )
+
+
+CUPED_SQL = """
+WITH b AS (
+  SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS lo,
+         CAST(epoch_us(MAX(ts)) AS BIGINT) AS hi
+  FROM events
+), u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN epoch_us(ts) < (lo + hi) // 2
+                        AND event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN epoch_us(ts) >= (lo + hi) // 2
+                        AND event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events, b GROUP BY user_id
+), v AS (
+  SELECT x, y,
+         CAST(('0x' || substr(md5('exp1|' || CAST(user_id AS VARCHAR)), 1, 8)
+              )::UBIGINT % 2 AS BIGINT) AS variant
+  FROM u
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM v
+), g AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y_cents
+  FROM v GROUP BY 1
+)
+SELECT variant, n_users, sum_x, sum_y_cents,
+       FLOOR(1000000.0 * ((n * sxy - sx * sy) / (n * sxx - sx * sx)) + 0.5)
+         AS theta_micro,
+       FLOOR(1000000.0 * ((CAST(sum_y_cents AS DOUBLE)
+              - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                * (CAST(sum_x AS DOUBLE) - CAST(n_users AS DOUBLE) * (sx / n)))
+             / CAST(n_users AS DOUBLE)) + 0.5) AS mean_adj_micro
+FROM g, m ORDER BY variant
+"""
