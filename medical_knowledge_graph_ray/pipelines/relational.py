@@ -1565,8 +1565,9 @@ def orders_monthly_cumrev(sf_dir: str) -> pd.DataFrame:
 
     agg = (
         orders.map_batches(arrow_out(partial), batch_format="pandas")
-        .groupby("month").aggregate(Sum("c", alias_name="c"))
-        .to_pandas()  # ≤ #months rows — bounded artifact
+        .to_pandas()  # ≤ batches×months partial rows — bounded artifact
+        .groupby("month", as_index=False)["c"].sum()  # driver fold: no
+        # Ray datetime-key sort barrier (and no numpy-precision warning)
         .sort_values("month")
         .reset_index(drop=True)
     )
@@ -1623,8 +1624,8 @@ def orders_yoy(sf_dir: str) -> pd.DataFrame:
 
     agg = (
         orders.map_batches(arrow_out(partial), batch_format="pandas")
-        .groupby("month").aggregate(Sum("c", alias_name="c"))
-        .to_pandas()  # ≤ #months rows — bounded artifact
+        .to_pandas()  # ≤ batches×months partial rows — bounded artifact
+        .groupby("month", as_index=False)["c"].sum()
         .sort_values("month")
         .reset_index(drop=True)
     )
@@ -5307,9 +5308,9 @@ def lineitem_zonemap_scan(sf_dir: str) -> pd.DataFrame:
         return g.astype({"c": "int64", "n": "int64"})
 
     agg = (ds.map_batches(arrow_out(partial), batch_format="pandas")
-           .groupby("month").aggregate(Sum("c", alias_name="c"),
-                                       Sum("n", alias_name="n"))
-           .to_pandas()  # ≤ #months-in-range rows
+           .to_pandas()  # ≤ batches×months-in-range partial rows
+           .groupby("month", as_index=False)
+           .agg(c=("c", "sum"), n=("n", "sum"))
            .sort_values("month").reset_index(drop=True))
     return pd.DataFrame(
         {"month": agg["month"].to_numpy().astype("datetime64[us]"),
@@ -6549,8 +6550,8 @@ def orders_holt(sf_dir: str) -> pd.DataFrame:
 
     agg = (
         orders.map_batches(arrow_out(partial), batch_format="pandas")
-        .groupby("month").aggregate(Sum("c", alias_name="c"))
-        .to_pandas()  # ≤ #months rows — bounded artifact
+        .to_pandas()  # ≤ batches×months partial rows — bounded artifact
+        .groupby("month", as_index=False)["c"].sum()
         .sort_values("month")
         .reset_index(drop=True)
     )
@@ -6638,10 +6639,8 @@ def orders_isotonic(sf_dir: str) -> pd.DataFrame:
 
     agg = (
         orders.map_batches(arrow_out(partial), batch_format="pandas")
-        .groupby("day").aggregate(
-            Sum("s", alias_name="s"), Sum("n", alias_name="n")
-        )
-        .to_pandas()  # ≤ #days rows — bounded artifact
+        .to_pandas()  # ≤ batches×days partial rows — bounded artifact
+        .groupby("day", as_index=False).agg(s=("s", "sum"), n=("n", "sum"))
         .sort_values("day")
         .reset_index(drop=True)
     )
@@ -6923,8 +6922,8 @@ def orders_backtest(sf_dir: str) -> pd.DataFrame:
 
     census = (
         orders.map_batches(arrow_out(partial), batch_format="pandas")
-        .groupby("month").aggregate(Sum("c", alias_name="c"))
-        .to_pandas()  # ≤ #months rows — bounded artifact
+        .to_pandas()  # ≤ batches×months partial rows — bounded artifact
+        .groupby("month", as_index=False)["c"].sum()
         .sort_values("month")
         .reset_index(drop=True)
     )
