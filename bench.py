@@ -146,7 +146,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "events_wilson", "docs_huffman",
         "docs_leakage_safe_split", "docs_search_snippets",
         "kg_harmonic", "events_absorbing", "docs_fragile_links",
-        "events_bounce_rate", "events_cuped",
+        "events_bounce_rate", "events_cuped", "docs_corpus_report",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

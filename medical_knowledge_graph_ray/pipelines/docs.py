@@ -5904,3 +5904,88 @@ def docs_fragile_links(sf_dir: str, max_hamming: int = 3):
 
     out = bucketed_group_map(tagged, ["component_id"], per_component).to_pandas()
     return out.sort_values(["doc_a", "doc_b"], kind="mergesort").reset_index(drop=True)
+
+
+def docs_corpus_report(sf_dir: str) -> pd.DataFrame:
+    """Fused per-source corpus dashboard: ONE read + ONE tiny census
+    fold computing what ``docs_stats`` + ``docs_langid`` +
+    ``docs_gopher_rules`` + the quality distinct-ratio each pay a
+    separate execution for — the execution-count lesson (each chained
+    Dataset execution costs ~1.5–2 s fixed at sf0.1) packaged as a
+    product feature.  All columns are exact integer sums of the SAME
+    per-doc contracts the individual oracled queries pin, so the fused
+    report stays SQL-oracled."""
+    from ..stages.text_stats import (
+        EN_STOPWORDS,
+        LANG_STOPWORD_THRESHOLD,
+        doc_stats_batch,
+        gopher_rules_batch,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"source": pd.array([], "str"),
+                 **{c: pd.array([], "int64") for c in
+                    ("n_docs", "n_tokens", "n_chars", "n_stopwords",
+                     "n_distinct", "n_lang_en", "n_gopher_pass")}}
+            )
+        st = doc_stats_batch(b)
+        go = gopher_rules_batch(b)
+        tokens = b["text"].astype(str).str.split(" ")
+        n_distinct = tokens.map(lambda ts: len(set(ts))).astype("int64")
+        lang_en = (st["stopword_ratio"] >= LANG_STOPWORD_THRESHOLD)
+        f = pd.DataFrame(
+            {"source": b["source"].astype(str),
+             "n_docs": np.int64(1),
+             "n_tokens": st["n_tokens"].astype("int64"),
+             "n_chars": st["n_chars_actual"].astype("int64"),
+             "n_stopwords": st["n_stopwords"].astype("int64"),
+             "n_distinct": n_distinct,
+             "n_lang_en": lang_en.astype("int64"),
+             "n_gopher_pass": go["passes"].astype("int64")}
+        )
+        return f.groupby("source", sort=False, as_index=False).sum()
+
+    agg = (
+        docs.map_batches(arrow_out(partial), batch_format="pandas")
+        .to_pandas()  # ≤ batches×sources partial rows — bounded
+        .groupby("source", sort=True, as_index=False).sum()
+    )
+    out = {"source": pd.array(agg["source"], "str")}
+    for c in ("n_docs", "n_tokens", "n_chars", "n_stopwords", "n_distinct",
+              "n_lang_en", "n_gopher_pass"):
+        out[c] = agg[c].astype("int64")
+    return pd.DataFrame(out)
+
+
+CORPUS_REPORT_SQL = f"""
+WITH x AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS nt,
+         length(text) AS nc,
+         len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_SQL}))) AS ns,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         length(text) - (len(string_split(text, ' ')) - 1) AS swl,
+         len(list_filter(string_split(text, ' '),
+                         t -> regexp_matches(t, '[a-zA-Z]'))) AS na,
+         len(list_filter(string_split(text, ' '),
+                         t -> contains(t, '#') OR contains(t, '...'))) AS nsym
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(SUM(nc) AS BIGINT) AS n_chars,
+       CAST(SUM(ns) AS BIGINT) AS n_stopwords,
+       CAST(SUM(nd) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN CAST(ns AS DOUBLE) / nt >= 0.05
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_en,
+       CAST(SUM(CASE WHEN nt BETWEEN 50 AND 100000
+                      AND swl >= 3 * nt AND swl <= 10 * nt
+                      AND 5 * na >= 4 * nt AND ns >= 2 AND 10 * nsym <= nt
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass
+FROM x GROUP BY 1 ORDER BY 1
+"""
