@@ -765,6 +765,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fused per-source corpus dashboard (stats+langid+gopher+
         # distinct in ONE read + ONE census fold)
         "docs_corpus_report": docs.docs_corpus_report,
+        # optimizer statistics: exact self-join cardinality Σc² + hot
+        # key, from a count exchange (pre-flight for join planning)
+        "lineitem_selfjoin_size": relational.lineitem_selfjoin_size,
         # ---- rows-only block (no SQL-expressible oracle), by value ----
         # flagship KG over input_hint-shaped pages (parity enforced by the
         # in-repo oracle e2e golden test)
@@ -945,7 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_kanon", "customers_clv", "embed_triplets",
         "events_wilson", "docs_leakage_safe_split", "docs_search_snippets",
         "kg_harmonic", "events_bounce_rate", "events_cuped",
-        "docs_corpus_report",
+        "docs_corpus_report", "lineitem_selfjoin_size",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -975,7 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_containment_pairs", "kg_clustering_coeff",
         "lineitem_bitmap_counts", "events_cep", "kg_walks",
         "docs_winnow", "docs_winnow_pairs", "docs_dupspans",
-        "lineitem_regression", "events_entropy",
+        "lineitem_regression", "events_entropy", "lineitem_mad",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1222,6 +1225,7 @@ def oracle_sql() -> dict[str, str]:
         "events_bounce_rate": events.BOUNCE_SQL,
         "events_cuped": events.CUPED_SQL,
         "docs_corpus_report": docs.CORPUS_REPORT_SQL,
+        "lineitem_selfjoin_size": relational.SELFJOIN_SIZE_SQL,
         "events_share_of_total": events.SHARE_OF_TOTAL_SQL,
         "ngram_jaccard_pairs": docs.NGRAM_JACCARD_SQL,
         "simhash_fingerprints": docs.SIMHASH_SQL,

@@ -7359,3 +7359,75 @@ SELECT custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
 FROM d GROUP BY 1
 ORDER BY clv_cents DESC, custkey ASC LIMIT 20
 """
+
+
+# -- join-size estimator statistics ---------------------------------------------
+
+
+def lineitem_selfjoin_size(sf_dir: str) -> pd.DataFrame:
+    """Optimizer-statistics operator: the EXACT cardinality of the
+    lineitem⋈lineitem self-join on l_partkey (Σ c(k)²) plus the skew
+    diagnostics a planner needs BEFORE running the join — distinct
+    keys, max key count, and the hot key itself (ties → lower key).
+    Costs one count exchange instead of the join's full data exchange:
+    the pre-flight a user runs before deciding broadcast vs partitioned
+    vs salted (`stages/joins.py` skew="auto" is the in-join version).
+
+    Shape: per-batch (key, c) count partials → ONE key-bucketed
+    exchange; each bucket folds its keys' totals and emits ONE partial
+    row (Σc, Σc², n_keys, its argmax) — the driver folds ≤ buckets
+    rows.  Σc² rides as int64 here; past ~10⁹-row keys move it to the
+    two-limb lo/hi recipe (``lineitem_regression``)."""
+    from ..stages.shuffle import bucketed_group_map
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(b["l_partkey"].to_numpy(), return_counts=True)
+        return pd.DataFrame(
+            {"k": pd.array(u, "int64"), "c": pd.array(c, "int64")}
+        )
+
+    parts = li.map_batches(arrow_out(partial), batch_format="pandas")
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("k", sort=False)["c"].sum()
+        c = t.to_numpy("int64")
+        k = t.index.to_numpy()
+        # argmax with ties → lowest key: sort by (c desc, k asc), take 0
+        order = np.lexsort((k, -c))
+        top = order[0]
+        return pd.DataFrame(
+            {"n_rows": pd.array([int(c.sum())], "int64"),
+             "n_keys": pd.array([len(c)], "int64"),
+             "sj": pd.array([int((c * c).sum())], "int64"),
+             "max_c": pd.array([int(c[top])], "int64"),
+             "max_k": pd.array([int(k[top])], "int64")}
+        )
+
+    f = bucketed_group_map(parts, ["k"], bucket).to_pandas()
+    best = f.sort_values(["max_c", "max_k"], ascending=[False, True],
+                         kind="mergesort").iloc[0]
+    return pd.DataFrame(
+        {"n_rows": pd.array([int(f["n_rows"].sum())], "int64"),
+         "n_keys": pd.array([int(f["n_keys"].sum())], "int64"),
+         "selfjoin_rows": pd.array([int(f["sj"].sum())], "int64"),
+         "max_key_count": pd.array([int(best["max_c"])], "int64"),
+         "hot_key": pd.array([int(best["max_k"])], "int64")}
+    )
+
+
+SELFJOIN_SIZE_SQL = """
+WITH c AS (
+  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+), m AS (
+  SELECT k, c, ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS rn FROM c
+)
+SELECT CAST(SUM(c.c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c.c * c.c) AS BIGINT) AS selfjoin_rows,
+       (SELECT c FROM m WHERE rn = 1) AS max_key_count,
+       (SELECT k FROM m WHERE rn = 1) AS hot_key
+FROM c
+"""
