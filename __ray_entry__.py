@@ -904,6 +904,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bridge (fragile) links in the near-dup graph — per-component
         # Tarjan after a component-bucketed exchange (≡-brute pinned)
         "docs_fragile_links": docs.docs_fragile_links,
+        # footer-only per-column storage audit (≡ parquet_metadata
+        # pinned; rows-only — path-bound oracle)
+        "tables_storage_audit": relational.tables_storage_audit,
     }
 
     # DRIVER-WINDOW ROTATION (VERDICT r3 item 8): the driver gate checks

@@ -147,7 +147,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "docs_leakage_safe_split", "docs_search_snippets",
         "kg_harmonic", "events_absorbing", "docs_fragile_links",
         "events_bounce_rate", "events_cuped", "docs_corpus_report",
-        "lineitem_selfjoin_size",
+        "lineitem_selfjoin_size", "tables_storage_audit",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

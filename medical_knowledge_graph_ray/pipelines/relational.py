@@ -7431,3 +7431,47 @@ SELECT CAST(SUM(c.c) AS BIGINT) AS n_rows,
        (SELECT k FROM m WHERE rn = 1) AS hot_key
 FROM c
 """
+
+
+def tables_storage_audit(sf_dir: str) -> pd.DataFrame:
+    """Metadata-only storage audit: per (table, column) the value count,
+    compressed and uncompressed byte totals, and the compression ratio
+    in basis points — the layout/cost report an engine operator reads
+    before choosing encodings, sort keys, or compaction targets.
+    FOOTERS ONLY: no data pages are read; at lake scale the per-file
+    footer scan fans out as Ray tasks (the ``build_zonemap`` posture —
+    one task per file slice), so the audit costs seconds at any data
+    size.  Rows-only (DuckDB's ``parquet_metadata`` needs literal paths
+    the driver's view-only oracle runner can't carry); pinned against
+    parquet_metadata per table in ``tests/test_storage_audit.py``."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        md = pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata
+        agg: dict[str, list[int]] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                a = agg.setdefault(c.path_in_schema, [0, 0, 0])
+                a[0] += c.num_values
+                a[1] += c.total_compressed_size
+                a[2] += c.total_uncompressed_size
+        for col in sorted(agg):
+            nv, comp, uncomp = agg[col]
+            rows.append((t, col, nv, comp, uncomp,
+                         (uncomp * 10_000) // comp if comp else 0))
+    out = pd.DataFrame(
+        rows, columns=["table", "column", "n_values", "compressed_bytes",
+                       "uncompressed_bytes", "ratio_bp"]
+    )
+    return pd.DataFrame(
+        {"table": pd.array(out["table"], "str"),
+         "column": pd.array(out["column"], "str"),
+         "n_values": out["n_values"].astype("int64"),
+         "compressed_bytes": out["compressed_bytes"].astype("int64"),
+         "uncompressed_bytes": out["uncompressed_bytes"].astype("int64"),
+         "ratio_bp": out["ratio_bp"].astype("int64")}
+    )
