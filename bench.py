@@ -217,9 +217,12 @@ def main_bench() -> dict:
     import ray
 
     if not ray.is_initialized():
+        # log_to_driver=False: worker log forwarding writes to the
+        # driver's STDOUT asynchronously and once leaked an operator-name
+        # fragment ahead of the one-line JSON contract
         ray.init(
             address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-            logging_level="ERROR",
+            logging_level="ERROR", log_to_driver=False,
         )
     import logging
 
