@@ -2273,69 +2273,179 @@ KEY_SPECS: list[tuple[str, list[list[str]]]] = [
 ]
 
 
+KEY_HLL_EPS = 0.05   # screen margin ≈ 6σ of the P=14 sketch's 0.81% SE
+
+
 def tables_key_discovery(sf_dir: str) -> pd.DataFrame:
-    """Candidate-KEY discovery — the uniqueness complement of
-    ``tables_fd_discovery``: for each candidate column set (singles and
-    composites), the EXACT distinct count vs the row count decides
-    whether it is a key (reference schema audit: primary keys are never
-    declared in a lake, they're discovered).
+    """Candidate-KEY discovery via the SKETCH LADDER — the uniqueness
+    complement of ``tables_fd_discovery`` (reference schema audit:
+    primary keys are never declared in a lake, they're discovered).
 
-    Shape: per-batch per-candidate value dedup (the combiner — a key
-    candidate dedups to ~batch size, a non-key collapses) → ALL
-    candidates of all four tables ride ONE bucketed exchange on the
-    value string (value-complete buckets ⇒ in-bucket unique (cand,
-    value) pairs partition the global distinct set) → ≤ |cands|·buckets
-    driver fold.  Row counts come from parquet footers (zero scan).
+    Two passes, both bounded:
 
-    Exactness: the value itself travels (pair columns joined on the
-    0x1f unit separator — injective for the key-typed columns), never a
-    lossy hash, so n_distinct is exact, not probabilistic."""
+    1. HLL screen — ONE pruned read per table; every batch emits one
+       16 KiB register row PER CANDIDATE (row-tuple hashes via
+       ``hash_pandas_object``, no value strings ever built), folded to
+       |cands| rows by a tiny groupby merge.  A candidate whose estimate
+       falls below ``(1-KEY_HLL_EPS)·n_rows`` is decided NON-key
+       outright — no value of a clear non-key ever crosses an exchange.
+    2. Exact confirm — survivors only: ONE read per surviving table;
+       per batch per survivor the candidate columns are deduped and
+       shipped as native int64 limbs (ints/datetimes verbatim, string
+       columns joined on the 0x1f unit separator — injective for
+       id-typed columns), ALL survivors sharing ONE bucketed exchange;
+       value-complete buckets ⇒ in-bucket unique tuples partition the
+       global distinct set, so ``is_key`` is EXACT for every survivor.
+
+    Exact-fallback bound: ``KEY_HLL_EPS = 0.05`` ≈ 6σ of the P=14
+    sketch's 1.04/√2¹⁴ ≈ 0.81% standard error — a true key reaches the
+    exact pass unless its (deterministic, data-fixed) HLL estimate reads
+    ≥6σ low.  Row counts come from parquet footers (zero scan).  The
+    output is (table, cols, n_rows, is_key): pruned non-keys carry no
+    exact distinct count by design, so no count column is emitted."""
     import pyarrow.parquet as pq
 
     from ..stages.shuffle import bucketed_group_map
+    from ..stages.sketches import hll_estimate, hll_merge, hll_regs_from_hashes
 
     cands: list[tuple[int, str, list[str]]] = []
+    by_table: dict[str, list[tuple[int, list[str]]]] = {}
     for tbl, sets in KEY_SPECS:
         for cols in sets:
+            by_table.setdefault(tbl, []).append((len(cands), cols))
             cands.append((len(cands), tbl, cols))
 
     n_rows = {tbl: pq.ParquetFile(f"{sf_dir}/{tbl}.parquet").metadata.num_rows
               for tbl, _ in KEY_SPECS}
 
-    def dedup_fn(cand_id: int, cols: list[str]):
-        def dedup(b: pd.DataFrame) -> pd.DataFrame:
-            u = b[cols].drop_duplicates()
-            v = u[cols[0]].astype(str)
-            for c in cols[1:]:
-                v = v + "\x1f" + u[c].astype(str)
-            return pd.DataFrame({"cand": pd.array([cand_id] * len(u),
-                                                  "int64"),
-                                 "v": v.astype(str)})
-        return dedup
+    # ---- pass 1: one read per table, one HLL sketch row per candidate
+    def sketch_fn(tbl_cands: list[tuple[int, list[str]]]):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            ids, regs = [], []
+            for cand_id, cols in tbl_cands:
+                h = pd.util.hash_pandas_object(
+                    b[cols], index=False).to_numpy()
+                ids.append(cand_id)
+                regs.append(hll_regs_from_hashes(h).tobytes())
+            return pd.DataFrame({"cand": pd.array(ids, "int64"),
+                                 "regs": regs})
+        return fn
 
     parts = None
-    for cand_id, tbl, cols in cands:
-        ds = _read(sf_dir, tbl, columns=cols).map_batches(
-            arrow_out(dedup_fn(cand_id, cols)), batch_format="pandas")
+    for tbl, tbl_cands in by_table.items():
+        need = sorted({c for _, cols in tbl_cands for c in cols})
+        ds = _read(sf_dir, tbl, columns=need).map_batches(
+            arrow_out(sketch_fn(tbl_cands)), batch_format="pandas")
         parts = ds if parts is None else parts.union(ds)
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        u = g[["cand", "v"]].drop_duplicates()
-        out = u.groupby("cand", sort=False).size().reset_index(name="nd")
-        return out.astype({"cand": "int64", "nd": "int64"})
+    # Coalesce sketch rows with a narrow map (no sort barrier): each
+    # merge-batch folds its rows to ≤|cands| rows, so the driver sees
+    # O(|cands| · #merge-batches) 16 KiB rows regardless of data size.
+    def coalesce(g: pd.DataFrame) -> pd.DataFrame:
+        ids, regs = [], []
+        for cid, sub in g.groupby("cand", sort=False):
+            ids.append(int(cid))
+            regs.append(hll_merge(sub).tobytes())
+        return pd.DataFrame({"cand": pd.array(ids, "int64"), "regs": regs})
 
-    cen = bucketed_group_map(parts, ["v"], bucket).to_pandas()
-    nd = (cen.groupby("cand")["nd"].sum() if "cand" in cen.columns
-          else pd.Series(dtype="int64"))
+    folded = parts.map_batches(arrow_out(coalesce), batch_format="pandas",
+                               batch_size=4096).to_pandas()
+    est = {int(cid): hll_estimate(hll_merge(sub))
+           for cid, sub in folded.groupby("cand")}
+
+    survivors = [
+        (cand_id, tbl, cols) for cand_id, tbl, cols in cands
+        if est.get(cand_id, 0) >= (1.0 - KEY_HLL_EPS) * n_rows[tbl]
+    ]
+
+    # ---- pass 2: exact confirm for survivors, one shared exchange
+    nd = pd.Series(dtype="int64")
+    if survivors:
+        surv_by_table: dict[str, list[tuple[int, list[str]]]] = {}
+        for cand_id, tbl, cols in survivors:
+            surv_by_table.setdefault(tbl, []).append((cand_id, cols))
+        int_limbs = [f"i{j}" for j in range(
+            max(len(cols) for _, _, cols in survivors))]
+
+        # The string limb exists only when a surviving candidate has a
+        # non-integer column (footer schema decides — deterministic,
+        # zero scan).  Numeric/temporal columns ship as int64 verbatim.
+        import pyarrow as pa
+
+        def _intable(t: "pa.DataType") -> bool:
+            return (pa.types.is_integer(t) or pa.types.is_boolean(t)
+                    or pa.types.is_date(t) or pa.types.is_timestamp(t))
+
+        has_str = False
+        for tbl, tbl_cands in surv_by_table.items():
+            sch = pq.ParquetFile(f"{sf_dir}/{tbl}.parquet").schema_arrow
+            for _, cols in tbl_cands:
+                if any(not _intable(sch.field(c).type) for c in cols):
+                    has_str = True
+
+        def limb_fn(tbl_cands: list[tuple[int, list[str]]]):
+            def fn(b: pd.DataFrame) -> pd.DataFrame:
+                frames = []
+                for cand_id, cols in tbl_cands:
+                    u = b[cols].drop_duplicates()
+                    out = {"cand": pd.array([cand_id] * len(u), "int64")}
+                    k, strs = 0, None
+                    for c in cols:
+                        s = u[c]
+                        if pd.api.types.is_datetime64_any_dtype(s):
+                            out[int_limbs[k]] = s.to_numpy().view("int64")
+                            k += 1
+                        elif pd.api.types.is_integer_dtype(s) or \
+                                pd.api.types.is_bool_dtype(s):
+                            out[int_limbs[k]] = s.to_numpy().astype("int64")
+                            k += 1
+                        else:
+                            sv = s.astype(str)
+                            strs = sv if strs is None else strs + "\x1f" + sv
+                    for j in range(k, len(int_limbs)):
+                        out[int_limbs[j]] = np.zeros(len(u), "int64")
+                    if has_str:
+                        out["s"] = (strs.to_numpy().astype(str)
+                                    if strs is not None
+                                    else np.full(len(u), "", dtype=object))
+                    frames.append(pd.DataFrame(out))
+                res = pd.concat(frames, ignore_index=True)
+                if has_str:
+                    res["s"] = res["s"].astype(str)
+                return res
+            return fn
+
+        sparts = None
+        for tbl, tbl_cands in surv_by_table.items():
+            need = sorted({c for _, cols in tbl_cands for c in cols})
+            ds = _read(sf_dir, tbl, columns=need).map_batches(
+                arrow_out(limb_fn(tbl_cands)), batch_format="pandas")
+            sparts = ds if sparts is None else sparts.union(ds)
+
+        key_cols = ["cand"] + int_limbs + (["s"] if has_str else [])
+
+        def bucket(g: pd.DataFrame) -> pd.DataFrame:
+            u = g[key_cols].drop_duplicates()
+            out = u.groupby("cand", sort=False).size().reset_index(name="nd")
+            return out.astype({"cand": "int64", "nd": "int64"})
+
+        cen = bucketed_group_map(sparts, key_cols, bucket).to_pandas()
+        if "cand" in cen.columns:
+            nd = cen.groupby("cand")["nd"].sum()
+
+    surv_ids = {cand_id for cand_id, _, _ in survivors}
     rows = []
     for cand_id, tbl, cols in cands:
-        d = int(nd.get(cand_id, 0))
         n = int(n_rows[tbl])
-        rows.append((tbl, ",".join(cols), n, d, int(d == n)))
+        if cand_id in surv_ids:
+            is_key = int(int(nd.get(cand_id, 0)) == n)
+        else:
+            is_key = 0
+        rows.append((tbl, ",".join(cols), n, is_key))
     return pd.DataFrame(rows, columns=["table_name", "cols", "n_rows",
-                                       "n_distinct", "is_key"]).astype(
+                                       "is_key"]).astype(
         {"table_name": "str", "cols": "str", "n_rows": "int64",
-         "n_distinct": "int64", "is_key": "int64"})
+         "is_key": "int64"})
 
 
 def tables_key_discovery_sql() -> str:
@@ -2348,8 +2458,6 @@ def tables_key_discovery_sql() -> str:
                 f"SELECT '{tbl}' AS table_name, '{','.join(cols)}' AS cols,\n"
                 f"       (SELECT CAST(COUNT(*) AS BIGINT) FROM {tbl})"
                 f" AS n_rows,\n"
-                f"       CAST(COUNT(DISTINCT {expr}) AS BIGINT)"
-                f" AS n_distinct,\n"
                 f"       CAST(CASE WHEN COUNT(DISTINCT {expr}) ="
                 f" (SELECT COUNT(*) FROM {tbl}) THEN 1 ELSE 0 END"
                 f" AS BIGINT) AS is_key\n"

@@ -43,16 +43,26 @@ def _clz64(v: np.ndarray) -> np.ndarray:
     return lz
 
 
-def hll_partial_batch(batch: pd.DataFrame, col: str) -> pd.DataFrame:
-    """One sketch row per batch: registers as a 16 KiB bytes payload."""
+def hll_regs_from_hashes(h: np.ndarray) -> np.ndarray:
+    """Register array from precomputed uint64 hashes (the reusable core:
+    multi-column candidates hash a row tuple once via
+    ``pd.util.hash_pandas_object(frame)`` and feed the array here)."""
     regs = np.zeros(M, dtype=np.uint8)
-    if len(batch):
-        h = pd.util.hash_pandas_object(batch[col], index=False).to_numpy()
+    if len(h):
         idx = (h >> np.uint64(64 - P)).astype(np.int64)
         rest = h << np.uint64(P)
         rank = (np.minimum(_clz64(rest), 64 - P) + 1).astype(np.uint8)
         np.maximum.at(regs, idx, rank)
-    return pd.DataFrame({"regs": [regs.tobytes()]})
+    return regs
+
+
+def hll_partial_batch(batch: pd.DataFrame, col: str) -> pd.DataFrame:
+    """One sketch row per batch: registers as a 16 KiB bytes payload."""
+    if len(batch):
+        h = pd.util.hash_pandas_object(batch[col], index=False).to_numpy()
+    else:
+        h = np.zeros(0, dtype=np.uint64)
+    return pd.DataFrame({"regs": [hll_regs_from_hashes(h).tobytes()]})
 
 
 def hll_merge(frames: pd.DataFrame) -> np.ndarray:

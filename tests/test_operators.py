@@ -1760,3 +1760,70 @@ def test_read_parquet_evolved(ray_session):
     import pytest as _pytest
     with _pytest.raises(TypeError):
         read_parquet_evolved(root)
+
+
+def test_key_discovery_sketch_ladder(ray_session, tmp_path):
+    """The HLL screen prunes clear non-keys without shipping their values;
+    survivors (true keys AND near-keys) get the exact limb exchange, so
+    is_key matches a brute pandas distinct-vs-rows for every candidate —
+    including a string-typed key column (the non-int limb fallback)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medical_knowledge_graph_ray.pipelines.relational import (
+        tables_key_discovery,
+    )
+
+    rng = np.random.RandomState(7)
+    root = str(tmp_path)
+    n = 400
+    # orders: o_orderkey key; (o_custkey, o_orderdate) near-key (1 dup)
+    custkey = np.arange(n)
+    custkey[n - 1] = custkey[0]
+    odate = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.zeros(n, "int64"), unit="D")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n), pa.int64()),
+        "o_custkey": pa.array(custkey, pa.int64()),
+        "o_orderdate": pa.array(odate),
+    }), f"{root}/orders.parquet")
+    # lineitem: l_orderkey clear non-key (4 rows/key, HLL-pruned);
+    # (l_orderkey, l_linenumber) key; (l_partkey, l_suppkey) non-key
+    m = n * 4
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(np.repeat(np.arange(n), 4), pa.int64()),
+        "l_linenumber": pa.array(np.tile(np.arange(4), n), pa.int64()),
+        "l_partkey": pa.array(rng.randint(0, 40, m), pa.int64()),
+        "l_suppkey": pa.array(rng.randint(0, 5, m), pa.int64()),
+    }), f"{root}/lineitem.parquet")
+    # events: event_id key; (user_id, ts) key
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.arange(n), unit="s")
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(np.arange(n) % 10, pa.int64()),
+        "ts": pa.array(ts),
+    }), f"{root}/events.parquet")
+    # documents: doc_id STRING key (exercises the string-limb fallback);
+    # (source, n_chars) clear non-key
+    pq.write_table(pa.table({
+        "doc_id": pa.array([f"doc-{i:05d}" for i in range(n)]),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array(np.arange(n) % 3, pa.int64()),
+    }), f"{root}/documents.parquet")
+
+    got = tables_key_discovery(root)
+    want = {
+        ("orders", "o_orderkey"): 1,
+        ("orders", "o_custkey,o_orderdate"): 0,     # near-key, exact-confirmed
+        ("lineitem", "l_orderkey"): 0,              # HLL-pruned
+        ("lineitem", "l_orderkey,l_linenumber"): 1,
+        ("lineitem", "l_partkey,l_suppkey"): 0,     # HLL-pruned
+        ("events", "event_id"): 1,
+        ("events", "user_id,ts"): 1,
+        ("documents", "doc_id"): 1,                 # string key via "s" limb
+        ("documents", "source,n_chars"): 0,         # HLL-pruned
+    }
+    for _, r in got.iterrows():
+        assert want[(r["table_name"], r["cols"])] == r["is_key"], r
+    assert got["is_key"].dtype == np.int64
