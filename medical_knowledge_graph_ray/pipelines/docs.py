@@ -756,13 +756,14 @@ def docs_tfidf_top(sf_dir: str, k: int = 5, *, streaming: bool | None = None):
     at scale, never a broadcast), then the grouped top-N combiner.
     idf = ln(N/df) rounded to 6 dp on both sides (engine float contract).
 
-    ``streaming`` (default: the ``MKG_TFIDF_STREAMING`` env var, off) —
-    the 100-TB knob: skip the tf materialize so NOTHING corpus-sized
-    pins the object store; the lazy tf plan simply re-executes for each
-    of its two consumers (df census + join probe), i.e. the corpus text
-    is tokenized twice.  Identical results (pytest-pinned); pick by
-    whether a corpus-sized resident table or a second text scan is the
-    cheaper side of the trade on the target cluster."""
+    ``streaming`` (default ON — override with ``MKG_TFIDF_STREAMING=0``
+    or the parameter): the 100-TB-safe posture — skip the tf
+    materialize so NOTHING corpus-sized pins the object store; the lazy
+    tf plan simply re-executes for each of its two consumers (df census
+    + join probe), i.e. the corpus text is tokenized twice.  Identical
+    results (pytest-pinned); materialize mode remains for clusters
+    where a resident (doc, token, tf) table is cheaper than a second
+    text scan."""
     import numpy as np
     import pyarrow as pa
 
@@ -789,7 +790,7 @@ def docs_tfidf_top(sf_dir: str, k: int = 5, *, streaming: bool | None = None):
     import os
 
     if streaming is None:
-        streaming = os.environ.get("MKG_TFIDF_STREAMING", "") not in ("", "0")
+        streaming = os.environ.get("MKG_TFIDF_STREAMING", "1") != "0"
     tf = docs.map_batches(arrow_out(tf_batch), batch_format="pandas")
     if not streaming:
         tf = tf.materialize()

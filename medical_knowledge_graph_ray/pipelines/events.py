@@ -3666,31 +3666,35 @@ def events_markov_stationary(sf_dir: str, iters: int = 60):
 def events_streaming_tumbling(sf_dir: str, n_chunks: int = 4,
                               state_dir: str | None = None):
     """The tumbling-window aggregate computed as a STREAMING ingestion:
-    events arrive in ``n_chunks`` micro-batches (chunked by
-    event_id mod n — arrival order is irrelevant, the partials are
-    exact int64 and addition is associative), each folded exactly-once
-    into a persistent keyed state table
+    events arrive in ``n_chunks`` micro-batches, each folded
+    exactly-once into a persistent keyed state table
     (``stages/streaming.py:microbatch_aggregate`` over the upsert
-    table).  The folded state equals the one-shot batch
-    ``events_tumbling`` bit-for-bit, so this query shares its SQL
-    oracle — the batch/streaming equivalence is the correctness gate,
-    not just a pytest.  Crash/restart exactly-once semantics are
-    pytest-gated separately."""
+    table).  Chunking is SOURCE-SIDE (``arrival_chunks``): per-chunk
+    fragment lists when the input is a many-file directory, a one-scan
+    landing split for single-file fixtures — total input scan is 1×
+    regardless of ``n_chunks`` (arrival order is irrelevant: the
+    partials are exact int64 and addition is associative).  The folded
+    state equals the one-shot batch ``events_tumbling`` bit-for-bit, so
+    this query shares its SQL oracle — the batch/streaming equivalence
+    is the correctness gate, not just a pytest.  Crash/restart
+    exactly-once semantics are pytest-gated separately."""
+    import os
     import tempfile
 
     from ..stages.streaming import (
-        init_stream_table, microbatch_aggregate, stream_state,
+        arrival_chunks, init_stream_table, microbatch_aggregate,
+        stream_state,
     )
     from ..stages.windows import tumbling_partial_batch
 
-    ev = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
     table_dir = state_dir or tempfile.mkdtemp(prefix="mkg_stream_")
     init_stream_table(table_dir, "_k")
-    for i in range(n_chunks):
-        def pick(b: pd.DataFrame, i=i) -> pd.DataFrame:
-            return b[b["event_id"] % n_chunks == i]
-
-        chunk = ev.map_batches(arrow_out(pick), batch_format="pandas")
+    chunks = arrival_chunks(
+        f"{sf_dir}/events.parquet", n_chunks,
+        columns=["event_id", "event_type", "ts", "value"],
+        land_dir=os.path.join(table_dir, "_arrivals"), key_col="event_id",
+    )
+    for i, chunk in enumerate(chunks):
         partials = chunk.map_batches(
             arrow_out(tumbling_partial_batch), batch_format="pandas"
         )

@@ -6410,78 +6410,88 @@ def nation_rev_ivm(sf_dir: str, n_chunks: int = 3,
 
     Scale shape: the resolved base side (o_orderkey → nationkey) is
     materialized ONCE and reused by every delta apply — the persisted
-    denormalized artifact a production IVM keeps next to the view;
-    each apply is one partitioned join with the per-nation aggregate
-    fused into the join buckets, and the state table rewrites touched
-    buckets only.  rev_u outgrows int64 around 10^14 revenue units per
-    nation — the two-limb contract (`lineitem_regression`) is the
-    documented escape."""
+    denormalized artifact a production IVM keeps next to the view.
+    The customer resolve is a size-adaptive ``auto_join`` (broadcast
+    under the row budget, partitioned ``hash_join`` above it — never an
+    unconditional driver-side dimension materialize); deltas arrive via
+    ``arrival_chunks`` (per-chunk fragment lists, or a one-scan landing
+    split for single-file fixtures — total lineitem scan 1× regardless
+    of ``n_chunks``); each apply is one partitioned join with the
+    per-nation aggregate fused into the join buckets, and the state
+    table rewrites touched buckets only.  rev_u outgrows int64 around
+    10^14 revenue units per nation — the two-limb contract
+    (`lineitem_regression`) is the documented escape."""
+    import os
     import tempfile
 
     import pyarrow as pa
-    import ray
+    import pyarrow.parquet as pq
 
-    from ..stages.joins import hash_join
+    from ..stages.joins import auto_join, hash_join
     from ..stages.streaming import (
-        init_stream_table, microbatch_aggregate, stream_state,
+        arrival_chunks, init_stream_table, microbatch_aggregate,
+        stream_state,
     )
 
     nation = _read_dim(sf_dir, "nation")
-    cust = (_read(sf_dir, "customer",
-                  columns=["c_custkey", "c_nationkey"])
-            .to_pandas().sort_values("c_custkey"))
-    cust_ref = ray.put((cust["c_custkey"].to_numpy(),
-                        cust["c_nationkey"].to_numpy().astype("int64")))
 
-    class OrderNation:
-        def __init__(self, ref):
-            self.ref = ref
-            self.keys = None
+    def cust_rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_custkey": b["c_custkey"].to_numpy("int64"),
+             "nationkey": b["c_nationkey"].to_numpy("int64")})
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            if self.keys is None:
-                self.keys, self.nats = ray.get(self.ref)
-            ck = b["o_custkey"].to_numpy()
-            pos = np.clip(np.searchsorted(self.keys, ck), 0,
-                          max(len(self.keys) - 1, 0))
-            hit = self.keys[pos] == ck if len(self.keys) else \
-                np.zeros(len(b), bool)
-            return pd.DataFrame(
-                {"l_orderkey": b["o_orderkey"].to_numpy("int64")[hit],
-                 "nationkey": self.nats[pos[hit]]})
+    cust_ds = _read(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey"]).map_batches(
+        arrow_out(cust_rename), batch_format="pandas")
+    cust_rows = pq.ParquetFile(
+        f"{sf_dir}/customer.parquet").metadata.num_rows
 
-    base = (_read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-            .map_batches(arrow_out(OrderNation(cust_ref)),
-                         batch_format="pandas")
-            .materialize())  # reused by every delta apply
+    def base_cols(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_orderkey": b["o_orderkey"].to_numpy("int64"),
+             "nationkey": b["nationkey"].to_numpy("int64")})
+
+    cust_schema = pa.schema([("o_custkey", pa.int64()),
+                             ("nationkey", pa.int64())])
+    orders_schema = pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())])
+    base = (auto_join(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        cust_ds, on=["o_custkey"], right_rows=cust_rows,
+        left_schema=orders_schema, right_schema=cust_schema)
+        .map_batches(arrow_out(base_cols), batch_format="pandas")
+        .materialize())  # reused by every delta apply
     base_schema = pa.schema([("l_orderkey", pa.int64()),
                              ("nationkey", pa.int64())])
     delta_schema = pa.schema([("l_orderkey", pa.int64()),
                               ("u", pa.int64())])
 
-    li = _read(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_extendedprice", "l_discount"])
     table_dir = state_dir or tempfile.mkdtemp(prefix="mkg_ivm_")
     init_stream_table(table_dir, "_k")
+    chunks = arrival_chunks(
+        f"{sf_dir}/lineitem.parquet", n_chunks,
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        land_dir=os.path.join(table_dir, "_arrivals"),
+        key_col="l_orderkey",
+    )
 
     def nation_partial(m: pd.DataFrame) -> pd.DataFrame:
         g = (m.groupby("nationkey", sort=False, as_index=False)["u"].sum())
         return g.astype({"nationkey": "int64", "u": "int64"})
 
-    for i in range(n_chunks):
-        def delta(b: pd.DataFrame, i=i) -> pd.DataFrame:
-            b = b[b["l_orderkey"] % n_chunks == i]
-            u = np.rint(b["l_extendedprice"].to_numpy()
-                        * (1.0 - b["l_discount"].to_numpy())
-                        * 10_000).astype("int64")
-            g = (pd.DataFrame({"l_orderkey":
-                               b["l_orderkey"].to_numpy("int64"), "u": u})
-                 .groupby("l_orderkey", sort=False, as_index=False)["u"]
-                 .sum())
-            return g.astype("int64")
+    def delta(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.rint(b["l_extendedprice"].to_numpy()
+                    * (1.0 - b["l_discount"].to_numpy())
+                    * 10_000).astype("int64")
+        g = (pd.DataFrame({"l_orderkey":
+                           b["l_orderkey"].to_numpy("int64"), "u": u})
+             .groupby("l_orderkey", sort=False, as_index=False)["u"]
+             .sum())
+        return g.astype("int64")
 
+    for i, chunk in enumerate(chunks):
         partials = hash_join(
-            li.map_batches(arrow_out(delta), batch_format="pandas"),
+            chunk.map_batches(arrow_out(delta), batch_format="pandas"),
             base, on=["l_orderkey"],
             left_schema=delta_schema, right_schema=base_schema,
             bucket_post=nation_partial)

@@ -107,3 +107,95 @@ def stream_state(table_dir: str):
     from ..functions.arrow import arrow_out
 
     return ds.map_batches(arrow_out(drop_k), batch_format="pandas")
+
+
+def arrival_chunks(
+    input_path: str,
+    n_chunks: int,
+    *,
+    columns: list[str] | None = None,
+    land_dir: str | None = None,
+    key_col: str | None = None,
+):
+    """Split an input into ``n_chunks`` arrival micro-batches with a
+    TOTAL source scan of 1× regardless of ``n_chunks`` — never the
+    ``key % n == i`` full-rescan-per-chunk anti-pattern (each chunk of
+    that shape re-reads the whole input, an n× scan).
+
+    * Directory inputs with ≥ ``n_chunks`` parquet fragments: chunks are
+      per-chunk FILE LISTS (round-robin over sorted fragment names) —
+      zero extra I/O; each fragment is read by exactly ONE chunk.  This
+      is the 100-TB path: a real arrival log is always a many-file
+      directory, so chunking there costs nothing.
+    * Otherwise (single-file fixtures): ONE streaming scan lands every
+      row into per-chunk parquet files under ``land_dir`` (task-side
+      writes, rows routed by ``key_col % n_chunks`` when given, else by
+      a deterministic row hash) and each chunk reads only its own
+      landing files.  1× input read + 1× land write + 1× landing read —
+      constant in ``n_chunks``.
+
+    Returns ``n_chunks`` Datasets.  Chunk contents are deterministic;
+    the union of chunks is exactly the input (disjoint), which is all
+    the micro-batch fold semantics require (exact additive partials —
+    arrival order and chunk boundaries are irrelevant)."""
+    import glob
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.arrow import arrow_out, read_parquet_clean
+
+    if os.path.isdir(input_path):
+        frags = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    else:
+        frags = [input_path]
+    if len(frags) >= n_chunks:
+        return [
+            read_parquet_clean(frags[i::n_chunks], columns=columns)
+            for i in range(n_chunks)
+        ]
+
+    if land_dir is None:
+        raise ValueError("land_dir is required for single-file inputs")
+    for i in range(n_chunks):
+        os.makedirs(os.path.join(land_dir, f"chunk={i}"), exist_ok=True)
+
+    def land(b: pd.DataFrame) -> pd.DataFrame:
+        if key_col is not None:
+            cid = (b[key_col].to_numpy("int64") % n_chunks).astype("int64")
+        else:
+            h = pd.util.hash_pandas_object(b, index=False).to_numpy()
+            cid = (h % np.uint64(n_chunks)).astype("int64")
+        for i in range(n_chunks):
+            sub = b[cid == i]
+            if not len(sub):
+                continue
+            hh = pd.util.hash_pandas_object(sub, index=False).to_numpy()
+            digest = hashlib.md5(hh.tobytes()).hexdigest()[:16]
+            out = os.path.join(land_dir, f"chunk={i}",
+                               f"part-{digest}.parquet")
+            tbl = pa.Table.from_pandas(sub, preserve_index=False)
+            pq.write_table(tbl.replace_schema_metadata(None), out)
+        return pd.DataFrame({"n": pd.array([len(b)], "int64")})
+
+    src = read_parquet_clean(input_path, columns=columns)
+    src.map_batches(arrow_out(land), batch_format="pandas").count()
+
+    # a chunk that received no rows still needs a schema-complete file
+    schema = pq.read_schema(frags[0])
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    schema = pa.schema([pa.field(f.name, f.type, f.nullable)
+                        for f in schema])
+    empty = pa.Table.from_pylist([], schema=schema)
+    for i in range(n_chunks):
+        d = os.path.join(land_dir, f"chunk={i}")
+        if not glob.glob(os.path.join(d, "*.parquet")):
+            pq.write_table(empty, os.path.join(d, "part-empty.parquet"))
+
+    return [
+        read_parquet_clean(os.path.join(land_dir, f"chunk={i}"),
+                           columns=columns)
+        for i in range(n_chunks)
+    ]

@@ -5,6 +5,7 @@ lookups."""
 import os
 import sys
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -235,3 +236,55 @@ def test_streaming_resume_from_partial_run(ray_session, tmp_path):
              .reset_index(drop=True))
     assert got[["event_type", "n", "sum_value"]].equals(
         batch[["event_type", "n", "sum_value"]])
+
+
+def test_arrival_chunks_scan_input_once(ray_session, tmp_path):
+    """Source-chunked micro-batching: a multi-file input is chunked by
+    per-chunk FILE LISTS that exactly partition the fragment set (each
+    fragment read by one chunk — total scan 1×); a single-file input is
+    landed once into per-chunk files whose union is exactly the input.
+    Either way the chunk union equals the source, disjointly."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medical_knowledge_graph_ray.stages.streaming import arrival_chunks
+
+    # multi-file directory: file-list mode
+    src = tmp_path / "frags"
+    src.mkdir()
+    for j in range(6):
+        pq.write_table(pa.table({
+            "k": pa.array(np.arange(j * 10, j * 10 + 10), pa.int64()),
+            "v": pa.array(np.full(10, j), pa.int64())}),
+            str(src / f"f{j}.parquet"))
+    chunks = arrival_chunks(str(src), 3, columns=["k", "v"])
+    assert len(chunks) == 3
+    seen = []
+    for c in chunks:
+        files = {os.path.basename(p) for p in c.input_files()}
+        seen.append(files)
+    # the chunk file lists PARTITION the fragment set
+    all_files = set().union(*seen)
+    assert all_files == {f"f{j}.parquet" for j in range(6)}
+    assert sum(len(s) for s in seen) == 6  # disjoint — each read once
+    union = pd.concat([c.to_pandas() for c in chunks]).sort_values("k")
+    assert union["k"].tolist() == list(range(60))
+
+    # single-file input: one-scan landing split, union == input
+    one = tmp_path / "one.parquet"
+    pq.write_table(pa.table({
+        "k": pa.array(np.arange(100), pa.int64()),
+        "v": pa.array(np.arange(100) * 2, pa.int64())}), str(one))
+    land = str(tmp_path / "land")
+    chunks = arrival_chunks(str(one), 4, columns=["k", "v"],
+                            land_dir=land, key_col="k")
+    parts = [c.to_pandas() for c in chunks]
+    for i, p in enumerate(parts):
+        assert (p["k"].to_numpy() % 4 == i).all()  # routed by key
+    union = pd.concat(parts).sort_values("k").reset_index(drop=True)
+    assert union["k"].tolist() == list(range(100))
+    # every landed file belongs to exactly one chunk directory
+    landed = glob.glob(os.path.join(land, "chunk=*", "*.parquet"))
+    assert len(landed) >= 4
