@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_doc_mentions": docs_kg.doc_mentions,
         "kg_doc_edges": docs_kg.doc_edges,
         "kg_doc_nodes": docs_kg.doc_nodes,
+        "kg_nodes_ontology": docs_kg.kg_nodes_ontology,
         # relational operator families
         "q1_pricing": relational.q1_pricing,
         "q3_top_orders": relational.q3_top_orders,
@@ -997,6 +998,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_doc_mentions": docs_kg.mentions_sql(),
         "kg_doc_edges": docs_kg.edges_sql(),
         "kg_doc_nodes": docs_kg.nodes_sql(),
+        "kg_nodes_ontology": docs_kg.kg_nodes_ontology_sql(),
         "q1_pricing": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_region_revenue": relational.Q5_SQL,

@@ -94,6 +94,26 @@ RELATIONS: tuple[str, ...] = (
     "TABOO",
 )
 
+# External-ontology class IDs per entity type (config.yaml:100-114
+# ontology_mapping — OMAHA terminology classes).  Node rows carry the
+# mapped id so KG consumers can link out; types without an external
+# class (webtext gazetteer types, overlay types) map to ''.
+ONTOLOGY_MAPPING: dict[str, str] = {
+    "DIS": "omahaT018",
+    "SYM": "omahaT001",
+    "BFL": "omahaT005",
+    "DEG": "omahaT028",
+    "FW": "omahaT044",
+    "TES": "omahaT065",
+    "ORG": "omahaT010",
+    "OGN": "omahaT011",
+    "SUR": "omahaT002",
+    "DRU": "omahaT004",
+    "OBJ": "omahaT005",
+    "DUR": "omahaT054",
+    "EQM": "omahaT033",
+}
+
 # -- Chinese medical gazetteer (flagship pages corpus) ------------------------
 # Controlled overlap pairs: 心力衰竭/慢性心力衰竭, 糖尿病/2型糖尿病,
 # 胃炎/慢性胃炎, 阑尾切除术/腹腔镜阑尾切除术 exercise longest-match.

@@ -575,6 +575,39 @@ def nodes_sql() -> str:
     )
 
 
+def kg_nodes_ontology(sf_dir: str):
+    """The node census with the external-ontology link column — node
+    rows carry the OMAHA class id of their entity type
+    (``ontology.py:ONTOLOGY_MAPPING``, reference config.yaml:100-114),
+    '' for types with no external class.  Derived from ``type`` AFTER
+    the census exchange (a pure map — the id never rides a shuffle)."""
+    from ..stages.canonicalize import ontology_ids
+
+    ds = doc_nodes(sf_dir)
+
+    def add_oid(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["ontology_id"] = ontology_ids(b["ent_type"])
+        return b
+
+    return ds.map_batches(arrow_out(add_oid), batch_format="pandas")
+
+
+def kg_nodes_ontology_sql() -> str:
+    from ..ontology import ONTOLOGY_MAPPING
+
+    case = "CASE ent_type " + " ".join(
+        f"WHEN '{t}' THEN '{o}'" for t, o in sorted(ONTOLOGY_MAPPING.items())
+    ) + " ELSE '' END"
+    return (
+        f"WITH mentions AS ({mentions_sql()})\n"
+        "SELECT term, ent_type, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_occ) AS BIGINT) AS n_occ_total, "
+        f"{case} AS ontology_id "
+        "FROM mentions GROUP BY term, ent_type"
+    )
+
+
 # -- triangle census over the mined co-occurrence graph -----------------------
 
 def kg_triangles(sf_dir: str):

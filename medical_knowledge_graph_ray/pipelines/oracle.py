@@ -128,7 +128,11 @@ def oracle_nodes(triples: pd.DataFrame) -> pd.DataFrame:
     out["node_id"] = [
         node_id(n, t) for n, t in zip(out["canonical_name"], out["type"])
     ]
-    return out[["node_id", "canonical_name", "type", "n_mentions", "prob_max"]]
+    from ..stages.canonicalize import ontology_ids
+
+    out["ontology_id"] = ontology_ids(out["type"])
+    return out[["node_id", "canonical_name", "type", "ontology_id",
+                "n_mentions", "prob_max"]]
 
 
 def oracle_edges(triples: pd.DataFrame) -> pd.DataFrame:

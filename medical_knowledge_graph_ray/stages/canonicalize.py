@@ -38,10 +38,19 @@ NODE_SCHEMA = pa.schema(
         ("node_id", pa.string()),
         ("canonical_name", pa.string()),
         ("type", pa.string()),
+        ("ontology_id", pa.string()),
         ("n_mentions", pa.int64()),
         ("prob_max", pa.float64()),
     ]
 )
+
+
+def ontology_ids(types: pd.Series) -> pd.Series:
+    """External-ontology class id per node type (config.yaml:100-114):
+    derived from ``type`` at finalize time — it never rides an exchange."""
+    from ..ontology import ONTOLOGY_MAPPING
+
+    return types.map(ONTOLOGY_MAPPING).fillna("").astype(str)
 
 EDGE_SCHEMA = pa.schema(
     [
@@ -331,6 +340,7 @@ def finalize_graph_write(
                     "node_id": nodes["a"].to_numpy(),
                     "canonical_name": nodes["name"].to_numpy(),
                     "type": nodes["b"].to_numpy(),
+                    "ontology_id": ontology_ids(nodes["b"]).to_numpy(),
                     "n_mentions": nodes["n"].to_numpy("int64"),
                     "prob_max": nodes["p"].to_numpy("float64"),
                 }
@@ -408,11 +418,13 @@ def finalize_nodes(partials):
     from .shuffle import bucketed_group_map
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return (
+        out = (
             g.groupby(["node_id", "canonical_name", "type"], sort=False)
             .agg(n_mentions=("n_mentions", "sum"), prob_max=("prob_max", "max"))
             .reset_index()
         )
+        out.insert(3, "ontology_id", ontology_ids(out["type"]))
+        return out
 
     return bucketed_group_map(partials, ["node_id"], combine, num_buckets=32)
 
