@@ -54,16 +54,20 @@ PAGES_PER_SF = {"sf0.001": 500, "sf0.01": 20_000, "sf0.1": 400_000}
 def _default_concurrency() -> int:
     """Fixed actor-pool size = cluster CPUs minus headroom for the read /
     write task operators.  A pool that reserves every CPU deadlocks the
-    streaming executor (upstream tasks can never run); an autoscaling pool
-    ramps up too slowly for short jobs — measured 10.4 s (autoscale 1→32)
-    vs 5.5 s (fixed 28) for the identical sf0.1 flagship run."""
+    streaming executor (upstream tasks can never run) — MEASURED at 2
+    CPUs, where the old ``max(2, cpus-4)`` floor took both cores and the
+    read task backpressured forever — so the size is additionally capped
+    at ``cpus - 1`` (≥1 CPU always free for the task operators).  An
+    autoscaling pool ramps up too slowly for short jobs — measured
+    10.4 s (autoscale 1→32) vs 5.5 s (fixed 28) for the identical sf0.1
+    flagship run."""
     try:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(2, cpus - 4)
+    return max(1, min(cpus - 1, max(2, cpus - 4)))
 
 
 def pages_dataset(corpus_dir: str):
