@@ -55,6 +55,7 @@ class EngineConfig:
     ner_concurrency: int | tuple[int, int] | None = None
     ner_num_gpus: float | None = None
     trained_model_dir: str | None = None
+    neural_model_dir: str | None = None
     eval_override: dict | None = None
     extras: dict = field(default_factory=dict)
 
@@ -86,7 +87,7 @@ class EngineConfig:
         known = {
             "gazetteer", "prediction_models", "ner_on", "merging",
             "ner_batch_size", "ner_concurrency", "ner_num_gpus",
-            "trained_model_dir", "eval_override",
+            "trained_model_dir", "neural_model_dir", "eval_override",
         }
         return cls(
             gazetteer=gaz,
@@ -97,6 +98,7 @@ class EngineConfig:
             ner_concurrency=conc,
             ner_num_gpus=raw.get("ner_num_gpus"),
             trained_model_dir=raw.get("trained_model_dir"),
+            neural_model_dir=raw.get("neural_model_dir"),
             eval_override=raw.get("eval_override"),
             extras={k: v for k, v in raw.items() if k not in known},
         )

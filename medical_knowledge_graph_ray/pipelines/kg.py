@@ -122,10 +122,16 @@ class MentionStage:
             from ..stages.perceptron import load_tagger
 
             trained_w = load_tagger(cfg.trained_model_dir)
+        neural_p = None
+        if cfg.neural_model_dir and cfg.ner_on:
+            from ..stages.neural import load_neural
+
+            neural_p = load_neural(cfg.neural_model_dir)
         self.ner = EnsembleNER(
             gaz, members=members,
             eval_override=cfg.eval_override,
             trained_weights=trained_w,
+            neural_params=neural_p,
         )
         self.rules = RulesMerge(gaz) if cfg.merging else None
 
@@ -275,6 +281,7 @@ def ner_eval_pages(sf_dir: str, *, heldout_only: bool = True):
 def ner_eval_corpus(
     corpus_dir: str, *, heldout_only: bool = True,
     trained_model_dir: str | None = None,
+    neural_model_dir: str | None = None,
 ):
     """MUC-style evaluation table over a page corpus: every ensemble
     member + ensemble_strong scored against the gazetteer gold span set —
@@ -301,7 +308,8 @@ def ner_eval_corpus(
 
         sents = sents.map_batches(keep_heldout, batch_format="pyarrow")
     return (
-        ner_eval_dataset(sents, trained_model_dir=trained_model_dir)
+        ner_eval_dataset(sents, trained_model_dir=trained_model_dir,
+                         neural_model_dir=neural_model_dir)
         .sort_values(["model", "ent_type", "schema"])
         .reset_index(drop=True)
     )
@@ -352,16 +360,21 @@ def _config_fingerprint(config) -> str:
     if config.trained_model_dir:
         wpath = os.path.join(config.trained_model_dir, "weights.parquet")
         trained_sig = f"{wpath}:{os.path.getsize(wpath)}:{int(os.path.getmtime(wpath))}"
+    neural_sig = None
+    if getattr(config, "neural_model_dir", None):
+        npath = os.path.join(config.neural_model_dir, "neural.npz")
+        neural_sig = f"{npath}:{os.path.getsize(npath)}:{int(os.path.getmtime(npath))}"
     sem = (
         sorted((config.gazetteer or {}).items()) if config.gazetteer else None,
         config.prediction_models,
         config.ner_on,
         config.merging,
         trained_sig,
+        neural_sig,
         # eval_override changes every mention's confidence → results
         sorted((m, sorted(v.items())) for m, v in ev.items()) if ev else None,
     )
-    if sem == (None, None, True, True, None, None):  # semantically default
+    if sem == (None, None, True, True, None, None, None):  # semantically default
         return "default"  # (a tuning-only config must NOT invalidate)
     return hashlib.md5(repr(sem).encode()).hexdigest()[:12]
 

@@ -177,3 +177,135 @@ def kg_flagship_trained(sf_dir: str, *, out_root: str | None = None):
     return out_df.sort_values(
         ["subj_type", "pred", "obj_type"]
     ).reset_index(drop=True)
+
+
+# -- NEURAL member: train → eval → config → flagship --------------------------
+
+NEURAL_ROUNDS = 120  # measured knee: silver span F1 0.70@30 → 0.96@120
+
+
+def neural_train_fit(corpus_dir: str, *, rounds: int = NEURAL_ROUNDS):
+    """Train the neural tagger (``stages/neural.py``) — returns
+    (learning-curve table, params).  Loss is traced every round for
+    free; held-out span metrics are computed for the final params."""
+    from ..stages.neural import eval_neural, train_neural
+
+    feats = train_positions_dataset(corpus_dir)
+    train = feats.filter(expr="role == 0").materialize()
+    val = feats.filter(expr="role == 1").materialize()
+
+    rows, params = [], None
+    for r, loss, params in train_neural(train, rounds=rounds):
+        rows.append({"round": r, "train_loss": loss})
+    m = eval_neural(val, params)
+    curve = pd.DataFrame(rows)
+    curve["round"] = curve["round"].astype("int64")
+    for k, v in m.items():
+        curve[f"final_{k}"] = v
+    return curve, params
+
+
+def ensure_neural_tagger(
+    corpus_dir: str, *, model_root: str = "/tmp/mkg_models",
+    rounds: int = NEURAL_ROUNDS,
+) -> str:
+    """Train-once-per-corpus checkpointing for the neural artifact —
+    the ``ensure_trained_tagger`` posture (fingerprint keyed by corpus
+    content + rounds + architecture version)."""
+    import json
+    import os
+
+    from ..stages.neural import H, V, save_neural
+    from .kg import _corpus_fingerprint
+
+    fp = (f"neural|V={V}|H={H}|rounds={rounds}"
+          f"|corpus={_corpus_fingerprint(corpus_dir)}")
+    out_dir = os.path.join(
+        model_root,
+        f"neural_{__import__('hashlib').md5(fp.encode()).hexdigest()[:16]}",
+    )
+    meta_path = os.path.join(out_dir, "neural.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if json.load(fh).get("fingerprint") == fp:
+                return out_dir
+    curve, params = neural_train_fit(corpus_dir, rounds=rounds)
+    meta = save_neural(params, out_dir)
+    meta["fingerprint"] = fp
+    meta["final_eval"] = {
+        k.removeprefix("final_"): float(curve[k].iloc[-1])
+        for k in curve.columns if k.startswith("final_")
+    }
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    return out_dir
+
+
+def neural_kg_config(
+    corpus_dir: str, *, rounds: int = NEURAL_ROUNDS,
+    model_root: str = "/tmp/mkg_models",
+):
+    """Train (checkpointed) → evaluate the ensemble INCLUDING the neural
+    member on the held-out split → derive the eval matrix → an
+    EngineConfig whose scorer pool votes with the neural tagger under
+    those derived precisions (the ``trained_kg_config`` loop for the
+    neural member; ``EngineConfig.ner_num_gpus`` places the scorer
+    actors on GPUs where present — the numpy forward is the CPU
+    fallback and the same code path)."""
+    from ..config import EngineConfig
+    from ..stages.muc_eval import eval_matrix_from
+    from .kg import ner_eval_corpus
+
+    model_dir = ensure_neural_tagger(
+        corpus_dir, model_root=model_root, rounds=rounds
+    )
+    eval_df = ner_eval_corpus(corpus_dir, neural_model_dir=model_dir)
+    ev = eval_matrix_from(eval_df)
+    ev.pop("ensemble_strong", None)
+    return EngineConfig(neural_model_dir=model_dir, eval_override=ev)
+
+
+def kg_flagship_neural(sf_dir: str, *, out_root: str | None = None):
+    """Flagship KG run with the NEURAL tagger voting in the ensemble —
+    the reference's model-quality path (its BiLSTM-CRF members) fully
+    closed: learned representations score every sentence, exact-span
+    corroboration gates standalone neural mentions (the
+    ``TRAINED_REQUIRE_SUPPORT`` contract), and the derived eval matrix
+    calibrates confidences.  Returns the bounded (subj_type, pred,
+    obj_type) census of the neural-ensemble graph."""
+    import os
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrow import arrow_out
+    from ..state.manifests import read_stage
+    from .kg import corpus_for_sf, run_kg
+
+    corpus = corpus_for_sf(sf_dir)
+    cfg = neural_kg_config(corpus)
+    out = out_root or os.path.join(
+        "/tmp/mkg_kg_neural", os.path.basename(os.path.normpath(sf_dir))
+    )
+    run_kg(corpus, out, config=cfg)
+    tri = read_stage(
+        os.path.join(out, "triples"),
+        columns=["subj_type", "pred", "obj_type"],
+    )
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.groupby(["subj_type", "pred", "obj_type"], sort=False).size()
+        out_ = c.reset_index()
+        out_.columns = ["subj_type", "pred", "obj_type", "n_triples"]
+        out_["n_triples"] = out_["n_triples"].astype("int64")
+        return out_
+
+    out_df = (
+        tri.map_batches(arrow_out(census), batch_format="pandas")
+        .groupby(["subj_type", "pred", "obj_type"])
+        .aggregate(Sum("n_triples", alias_name="n_triples"))
+        .to_pandas()
+    )
+    out_df["n_triples"] = out_df["n_triples"].astype("int64")
+    return out_df.sort_values(
+        ["subj_type", "pred", "obj_type"]
+    ).reset_index(drop=True)

@@ -214,6 +214,7 @@ class MucEvalStage:
         self,
         gazetteer: dict[str, str] | None = None,
         trained_model_dir: str | None = None,
+        neural_model_dir: str | None = None,
     ):
         from ..ontology import MEDICAL_GAZETTEER
         from .ner import TYPE_LIST, EnsembleNER
@@ -223,8 +224,14 @@ class MucEvalStage:
             from .perceptron import load_tagger
 
             trained_w = load_tagger(trained_model_dir)
+        neural_p = None
+        if neural_model_dir:
+            from .neural import load_neural
+
+            neural_p = load_neural(neural_model_dir)
         self.ner = EnsembleNER(
-            gazetteer or MEDICAL_GAZETTEER, trained_weights=trained_w
+            gazetteer or MEDICAL_GAZETTEER, trained_weights=trained_w,
+            neural_params=neural_p,
         )
         self.types = TYPE_LIST
 
@@ -292,14 +299,15 @@ class _EvalPartials:
     processes, so the matcher (and trained-weight load) still happens
     once per worker — the cache key is the trained-model dir."""
 
-    def __init__(self, trained_model_dir: str | None = None):
-        self.key = trained_model_dir
+    def __init__(self, trained_model_dir: str | None = None,
+                 neural_model_dir: str | None = None):
+        self.key = (trained_model_dir, neural_model_dir)
 
     def __call__(self, batch: pd.DataFrame):
         stage = _STAGE_CACHE.get(self.key)
         if stage is None:
             stage = _STAGE_CACHE[self.key] = MucEvalStage(
-                trained_model_dir=self.key
+                trained_model_dir=self.key[0], neural_model_dir=self.key[1]
             )
         return stage(batch)
 
@@ -312,6 +320,7 @@ def muc_eval_partials_batch(batch: pd.DataFrame):
 def ner_eval_dataset(
     sentences, *, batch_size: int = 2048,
     trained_model_dir: str | None = None,
+    neural_model_dir: str | None = None,
 ) -> pd.DataFrame:
     """sentence rows → evaluated (model, ent_type, schema, counts, P, R).
 
@@ -325,7 +334,8 @@ def ner_eval_dataset(
     milliseconds.  Same collect-the-bounded-artifact posture as the q1
     rollup and the gapfill grid."""
     partials = sentences.map_batches(
-        _EvalPartials(trained_model_dir), batch_format="pandas",
+        _EvalPartials(trained_model_dir, neural_model_dir),
+        batch_format="pandas",
         batch_size=batch_size,
     ).to_pandas()  # ≤ tasks × 144 count rows — bounded artifact
     agg = (

@@ -96,6 +96,7 @@ class GazetteerMatcher:
 
 
 TRAINED_MODEL_NAME = "trained"
+NEURAL_MODEL_NAME = "neural"
 # per-char confidence of trained-tagger spans: a CONSTANT keeps the fit
 # deterministic (the perceptron has no calibrated probabilities; real
 # per-span calibration comes from the eval matrix the caller derives on
@@ -177,14 +178,49 @@ class TrainedMember:
         pred[codes == 0] = 0  # joiners can never carry a tag
         return pred
 
+    def span_probs(self, bio: list[tuple[int, int, int]]) -> list[float]:
+        """Per-span char probability for the decoded spans of the LAST
+        ``mega_decode`` call.  The perceptron has no calibrated scores —
+        a constant; ``NeuralMember`` overrides with real softmax mins."""
+        return [TRAINED_CHAR_PROB] * len(bio)
+
     def spans(self, sentence: str) -> list[tuple[int, int, int, float]]:
         """[(start, end, type_id, char_prob)] — the ``_Member`` contract."""
         if not sentence:
             return []
         pred = self.mega_decode(sentence)
+        bio = self._bio_spans(pred)
         return [
-            (s, e, tid, TRAINED_CHAR_PROB) for s, e, tid in self._bio_spans(pred)
+            (s, e, tid, p) for (s, e, tid), p in zip(bio, self.span_probs(bio))
         ]
+
+
+class NeuralMember(TrainedMember):
+    """The NEURAL tagger (``stages/neural.py``: learned hashed-char
+    embeddings → tanh hidden → softmax BIO) as an ensemble member — the
+    reference's CNN-BiLSTM-CRF role (``multi_source_ner.py:140-372``;
+    padded batch path ``:757-801`` ≙ ``mega_decode``), CPU-sized.  When
+    ``EngineConfig.ner_num_gpus`` is set the scorer actors are placed on
+    GPUs; the numpy forward runs unchanged either way (CPU fallback is
+    the same code path).  Inherits the decode plumbing and the
+    exact-span corroboration gate from ``TrainedMember``; unlike the
+    perceptron it emits REAL per-span probabilities (min over the
+    span's softmax maxima)."""
+
+    def __init__(self, params: dict):
+        self.name = NEURAL_MODEL_NAME
+        self.params = params
+        self._probs = None
+
+    def _pred(self, codes: np.ndarray) -> np.ndarray:
+        from .neural import predict_tags
+
+        pred, self._probs = predict_tags(self.params, codes)
+        return pred
+
+    def span_probs(self, bio: list[tuple[int, int, int]]) -> list[float]:
+        pr = self._probs
+        return [round(float(pr[s:e].min()), 6) for s, e, _t in bio]
 
 
 class _Member:
@@ -251,6 +287,7 @@ class EnsembleNER:
         eval_override: dict[str, dict[str, list[float]]] | None = None,
         members: tuple[str, ...] | None = None,
         trained_weights=None,
+        neural_params=None,
     ):
         gaz = gazetteer or MEDICAL_GAZETTEER
         # members: the config-selected ensemble (the reference's
@@ -268,6 +305,8 @@ class EnsembleNER:
         # chars and counts toward span support like any member)
         if trained_weights is not None:
             self.members.append(TrainedMember(trained_weights))
+        if neural_params is not None:
+            self.members.append(NeuralMember(neural_params))
         self.dictionary = GazetteerMatcher(gaz)
         # eval_override: a REAL eval matrix computed from a labeled dataset
         # (stages/muc_eval.py:eval_matrix_from); the default hash-fabricated
@@ -283,7 +322,8 @@ class EnsembleNER:
             # derived eval_override rows (muc_eval on held-out data)
             # replace it in the production path
             fallback = (
-                TRAINED_DEFAULT_EVAL if m == TRAINED_MODEL_NAME
+                TRAINED_DEFAULT_EVAL
+                if m in (TRAINED_MODEL_NAME, NEURAL_MODEL_NAME)
                 else [0.0, 0.0, 0.0, 0.0]
             )
             for t in TYPE_LIST:
@@ -502,7 +542,7 @@ class EnsembleNER:
                 gs_l = [s for s, _e, _t in bio]
                 ge_l = [e for _s, e, _t in bio]
                 tid_l = [t for _s, _e, t in bio]
-                p_l = [TRAINED_CHAR_PROB] * len(bio)
+                p_l = m.span_probs(bio)
             else:
                 found = m.matcher._re.finditer(mega) if m.matcher._re else ()
                 gs_l, ge_l, tid_l, p_l = [], [], [], []
