@@ -148,6 +148,8 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "kg_harmonic", "events_absorbing", "docs_fragile_links",
         "events_bounce_rate", "events_cuped", "docs_corpus_report",
         "lineitem_selfjoin_size", "tables_storage_audit",
+        # round-5: ontology-linked node census
+        "kg_nodes_ontology",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

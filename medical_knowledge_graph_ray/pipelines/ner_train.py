@@ -184,14 +184,40 @@ def kg_flagship_trained(sf_dir: str, *, out_root: str | None = None):
 NEURAL_ROUNDS = 120  # measured knee: silver span F1 0.70@30 → 0.96@120
 
 
-def neural_train_fit(corpus_dir: str, *, rounds: int = NEURAL_ROUNDS):
+NEURAL_MAX_POSITIONS = 3_000_000
+
+
+def neural_train_fit(
+    corpus_dir: str, *, rounds: int = NEURAL_ROUNDS,
+    max_positions: int = NEURAL_MAX_POSITIONS,
+):
     """Train the neural tagger (``stages/neural.py``) — returns
     (learning-curve table, params).  Loss is traced every round for
-    free; held-out span metrics are computed for the final params."""
+    free; held-out span metrics are computed for the final params.
+
+    ``max_positions`` bounds the TRAINING set with a content-stable
+    sentence-key subsample (``sent % K == 0`` on the md5-derived key —
+    whole sentences, uniform, deterministic): at 100 TB a neural
+    trainer samples its corpus; the bound keeps every round's wall
+    proportional to the cap, not the corpus."""
     from ..stages.neural import eval_neural, train_neural
 
     feats = train_positions_dataset(corpus_dir)
     train = feats.filter(expr="role == 0").materialize()
+    n = train.count()
+    if n > max_positions:
+        import pyarrow as pa
+
+        from ..functions.arrow import arrow_out
+
+        k = -(-n // max_positions)  # ceil
+
+        def keep(t: pa.Table) -> pa.Table:
+            sent = t.column("sent").to_numpy()
+            return t.filter(pa.array(sent % k == 0))
+
+        train = train.map_batches(
+            keep, batch_format="pyarrow").materialize()
     val = feats.filter(expr="role == 1").materialize()
 
     rows, params = [], None
@@ -218,7 +244,7 @@ def ensure_neural_tagger(
     from ..stages.neural import H, V, save_neural
     from .kg import _corpus_fingerprint
 
-    fp = (f"neural|V={V}|H={H}|rounds={rounds}"
+    fp = (f"neural|V={V}|H={H}|rounds={rounds}|cap={NEURAL_MAX_POSITIONS}"
           f"|corpus={_corpus_fingerprint(corpus_dir)}")
     out_dir = os.path.join(
         model_root,
