@@ -695,6 +695,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # candidate-key discovery (exact distinct-vs-rows over single +
         # composite column sets; ONE value exchange, footer row counts)
         "tables_key_discovery": relational.tables_key_discovery,
+        "lineitem_skyline": relational.lineitem_skyline,
+        "events_sankey": events.events_sankey,
+        "events_ewma": events.events_ewma,
+        "lineitem_moments": relational.lineitem_moments,
         # MATCH_RECOGNIZE-style CEP: per-user count of the ordered
         # view (click)+ purchase pattern (regex per USER-sequence inside
         # one user-bucketed exchange)
@@ -962,6 +966,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_wilson", "docs_leakage_safe_split", "docs_search_snippets",
         "kg_harmonic", "events_bounce_rate", "events_cuped",
         "docs_corpus_report", "lineitem_selfjoin_size",
+        # round-5 additions (driver-verify the new operators)
+        "lineitem_skyline", "lineitem_moments", "events_sankey",
+        "events_ewma",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -992,6 +999,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_bitmap_counts", "events_cep", "kg_walks",
         "docs_winnow", "docs_winnow_pairs", "docs_dupspans",
         "lineitem_regression", "events_entropy", "lineitem_mad",
+        # round-5 demotions (driver-verified in the r4 window)
+        "events_linear_attrib", "events_hmm_score", "embed_triplets",
+        "events_wilson",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1213,6 +1223,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_simpson": docs.SIMPSON_SQL,
         "orders_theilsen": relational.ORDERS_THEILSEN_SQL,
         "tables_key_discovery": relational.tables_key_discovery_sql(),
+        "lineitem_skyline": relational.LINEITEM_SKYLINE_SQL,
+        "events_sankey": events.EVENTS_SANKEY_SQL,
+        "events_ewma": events.EVENTS_EWMA_SQL,
+        "lineitem_moments": relational.LINEITEM_MOMENTS_SQL,
         "events_cep": events.CEP_SQL,
         "kg_walks": docs_kg.walks_sql(),
         "lineitem_neyman": relational.LINEITEM_NEYMAN_SQL,

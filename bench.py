@@ -148,8 +148,10 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "kg_harmonic", "events_absorbing", "docs_fragile_links",
         "events_bounce_rate", "events_cuped", "docs_corpus_report",
         "lineitem_selfjoin_size", "tables_storage_audit",
-        # round-5: ontology-linked node census
-        "kg_nodes_ontology",
+        # round-5: ontology-linked node census, Pareto skyline, higher
+        # moments, Sankey flows, EWMA smoothing
+        "kg_nodes_ontology", "lineitem_skyline", "lineitem_moments",
+        "events_sankey", "events_ewma",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

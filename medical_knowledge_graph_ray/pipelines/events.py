@@ -4656,3 +4656,159 @@ SELECT variant, n_users, sum_x, sum_y_cents,
              / CAST(n_users AS DOUBLE)) + 0.5) AS mean_adj_micro
 FROM g, m ORDER BY variant
 """
+
+
+# -- step-indexed flow census (Sankey) -------------------------------------------
+
+SANKEY_STEPS = 3
+
+
+def events_sankey(sf_dir: str):
+    """Step-indexed transition flows — the Sankey-diagram census: for
+    every user's time-ordered stream, count (step, from_type, to_type)
+    over the first ``SANKEY_STEPS`` transitions.  Same one-exchange
+    shape as ``events_transitions`` with the step index riding along;
+    flow keys are ``steps·|types|²`` bounded."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def flow_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        user = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = user[:-1] == user[1:]
+        # 1-based rank of the FROM event within its user
+        rn = np.arange(len(g), dtype=np.int64)
+        seg_start = np.zeros(len(g), dtype=np.int64)
+        if len(g):
+            new = np.r_[True, user[1:] != user[:-1]]
+            seg_start = np.maximum.accumulate(np.where(new, rn, -1))
+        step = rn - seg_start + 1
+        keep = same & (step[:-1] <= SANKEY_STEPS)
+        df = pd.DataFrame(
+            {"step": step[:-1][keep], "from_type": et[:-1][keep],
+             "to_type": et[1:][keep]}
+        )
+        out = (df.groupby(["step", "from_type", "to_type"], sort=False)
+               .size().rename("n").reset_index())
+        return out.astype({"step": "int64", "n": "int64"})
+
+    flows = bucketed_group_map(ev, ["user_id"], flow_partial, num_buckets=32)
+    agg = flows.groupby(["step", "from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"step": b["step"].astype("int64"),
+             "from_type": b["from_type"].astype(str),
+             "to_type": b["to_type"].astype(str),
+             "n": b["n"].astype("int64")}
+        )
+
+    return agg.map_batches(arrow_out(finalize), batch_format="pandas")
+
+
+EVENTS_SANKEY_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT CAST(rn AS BIGINT) AS step, event_type AS from_type,
+       next_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM e
+WHERE next_type IS NOT NULL AND rn <= {SANKEY_STEPS}
+GROUP BY 1, 2, 3
+"""
+
+
+# -- exponentially-weighted moving average ---------------------------------------
+
+EWMA_ALPHA = 0.25
+
+
+def events_ewma(sf_dir: str):
+    """Per-event EWMA of ``value`` over each user's time-ordered stream
+    (α = 0.25, y₁ = x₁) — the streaming smoother.
+
+    Float contract (the oracle-safe recursion escape): the recursion is
+    unrolled to its addend form  y_t = Σ_k w(t,k)·x_k  and EVERY addend
+    is floored to int64 micro-units BEFORE the sum — integer addition
+    is exact and order-free, so the result is independent of both batch
+    boundaries and SQL join order, and ``pow(0.75, j)`` hits the same
+    glibc pow on both sides (the ``customers_clv`` precedent).  Weights
+    below the 1e-6 quantum vanish identically on both sides.
+
+    Distributed shape: ONE user-bucketed exchange; inside a bucket the
+    (t, k) pair expansion is fully vectorized (repeat + offset-arange,
+    no per-user loop) — Σ T_u² work, bounded by the rolling-window span
+    guard of this table (max 99 events/user in the testdata; a user
+    with millions of events needs the windowed variant)."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def ewma_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        if not n:
+            return pd.DataFrame({"user_id": pd.array([], "int64"),
+                                 "rn": pd.array([], "int64"),
+                                 "ewma_micro": pd.array([], "int64")})
+        user = g["user_id"].to_numpy()
+        x = g["value"].to_numpy("float64")
+        idx = np.arange(n, dtype=np.int64)
+        new = np.r_[True, user[1:] != user[:-1]]
+        seg_start = np.maximum.accumulate(np.where(new, idx, -1))
+        rn = idx - seg_start + 1                      # 1-based rank
+        m = rn                                        # addends per row
+        total = int(m.sum())
+        t_idx = np.repeat(idx, m)
+        off = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(m) - m, m)
+        k_idx = np.repeat(seg_start, m) + off
+        j = (rn[t_idx] - rn[k_idx]).astype("float64")
+        pj = np.power(1.0 - EWMA_ALPHA, j)
+        xk = x[k_idx]
+        first = rn[k_idx] == 1
+        term = np.where(
+            first,
+            np.floor(pj * xk * 1_000_000 + 0.5),
+            np.floor(EWMA_ALPHA * pj * xk * 1_000_000 + 0.5),
+        ).astype("int64")
+        out = np.zeros(n, dtype=np.int64)
+        np.add.at(out, t_idx, term)
+        return pd.DataFrame({"user_id": user.astype("int64"),
+                             "rn": rn.astype("int64"),
+                             "ewma_micro": out})
+
+    return bucketed_group_map(ev, ["user_id"], ewma_bucket, num_buckets=32)
+
+
+EVENTS_EWMA_SQL = f"""
+WITH e AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT a.user_id, CAST(a.rn AS BIGINT) AS rn,
+       CAST(SUM(CASE WHEN b.rn = 1
+         THEN CAST(FLOOR(pow({1.0 - EWMA_ALPHA}, CAST(a.rn - b.rn AS DOUBLE))
+                         * b.value * 1000000 + 0.5) AS BIGINT)
+         ELSE CAST(FLOOR({EWMA_ALPHA} * pow({1.0 - EWMA_ALPHA},
+                         CAST(a.rn - b.rn AS DOUBLE))
+                         * b.value * 1000000 + 0.5) AS BIGINT) END)
+         AS BIGINT) AS ewma_micro
+FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
+GROUP BY 1, 2
+"""

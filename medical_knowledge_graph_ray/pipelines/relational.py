@@ -7593,3 +7593,184 @@ def tables_storage_audit(sf_dir: str) -> pd.DataFrame:
          "uncompressed_bytes": out["uncompressed_bytes"].astype("int64"),
          "ratio_bp": out["ratio_bp"].astype("int64")}
     )
+
+
+# -- Pareto skyline ---------------------------------------------------------------
+
+def _skyline2d(price: "np.ndarray", qty: "np.ndarray"):
+    """Indices of the 2-D skyline (minimize price, maximize qty) over
+    DISTINCT (price, qty) pairs.  Sort by (price asc, qty desc); a pair
+    survives iff its qty strictly exceeds every strictly-cheaper pair's
+    qty (running max with price-tie handling via the qty-desc order:
+    within a price tie only the highest qty survives)."""
+    order = np.lexsort((-qty, price))
+    p, q = price[order], qty[order]
+    # best qty among pairs with strictly smaller price
+    best_before = np.full(len(p), np.iinfo(np.int64).min, dtype=np.int64)
+    if len(p):
+        run_max = np.maximum.accumulate(q)
+        # position of the last strictly-smaller price for each row
+        prev = np.searchsorted(p, p, side="left") - 1
+        valid = prev >= 0
+        best_before[valid] = run_max[prev[valid]]
+    first_of_price = np.r_[True, p[1:] != p[:-1]]  # qty-desc ⇒ max of tie
+    keep = first_of_price & (q > best_before)
+    return order[keep]
+
+
+def lineitem_skyline(sf_dir: str) -> pd.DataFrame:
+    """Pareto-SKYLINE of lineitems over (minimize extendedprice,
+    maximize quantity) — the multi-criteria dominance operator (no row
+    in the result is beaten on both axes by any other row).
+
+    Distributed shape — skylines are ASSOCIATIVE
+    (``sky(A∪B) = sky(sky(A) ∪ sky(B))``), which makes the per-batch
+    local skyline a legal combiner: each batch collapses to its own
+    skyline (expected O(log n) pairs for non-degenerate data), the
+    union of partial skylines reaches the driver as a tiny artifact,
+    and one more fold yields the exact global skyline.  A second pass
+    counts the GLOBAL multiplicity of each surviving pair (broadcast
+    the pair set, per-batch count, driver fold) — counts of dominated
+    pairs are never computed because dominated pairs never surface.
+
+    Exactness: price travels as integer cents, quantity as rounded
+    int64; dominance is pure integer comparison."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        price = np.rint(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        qty = np.rint(b["l_quantity"].to_numpy()).astype("int64")
+        u = pd.DataFrame({"price_cents": price, "qty": qty}).drop_duplicates()
+        pc_, qc = u["price_cents"].to_numpy(), u["qty"].to_numpy()
+        keep = _skyline2d(pc_, qc)
+        return u.iloc[keep].reset_index(drop=True).astype("int64")
+
+    parts = ds.map_batches(arrow_out(partial),
+                           batch_format="pandas").to_pandas()
+    u = parts.drop_duplicates()
+    keep = _skyline2d(u["price_cents"].to_numpy(), u["qty"].to_numpy())
+    sky = u.iloc[keep].reset_index(drop=True)
+
+    import ray
+
+    ref = ray.put(set(zip(sky["price_cents"], sky["qty"])))
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        pairs = ray.get(ref)
+        price = np.rint(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        qty = np.rint(b["l_quantity"].to_numpy()).astype("int64")
+        df = pd.DataFrame({"price_cents": price, "qty": qty})
+        df = df[[p in pairs for p in zip(price, qty)]]
+        g = df.groupby(["price_cents", "qty"], sort=False).size()
+        return g.reset_index(name="n_lines").astype("int64")
+
+    counts = ds.map_batches(arrow_out(count),
+                            batch_format="pandas").to_pandas()
+    if len(counts):
+        counts = counts.groupby(["price_cents", "qty"],
+                                as_index=False)["n_lines"].sum()
+    out = sky.merge(counts, on=["price_cents", "qty"], how="left")
+    out["n_lines"] = out["n_lines"].fillna(0).astype("int64")
+    return (out.sort_values("price_cents").reset_index(drop=True)
+            .astype("int64"))
+
+
+LINEITEM_SKYLINE_SQL = """
+WITH d AS (
+  SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1, 2)
+SELECT price_cents, qty, n_lines
+FROM d a
+WHERE NOT EXISTS (
+  SELECT 1 FROM d b
+  WHERE b.price_cents <= a.price_cents AND b.qty >= a.qty
+    AND (b.price_cents < a.price_cents OR b.qty > a.qty))
+ORDER BY price_cents
+"""
+
+
+# -- higher-moment statistics (skewness / kurtosis) -------------------------------
+
+def lineitem_moments(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag SKEWNESS and EXCESS KURTOSIS of quantity from the
+    exact integer power sums ΣX, ΣX², ΣX³, ΣX⁴ (the 3rd/4th-moment
+    extension of ``lineitem_qty_stats``): per-batch int64 partials ride
+    one tiny groupby; the ONLY float arithmetic is the driver-side
+    closed form, mirrored term-for-term in the oracle and emitted as
+    floor-micro ints (qty ≤ 50 ⇒ Σx⁴ ≤ n·6.25e6 — two-limb per the
+    ``lineitem_regression`` contract once n approaches 10¹²)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(b["l_quantity"].to_numpy()).astype("int64")
+        g = pd.DataFrame({
+            "flag": b["l_returnflag"].astype(str), "n": 1, "s1": x,
+            "s2": x * x, "s3": x ** 3, "s4": x ** 4,
+        }).groupby("flag", sort=False, as_index=False).sum()
+        return g
+
+    parts = ds.map_batches(arrow_out(partial),
+                           batch_format="pandas").to_pandas()
+    agg = parts.groupby("flag", as_index=False).sum()
+    n = agg["n"].to_numpy("float64")
+    m1 = agg["s1"].to_numpy("float64") / n
+    # central moments from raw power sums (one arithmetic path, mirrored
+    # in SQL):  mk = Σ(x-μ)^k / n expanded binomially
+    s1 = agg["s1"].to_numpy("float64")
+    s2 = agg["s2"].to_numpy("float64")
+    s3 = agg["s3"].to_numpy("float64")
+    s4 = agg["s4"].to_numpy("float64")
+    m2 = s2 / n - m1 * m1
+    m3 = s3 / n - 3.0 * m1 * (s2 / n) + 2.0 * m1 * m1 * m1
+    m4 = (s4 / n - 4.0 * m1 * (s3 / n) + 6.0 * m1 * m1 * (s2 / n)
+          - 3.0 * m1 * m1 * m1 * m1)
+    skew = m3 / (m2 ** 1.5)
+    kurt = m4 / (m2 * m2) - 3.0
+    return pd.DataFrame({
+        "l_returnflag": pd.array(agg["flag"], "str"),
+        "n": agg["n"].astype("int64"),
+        "sum_qty": agg["s1"].astype("int64"),
+        "skew_micro": np.floor(skew * 1e6 + 0.5).astype("int64"),
+        "kurtosis_micro": np.floor(kurt * 1e6 + 0.5).astype("int64"),
+    }).sort_values("l_returnflag").reset_index(drop=True)
+
+
+LINEITEM_MOMENTS_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s2,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s3,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s4
+  FROM lineitem GROUP BY 1),
+m AS (
+  SELECT l_returnflag, n, s1,
+         CAST(s1 AS DOUBLE) / n AS m1,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM s),
+c AS (
+  SELECT l_returnflag, n, s1,
+         r2 - m1*m1 AS m2,
+         r3 - 3.0*m1*r2 + 2.0*m1*m1*m1 AS m3,
+         r4 - 4.0*m1*r3 + 6.0*m1*m1*r2 - 3.0*m1*m1*m1*m1 AS m4
+  FROM m)
+SELECT l_returnflag, n, s1 AS sum_qty,
+       CAST(FLOOR(m3 / pow(m2, 1.5) * 1000000 + 0.5) AS BIGINT)
+         AS skew_micro,
+       CAST(FLOOR((m4 / (m2*m2) - 3.0) * 1000000 + 0.5) AS BIGINT)
+         AS kurtosis_micro
+FROM c
+ORDER BY l_returnflag
+"""
