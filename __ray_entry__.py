@@ -696,6 +696,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composite column sets; ONE value exchange, footer row counts)
         "tables_key_discovery": relational.tables_key_discovery,
         "lineitem_skyline": relational.lineitem_skyline,
+        "supplier_value_share": relational.supplier_value_share,
+        "embed_quantize": docs.embed_quantize,
         "events_sankey": events.events_sankey,
         "events_ewma": events.events_ewma,
         "lineitem_moments": relational.lineitem_moments,
@@ -968,7 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_corpus_report", "lineitem_selfjoin_size",
         # round-5 additions (driver-verify the new operators)
         "lineitem_skyline", "lineitem_moments", "events_sankey",
-        "events_ewma",
+        "events_ewma", "supplier_value_share", "embed_quantize",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -1001,7 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_regression", "events_entropy", "lineitem_mad",
         # round-5 demotions (driver-verified in the r4 window)
         "events_linear_attrib", "events_hmm_score", "embed_triplets",
-        "events_wilson",
+        "events_wilson", "customers_kanon", "customers_clv",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1224,6 +1226,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_theilsen": relational.ORDERS_THEILSEN_SQL,
         "tables_key_discovery": relational.tables_key_discovery_sql(),
         "lineitem_skyline": relational.LINEITEM_SKYLINE_SQL,
+        "supplier_value_share": relational.SUPPLIER_VALUE_SHARE_SQL,
+        "embed_quantize": docs.EMBED_QUANTIZE_SQL,
         "events_sankey": events.EVENTS_SANKEY_SQL,
         "events_ewma": events.EVENTS_EWMA_SQL,
         "lineitem_moments": relational.LINEITEM_MOMENTS_SQL,

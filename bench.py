@@ -151,7 +151,8 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         # round-5: ontology-linked node census, Pareto skyline, higher
         # moments, Sankey flows, EWMA smoothing
         "kg_nodes_ontology", "lineitem_skyline", "lineitem_moments",
-        "events_sankey", "events_ewma",
+        "events_sankey", "events_ewma", "supplier_value_share",
+        "embed_quantize",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -5990,3 +5990,69 @@ SELECT source,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass
 FROM x GROUP BY 1 ORDER BY 1
 """
+
+
+# -- int8 vector quantization audit ----------------------------------------------
+
+def embed_quantize(sf_dir: str) -> pd.DataFrame:
+    """Per-vector symmetric INT8 quantization audit — the compression
+    step every large embedding store applies, with its reconstruction
+    error measured exactly: ``scale = max|x|/127``, ``q = floor(x/scale
+    + 0.5)`` (clamped), error = ``max|x − q·scale|``.
+
+    A pure per-vector ``map_batches`` (no exchange); the whole float
+    path (float32→double cast, one division, floor-half-up, one fused
+    reconstruct) is mirrored term-for-term in the SQL oracle over
+    UNNEST, so outputs are bit-decided: scale/error emitted as
+    floor-nano ints, saturated-lane count as int64.  FLOOR(z+0.5) is
+    used on BOTH sides (never round(): DuckDB rounds half-away,
+    numpy half-even — the documented tie trap)."""
+    import numpy as np
+
+    def audit(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"vec_id": pd.array([], "int64"),
+                 "scale_nano": pd.array([], "int64"),
+                 "max_err_nano": pd.array([], "int64"),
+                 "n_saturated": pd.array([], "int64")})
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        amax = np.abs(mat).max(axis=1)
+        scale = amax / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.clip(np.floor(mat / safe[:, None] + 0.5), -127.0, 127.0)
+        q = np.where(scale[:, None] == 0.0, 0.0, q)
+        err = np.abs(mat - q * scale[:, None]).max(axis=1)
+        return pd.DataFrame(
+            {"vec_id": b["vec_id"].astype("int64"),
+             "scale_nano": np.floor(
+                 scale * 1e9 + 0.5).astype("int64"),
+             "max_err_nano": np.floor(err * 1e9 + 0.5).astype("int64"),
+             "n_saturated": (np.abs(q) == 127.0).sum(axis=1)
+             .astype("int64")})
+
+    return _embeddings(sf_dir).map_batches(
+        arrow_out(audit), batch_format="pandas")
+
+
+EMBED_QUANTIZE_SQL = """
+WITH u AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings),
+s AS (
+  SELECT vec_id, MAX(ABS(x)) / 127.0 AS scale FROM u GROUP BY 1),
+q AS (
+  SELECT u.vec_id, u.x, s.scale,
+         CASE WHEN s.scale = 0 THEN 0.0
+              ELSE GREATEST(-127.0, LEAST(127.0,
+                   FLOOR(u.x / s.scale + 0.5))) END AS qi
+  FROM u JOIN s USING (vec_id))
+SELECT vec_id,
+       CAST(FLOOR(ANY_VALUE(scale) * 1e9 + 0.5) AS BIGINT) AS scale_nano,
+       CAST(FLOOR(MAX(ABS(x - qi * scale)) * 1e9 + 0.5) AS BIGINT)
+         AS max_err_nano,
+       CAST(SUM(CASE WHEN ABS(qi) = 127.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_saturated
+FROM q
+GROUP BY vec_id
+"""

@@ -7774,3 +7774,75 @@ SELECT l_returnflag, n, s1 AS sum_qty,
 FROM c
 ORDER BY l_returnflag
 """
+
+
+# -- Q11-shaped national value share ----------------------------------------------
+
+VALUE_SHARE_BP = 150  # keep suppliers holding > 1.5% of their nation's value
+
+
+def supplier_value_share(sf_dir: str) -> pd.DataFrame:
+    """Suppliers holding an outsized share of their NATION's lineitem
+    value — the TPC-H Q11 shape (aggregate, then filter against a
+    correlated fraction of a second aggregate over the same data)
+    re-keyed to the tables this lake has.
+
+    ONE lineitem pass: per-batch (suppkey → value) int64 combiner →
+    tiny suppkey census exchange; the supplier→nation dimension is a
+    broadcast (|suppliers| rows); nation totals and the share filter
+    are driver math on the |suppliers|-bounded census.  Value is exact
+    cents of extendedprice·(1−discount)·100 (two-decimal discount ⇒
+    ·10⁴ then /100 is exact integer)."""
+    from ray.data.aggregate import Sum
+
+    sup = _read_dim(sf_dir, "supplier")
+    nat = dict(zip(sup["s_suppkey"].astype("int64"),
+                   sup["s_nationkey"].astype("int64")))
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.rint(b["l_extendedprice"].to_numpy()
+                    * (1.0 - b["l_discount"].to_numpy())
+                    * 10_000).astype("int64")
+        g = (pd.DataFrame({"suppkey": b["l_suppkey"].astype("int64"),
+                           "u": u})
+             .groupby("suppkey", sort=False, as_index=False)["u"].sum())
+        return g.astype("int64")
+
+    census = (ds.map_batches(arrow_out(partial), batch_format="pandas")
+              .groupby("suppkey").aggregate(Sum("u", alias_name="u"))
+              .to_pandas())  # ≤ |suppliers| rows
+    census["nationkey"] = census["suppkey"].map(nat).astype("int64")
+    totals = census.groupby("nationkey")["u"].sum()
+    thresh = census["nationkey"].map(totals).to_numpy("int64")
+    share_bp = census["u"].to_numpy("int64") * 10_000 // thresh
+    keep = share_bp > VALUE_SHARE_BP
+    out = pd.DataFrame(
+        {"s_suppkey": census["suppkey"].to_numpy("int64")[keep],
+         "nationkey": census["nationkey"].to_numpy("int64")[keep],
+         "value_u": census["u"].to_numpy("int64")[keep],
+         "share_bp": share_bp[keep]})
+    return out.sort_values("s_suppkey").reset_index(drop=True).astype("int64")
+
+
+SUPPLIER_VALUE_SHARE_SQL = f"""
+WITH v AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+                       AS BIGINT)) AS BIGINT) AS value_u
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT v.s_suppkey, CAST(s.s_nationkey AS BIGINT) AS nationkey,
+         v.value_u
+  FROM v JOIN supplier s ON s.s_suppkey = v.s_suppkey),
+t AS (
+  SELECT nationkey, CAST(SUM(value_u) AS BIGINT) AS total_u
+  FROM j GROUP BY 1)
+SELECT j.s_suppkey, j.nationkey, j.value_u,
+       CAST(j.value_u * 10000 // t.total_u AS BIGINT) AS share_bp
+FROM j JOIN t USING (nationkey)
+WHERE j.value_u * 10000 // t.total_u > {VALUE_SHARE_BP}
+ORDER BY j.s_suppkey
+"""
