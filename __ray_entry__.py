@@ -680,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # delta-join IVM: the nation-revenue join view folded from
         # micro-batch deltas, exactly-once state, batch-equivalence oracle
         "nation_rev_ivm": relational.nation_rev_ivm,
+        "nation_rev_ivm_bilateral": relational.nation_rev_ivm_bilateral,
         # hierarchical rollup with exact integer share-of-parent at
         # both levels (region, world)
         "sales_hierarchy_share": relational.sales_hierarchy_share,
@@ -971,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 additions (driver-verify the new operators)
         "lineitem_skyline", "lineitem_moments", "events_sankey",
         "events_ewma", "supplier_value_share", "embed_quantize",
+        "nation_rev_ivm_bilateral",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -1004,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 demotions (driver-verified in the r4 window)
         "events_linear_attrib", "events_hmm_score", "embed_triplets",
         "events_wilson", "customers_kanon", "customers_clv",
+        "events_cuped",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1220,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_snapshot_diff": relational.ORDERS_SNAPSHOT_DIFF_SQL,
         "docs_readability": docs.READABILITY_SQL,
         "nation_rev_ivm": relational.NATION_REV_IVM_SQL,
+        "nation_rev_ivm_bilateral": relational.NATION_REV_IVM_SQL,
         "sales_hierarchy_share": relational.SALES_HIERARCHY_SHARE_SQL,
         "events_mutual_info": events.MUTUAL_INFO_SQL,
         "docs_simpson": docs.SIMPSON_SQL,

@@ -152,7 +152,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         # moments, Sankey flows, EWMA smoothing
         "kg_nodes_ontology", "lineitem_skyline", "lineitem_moments",
         "events_sankey", "events_ewma", "supplier_value_share",
-        "embed_quantize",
+        "embed_quantize", "nation_rev_ivm_bilateral",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

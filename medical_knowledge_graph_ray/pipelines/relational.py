@@ -7846,3 +7846,174 @@ FROM j JOIN t USING (nationkey)
 WHERE j.value_u * 10000 // t.total_u > {VALUE_SHARE_BP}
 ORDER BY j.s_suppkey
 """
+
+
+# -- BILATERAL streaming join IVM -------------------------------------------------
+
+def nation_rev_ivm_bilateral(sf_dir: str, n_chunks: int = 3,
+                             state_dir: str | None = None) -> pd.DataFrame:
+    """The per-nation revenue view maintained while BOTH join sides
+    stream — the full incremental-join decomposition
+    ``ΔV = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB`` (``nation_rev_ivm`` streams only the
+    fact side).  A lineitem row whose order has NOT yet arrived parks in
+    a persistent PENDING state and is claimed the moment its order
+    lands — the pipelined symmetric-hash-join discipline made durable.
+
+    Per interleaved chunk (orders first, then lineitem — both via
+    ``arrival_chunks``, total scan 1× per table; lineitem is routed by
+    ROW HASH so early lineitem genuinely precedes its order and the
+    pending path is exercised, not vacuously empty):
+
+    1. ``O_i``: resolve order→nation through the size-adaptive customer
+       join, upsert into the ``order_nation`` keyed state, then CLAIM
+       any pending value for these orders (bucket-pruned lookup +
+       ``delete_keys``) into the view delta.
+    2. ``L_i``: per-batch (orderkey → value-cents) combiner census
+       joins the ``order_nation`` state PARTITIONED (``hash_join`` left
+       — the state is a Dataset, never a driver artifact); matches fold
+       per-nation inside the join buckets, misses add into PENDING
+       (chunk-bounded lookup + upsert).
+    3. The chunk's nation partials fold exactly-once into the view
+       (``microbatch_aggregate`` — nation keys are aggregation-bounded).
+
+    The folded view equals the one-shot 4-table join aggregate
+    bit-for-bit (exact int64 partials; every lineitem row contributes
+    exactly once: either at arrival (order known) or at claim (order
+    arrives later)), so this query SHARES the batch SQL oracle."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import auto_join, hash_join
+    from ..stages.streaming import (
+        arrival_chunks, init_stream_table, microbatch_aggregate,
+        stream_state,
+    )
+    from ..stages.upsert import init_keyed_table, lookup, upsert
+    from ..stages.upsert import read_keyed_table
+
+    nation = _read_dim(sf_dir, "nation")
+    root = state_dir or tempfile.mkdtemp(prefix="mkg_ivm2_")
+    on_dir = os.path.join(root, "order_nation")
+    pend_dir = os.path.join(root, "pending")
+    rev_dir = os.path.join(root, "rev")
+    if not os.path.exists(os.path.join(on_dir, "_MANIFEST.json")):
+        init_keyed_table(on_dir, "_k")
+    if not os.path.exists(os.path.join(pend_dir, "_MANIFEST.json")):
+        init_keyed_table(pend_dir, "_k")
+    init_stream_table(rev_dir, "_k")
+
+    def cust_rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_custkey": b["c_custkey"].to_numpy("int64"),
+             "nationkey": b["c_nationkey"].to_numpy("int64")})
+
+    cust_ds = _read(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey"]).map_batches(
+        arrow_out(cust_rename), batch_format="pandas")
+    cust_rows = pq.ParquetFile(
+        f"{sf_dir}/customer.parquet").metadata.num_rows
+    cust_schema = pa.schema([("o_custkey", pa.int64()),
+                             ("nationkey", pa.int64())])
+    orders_schema = pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())])
+
+    o_chunks = arrival_chunks(
+        f"{sf_dir}/orders.parquet", n_chunks,
+        columns=["o_orderkey", "o_custkey"],
+        land_dir=os.path.join(root, "_arrivals_o"), key_col="o_orderkey")
+    l_chunks = arrival_chunks(
+        f"{sf_dir}/lineitem.parquet", n_chunks,
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        land_dir=os.path.join(root, "_arrivals_l"))  # row-hash routing
+
+    census_schema = pa.schema([("okey", pa.int64()), ("u", pa.int64())])
+    state_schema = pa.schema([("_k", pa.string()), ("okey", pa.int64()),
+                              ("nationkey", pa.int64())])
+
+    def li_census(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.rint(b["l_extendedprice"].to_numpy()
+                    * (1.0 - b["l_discount"].to_numpy())
+                    * 10_000).astype("int64")
+        g = (pd.DataFrame({"okey": b["l_orderkey"].to_numpy("int64"),
+                           "u": u})
+             .groupby("okey", sort=False, as_index=False)["u"].sum())
+        return g.astype("int64")
+
+    for i in range(n_chunks):
+        # ---- orders chunk: register + claim pending
+        o_res = (auto_join(
+            o_chunks[i], cust_ds, on=["o_custkey"], right_rows=cust_rows,
+            left_schema=orders_schema, right_schema=cust_schema)
+            .to_pandas())  # chunk-bounded (orderkey, nationkey) rows
+        nation_parts = []
+        if len(o_res):
+            reg = pd.DataFrame(
+                {"_k": o_res["o_orderkey"].astype(str),
+                 "okey": o_res["o_orderkey"].to_numpy("int64"),
+                 "nationkey": o_res["nationkey"].to_numpy("int64")})
+            upsert(on_dir, reg)
+            hit = lookup(pend_dir, reg["_k"].tolist())
+            if len(hit):
+                claimed = hit.merge(
+                    reg[["_k", "nationkey"]], on="_k", how="inner")
+                nation_parts.append(
+                    claimed.groupby("nationkey", as_index=False)["u"].sum())
+                upsert(pend_dir, pd.DataFrame(
+                    {"_k": pd.array([], "str"),
+                     "okey": pd.array([], "int64"),
+                     "u": pd.array([], "int64")}),
+                    delete_keys=claimed["_k"].tolist())
+
+        # ---- lineitem chunk: partitioned resolve against the state
+        lc = l_chunks[i].map_batches(arrow_out(li_census),
+                                     batch_format="pandas")
+        joined = hash_join(
+            lc, read_keyed_table(on_dir), on=["okey"], how="left",
+            left_schema=census_schema, right_schema=state_schema,
+        ).to_pandas()  # chunk-bounded census rows
+        if len(joined):
+            matched = joined[joined["nationkey"].notna()]
+            if len(matched):
+                m = pd.DataFrame(
+                    {"nationkey": matched["nationkey"].astype("int64"),
+                     "u": matched["u"].astype("int64")})
+                nation_parts.append(
+                    m.groupby("nationkey", as_index=False)["u"].sum())
+            miss = joined[joined["nationkey"].isna()]
+            if len(miss):
+                add = pd.DataFrame(
+                    {"_k": miss["okey"].astype("int64").astype(str),
+                     "okey": miss["okey"].astype("int64"),
+                     "u": miss["u"].astype("int64")})
+                add = add.groupby(["_k", "okey"], as_index=False)["u"].sum()
+                cur = lookup(pend_dir, add["_k"].tolist())
+                if len(cur):
+                    prev = add["_k"].map(
+                        cur.set_index("_k")["u"]).fillna(0).astype("int64")
+                    add["u"] = add["u"].to_numpy("int64") + prev.to_numpy()
+                upsert(pend_dir, add)
+
+        # ---- fold the chunk's nation delta exactly-once into the view
+        if nation_parts:
+            delta = (pd.concat(nation_parts, ignore_index=True)
+                     .groupby("nationkey", as_index=False)["u"].sum()
+                     .astype("int64"))
+        else:
+            delta = pd.DataFrame({"nationkey": pd.array([], "int64"),
+                                  "u": pd.array([], "int64")})
+        import ray.data as rd
+
+        microbatch_aggregate(rev_dir, f"chunk-{i}",
+                             rd.from_pandas(delta), ["nationkey"], ["u"])
+
+    state = stream_state(rev_dir).to_pandas()
+    names = dict(zip(nation["n_nationkey"].astype("int64"),
+                     nation["n_name"]))
+    return (pd.DataFrame(
+        {"n_name": pd.array([names[int(k)] for k in state["nationkey"]],
+                            "str"),
+         "rev_u": state["u"].astype("int64")})
+        .sort_values("n_name").reset_index(drop=True))

@@ -131,16 +131,28 @@ def upsert(
         new = up[ub == b]
         path = _bucket_file(table_dir, b)
         _snapshot_bucket(table_dir, b, old_version)
+        old_t = None
         if os.path.exists(path):
-            old = pq.read_table(path).to_pandas()
+            old_t = pq.read_table(path)
+            old = old_t.to_pandas()
             old = old[~old[key].astype(str).isin(dels)]
             old = old[~old[key].isin(new[key])]
             merged = pd.concat([old, new], ignore_index=True)
         else:
             merged = new
+        if not len(merged) and old_t is None:
+            return b, 0  # delete-only touch of a bucket that never existed
         merged = merged.sort_values(key, kind="mergesort").reset_index(drop=True)
+        if not len(merged):
+            # empty pandas object columns infer as Arrow NULL type —
+            # write the bucket's TRUE (pre-delete) schema instead, or a
+            # later key-pruned lookup fails to bind its string filter
+            out_t = old_t.schema.remove_metadata().empty_table()
+        else:
+            out_t = pa.Table.from_pandas(
+                merged, preserve_index=False).replace_schema_metadata(None)
         tmp = path + ".tmp"
-        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None), tmp)
+        pq.write_table(out_t, tmp)
         os.replace(tmp, path)
         return b, len(merged)
 

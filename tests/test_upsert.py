@@ -288,3 +288,32 @@ def test_arrival_chunks_scan_input_once(ray_session, tmp_path):
     # every landed file belongs to exactly one chunk directory
     landed = glob.glob(os.path.join(land, "chunk=*", "*.parquet"))
     assert len(landed) >= 4
+
+
+def test_bilateral_ivm_pending_claims_and_exactly_once(ray_session, tmp_path):
+    """Bilateral streaming join: the final view equals the batch join
+    aggregate, the pending state was genuinely USED (touched by
+    upserts) and fully CLAIMED (empty at end), every order is
+    registered, and re-running on the same state is a no-op."""
+    import json
+
+    from medical_knowledge_graph_ray.pipelines.relational import (
+        nation_rev_ivm, nation_rev_ivm_bilateral,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = str(tmp_path / "s")
+    got = nation_rev_ivm_bilateral(sf, state_dir=d)
+    batch = nation_rev_ivm(sf, state_dir=str(tmp_path / "u"))
+    pd.testing.assert_frame_equal(got, batch)
+
+    with open(os.path.join(d, "pending", "_MANIFEST.json")) as fh:
+        pend = json.load(fh)
+    assert pend["version"] > 0        # lineitem really arrived early
+    assert pend["rows"] == 0          # ...and every row was claimed
+    with open(os.path.join(d, "order_nation", "_MANIFEST.json")) as fh:
+        on = json.load(fh)
+    assert on["rows"] == 1500         # every order registered (sf0.001)
+
+    again = nation_rev_ivm_bilateral(sf, state_dir=d)  # ledger no-op
+    pd.testing.assert_frame_equal(got, again)
