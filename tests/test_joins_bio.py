@@ -609,3 +609,36 @@ def test_skew_auto_matches_off_and_mines_hot_keys(ray_session, monkeypatch):
     with pytest.raises(ValueError):
         hash_join(rd.from_pandas(left), rd.from_pandas(right),
                   on=["k"], skew="bogus")
+
+
+def test_sql_datasink_exactly_once_and_concurrent(ray_session, tmp_path):
+    """S7 external-DB sink: concurrent write tasks land every row
+    exactly once in sqlite; re-writing the same Dataset is a structural
+    no-op (slice ledger); the KG edges table round-trips."""
+    import numpy as np
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.sources.dbsink import (
+        read_sql_table, write_sql_table,
+    )
+
+    db = str(tmp_path / "sink.db")
+    df = pd.DataFrame({
+        "k": np.arange(5000, dtype="int64"),
+        "name": [f"n{i}" for i in range(5000)],
+        "w": np.linspace(0, 1, 5000),
+    })
+    ds = rd.from_pandas(df).repartition(8)  # 8 concurrent writer tasks
+    m = write_sql_table(ds, "edges", db_path=db)
+    assert m["rows"] == 5000 and m["slices"] == 8
+
+    back = read_sql_table("edges", db_path=db).sort_values(
+        "k").reset_index(drop=True)
+    assert back["k"].tolist() == df["k"].tolist()
+    assert back["name"].tolist() == df["name"].tolist()
+    assert np.allclose(back["w"], df["w"])
+
+    # identical blocks retry as no-ops — no duplicate rows
+    m2 = write_sql_table(ds, "edges", db_path=db)
+    assert m2 == {"rows": 0, "slices": 0}
+    assert len(read_sql_table("edges", db_path=db)) == 5000
