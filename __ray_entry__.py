@@ -133,6 +133,14 @@ def _ner_train(sf_dir: str):
     return ner_train_pages(sf_dir)
 
 
+def _kg_segment_hmm(sf_dir: str):
+    from medical_knowledge_graph_ray.pipelines.ner_train import (
+        kg_segment_hmm,
+    )
+
+    return kg_segment_hmm(sf_dir)
+
+
 def _kg_flagship_neural(sf_dir: str):
     from medical_knowledge_graph_ray.pipelines.ner_train import (
         kg_flagship_neural,
@@ -794,6 +802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # matrix→run; exact-span corroboration keeps e2e triple P/R vs
         # the default-ensemble graph ≥ 0.95 — tests/test_trained_ensemble)
         "kg_flagship_trained": _kg_flagship_trained,
+        "kg_segment_hmm": _kg_segment_hmm,
         "kg_flagship_neural": _kg_flagship_neural,
         # MUC-style NER evaluation (strict/exact/partial/ent_type P&R per
         # model per type — the reference's quality gate; gold+preds are

@@ -335,3 +335,55 @@ def kg_flagship_neural(sf_dir: str, *, out_root: str | None = None):
     return out_df.sort_values(
         ["subj_type", "pred", "obj_type"]
     ).reset_index(drop=True)
+
+
+def kg_segment_hmm(sf_dir: str) -> pd.DataFrame:
+    """Dictionary-projected HMM segmentation census (the jieba-HMM OOV
+    role, ``stages/segment.py``): train BMES tables on the sf-scaled
+    corpus (exact integer censuses, parallelism-invariant), then
+    segment every NON-ENTITY run and count the discovered multi-char
+    words.  Output = top-40 (word, n_runs) census — bounded,
+    deterministic.  Rows-only (Viterbi decode has no SQL oracle; the
+    decode/training contracts are pytest-pinned in test_segment.py)."""
+    from ..functions.arrow import arrow_out
+    from ..ontology import MEDICAL_GAZETTEER
+    from ..stages.segment import train_hmm_segmenter
+    from ..stages.shuffle import bucketed_group_map
+    from .kg import corpus_for_sf, sentences_dataset
+
+    corpus = corpus_for_sf(sf_dir)
+    sents = sentences_dataset(corpus).select_columns(["sentence"])
+    params = train_hmm_segmenter(sents, MEDICAL_GAZETTEER)
+
+    import ray
+
+    pref = ray.put(params)
+
+    _CACHE: dict = {}
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.tokenize import Tokenizer
+
+        tok = _CACHE.get("tok")
+        if tok is None:
+            tok = _CACHE["tok"] = Tokenizer(
+                MEDICAL_GAZETTEER, hmm_params=ray.get(pref))
+        counts: dict[str, int] = {}
+        for s in b["sentence"]:
+            for w, tag, _s, _e in tok.tokenize(s):
+                if tag == "n" and len(w) > 1:
+                    counts[w] = counts.get(w, 0) + 1
+        return pd.DataFrame(
+            {"word": pd.array(list(counts), "str"),
+             "n_runs": pd.array(list(counts.values()), "int64")})
+
+    parts = sents.map_batches(arrow_out(census), batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("word", sort=False, as_index=False)["n_runs"].sum()
+
+    agg = bucketed_group_map(parts, ["word"], fold).to_pandas()
+    return (agg.sort_values(["n_runs", "word"],
+                            ascending=[False, True]).head(40)
+            .reset_index(drop=True)
+            .astype({"word": "str", "n_runs": "int64"}))

@@ -29,10 +29,29 @@ Token = list  # [word, tag, start, end] — mutable on purpose (merge rules)
 
 
 class Tokenizer:
-    """Stateful (automaton built once) — actor-pool friendly (M1)."""
+    """Stateful (automaton built once) — actor-pool friendly (M1).
 
-    def __init__(self, gazetteer: dict[str, str] | None = None):
+    ``hmm_params`` (optional, from ``stages/segment.py:
+    train_hmm_segmenter``) turns on jieba-HMM-style OOV segmentation:
+    a non-entity CJK run is split into words by the BMES Viterbi decode
+    instead of staying one fat ``n`` token.  Opt-in — the default
+    tokenization (and every golden e2e artifact) is unchanged."""
+
+    def __init__(self, gazetteer: dict[str, str] | None = None,
+                 hmm_params: dict | None = None):
         self.matcher = GazetteerMatcher(gazetteer or MEDICAL_GAZETTEER)
+        self.hmm = hmm_params
+
+    def _emit_n(self, text: str, base: int, out: list[Token]) -> None:
+        if self.hmm is None:
+            out.append([text, "n", base, base + len(text)])
+            return
+        from .segment import viterbi_segment
+
+        pos = base
+        for w in viterbi_segment(self.hmm, text):
+            out.append([w, "n", pos, pos + len(w)])
+            pos += len(w)
 
     def _classify_run(self, text: str, base: int, out: list[Token]) -> None:
         """Split a non-entity run into m/x/n tokens."""
@@ -52,7 +71,7 @@ class Tokenizer:
             j = i
             while j < n and text[j] not in _PUNCT and not _NUM_RE.match(text, j):
                 j += 1
-            out.append([text[i:j], "n", base + i, base + j])
+            self._emit_n(text[i:j], base + i, out)
             i = j
 
     def tokenize(self, sentence: str) -> list[Token]:
