@@ -707,6 +707,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_skyline": relational.lineitem_skyline,
         "supplier_value_share": relational.supplier_value_share,
         "embed_quantize": docs.embed_quantize,
+        "embed_topk_dims": docs.embed_topk_dims,
+        "events_runlengths": events.events_runlengths,
+        "orders_weekly_iso": relational.orders_weekly_iso,
         "events_sankey": events.events_sankey,
         "events_ewma": events.events_ewma,
         "lineitem_moments": relational.lineitem_moments,
@@ -981,7 +984,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 additions (driver-verify the new operators)
         "lineitem_skyline", "lineitem_moments", "events_sankey",
         "events_ewma", "supplier_value_share", "embed_quantize",
-        "nation_rev_ivm_bilateral",
+        "nation_rev_ivm_bilateral", "events_runlengths",
+        "orders_weekly_iso", "embed_topk_dims",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -1015,7 +1019,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 demotions (driver-verified in the r4 window)
         "events_linear_attrib", "events_hmm_score", "embed_triplets",
         "events_wilson", "customers_kanon", "customers_clv",
-        "events_cuped",
+        "events_cuped", "events_bounce_rate", "kg_harmonic",
+        "docs_search_snippets",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1241,6 +1246,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_skyline": relational.LINEITEM_SKYLINE_SQL,
         "supplier_value_share": relational.SUPPLIER_VALUE_SHARE_SQL,
         "embed_quantize": docs.EMBED_QUANTIZE_SQL,
+        "embed_topk_dims": docs.EMBED_TOPK_DIMS_SQL,
+        "events_runlengths": events.EVENTS_RUNLENGTHS_SQL,
+        "orders_weekly_iso": relational.ORDERS_WEEKLY_ISO_SQL,
         "events_sankey": events.EVENTS_SANKEY_SQL,
         "events_ewma": events.EVENTS_EWMA_SQL,
         "lineitem_moments": relational.LINEITEM_MOMENTS_SQL,

@@ -153,6 +153,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "kg_nodes_ontology", "lineitem_skyline", "lineitem_moments",
         "events_sankey", "events_ewma", "supplier_value_share",
         "embed_quantize", "nation_rev_ivm_bilateral",
+        "events_runlengths", "orders_weekly_iso", "embed_topk_dims",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

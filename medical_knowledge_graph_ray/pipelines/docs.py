@@ -6056,3 +6056,67 @@ SELECT vec_id,
 FROM q
 GROUP BY vec_id
 """
+
+
+# -- per-label top embedding dimensions -------------------------------------------
+
+TOPK_DIMS = 5
+
+
+def embed_topk_dims(sf_dir: str) -> pd.DataFrame:
+    """Per-label TOP-5 embedding dimensions by total |activation| — the
+    feature-importance census over the vector table.  Per-batch exact
+    int64 partials (each |x| floored to micro BEFORE the sum — the
+    order-free integer contract), one tiny (label × dim) exchange,
+    driver rank by (sum desc, dim asc)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"label": pd.array([], "int64"),
+                                 "dim": pd.array([], "int64"),
+                                 "abs_u": pd.array([], "int64")})
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        au = np.floor(np.abs(mat) * 1e6 + 0.5).astype("int64")
+        lab = b["label"].to_numpy().astype("int64")
+        frames = []
+        for lv in np.unique(lab):
+            s = au[lab == lv].sum(axis=0)
+            frames.append(pd.DataFrame(
+                {"label": lv, "dim": np.arange(len(s), dtype="int64"),
+                 "abs_u": s}))
+        return pd.concat(frames, ignore_index=True).astype("int64")
+
+    agg = (_embeddings(sf_dir).map_batches(
+        arrow_out(partial), batch_format="pandas")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("abs_u", alias_name="abs_u")).to_pandas())
+    agg = agg.sort_values(["label", "abs_u", "dim"],
+                          ascending=[True, False, True])
+    top = agg.groupby("label").head(TOPK_DIMS).reset_index(drop=True)
+    top["rank"] = top.groupby("label").cumcount() + 1
+    return top[["label", "rank", "dim", "abs_u"]].astype("int64")
+
+
+EMBED_TOPK_DIMS_SQL = f"""
+WITH u AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x,
+         CAST(GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS BIGINT) AS dim
+  FROM embeddings),
+s AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(FLOOR(ABS(x) * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS abs_u
+  FROM u GROUP BY 1, 2),
+r AS (
+  SELECT label, dim, abs_u,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY abs_u DESC, dim) AS rank
+  FROM s)
+SELECT label, CAST(rank AS BIGINT) AS rank, dim, abs_u
+FROM r WHERE rank <= {TOPK_DIMS}
+"""

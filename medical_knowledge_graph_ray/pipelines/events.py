@@ -4812,3 +4812,70 @@ SELECT a.user_id, CAST(a.rn AS BIGINT) AS rn,
 FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
 GROUP BY 1, 2
 """
+
+
+# -- run-length encoding census (gaps-and-islands) --------------------------------
+
+def events_runlengths(sf_dir: str):
+    """Run-length census of consecutive same-type events per user — the
+    gaps-and-islands operator (how long do users persist in one
+    activity?): count (event_type, run_length) over every maximal
+    same-type run in every user's time-ordered stream.
+
+    ONE user-bucketed exchange; inside a bucket runs are pure
+    vectorized diffs on the (user, ts, event_id)-sorted frame; the
+    census is |types|·max_run bounded."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def rle_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        user = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        if not n:
+            return pd.DataFrame({"event_type": pd.array([], "str"),
+                                 "run_length": pd.array([], "int64"),
+                                 "n_runs": pd.array([], "int64")})
+        new_run = np.r_[True, (user[1:] != user[:-1]) | (et[1:] != et[:-1])]
+        starts = np.flatnonzero(new_run)
+        lengths = np.diff(np.r_[starts, n])
+        df = pd.DataFrame({"event_type": et[starts],
+                           "run_length": lengths.astype("int64")})
+        out = (df.groupby(["event_type", "run_length"], sort=False)
+               .size().rename("n_runs").reset_index())
+        return out.astype({"run_length": "int64", "n_runs": "int64"})
+
+    runs = bucketed_group_map(ev, ["user_id"], rle_partial, num_buckets=32)
+    agg = runs.groupby(["event_type", "run_length"]).aggregate(
+        Sum("n_runs", alias_name="n_runs"))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": b["event_type"].astype(str),
+             "run_length": b["run_length"].astype("int64"),
+             "n_runs": b["n_runs"].astype("int64")})
+
+    return agg.map_batches(arrow_out(finalize), batch_format="pandas")
+
+
+EVENTS_RUNLENGTHS_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS island
+  FROM events),
+r AS (
+  SELECT user_id, event_type, island,
+         CAST(COUNT(*) AS BIGINT) AS run_length
+  FROM e GROUP BY 1, 2, 3)
+SELECT event_type, run_length, CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM r GROUP BY 1, 2
+"""

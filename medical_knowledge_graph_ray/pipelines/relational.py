@@ -8017,3 +8017,46 @@ def nation_rev_ivm_bilateral(sf_dir: str, n_chunks: int = 3,
                             "str"),
          "rev_u": state["u"].astype("int64")})
         .sort_values("n_name").reset_index(drop=True))
+
+
+# -- ISO-week revenue (calendar parity) -------------------------------------------
+
+def orders_weekly_iso(sf_dir: str) -> pd.DataFrame:
+    """Revenue by ISO-8601 (year, week) — the calendar bucketing every
+    BI layer needs, with the ISO week-numbering edge cases (years whose
+    Jan 1 falls late in a week belong to the previous ISO year) decided
+    identically by pandas ``isocalendar`` and DuckDB ``yearweek``
+    family.  Per-batch int64 cent partials; the calendar-BOUNDED census
+    (≤ years·53 rows) folds driver-side — Ray aggregates on datetime
+    keys are banned in this repo (worker-side precision warnings)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(b["o_orderdate"])
+        iso = d.dt.isocalendar()
+        c = np.rint(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        g = (pd.DataFrame({"iso_year": iso["year"].astype("int64"),
+                           "iso_week": iso["week"].astype("int64"),
+                           "n_orders": 1, "rev_cents": c})
+             .groupby(["iso_year", "iso_week"], sort=False, as_index=False)
+             .sum())
+        return g.astype("int64")
+
+    parts = ds.map_batches(arrow_out(partial),
+                           batch_format="pandas").to_pandas()
+    out = (parts.groupby(["iso_year", "iso_week"], as_index=False)
+           [["n_orders", "rev_cents"]].sum()
+           .sort_values(["iso_year", "iso_week"]).reset_index(drop=True))
+    return out.astype("int64")
+
+
+ORDERS_WEEKLY_ISO_SQL = """
+SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+       CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
