@@ -708,6 +708,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_value_share": relational.supplier_value_share,
         "embed_quantize": docs.embed_quantize,
         "embed_topk_dims": docs.embed_topk_dims,
+        "customers_ldiversity": relational.customers_ldiversity,
+        "docs_script_mix": docs.docs_script_mix,
         "events_runlengths": events.events_runlengths,
         "orders_weekly_iso": relational.orders_weekly_iso,
         "events_sankey": events.events_sankey,
@@ -985,7 +987,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_skyline", "lineitem_moments", "events_sankey",
         "events_ewma", "supplier_value_share", "embed_quantize",
         "nation_rev_ivm_bilateral", "events_runlengths",
-        "orders_weekly_iso", "embed_topk_dims",
+        "orders_weekly_iso", "embed_topk_dims", "customers_ldiversity",
+        "docs_script_mix",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -1020,7 +1023,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_linear_attrib", "events_hmm_score", "embed_triplets",
         "events_wilson", "customers_kanon", "customers_clv",
         "events_cuped", "events_bounce_rate", "kg_harmonic",
-        "docs_search_snippets",
+        "docs_search_snippets", "docs_leakage_safe_split",
+        "orders_apportion",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1247,6 +1251,8 @@ def oracle_sql() -> dict[str, str]:
         "supplier_value_share": relational.SUPPLIER_VALUE_SHARE_SQL,
         "embed_quantize": docs.EMBED_QUANTIZE_SQL,
         "embed_topk_dims": docs.EMBED_TOPK_DIMS_SQL,
+        "customers_ldiversity": relational.CUSTOMERS_LDIVERSITY_SQL,
+        "docs_script_mix": docs.DOCS_SCRIPT_MIX_SQL,
         "events_runlengths": events.EVENTS_RUNLENGTHS_SQL,
         "orders_weekly_iso": relational.ORDERS_WEEKLY_ISO_SQL,
         "events_sankey": events.EVENTS_SANKEY_SQL,

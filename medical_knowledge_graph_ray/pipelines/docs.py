@@ -6120,3 +6120,81 @@ r AS (
 SELECT label, CAST(rank AS BIGINT) AS rank, dim, abs_u
 FROM r WHERE rank <= {TOPK_DIMS}
 """
+
+
+# -- script-composition census ----------------------------------------------------
+
+_CJK_RE = None
+
+
+def docs_script_mix(sf_dir: str) -> pd.DataFrame:
+    """Per-source SCRIPT composition — exact char-class counts (CJK /
+    latin / digit / other) over every document, the writing-system
+    census a multilingual curation pipeline cuts on (finer than
+    ``docs_langid``'s n-gram guess: these are exact counts, not a
+    classifier).  Pure per-batch vectorized counting (compiled regex,
+    applied per column not per row), one tiny per-source fold; basis
+    points are integer ``count·10⁴ // total``."""
+    import re
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    cjk = re.compile(r"[一-鿿]")
+    lat = re.compile(r"[A-Za-z]")
+    dig = re.compile(r"[0-9]")
+
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].astype(str)
+        g = pd.DataFrame({
+            "source": b["source"].astype(str),
+            "n_chars": t.str.len().astype("int64"),
+            "n_cjk": t.str.count(cjk).astype("int64"),
+            "n_latin": t.str.count(lat).astype("int64"),
+            "n_digit": t.str.count(dig).astype("int64"),
+        }).groupby("source", sort=False, as_index=False).sum()
+        return g
+
+    agg = (docs.map_batches(arrow_out(partial), batch_format="pandas")
+           .groupby("source")
+           .aggregate(Sum("n_chars", alias_name="n_chars"),
+                      Sum("n_cjk", alias_name="n_cjk"),
+                      Sum("n_latin", alias_name="n_latin"),
+                      Sum("n_digit", alias_name="n_digit"))
+           .to_pandas())
+    tot = agg["n_chars"].to_numpy("int64")
+    out = pd.DataFrame({
+        "source": pd.array(agg["source"], "str"),
+        "n_chars": tot,
+        "cjk_bp": agg["n_cjk"].to_numpy("int64") * 10_000 // tot,
+        "latin_bp": agg["n_latin"].to_numpy("int64") * 10_000 // tot,
+        "digit_bp": agg["n_digit"].to_numpy("int64") * 10_000 // tot,
+    })
+    return out.sort_values("source").reset_index(drop=True)
+
+
+DOCS_SCRIPT_MIX_SQL = r"""
+WITH c AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text)
+              - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))
+              AS BIGINT) AS n_cjk,
+         CAST(length(text)
+              - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS n_latin,
+         CAST(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS n_digit
+  FROM documents)
+SELECT source,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(n_cjk) * 10000 // SUM(n_chars) AS BIGINT) AS cjk_bp,
+       CAST(SUM(n_latin) * 10000 // SUM(n_chars) AS BIGINT) AS latin_bp,
+       CAST(SUM(n_digit) * 10000 // SUM(n_chars) AS BIGINT) AS digit_bp
+FROM c GROUP BY 1
+ORDER BY 1
+"""

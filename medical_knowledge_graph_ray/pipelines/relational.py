@@ -8060,3 +8060,64 @@ FROM orders
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# -- l-diversity privacy audit ----------------------------------------------------
+
+def customers_ldiversity(sf_dir: str) -> pd.DataFrame:
+    """l-DIVERSITY audit over the (nation, mktsegment) quasi-identifier
+    groups — the sibling of ``customers_kanon``: a group is safe only
+    if its SENSITIVE attribute (account-balance sign class:
+    negative / low / high) takes ≥ l distinct values, or one
+    re-identified row leaks the sensitive value outright.
+
+    Per-batch (qi-group, class) int64 census partials → one tiny
+    bounded exchange (≤ nations·segments·3 rows) → driver
+    distinct-class fold.  Emits every group with its size, class
+    diversity, and the l=2 / l=3 safety flags."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bal = b["c_acctbal"].to_numpy()
+        cls = np.where(bal < 0.0, 0, np.where(bal < 5000.0, 1, 2))
+        g = (pd.DataFrame({"nationkey": b["c_nationkey"].astype("int64"),
+                           "mktsegment": b["c_mktsegment"].astype(str),
+                           "bal_class": cls.astype("int64"), "n": 1})
+             .groupby(["nationkey", "mktsegment", "bal_class"],
+                      sort=False, as_index=False)["n"].sum())
+        return g.astype({"nationkey": "int64", "bal_class": "int64",
+                         "n": "int64"})
+
+    agg = (ds.map_batches(arrow_out(partial), batch_format="pandas")
+           .groupby(["nationkey", "mktsegment", "bal_class"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    out = (agg.groupby(["nationkey", "mktsegment"])
+           .agg(group_size=("n", "sum"), l_diversity=("bal_class", "nunique"))
+           .reset_index())
+    out["safe_l2"] = (out["l_diversity"] >= 2).astype("int64")
+    out["safe_l3"] = (out["l_diversity"] >= 3).astype("int64")
+    return (out.sort_values(["nationkey", "mktsegment"])
+            .reset_index(drop=True)
+            .astype({"nationkey": "int64", "mktsegment": "str",
+                     "group_size": "int64", "l_diversity": "int64"}))
+
+
+CUSTOMERS_LDIVERSITY_SQL = """
+WITH c AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 0
+              WHEN c_acctbal < 5000 THEN 1 ELSE 2 END AS bal_class
+  FROM customer)
+SELECT nationkey, mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(COUNT(DISTINCT bal_class) AS BIGINT) AS l_diversity,
+       CAST(CASE WHEN COUNT(DISTINCT bal_class) >= 2 THEN 1 ELSE 0 END
+            AS BIGINT) AS safe_l2,
+       CAST(CASE WHEN COUNT(DISTINCT bal_class) >= 3 THEN 1 ELSE 0 END
+            AS BIGINT) AS safe_l3
+FROM c GROUP BY 1, 2
+ORDER BY 1, 2
+"""
