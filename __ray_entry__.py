@@ -710,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_topk_dims": docs.embed_topk_dims,
         "customers_ldiversity": relational.customers_ldiversity,
         "docs_script_mix": docs.docs_script_mix,
+        "events_fano": events.events_fano,
         "events_runlengths": events.events_runlengths,
         "orders_weekly_iso": relational.orders_weekly_iso,
         "events_sankey": events.events_sankey,
@@ -988,7 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma", "supplier_value_share", "embed_quantize",
         "nation_rev_ivm_bilateral", "events_runlengths",
         "orders_weekly_iso", "embed_topk_dims", "customers_ldiversity",
-        "docs_script_mix",
+        "docs_script_mix", "events_fano",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -1024,7 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_wilson", "customers_kanon", "customers_clv",
         "events_cuped", "events_bounce_rate", "kg_harmonic",
         "docs_search_snippets", "docs_leakage_safe_split",
-        "orders_apportion",
+        "orders_apportion", "orders_woe",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1253,6 +1254,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_topk_dims": docs.EMBED_TOPK_DIMS_SQL,
         "customers_ldiversity": relational.CUSTOMERS_LDIVERSITY_SQL,
         "docs_script_mix": docs.DOCS_SCRIPT_MIX_SQL,
+        "events_fano": events.EVENTS_FANO_SQL,
         "events_runlengths": events.EVENTS_RUNLENGTHS_SQL,
         "orders_weekly_iso": relational.ORDERS_WEEKLY_ISO_SQL,
         "events_sankey": events.EVENTS_SANKEY_SQL,

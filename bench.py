@@ -154,7 +154,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "events_sankey", "events_ewma", "supplier_value_share",
         "embed_quantize", "nation_rev_ivm_bilateral",
         "events_runlengths", "orders_weekly_iso", "embed_topk_dims",
-        "customers_ldiversity", "docs_script_mix",
+        "customers_ldiversity", "docs_script_mix", "events_fano",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

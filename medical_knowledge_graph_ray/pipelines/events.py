@@ -4879,3 +4879,74 @@ r AS (
 SELECT event_type, run_length, CAST(COUNT(*) AS BIGINT) AS n_runs
 FROM r GROUP BY 1, 2
 """
+
+
+# -- burstiness (Fano factor) -----------------------------------------------------
+
+def events_fano(sf_dir: str):
+    """Per-type BURSTINESS of daily arrival counts — the Fano factor
+    (variance / mean; 1 = Poisson, >1 = bursty): the dispersion
+    diagnostic behind anomaly thresholds.  The (type, day) count census
+    is calendar-bounded (types × days); moments are exact ints and the
+    single float division is mirrored term-for-term, emitted
+    floor-micro.  Days with zero events count as zero-count days via
+    the calendar span (first..last day PER TYPE), exactly as the oracle
+    computes it."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ev = _events(sf_dir, ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # unit-safe epoch-day (ts arrives as datetime64[us] here; an
+        # int64 // ns-per-day on µs values collapses every day to 0)
+        day = (pd.to_datetime(b["ts"]).to_numpy()
+               .astype("datetime64[D]").view("int64"))
+        g = (pd.DataFrame({"event_type": b["event_type"].astype(str),
+                           "day": day, "n": 1})
+             .groupby(["event_type", "day"], sort=False, as_index=False)
+             ["n"].sum())
+        return g.astype({"day": "int64", "n": "int64"})
+
+    cen = (ev.map_batches(arrow_out(partial), batch_format="pandas")
+           .groupby(["event_type", "day"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    rows = []
+    for et, g in cen.groupby("event_type"):
+        span = int(g["day"].max() - g["day"].min()) + 1
+        s1 = int(g["n"].sum())
+        s2 = int((g["n"].to_numpy("int64") ** 2).sum())  # zero days add 0
+        mean = s1 / span
+        var = s2 / span - mean * mean
+        fano = var / mean
+        rows.append((et, span, s1,
+                     int(np.floor(fano * 1e6 + 0.5))))
+    out = pd.DataFrame(rows, columns=["event_type", "n_days", "n_events",
+                                      "fano_micro"])
+    return (out.sort_values("event_type").reset_index(drop=True)
+            .astype({"event_type": "str", "n_days": "int64",
+                     "n_events": "int64", "fano_micro": "int64"}))
+
+
+EVENTS_FANO_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type,
+         CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS n_days,
+         CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(SUM(n * n) AS BIGINT) AS s2
+  FROM d GROUP BY 1)
+SELECT event_type, n_days, n_events,
+       CAST(FLOOR(
+         ((CAST(s2 AS DOUBLE) / n_days)
+          - (CAST(n_events AS DOUBLE) / n_days)
+            * (CAST(n_events AS DOUBLE) / n_days))
+         / (CAST(n_events AS DOUBLE) / n_days) * 1000000 + 0.5)
+         AS BIGINT) AS fano_micro
+FROM s
+ORDER BY 1
+"""
