@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_doc_edges": docs_kg.doc_edges,
         "kg_doc_nodes": docs_kg.doc_nodes,
         "kg_nodes_ontology": docs_kg.kg_nodes_ontology,
+        "kg_eccentricity": docs_kg.kg_eccentricity,
         # relational operator families
         "q1_pricing": relational.q1_pricing,
         "q3_top_orders": relational.q3_top_orders,
@@ -989,7 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma", "supplier_value_share", "embed_quantize",
         "nation_rev_ivm_bilateral", "events_runlengths",
         "orders_weekly_iso", "embed_topk_dims", "customers_ldiversity",
-        "docs_script_mix", "events_fano",
+        "docs_script_mix", "events_fano", "kg_eccentricity",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -1025,7 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_wilson", "customers_kanon", "customers_clv",
         "events_cuped", "events_bounce_rate", "kg_harmonic",
         "docs_search_snippets", "docs_leakage_safe_split",
-        "orders_apportion", "orders_woe",
+        "orders_apportion", "orders_woe", "kg_label_modularity",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1042,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_doc_edges": docs_kg.edges_sql(),
         "kg_doc_nodes": docs_kg.nodes_sql(),
         "kg_nodes_ontology": docs_kg.kg_nodes_ontology_sql(),
+        "kg_eccentricity": docs_kg.eccentricity_sql(),
         "q1_pricing": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_region_revenue": relational.Q5_SQL,

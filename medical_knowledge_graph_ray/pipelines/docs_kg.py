@@ -1818,3 +1818,89 @@ def harmonic_sql() -> str:
         "            AS BIGINT) AS harmonic_micro\n"
         "FROM dist GROUP BY 1 ORDER BY 1"
     )
+
+
+def kg_eccentricity(sf_dir: str) -> pd.DataFrame:
+    """Per-node ECCENTRICITY over the co-occurrence graph (max shortest
+    path to any node in the same component) plus the component's
+    diameter/radius and the center/periphery flags — the graph-extent
+    audit (how stretched is the mined neighborhood?).  All-integer
+    (unweighted BFS depths), so exactly SQL-oracleable by the
+    ``kg_harmonic`` recursive-CTE pattern; component ids are the
+    MIN node term per component on both sides (order-free).
+
+    Shape: distributed co-occurrence mining → gazetteer-bounded edge
+    artifact → driver BFS per node (bounded-finalizer posture)."""
+    edges = doc_cooccurrence(sf_dir).to_pandas()  # ≤ |gazetteer|² rows
+    cols = ["term", "component", "eccentricity", "diameter", "radius",
+            "is_center", "is_peripheral"]
+    if not len(edges):
+        return pd.DataFrame({
+            "term": pd.array([], "str"), "component": pd.array([], "str"),
+            **{c: pd.array([], "int64") for c in cols[2:]}})
+    nodes = sorted(set(edges["term_a"]) | set(edges["term_b"]))
+    idx = {t: i for i, t in enumerate(nodes)}
+    n = len(nodes)
+    adj: list[set[int]] = [set() for _ in range(n)]
+    for a, b in zip(edges["term_a"], edges["term_b"]):
+        adj[idx[a]].add(idx[b])
+        adj[idx[b]].add(idx[a])
+    ecc = np.zeros(n, dtype=np.int64)
+    comp = np.full(n, -1, dtype=np.int64)
+    for s in range(n):
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier and d < HARMONIC_MAX_D:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        ecc[s] = max(dist.values())
+        comp[s] = min(dist)          # min node index reached = component id
+    out = pd.DataFrame({
+        "term": pd.array(nodes, "str"),
+        "component": pd.array([nodes[c] for c in comp], "str"),
+        "eccentricity": ecc,
+    })
+    g = out.groupby("component")["eccentricity"]
+    out["diameter"] = out["component"].map(g.max()).astype("int64")
+    out["radius"] = out["component"].map(g.min()).astype("int64")
+    out["is_center"] = (out["eccentricity"] == out["radius"]).astype("int64")
+    out["is_peripheral"] = (
+        out["eccentricity"] == out["diameter"]).astype("int64")
+    return (out.sort_values("term").reset_index(drop=True)
+            .astype({"eccentricity": "int64"}))
+
+
+def eccentricity_sql() -> str:
+    return (
+        f"WITH RECURSIVE ee AS (SELECT term_a, term_b FROM ({cooccur_sql()})),\n"
+        "e AS (SELECT term_a AS u, term_b AS v FROM ee\n"
+        "      UNION SELECT term_b, term_a FROM ee),\n"
+        "nodes AS (SELECT DISTINCT u FROM e),\n"
+        "reach(src, node, d) AS (\n"
+        "  SELECT u AS src, u AS node, 0 AS d FROM nodes\n"
+        "  UNION\n"
+        "  SELECT r.src, e.v, r.d + 1 FROM reach r JOIN e ON e.u = r.node\n"
+        f"  WHERE r.d < {HARMONIC_MAX_D}\n"
+        "),\n"
+        "dist AS (SELECT src, node, MIN(d) AS d FROM reach GROUP BY 1, 2),\n"
+        "ec AS (SELECT src AS term, MIN(node) AS component,\n"
+        "              CAST(MAX(d) AS BIGINT) AS eccentricity\n"
+        "       FROM dist GROUP BY 1),\n"
+        "cs AS (SELECT component, CAST(MAX(eccentricity) AS BIGINT) AS diameter,\n"
+        "              CAST(MIN(eccentricity) AS BIGINT) AS radius\n"
+        "       FROM ec GROUP BY 1)\n"
+        "SELECT ec.term, ec.component, ec.eccentricity, cs.diameter, cs.radius,\n"
+        "       CAST(CASE WHEN ec.eccentricity = cs.radius THEN 1 ELSE 0 END\n"
+        "            AS BIGINT) AS is_center,\n"
+        "       CAST(CASE WHEN ec.eccentricity = cs.diameter THEN 1 ELSE 0 END\n"
+        "            AS BIGINT) AS is_peripheral\n"
+        "FROM ec JOIN cs USING (component)\n"
+        "ORDER BY ec.term"
+    )
