@@ -712,6 +712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_ldiversity": relational.customers_ldiversity,
         "docs_script_mix": docs.docs_script_mix,
         "events_fano": events.events_fano,
+        "events_cooccur_window": events.events_cooccur_window,
+        "supplier_lead_time": relational.supplier_lead_time,
         "events_runlengths": events.events_runlengths,
         "orders_weekly_iso": relational.orders_weekly_iso,
         "events_sankey": events.events_sankey,
@@ -991,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_rev_ivm_bilateral", "events_runlengths",
         "orders_weekly_iso", "embed_topk_dims", "customers_ldiversity",
         "docs_script_mix", "events_fano", "kg_eccentricity",
+        "events_cooccur_window", "supplier_lead_time",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -1027,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cuped", "events_bounce_rate", "kg_harmonic",
         "docs_search_snippets", "docs_leakage_safe_split",
         "orders_apportion", "orders_woe", "kg_label_modularity",
+        "orders_backtest", "embed_rproj",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1257,6 +1261,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_ldiversity": relational.CUSTOMERS_LDIVERSITY_SQL,
         "docs_script_mix": docs.DOCS_SCRIPT_MIX_SQL,
         "events_fano": events.EVENTS_FANO_SQL,
+        "events_cooccur_window": events.EVENTS_COOCCUR_WINDOW_SQL,
+        "supplier_lead_time": relational.SUPPLIER_LEAD_TIME_SQL,
         "events_runlengths": events.EVENTS_RUNLENGTHS_SQL,
         "orders_weekly_iso": relational.ORDERS_WEEKLY_ISO_SQL,
         "events_sankey": events.EVENTS_SANKEY_SQL,

@@ -155,7 +155,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "embed_quantize", "nation_rev_ivm_bilateral",
         "events_runlengths", "orders_weekly_iso", "embed_topk_dims",
         "customers_ldiversity", "docs_script_mix", "events_fano",
-        "kg_eccentricity",
+        "kg_eccentricity", "events_cooccur_window", "supplier_lead_time",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

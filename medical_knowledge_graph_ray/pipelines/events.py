@@ -4950,3 +4950,86 @@ SELECT event_type, n_days, n_events,
 FROM s
 ORDER BY 1
 """
+
+
+# -- windowed type co-occurrence --------------------------------------------------
+
+COOCCUR_WINDOW_US = 5 * 60 * 1_000_000  # 5 minutes
+
+
+def events_cooccur_window(sf_dir: str):
+    """Type pairs co-occurring within a 5-minute window of the SAME
+    user — the temporal-proximity census behind session-level intent
+    signals (an interval self-join, the band-join family): count
+    ordered pairs (type_a ≤ type_b, distinct events,
+    |ts_a − ts_b| ≤ 5 min).
+
+    ONE user-bucketed exchange; in-bucket the band join is TWO
+    searchsorteds on the (user-rank << 45) + µs composite key (the
+    ``events_rolling_time`` trick — peers included exactly like SQL
+    RANGE), then a vectorized pair-type census; output is |types|²
+    bounded."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        if not n:
+            return pd.DataFrame({"type_a": pd.array([], "str"),
+                                 "type_b": pd.array([], "str"),
+                                 "n_pairs": pd.array([], "int64")})
+        user = g["user_id"].to_numpy()
+        ts = pd.to_datetime(g["ts"]).to_numpy().astype(
+            "datetime64[us]").view("int64")
+        et = g["event_type"].to_numpy()
+        urank = np.cumsum(np.r_[0, (user[1:] != user[:-1]).astype(np.int64)])
+        key = (urank << np.int64(45)) + ts
+        hi = np.searchsorted(key, key + COOCCUR_WINDOW_US, side="right")
+        # pairs (i, j) with i < j ≤ hi_i — vectorized expansion
+        m = hi - np.arange(n) - 1
+        total = int(m.sum())
+        if not total:
+            return pd.DataFrame({"type_a": pd.array([], "str"),
+                                 "type_b": pd.array([], "str"),
+                                 "n_pairs": pd.array([], "int64")})
+        i_idx = np.repeat(np.arange(n), m)
+        off = np.arange(total) - np.repeat(np.cumsum(m) - m, m)
+        j_idx = i_idx + 1 + off
+        a, b = et[i_idx], et[j_idx]
+        lo = np.where(a <= b, a, b)
+        hi_t = np.where(a <= b, b, a)
+        df = pd.DataFrame({"type_a": lo, "type_b": hi_t})
+        out = (df.groupby(["type_a", "type_b"], sort=False)
+               .size().rename("n_pairs").reset_index())
+        return out.astype({"n_pairs": "int64"})
+
+    pairs = bucketed_group_map(ev, ["user_id"], pair_partial,
+                               num_buckets=32)
+    agg = pairs.groupby(["type_a", "type_b"]).aggregate(
+        Sum("n_pairs", alias_name="n_pairs"))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"type_a": b["type_a"].astype(str),
+             "type_b": b["type_b"].astype(str),
+             "n_pairs": b["n_pairs"].astype("int64")})
+
+    return agg.map_batches(arrow_out(finalize), batch_format="pandas")
+
+
+EVENTS_COOCCUR_WINDOW_SQL = """
+SELECT LEAST(a.event_type, b.event_type) AS type_a,
+       GREATEST(a.event_type, b.event_type) AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY 1, 2
+"""

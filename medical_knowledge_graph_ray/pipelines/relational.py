@@ -8121,3 +8121,85 @@ SELECT nationkey, mktsegment,
 FROM c GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# -- fulfillment lead time --------------------------------------------------------
+
+def supplier_lead_time(sf_dir: str) -> pd.DataFrame:
+    """Per-supplier fulfillment LEAD TIME (ship date − order date, days)
+    — the operations KPI that needs the large-large orders⋈lineitem
+    join: ONE partitioned ``hash_join`` on orderkey with the
+    per-supplier day partials FUSED into the join buckets
+    (``bucket_post`` — the exchange carries supplier partials, never
+    joined rows), then a tiny supplier census fold.  Day arithmetic is
+    exact integer epoch-days (unit-safe datetime64[D] views); mean is
+    the single mirrored float path, floor-micro."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def o_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_orderkey": b["o_orderkey"].to_numpy("int64"),
+             "oday": pd.to_datetime(b["o_orderdate"]).to_numpy()
+             .astype("datetime64[D]").view("int64")})
+
+    def l_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_orderkey": b["l_orderkey"].to_numpy("int64"),
+             "suppkey": b["l_suppkey"].to_numpy("int64"),
+             "sday": pd.to_datetime(b["l_shipdate"]).to_numpy()
+             .astype("datetime64[D]").view("int64")})
+
+    def supp_partial(m: pd.DataFrame) -> pd.DataFrame:
+        lead = m["sday"].to_numpy("int64") - m["oday"].to_numpy("int64")
+        g = (pd.DataFrame({"suppkey": m["suppkey"].to_numpy("int64"),
+                           "n": 1, "sum_days": lead, "max_days": lead})
+             .groupby("suppkey", sort=False, as_index=False)
+             .agg(n=("n", "sum"), sum_days=("sum_days", "sum"),
+                  max_days=("max_days", "max")))
+        return g.astype("int64")
+
+    lschema = pa.schema([("l_orderkey", pa.int64()),
+                         ("suppkey", pa.int64()), ("sday", pa.int64())])
+    oschema = pa.schema([("l_orderkey", pa.int64()), ("oday", pa.int64())])
+    parts = hash_join(
+        li.map_batches(arrow_out(l_prep), batch_format="pandas"),
+        orders.map_batches(arrow_out(o_prep), batch_format="pandas"),
+        on=["l_orderkey"], left_schema=lschema, right_schema=oschema,
+        bucket_post=supp_partial)
+    agg = (parts.groupby("suppkey")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_days", alias_name="sum_days"),
+                      Max("max_days", alias_name="max_days"))
+           .to_pandas())  # ≤ |suppliers| rows
+    mean = agg["sum_days"].to_numpy("float64") / agg["n"].to_numpy("float64")
+    out = pd.DataFrame(
+        {"suppkey": agg["suppkey"].astype("int64"),
+         "n_lines": agg["n"].astype("int64"),
+         "sum_days": agg["sum_days"].astype("int64"),
+         "max_days": agg["max_days"].astype("int64"),
+         "mean_days_micro": np.floor(mean * 1e6 + 0.5).astype("int64")})
+    return out.sort_values("suppkey").reset_index(drop=True)
+
+
+SUPPLIER_LEAD_TIME_SQL = """
+WITH j AS (
+  SELECT l.l_suppkey AS suppkey,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS lead
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(lead) AS BIGINT) AS sum_days,
+       CAST(MAX(lead) AS BIGINT) AS max_days,
+       CAST(FLOOR(CAST(SUM(lead) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS mean_days_micro
+FROM j GROUP BY 1
+ORDER BY 1
+"""
