@@ -180,6 +180,21 @@ def main(argv: list[str] | None = None) -> int:
                     help="rows to print when no --out is given")
     qr.add_argument("--list", action="store_true", dest="list_names")
 
+    sv = sub.add_parser(
+        "serve",
+        help="deploy the named model/search serving actor and answer "
+        "one request: --sentence for NER prediction (the reference "
+        "app_multi response shape) or --terms for index search",
+    )
+    sv.add_argument("--sentence", default=None)
+    sv.add_argument("--terms", nargs="+", default=None)
+    sv.add_argument("--mode", choices=["and", "ranked", "phrase"],
+                    default="ranked")
+    sv.add_argument("--index", default=None,
+                    help="index dir for --terms (see the search command)")
+    sv.add_argument("--k", type=int, default=10)
+    sv.add_argument("--name", default="mkg_model_server")
+
     au = sub.add_parser(
         "audit",
         help="audit a run_kg output root: every manifest vs the actual "
@@ -332,6 +347,24 @@ def main(argv: list[str] | None = None) -> int:
                  "val_token_acc": float(final["val_token_acc"]),
                  "val_span_f1": float(final["val_span_f1"])}
             ))
+        elif args.cmd == "serve":
+            import ray as _ray
+
+            from .serving import deploy
+
+            server = deploy(args.name, index_dir=args.index)
+            if args.sentence:
+                preds = _ray.get(server.predict.remote(
+                    {"sentence": args.sentence}))
+                print(json.dumps({"endpoint": "predict",
+                                  "preds": preds}, ensure_ascii=False))
+            elif args.terms:
+                hits = _ray.get(server.search.remote(
+                    {"q": args.terms, "mode": args.mode, "k": args.k}))
+                print(json.dumps({"endpoint": "search", "mode": args.mode,
+                                  "hits": hits}, ensure_ascii=False))
+            else:
+                print(json.dumps(_ray.get(server.health.remote())))
         elif args.cmd == "search":
             import ray.data as rd
 
