@@ -713,6 +713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_script_mix": docs.docs_script_mix,
         "events_fano": events.events_fano,
         "events_cooccur_window": events.events_cooccur_window,
+        "events_active_time": events.events_active_time,
         "supplier_lead_time": relational.supplier_lead_time,
         "events_runlengths": events.events_runlengths,
         "orders_weekly_iso": relational.orders_weekly_iso,
@@ -994,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_weekly_iso", "embed_topk_dims", "customers_ldiversity",
         "docs_script_mix", "events_fano", "kg_eccentricity",
         "events_cooccur_window", "supplier_lead_time",
+        "events_active_time",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -1030,7 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cuped", "events_bounce_rate", "kg_harmonic",
         "docs_search_snippets", "docs_leakage_safe_split",
         "orders_apportion", "orders_woe", "kg_label_modularity",
-        "orders_backtest", "embed_rproj",
+        "orders_backtest", "embed_rproj", "events_hmm_score",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1262,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_script_mix": docs.DOCS_SCRIPT_MIX_SQL,
         "events_fano": events.EVENTS_FANO_SQL,
         "events_cooccur_window": events.EVENTS_COOCCUR_WINDOW_SQL,
+        "events_active_time": events.EVENTS_ACTIVE_TIME_SQL,
         "supplier_lead_time": relational.SUPPLIER_LEAD_TIME_SQL,
         "events_runlengths": events.EVENTS_RUNLENGTHS_SQL,
         "orders_weekly_iso": relational.ORDERS_WEEKLY_ISO_SQL,

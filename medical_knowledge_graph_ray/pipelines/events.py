@@ -5033,3 +5033,90 @@ FROM events a JOIN events b
  AND b.ts <= a.ts + INTERVAL 5 MINUTE
 GROUP BY 1, 2
 """
+
+
+# -- interval union (active time) -------------------------------------------------
+
+ACTIVE_WINDOW_US = 5 * 60 * 1_000_000  # each event opens a 5-minute interval
+
+
+def events_active_time(sf_dir: str):
+    """Per-user ACTIVE TIME: every event opens a 5-minute activity
+    interval; overlapping intervals MERGE (the interval-union sweep —
+    the dual of sessionization: bounded extension instead of
+    gap-splitting).  Emits per user the merged-island count and total
+    active microseconds — exact integers end-to-end.
+
+    ONE user-bucketed exchange; in-bucket the union is the classic
+    islands scan vectorized: an interval starts a new island iff its
+    start exceeds the running max end of everything before it."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def union_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        if not n:
+            return pd.DataFrame({"user_id": pd.array([], "int64"),
+                                 "n_islands": pd.array([], "int64"),
+                                 "active_us": pd.array([], "int64")})
+        user = g["user_id"].to_numpy()
+        ts = pd.to_datetime(g["ts"]).to_numpy().astype(
+            "datetime64[us]").view("int64")
+        end = ts + ACTIVE_WINDOW_US
+        rows_u, rows_k, rows_a = [], [], []
+        # islands per user, vectorized per user segment
+        seg_new = np.r_[True, user[1:] != user[:-1]]
+        seg_starts = np.flatnonzero(seg_new)
+        seg_ends = np.r_[seg_starts[1:], n]
+        for s, e in zip(seg_starts, seg_ends):
+            t, en = ts[s:e], end[s:e]
+            run_max = np.maximum.accumulate(en)
+            new_isl = np.r_[True, t[1:] > run_max[:-1]]
+            isl = np.cumsum(new_isl) - 1
+            isl_start = t[new_isl]
+            isl_end = np.maximum.reduceat(en, np.flatnonzero(new_isl))
+            rows_u.append(int(user[s]))
+            rows_k.append(int(new_isl.sum()))
+            rows_a.append(int((isl_end - isl_start).sum()))
+        return pd.DataFrame({"user_id": pd.array(rows_u, "int64"),
+                             "n_islands": pd.array(rows_k, "int64"),
+                             "active_us": pd.array(rows_a, "int64")})
+
+    return bucketed_group_map(ev, ["user_id"], union_partial,
+                              num_buckets=32)
+
+
+EVENTS_ACTIVE_TIME_SQL = f"""
+WITH e AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + {ACTIVE_WINDOW_US} AS e
+  FROM events),
+m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM e),
+i AS (
+  SELECT user_id, s, e,
+         CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+           AS new_island
+  FROM m),
+g AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM i),
+isl AS (
+  SELECT user_id, island, MIN(s) AS st, MAX(e) AS en
+  FROM g GROUP BY 1, 2)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(en - st) AS BIGINT) AS active_us
+FROM isl GROUP BY 1
+"""
