@@ -1032,7 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cuped", "events_bounce_rate", "kg_harmonic",
         "docs_search_snippets", "docs_leakage_safe_split",
         "orders_apportion", "orders_woe", "kg_label_modularity",
-        "orders_backtest", "embed_rproj", "events_hmm_score",
+        "orders_backtest", "embed_rproj", "events_peak_concurrency",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
