@@ -715,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cooccur_window": events.events_cooccur_window,
         "events_active_time": events.events_active_time,
         "supplier_lead_time": relational.supplier_lead_time,
+        "orders_lineitem_mergejoin": relational.orders_lineitem_mergejoin,
         "events_runlengths": events.events_runlengths,
         "orders_weekly_iso": relational.orders_weekly_iso,
         "events_sankey": events.events_sankey,
@@ -995,7 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_weekly_iso", "embed_topk_dims", "customers_ldiversity",
         "docs_script_mix", "events_fano", "kg_eccentricity",
         "events_cooccur_window", "supplier_lead_time",
-        "events_active_time",
+        "events_active_time", "orders_lineitem_mergejoin",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -1033,6 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search_snippets", "docs_leakage_safe_split",
         "orders_apportion", "orders_woe", "kg_label_modularity",
         "orders_backtest", "embed_rproj", "events_peak_concurrency",
+        "docs_corpus_report",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1266,6 +1268,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cooccur_window": events.EVENTS_COOCCUR_WINDOW_SQL,
         "events_active_time": events.EVENTS_ACTIVE_TIME_SQL,
         "supplier_lead_time": relational.SUPPLIER_LEAD_TIME_SQL,
+        "orders_lineitem_mergejoin": relational.ORDERS_LINEITEM_MERGEJOIN_SQL,
         "events_runlengths": events.EVENTS_RUNLENGTHS_SQL,
         "orders_weekly_iso": relational.ORDERS_WEEKLY_ISO_SQL,
         "events_sankey": events.EVENTS_SANKEY_SQL,

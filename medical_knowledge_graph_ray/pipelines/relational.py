@@ -8203,3 +8203,76 @@ SELECT suppkey,
 FROM j GROUP BY 1
 ORDER BY 1
 """
+
+
+# -- sort-merge join demonstration ------------------------------------------------
+
+def orders_lineitem_mergejoin(sf_dir: str) -> pd.DataFrame:
+    """Per-orderstatus line count + revenue through the SORT-MERGE join
+    strategy (``stages/joins.py:merge_join``): both sides range-
+    partition by orderkey VALUE (bounds from the parquet footer
+    statistics — zero scan), each bucket runs the two-pointer
+    searchsorted merge, and the per-status aggregate fuses into the
+    join buckets.  Result ≡ the hash-join/SQL answer (the strategy only
+    changes the exchange discipline, pytest-pinned row-identical)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import merge_join
+
+    f = pq.ParquetFile(f"{sf_dir}/orders.parquet")
+    stats = f.metadata.row_group(0).column(0).statistics
+    lo, hi = int(stats.min), int(stats.max)
+    for rg in range(1, f.metadata.num_row_groups):
+        s = f.metadata.row_group(rg).column(0).statistics
+        lo, hi = min(lo, int(s.min)), max(hi, int(s.max))
+
+    def l_prep(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.rint(b["l_extendedprice"].to_numpy()
+                    * (1.0 - b["l_discount"].to_numpy())
+                    * 10_000).astype("int64")
+        return pd.DataFrame(
+            {"l_orderkey": b["l_orderkey"].to_numpy("int64"), "u": u})
+
+    def o_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_orderkey": b["o_orderkey"].to_numpy("int64"),
+             "status": b["o_orderstatus"].astype(str)})
+
+    def post(m: pd.DataFrame) -> pd.DataFrame:
+        g = (m.groupby("status", sort=False, as_index=False)
+             .agg(n_lines=("u", "size"), rev_u=("u", "sum")))
+        return g.astype({"n_lines": "int64", "rev_u": "int64"})
+
+    lschema = pa.schema([("l_orderkey", pa.int64()), ("u", pa.int64())])
+    oschema = pa.schema([("l_orderkey", pa.int64()),
+                         ("status", pa.string())])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"]
+               ).map_batches(arrow_out(l_prep), batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus"]
+                   ).map_batches(arrow_out(o_prep), batch_format="pandas")
+    parts = merge_join(li, orders, "l_orderkey", key_range=(lo, hi),
+                       left_schema=lschema, right_schema=oschema,
+                       bucket_post=post)
+    agg = (parts.groupby("status")
+           .aggregate(Sum("n_lines", alias_name="n_lines"),
+                      Sum("rev_u", alias_name="rev_u")).to_pandas())
+    return (pd.DataFrame({"status": pd.array(agg["status"], "str"),
+                          "n_lines": agg["n_lines"].astype("int64"),
+                          "rev_u": agg["rev_u"].astype("int64")})
+            .sort_values("status").reset_index(drop=True))
+
+
+ORDERS_LINEITEM_MERGEJOIN_SQL = """
+SELECT o.o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000)
+                AS BIGINT)) AS BIGINT) AS rev_u
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+ORDER BY 1
+"""

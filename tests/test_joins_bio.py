@@ -642,3 +642,41 @@ def test_sql_datasink_exactly_once_and_concurrent(ray_session, tmp_path):
     m2 = write_sql_table(ds, "edges", db_path=db)
     assert m2 == {"rows": 0, "slices": 0}
     assert len(read_sql_table("edges", db_path=db)) == 5000
+
+
+def test_merge_join_equals_hash_join(ray_session):
+    """The sort-merge strategy is row-identical to the partitioned hash
+    join (inner, single int64 key), including duplicate-key expansion
+    and one-sided buckets; out-of-range keys clamp correctly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from medical_knowledge_graph_ray.stages.joins import (
+        hash_join, merge_join,
+    )
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 300, 2000).astype("int64"),
+        "lv": np.arange(2000, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "k": rng.randint(100, 500, 700).astype("int64"),  # partial overlap
+        "rv": (np.arange(700) * 3).astype("int64"),
+    })
+    ls = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+    rs = pa.schema([("k", pa.int64()), ("rv", pa.int64())])
+    lds = rd.from_pandas(left).repartition(5)
+    rds = rd.from_pandas(right).repartition(3)
+
+    got = merge_join(lds, rds, "k", key_range=(150, 350),  # deliberately
+                     left_schema=ls, right_schema=rs       # too narrow
+                     ).to_pandas()
+    want = hash_join(lds, rds, ["k"], left_schema=ls,
+                     right_schema=rs).to_pandas()
+    cols = ["k", "lv", "rv"]
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
