@@ -714,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_fano": events.events_fano,
         "events_cooccur_window": events.events_cooccur_window,
         "events_active_time": events.events_active_time,
+        "events_did": events.events_did,
         "supplier_lead_time": relational.supplier_lead_time,
         "orders_lineitem_mergejoin": relational.orders_lineitem_mergejoin,
         "events_runlengths": events.events_runlengths,
@@ -997,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_script_mix", "events_fano", "kg_eccentricity",
         "events_cooccur_window", "supplier_lead_time",
         "events_active_time", "orders_lineitem_mergejoin",
+        "events_did",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -1034,7 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search_snippets", "docs_leakage_safe_split",
         "orders_apportion", "orders_woe", "kg_label_modularity",
         "orders_backtest", "embed_rproj", "events_peak_concurrency",
-        "docs_corpus_report",
+        "docs_corpus_report", "lineitem_selfjoin_size",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1267,6 +1269,7 @@ def oracle_sql() -> dict[str, str]:
         "events_fano": events.EVENTS_FANO_SQL,
         "events_cooccur_window": events.EVENTS_COOCCUR_WINDOW_SQL,
         "events_active_time": events.EVENTS_ACTIVE_TIME_SQL,
+        "events_did": events.EVENTS_DID_SQL,
         "supplier_lead_time": relational.SUPPLIER_LEAD_TIME_SQL,
         "orders_lineitem_mergejoin": relational.ORDERS_LINEITEM_MERGEJOIN_SQL,
         "events_runlengths": events.EVENTS_RUNLENGTHS_SQL,

@@ -156,7 +156,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "events_runlengths", "orders_weekly_iso", "embed_topk_dims",
         "customers_ldiversity", "docs_script_mix", "events_fano",
         "kg_eccentricity", "events_cooccur_window", "supplier_lead_time",
-        "events_active_time", "orders_lineitem_mergejoin",
+        "events_active_time", "orders_lineitem_mergejoin", "events_did",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

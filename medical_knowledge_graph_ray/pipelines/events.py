@@ -5120,3 +5120,123 @@ SELECT user_id,
        CAST(SUM(en - st) AS BIGINT) AS active_us
 FROM isl GROUP BY 1
 """
+
+
+# -- difference-in-differences readout --------------------------------------------
+
+def events_did(sf_dir: str) -> pd.DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES readout — the quasi-experimental
+    sibling of ``events_cuped``: users split into control/treat by
+    content-stable md5 parity, the observation window into pre/post by
+    the integer µs midpoint; the effect estimate is
+    ``(treat_post − treat_pre) − (control_post − control_pre)`` on
+    per-user purchase value.
+
+    Exact contract: per-(variant) user counts and per-period cent sums
+    fold as exact int64 through ONE user-bucketed exchange; the four
+    means and the DiD are the only float arithmetic — mirrored
+    term-for-term, emitted floor-micro (did_micro is a constant column,
+    the tidy-table convention for a scalar estimate)."""
+    from ..functions.hashing import md5_int_vec_prefixed
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["user_id", "event_type", "ts", "value"])
+
+    def bounds(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].to_numpy("datetime64[us]").astype("int64")
+        if not len(t):
+            return pd.DataFrame({"lo": pd.array([], "int64"),
+                                 "hi": pd.array([], "int64")})
+        return pd.DataFrame({"lo": [int(t.min())], "hi": [int(t.max())]})
+
+    bf = ev.map_batches(arrow_out(bounds), batch_format="pandas").to_pandas()
+    lo, hi = int(bf["lo"].min()), int(bf["hi"].max())
+    mid = (lo + hi) // 2
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        et = g["event_type"].to_numpy()
+        cents = np.rint(g["value"].to_numpy() * 100).astype("int64")
+        pre = np.where((t < mid) & (et == "purchase"), cents, 0)
+        post = np.where((t >= mid) & (et == "purchase"), cents, 0)
+        per_user = (
+            pd.DataFrame({"user_id": g["user_id"], "pre": pre, "post": post})
+            .groupby("user_id", sort=False)
+            .agg(pre=("pre", "sum"), post=("post", "sum")).reset_index()
+        )
+        variant = (
+            md5_int_vec_prefixed("did1", per_user["user_id"].to_numpy(),
+                                 bits=32) % 2
+        ).astype("int64")
+        rows = []
+        for v in (0, 1):
+            m = variant == v
+            rows.append((v, int(m.sum()),
+                         int(per_user["pre"].to_numpy("int64")[m].sum()),
+                         int(per_user["post"].to_numpy("int64")[m].sum())))
+        return pd.DataFrame(
+            rows, columns=["variant", "n", "s_pre", "s_post"]).astype("int64")
+
+    parts = bucketed_group_map(ev, ["user_id"], bucket).to_pandas()
+    agg = parts.groupby("variant", sort=True).sum().reset_index()
+    nv = agg["n"].to_numpy("int64").astype("float64")
+    mpre = agg["s_pre"].to_numpy("int64").astype("float64") / nv
+    mpost = agg["s_post"].to_numpy("int64").astype("float64") / nv
+    did = (mpost[1] - mpre[1]) - (mpost[0] - mpre[0])
+    return pd.DataFrame({
+        "variant": agg["variant"].astype("int64"),
+        "n_users": agg["n"].astype("int64"),
+        "sum_pre_cents": agg["s_pre"].astype("int64"),
+        "sum_post_cents": agg["s_post"].astype("int64"),
+        "mean_pre_micro": np.floor(mpre * 1e6 + 0.5).astype("int64"),
+        "mean_post_micro": np.floor(mpost * 1e6 + 0.5).astype("int64"),
+        "did_micro": np.full(len(agg), int(np.floor(did * 1e6 + 0.5)),
+                             dtype="int64"),
+    })
+
+
+EVENTS_DID_SQL = """
+WITH b AS (
+  SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS lo,
+         CAST(epoch_us(MAX(ts)) AS BIGINT) AS hi
+  FROM events
+), u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN epoch_us(ts) < (lo + hi) // 2
+                        AND event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS pre,
+         CAST(SUM(CASE WHEN epoch_us(ts) >= (lo + hi) // 2
+                        AND event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS post
+  FROM events, b GROUP BY user_id
+), v AS (
+  SELECT pre, post,
+         CAST(('0x' || substr(md5('did1|' || CAST(user_id AS VARCHAR)), 1, 8)
+              )::UBIGINT % 2 AS BIGINT) AS variant
+  FROM u
+), g AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(pre) AS BIGINT) AS sum_pre_cents,
+         CAST(SUM(post) AS BIGINT) AS sum_post_cents
+  FROM v GROUP BY 1
+), m AS (
+  SELECT
+    (SELECT CAST(sum_post_cents AS DOUBLE) / CAST(n_users AS DOUBLE)
+     FROM g WHERE variant = 1)
+    - (SELECT CAST(sum_pre_cents AS DOUBLE) / CAST(n_users AS DOUBLE)
+       FROM g WHERE variant = 1)
+    - ((SELECT CAST(sum_post_cents AS DOUBLE) / CAST(n_users AS DOUBLE)
+        FROM g WHERE variant = 0)
+       - (SELECT CAST(sum_pre_cents AS DOUBLE) / CAST(n_users AS DOUBLE)
+          FROM g WHERE variant = 0)) AS did
+)
+SELECT variant, n_users, sum_pre_cents, sum_post_cents,
+       CAST(FLOOR(CAST(sum_pre_cents AS DOUBLE) / CAST(n_users AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS mean_pre_micro,
+       CAST(FLOOR(CAST(sum_post_cents AS DOUBLE) / CAST(n_users AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS mean_post_micro,
+       CAST(FLOOR(did * 1000000 + 0.5) AS BIGINT) AS did_micro
+FROM g, m ORDER BY variant
+"""
