@@ -715,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cooccur_window": events.events_cooccur_window,
         "events_active_time": events.events_active_time,
         "events_did": events.events_did,
+        "events_queue_wait": events.events_queue_wait,
         "supplier_lead_time": relational.supplier_lead_time,
         "orders_lineitem_mergejoin": relational.orders_lineitem_mergejoin,
         "events_runlengths": events.events_runlengths,
@@ -998,7 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_script_mix", "events_fano", "kg_eccentricity",
         "events_cooccur_window", "supplier_lead_time",
         "events_active_time", "orders_lineitem_mergejoin",
-        "events_did",
+        "events_did", "events_queue_wait",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -1037,6 +1038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_apportion", "orders_woe", "kg_label_modularity",
         "orders_backtest", "embed_rproj", "events_peak_concurrency",
         "docs_corpus_report", "lineitem_selfjoin_size",
+        "docs_search_ranked",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1270,6 +1272,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cooccur_window": events.EVENTS_COOCCUR_WINDOW_SQL,
         "events_active_time": events.EVENTS_ACTIVE_TIME_SQL,
         "events_did": events.EVENTS_DID_SQL,
+        "events_queue_wait": events.EVENTS_QUEUE_WAIT_SQL,
         "supplier_lead_time": relational.SUPPLIER_LEAD_TIME_SQL,
         "orders_lineitem_mergejoin": relational.ORDERS_LINEITEM_MERGEJOIN_SQL,
         "events_runlengths": events.EVENTS_RUNLENGTHS_SQL,

@@ -5240,3 +5240,94 @@ SELECT variant, n_users, sum_pre_cents, sum_post_cents,
        CAST(FLOOR(did * 1000000 + 0.5) AS BIGINT) AS did_micro
 FROM g, m ORDER BY variant
 """
+
+
+# -- Lindley queueing waits -------------------------------------------------------
+
+def events_queue_wait(sf_dir: str):
+    """Per-event QUEUE WAITING TIME under the single-server FIFO model
+    (Lindley recursion ``W₁=0, W_{n+1} = max(0, W_n + S_n − A_n)``):
+    each user is a queue, arrivals are the event times, service time is
+    the value-derived ``round(value·1000)`` µs — the operational
+    what-if (how backed up would a per-user worker be?).
+
+    The recursion LOOKS sequential but closes over prefix sums:
+    ``W_{n+1} = C_n − min(0, min_{k≤n} C_k)`` with
+    ``C_n = Σ_{j≤n}(S_j − A_j)`` — so the in-bucket compute is one
+    cumsum + one running min (vectorized, exact int64 µs), and the SQL
+    oracle is two window functions.  Emits per event the wait in µs."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def wait_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        if not n:
+            return pd.DataFrame({"user_id": pd.array([], "int64"),
+                                 "rn": pd.array([], "int64"),
+                                 "wait_us": pd.array([], "int64")})
+        user = g["user_id"].to_numpy()
+        ts = pd.to_datetime(g["ts"]).to_numpy().astype(
+            "datetime64[us]").view("int64")
+        svc = np.rint(g["value"].to_numpy() * 1000).astype("int64")
+        idx = np.arange(n, dtype=np.int64)
+        new = np.r_[True, user[1:] != user[:-1]]
+        seg_start = np.maximum.accumulate(np.where(new, idx, -1))
+        rn = idx - seg_start + 1
+        # X_j = S_j − A_j where A_j = inter-arrival to the NEXT event
+        inter = np.r_[ts[1:] - ts[:-1], np.int64(0)]
+        inter[np.r_[new[1:], True]] = 0   # last event of each user
+        x = svc - inter
+        # per-user cumulative C and running min via segment reset
+        c = np.zeros(n, dtype=np.int64)
+        w = np.zeros(n, dtype=np.int64)
+        for s in np.flatnonzero(new):
+            e = s + 1
+            while e < n and not new[e]:
+                e += 1
+            cs = np.cumsum(x[s:e])
+            run = np.minimum.accumulate(np.minimum(cs, 0))
+            # W of events 2..k uses C and min over the PREVIOUS prefix
+            w[s] = 0
+            if e - s > 1:
+                w[s + 1:e] = cs[:-1] - run[:-1]
+        return pd.DataFrame({"user_id": user.astype("int64"),
+                             "rn": rn.astype("int64"),
+                             "wait_us": w})
+
+    return bucketed_group_map(ev, ["user_id"], wait_bucket, num_buckets=32)
+
+
+EVENTS_QUEUE_WAIT_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(ROUND(value * 1000) AS BIGINT) AS svc,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+x AS (
+  SELECT user_id, rn,
+         svc - COALESCE(LEAD(t) OVER (PARTITION BY user_id
+                                      ORDER BY rn) - t, 0) AS xv
+  FROM e),
+c AS (
+  SELECT user_id, rn,
+         SUM(xv) OVER (PARTITION BY user_id ORDER BY rn
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM x),
+m AS (
+  SELECT user_id, rn, cum,
+         LEAST(MIN(cum) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS UNBOUNDED PRECEDING), 0) AS runmin
+  FROM c)
+SELECT user_id, CAST(rn + 1 AS BIGINT) AS rn,
+       CAST(cum - runmin AS BIGINT) AS wait_us
+FROM m
+WHERE rn + 1 <= (SELECT MAX(rn) FROM e e2 WHERE e2.user_id = m.user_id)
+UNION ALL
+SELECT user_id, CAST(1 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS wait_us
+FROM e WHERE rn = 1
+"""
