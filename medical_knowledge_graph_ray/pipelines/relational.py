@@ -8276,3 +8276,85 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# -- Kendall rank correlation -----------------------------------------------------
+
+def lineitem_kendall(sf_dir: str) -> pd.DataFrame:
+    """EXACT Kendall τ-b between quantity and discount — the
+    concordant/discordant-pair sibling of ``lineitem_spearman``, off the
+    same trick: both columns have small discrete domains, so a per-batch
+    (x, y)-count combiner collapses the table to ≤|X|·|Y| cells before
+    ONE tiny exchange, and ALL pair counting is exact integer math over
+    census cells (concordant/discordant/ties via cell-pair products —
+    never row pairs).  τ-b's denominator is the only float arithmetic:
+    one sqrt over exact ints, mirrored, floor-micro."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(b["l_quantity"].to_numpy()).astype("int64")
+        y = np.rint(b["l_discount"].to_numpy() * 100).astype("int64")
+        g = (pd.DataFrame({"x": x, "y": y, "n": 1})
+             .groupby(["x", "y"], sort=False, as_index=False)["n"].sum())
+        return g.astype("int64")
+
+    cen = (ds.map_batches(arrow_out(partial), batch_format="pandas")
+           .groupby(["x", "y"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    x = cen["x"].to_numpy("int64")
+    y = cen["y"].to_numpy("int64")
+    c = cen["n"].to_numpy("int64")
+    # cell-pair accumulation (≤ |cells|² products, exact Python ints)
+    C = D = 0
+    for i in range(len(c)):
+        gt = (x > x[i]) & (y > y[i])
+        lt = (x > x[i]) & (y < y[i])
+        C += int(c[i]) * int(c[gt].sum())
+        D += int(c[i]) * int(c[lt].sum())
+    n = int(c.sum())
+    n0 = n * (n - 1) // 2
+    tx = cen.groupby("x")["n"].sum().to_numpy("int64")
+    ty = cen.groupby("y")["n"].sum().to_numpy("int64")
+    n1 = int(sum(int(t) * (int(t) - 1) // 2 for t in tx))
+    n2 = int(sum(int(t) * (int(t) - 1) // 2 for t in ty))
+    import math
+
+    tau = (C - D) / math.sqrt(float(n0 - n1) * float(n0 - n2))
+    return pd.DataFrame({
+        "n": pd.array([n], "int64"),
+        "concordant": pd.array([C], "int64"),
+        "discordant": pd.array([D], "int64"),
+        "tau_b_micro": pd.array([int(np.floor(tau * 1e6 + 0.5))], "int64"),
+    })
+
+
+LINEITEM_KENDALL_SQL = """
+WITH cen AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_discount*100) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2),
+pairs AS (
+  SELECT CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                       THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                       THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d
+  FROM cen a, cen b),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n FROM cen),
+tiex AS (
+  SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n1
+  FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cen GROUP BY x)),
+tiey AS (
+  SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n2
+  FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cen GROUP BY y))
+SELECT tot.n AS n, pairs.c AS concordant, pairs.d AS discordant,
+       CAST(FLOOR(CAST(pairs.c - pairs.d AS DOUBLE)
+                  / sqrt(CAST(tot.n * (tot.n - 1) // 2 - tiex.n1 AS DOUBLE)
+                         * CAST(tot.n * (tot.n - 1) // 2 - tiey.n2
+                                AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS tau_b_micro
+FROM pairs, tot, tiex, tiey
+"""
