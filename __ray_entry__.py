@@ -717,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_did": events.events_did,
         "events_queue_wait": events.events_queue_wait,
         "lineitem_kendall": relational.lineitem_kendall,
+        "embed_drift": docs.embed_drift,
         "supplier_lead_time": relational.supplier_lead_time,
         "orders_lineitem_mergejoin": relational.orders_lineitem_mergejoin,
         "events_runlengths": events.events_runlengths,
@@ -1001,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cooccur_window", "supplier_lead_time",
         "events_active_time", "orders_lineitem_mergejoin",
         "events_did", "events_queue_wait", "lineitem_kendall",
+        "embed_drift",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -1039,7 +1041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_apportion", "orders_woe", "kg_label_modularity",
         "orders_backtest", "embed_rproj", "events_peak_concurrency",
         "docs_corpus_report", "lineitem_selfjoin_size",
-        "docs_search_ranked", "docs_search_phrase",
+        "docs_search_ranked", "docs_search_phrase", "kg_ppmi",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1275,6 +1277,7 @@ def oracle_sql() -> dict[str, str]:
         "events_did": events.EVENTS_DID_SQL,
         "events_queue_wait": events.EVENTS_QUEUE_WAIT_SQL,
         "lineitem_kendall": relational.LINEITEM_KENDALL_SQL,
+        "embed_drift": docs.EMBED_DRIFT_SQL,
         "supplier_lead_time": relational.SUPPLIER_LEAD_TIME_SQL,
         "orders_lineitem_mergejoin": relational.ORDERS_LINEITEM_MERGEJOIN_SQL,
         "events_runlengths": events.EVENTS_RUNLENGTHS_SQL,

@@ -157,7 +157,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "customers_ldiversity", "docs_script_mix", "events_fano",
         "kg_eccentricity", "events_cooccur_window", "supplier_lead_time",
         "events_active_time", "orders_lineitem_mergejoin", "events_did",
-        "events_queue_wait", "lineitem_kendall",
+        "events_queue_wait", "lineitem_kendall", "embed_drift",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -6198,3 +6198,111 @@ SELECT source,
 FROM c GROUP BY 1
 ORDER BY 1
 """
+
+
+# -- embedding distribution drift -------------------------------------------------
+
+def embed_drift(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding DRIFT monitor: cosine similarity between the
+    mean vectors of the first and second half of the table (vec_id
+    parity split — content-stable) — the distribution-shift alarm a
+    production embedding store watches between snapshots.
+
+    Per-batch exact int64 micro sums per (label, half, dim) — each
+    value floored to micro BEFORE summation (order-free) — one bounded
+    (labels × 2 × dims) exchange; the cosine over the two integer mean
+    vectors is the single mirrored float path, floor-micro.  Degenerate
+    halves (zero vectors) emit similarity 0."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"label": pd.array([], "int64"),
+                                 "half": pd.array([], "int64"),
+                                 "dim": pd.array([], "int64"),
+                                 "s_u": pd.array([], "int64"),
+                                 "n": pd.array([], "int64")})
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        su = np.floor(mat * 1e6 + 0.5).astype("int64")
+        lab = b["label"].to_numpy().astype("int64")
+        half = (b["vec_id"].to_numpy().astype("int64") % 2)
+        frames = []
+        for lv in np.unique(lab):
+            for h in (0, 1):
+                m = (lab == lv) & (half == h)
+                if not m.any():
+                    continue
+                s = su[m].sum(axis=0)
+                frames.append(pd.DataFrame(
+                    {"label": lv, "half": h,
+                     "dim": np.arange(len(s), dtype="int64"),
+                     "s_u": s, "n": int(m.sum())}))
+        return pd.concat(frames, ignore_index=True).astype("int64")
+
+    agg = (_embeddings(sf_dir).map_batches(
+        arrow_out(partial), batch_format="pandas")
+        .groupby(["label", "half", "dim"])
+        .aggregate(Sum("s_u", alias_name="s_u"), Sum("n", alias_name="n"))
+        .to_pandas())
+    rows = []
+    for lv, g in agg.groupby("label"):
+        g0 = g[g["half"] == 0].sort_values("dim")
+        g1 = g[g["half"] == 1].sort_values("dim")
+        a = [int(v) for v in g0["s_u"]]
+        b_ = [int(v) for v in g1["s_u"]]
+        n0 = int(g0["n"].max()) if len(g0) else 0
+        n1 = int(g1["n"].max()) if len(g1) else 0
+        # EXACT integer dot products (Python bigints ≡ DuckDB HUGEINT
+        # sums) — a float dot product's addition order would differ
+        # between numpy and SQL; only the final casts + division float
+        num_i = sum(x * y for x, y in zip(a, b_))
+        d1 = sum(x * x for x in a)
+        d2 = sum(y * y for y in b_)
+        if d1 > 0 and d2 > 0:
+            import math
+
+            cos = float(num_i) / (math.sqrt(float(d1))
+                                  * math.sqrt(float(d2)))
+        else:
+            cos = 0.0
+        rows.append((int(lv), n0, n1, int(np.floor(cos * 1e6 + 0.5))))
+    return (pd.DataFrame(rows, columns=["label", "n_first", "n_second",
+                                        "cos_micro"])
+            .sort_values("label").reset_index(drop=True)
+            .astype("int64"))
+
+
+EMBED_DRIFT_SQL = """
+WITH u AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(vec_id % 2 AS BIGINT) AS half,
+         CAST(GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS xu,
+         vec_id
+  FROM embeddings),
+s AS (
+  SELECT label, half, dim,
+         CAST(SUM(xu) AS BIGINT) AS s_u,
+         CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+  FROM u GROUP BY 1, 2, 3),
+p AS (
+  SELECT a.label,
+         ANY_VALUE(a.n) AS n_first, ANY_VALUE(b.n) AS n_second,
+         SUM(CAST(a.s_u AS HUGEINT) * b.s_u) AS num,
+         SUM(CAST(a.s_u AS HUGEINT) * a.s_u) AS d1,
+         SUM(CAST(b.s_u AS HUGEINT) * b.s_u) AS d2
+  FROM s a JOIN s b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.half = 0 AND b.half = 1
+  GROUP BY 1)
+SELECT label, n_first, n_second,
+       CAST(FLOOR(CASE WHEN d1 > 0 AND d2 > 0
+                  THEN CAST(num AS DOUBLE)
+                       / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE)))
+                  ELSE 0.0 END * 1000000 + 0.5) AS BIGINT) AS cos_micro
+FROM p
+ORDER BY label
+"""
