@@ -718,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_queue_wait": events.events_queue_wait,
         "lineitem_kendall": relational.lineitem_kendall,
         "embed_drift": docs.embed_drift,
+        "docs_vocab_drift": docs.docs_vocab_drift,
         "supplier_lead_time": relational.supplier_lead_time,
         "orders_lineitem_mergejoin": relational.orders_lineitem_mergejoin,
         "events_runlengths": events.events_runlengths,
@@ -1002,7 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cooccur_window", "supplier_lead_time",
         "events_active_time", "orders_lineitem_mergejoin",
         "events_did", "events_queue_wait", "lineitem_kendall",
-        "embed_drift",
+        "embed_drift", "docs_vocab_drift",
     ]
     _demote = [
         "events_sliding", "events_lag_diff", "events_rolling_avg",
@@ -1042,6 +1043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_backtest", "embed_rproj", "events_peak_concurrency",
         "docs_corpus_report", "lineitem_selfjoin_size",
         "docs_search_ranked", "docs_search_phrase", "kg_ppmi",
+        "events_funnel3",
     ]
     order = list(q)
     for out_k, in_k in zip(_demote, _promote):
@@ -1278,6 +1280,7 @@ def oracle_sql() -> dict[str, str]:
         "events_queue_wait": events.EVENTS_QUEUE_WAIT_SQL,
         "lineitem_kendall": relational.LINEITEM_KENDALL_SQL,
         "embed_drift": docs.EMBED_DRIFT_SQL,
+        "docs_vocab_drift": docs.DOCS_VOCAB_DRIFT_SQL,
         "supplier_lead_time": relational.SUPPLIER_LEAD_TIME_SQL,
         "orders_lineitem_mergejoin": relational.ORDERS_LINEITEM_MERGEJOIN_SQL,
         "events_runlengths": events.EVENTS_RUNLENGTHS_SQL,

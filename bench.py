@@ -158,6 +158,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, int]]:
         "kg_eccentricity", "events_cooccur_window", "supplier_lead_time",
         "events_active_time", "orders_lineitem_mergejoin", "events_did",
         "events_queue_wait", "lineitem_kendall", "embed_drift",
+        "docs_vocab_drift",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

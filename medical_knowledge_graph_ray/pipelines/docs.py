@@ -6306,3 +6306,96 @@ SELECT label, n_first, n_second,
 FROM p
 ORDER BY label
 """
+
+
+# -- vocabulary drift between halves ----------------------------------------------
+
+def docs_vocab_drift(sf_dir: str) -> pd.DataFrame:
+    """Per-source VOCABULARY drift between the doc_id-parity halves of
+    the corpus — the text sibling of ``embed_drift``: |V₁|, |V₂|, the
+    overlap, and the Jaccard (integer micro = ``overlap·10⁶ //
+    |V₁∪V₂|`` — floor division both engines, no float at all).
+
+    Per-batch (source, token) → half-membership bitmask combiner → one
+    vocabulary-bounded exchange (Max over the 2-bit mask) → per-source
+    fold of bit counts."""
+    from ray.data.aggregate import Max
+
+    docs = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        srcs, toks, masks = [], [], []
+        for did, src, text in zip(b["doc_id"].astype("int64"),
+                                  b["source"].astype(str),
+                                  b["text"].astype(str)):
+            bit = 1 << (int(did) % 2)
+            for t in set(text.split(" ")):
+                srcs.append(src)
+                toks.append(t)
+                masks.append(bit)
+        if not srcs:
+            return pd.DataFrame({"source": pd.array([], "str"),
+                                 "token": pd.array([], "str"),
+                                 "mask": pd.array([], "int64")})
+        g = (pd.DataFrame({"source": srcs, "token": toks, "mask": masks})
+             .groupby(["source", "token"], sort=False)["mask"]
+             .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+             .reset_index())
+        return g.astype({"mask": "int64"})
+
+    # bitwise-or folds as Max would NOT (1|2=3) — emit per-batch OR
+    # partials and fold with a second OR inside a bucketed exchange
+    from ..stages.shuffle import bucketed_group_map
+
+    parts = docs.map_batches(arrow_out(partial), batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["source", "token"], sort=False)["mask"]
+               .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+               .reset_index())
+        cnt = (out.assign(
+            in1=(out["mask"].to_numpy("int64") & 1) != 0,
+            in2=(out["mask"].to_numpy("int64") & 2) != 0)
+            .groupby("source", sort=False)
+            .agg(v1=("in1", "sum"), v2=("in2", "sum"),
+                 overlap=("mask", lambda s: int((s.to_numpy("int64") == 3)
+                                                .sum())),
+                 union=("mask", "size"))
+            .reset_index())
+        return cnt.astype({"v1": "int64", "v2": "int64",
+                           "overlap": "int64", "union": "int64"})
+
+    cen = bucketed_group_map(parts, ["source", "token"], fold).to_pandas()
+    agg = (cen.groupby("source", as_index=False)
+           [["v1", "v2", "overlap", "union"]].sum())
+    out = pd.DataFrame({
+        "source": pd.array(agg["source"], "str"),
+        "v1": agg["v1"].astype("int64"),
+        "v2": agg["v2"].astype("int64"),
+        "overlap": agg["overlap"].astype("int64"),
+        "jaccard_micro": (agg["overlap"].to_numpy("int64") * 1_000_000
+                          // agg["union"].to_numpy("int64")),
+    })
+    return out.sort_values("source").reset_index(drop=True)
+
+
+DOCS_VOCAB_DRIFT_SQL = """
+WITH t AS (
+  SELECT DISTINCT source, doc_id % 2 AS half,
+         UNNEST(string_split(text, ' ')) AS token
+  FROM documents),
+m AS (
+  SELECT source, token,
+         CAST(MAX(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+              + 2 * MAX(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS mask
+  FROM t GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(CASE WHEN mask & 1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+       CAST(SUM(CASE WHEN mask & 2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+       CAST(SUM(CASE WHEN mask = 3 THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+       CAST(SUM(CASE WHEN mask = 3 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS jaccard_micro
+FROM m GROUP BY 1
+ORDER BY 1
+"""
