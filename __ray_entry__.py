@@ -819,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the default-ensemble graph ≥ 0.95 — tests/test_trained_ensemble)
         "kg_flagship_trained": _kg_flagship_trained,
         "kg_segment_hmm": _kg_segment_hmm,
+        "events_markov_attribution": events.events_markov_attribution,
         "kg_flagship_neural": _kg_flagship_neural,
         # MUC-style NER evaluation (strict/exact/partial/ent_type P&R per
         # model per type — the reference's quality gate; gold+preds are

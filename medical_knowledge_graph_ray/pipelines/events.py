@@ -5331,3 +5331,101 @@ UNION ALL
 SELECT user_id, CAST(1 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS wait_us
 FROM e WHERE rn = 1
 """
+
+
+# -- Markov removal-effect attribution --------------------------------------------
+
+def events_markov_attribution(sf_dir: str) -> pd.DataFrame:
+    """Markov-chain REMOVAL-EFFECT attribution (Anderl et al. 2014) —
+    the data-driven alternative to last-touch: each user's journey is
+    START → type → … → CONV (first 'purchase') or NULL (journey ends);
+    a channel's credit is how much the conversion probability DROPS
+    when the channel is removed (its transitions redirect to NULL),
+    normalized over channels.
+
+    Distributed part: the exact integer transition census (bounded by
+    (|types|+3)²) through ONE user-bucketed exchange; the absorbing-
+    chain solves (base + one per removed channel) are driver-side dense
+    linear algebra on the tiny matrix — the ``events_absorbing``
+    posture.  Rows-only (iterative/linear-algebra; no SQL oracle);
+    pytest pins a hand chain, share normalization, and parallelism
+    invariance."""
+    import numpy as np
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows: dict[tuple[str, str], int] = {}
+        for _uid, seq in g.groupby("user_id", sort=False)["event_type"]:
+            prev = "_START"
+            for et in seq:
+                if et == "purchase":
+                    rows[(prev, "_CONV")] = rows.get((prev, "_CONV"), 0) + 1
+                    prev = None
+                    break
+                rows[(prev, et)] = rows.get((prev, et), 0) + 1
+                prev = et
+            if prev is not None:
+                rows[(prev, "_NULL")] = rows.get((prev, "_NULL"), 0) + 1
+        if not rows:
+            return pd.DataFrame({"src": pd.array([], "str"),
+                                 "dst": pd.array([], "str"),
+                                 "n": pd.array([], "int64")})
+        ks = list(rows)
+        return pd.DataFrame({"src": [a for a, _ in ks],
+                             "dst": [b for _, b in ks],
+                             "n": pd.array(list(rows.values()), "int64")})
+
+    parts = bucketed_group_map(ev, ["user_id"], census)
+    cen = (parts.to_pandas().groupby(["src", "dst"], as_index=False)["n"]
+           .sum())
+
+    channels = sorted((set(cen["src"]) | set(cen["dst"]))
+                      - {"_START", "_CONV", "_NULL"})
+    states = ["_START"] + channels
+    sidx = {s: i for i, s in enumerate(states)}
+
+    def p_conv(removed: str | None) -> float:
+        n = len(states)
+        T = np.zeros((n, n))
+        r_conv = np.zeros(n)
+        for src, dst, c in zip(cen["src"], cen["dst"], cen["n"]):
+            if src == removed or src not in sidx:
+                continue
+            if dst == removed:
+                continue  # redirected to NULL (absorbed, no conversion)
+            if dst == "_CONV":
+                r_conv[sidx[src]] += c
+            elif dst in sidx:
+                T[sidx[src], sidx[dst]] += c
+        tot = np.zeros(n)
+        for src, dst, c in zip(cen["src"], cen["dst"], cen["n"]):
+            if src == removed or src not in sidx:
+                continue
+            tot[sidx[src]] += c  # removed-dst mass stays in the denominator
+        tot = np.where(tot == 0, 1.0, tot)
+        P = T / tot[:, None]
+        r = r_conv / tot
+        # absorption probability: p = (I - P)^-1 r, read at START
+        p = np.linalg.solve(np.eye(n) - P, r)
+        return float(p[sidx["_START"]])
+
+    base = p_conv(None)
+    effects = []
+    for c in channels:
+        pc = p_conv(c)
+        effects.append(max(0.0, 1.0 - (pc / base if base > 0 else 0.0)))
+    tot_eff = sum(effects)
+    rows = []
+    for c, eff in zip(channels, effects):
+        share = eff / tot_eff if tot_eff > 0 else 0.0
+        rows.append((c, int(np.floor(eff * 1e6 + 0.5)),
+                     int(np.floor(share * 1e6 + 0.5))))
+    return (pd.DataFrame(rows, columns=["channel", "removal_effect_micro",
+                                        "share_micro"])
+            .sort_values("channel").reset_index(drop=True)
+            .astype({"channel": "str", "removal_effect_micro": "int64",
+                     "share_micro": "int64"}))

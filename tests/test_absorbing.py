@@ -79,3 +79,56 @@ def test_dangling_state_is_nan():
     out = absorbing_expected_steps(census).set_index("event_type")
     assert np.isnan(out.loc["c", "expected_steps"])
     assert out.loc["c", "n_out"] == 0
+
+
+def test_markov_attribution_hand_chain_and_invariance(ray_session, tmp_path):
+    """Removal-effect attribution: a hand-built two-channel corpus where
+    every conversion flows through channel A gives A all the credit;
+    shares normalize to ~1; the result is invariant to event-table
+    partitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medical_knowledge_graph_ray.pipelines.events import (
+        events_markov_attribution,
+    )
+
+    root = str(tmp_path)
+    # users 0..9: view_a -> purchase (converts THROUGH a)
+    # users 10..19: view_b -> end (never converts)
+    uids, ts, types = [], [], []
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    for u in range(10):
+        uids += [u, u]
+        ts += [t0 + np.timedelta64(u * 100, "s"),
+               t0 + np.timedelta64(u * 100 + 10, "s")]
+        types += ["view_a", "purchase"]
+    for u in range(10, 20):
+        uids.append(u)
+        ts.append(t0 + np.timedelta64(u * 100, "s"))
+        types.append("view_b")
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(len(uids)), pa.int64()),
+        "user_id": pa.array(uids, pa.int64()),
+        "ts": pa.array(ts),
+        "event_type": pa.array(types),
+        "value": pa.array(np.ones(len(uids))),
+    })
+    pq.write_table(tbl, f"{root}/events.parquet")
+
+    out = events_markov_attribution(root)
+    d = dict(zip(out["channel"], out["share_micro"]))
+    assert d["view_a"] == 1_000_000       # all credit through a
+    assert d.get("view_b", 0) == 0
+    assert out["share_micro"].sum() in (1_000_000,)
+
+    # invariance: same table written as 4 shuffled row groups
+    root2 = str(tmp_path / "p2")
+    import os
+    os.makedirs(root2, exist_ok=True)
+    perm = np.random.RandomState(3).permutation(len(uids))
+    pq.write_table(tbl.take(pa.array(perm)), f"{root2}/events.parquet",
+                   row_group_size=8)
+    out2 = events_markov_attribution(root2)
+    pd.testing.assert_frame_equal(out, out2)
