@@ -40,11 +40,16 @@ def _slice_digest(b: pd.DataFrame) -> str:
     ).hexdigest()[:16]
 
 
-def _sqlite_connect(db_path: str):
+def _sqlite_connect(db_path: str, *, init: bool = False):
     import sqlite3
 
     con = sqlite3.connect(db_path, timeout=60.0)
-    con.execute("PRAGMA journal_mode=WAL")
+    if init:
+        # journal-mode change needs an exclusive lock — do it ONCE
+        # driver-side before any concurrent writer exists (a worker
+        # running the pragma under contention raises "database is
+        # locked" even with a busy timeout)
+        con.execute("PRAGMA journal_mode=WAL")
     con.execute("PRAGMA busy_timeout=60000")
     return con
 
@@ -85,6 +90,13 @@ def write_sql_table(
         if db_path is None:
             raise ValueError("need db_path or connect_fn")
         path = db_path
+        boot = _sqlite_connect(path, init=True)  # WAL + ledger, once
+        boot.execute(
+            f'CREATE TABLE IF NOT EXISTS "{_LEDGER}" '
+            "(tbl TEXT, digest TEXT, rows BIGINT, PRIMARY KEY (tbl, digest))"
+        )
+        boot.commit()
+        boot.close()
 
         def connect_fn():
             return _sqlite_connect(path)
@@ -101,6 +113,7 @@ def write_sql_table(
             con = connect_fn()
             try:
                 cur = con.cursor()
+                cur.execute("BEGIN IMMEDIATE")  # take the write lock upfront
                 cur.execute(_ddl(table, b))
                 cur.execute(
                     f'CREATE TABLE IF NOT EXISTS "{_LEDGER}" '
@@ -130,10 +143,13 @@ def write_sql_table(
                     {"rows": pd.array([len(b)], "int64"),
                      "slices": pd.array([1], "int64")})
             except Exception:
-                con.rollback()
+                try:
+                    con.rollback()
+                except Exception:
+                    pass
                 if attempt == max_retries - 1:
                     raise
-                time.sleep(0.05 * (attempt + 1))
+                time.sleep(min(0.1 * (2 ** attempt), 3.0))
             finally:
                 con.close()
 
